@@ -1,0 +1,86 @@
+"""Decoder tests: upstream fixtures, oracle round-trips at all qualities.
+
+Fixture decodes pin compatibility with google/brotli-produced streams
+(same oracle strategy as reference src/bin/integration_tests.rs).
+"""
+
+import os
+
+import pytest
+
+from brotli_tpu.decode.decoder import decompress, BrotliDecodeError
+from .conftest import TESTDATA, fixture_path
+from . import oracle
+
+FIXTURES = [
+    "64x", "alice29.txt", "asyoulik.txt", "backward65536",
+    "compressed_file", "compressed_repeated", "empty", "quickfox",
+    "quickfox_repeated", "random_then_unicode", "ukkonooa", "monkey",
+]
+
+
+def read(name):
+    with open(fixture_path(name), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("name", [n for n in FIXTURES
+                                  if os.path.exists(
+                                      fixture_path(n + ".compressed"))])
+def test_fixture_decodes(name):
+    compressed = read(name + ".compressed")
+    expected = read(name)
+    assert decompress(compressed) == expected
+
+
+@pytest.mark.parametrize("nn", [f"{i:02d}" for i in range(19)])
+def test_empty_variants(nn):
+    path = fixture_path(f"empty.compressed.{nn}")
+    if not os.path.exists(path):
+        pytest.skip("missing fixture")
+    with open(path, "rb") as f:
+        data = f.read()
+    assert decompress(data) == b""
+
+
+@pytest.mark.parametrize("nn", ["00", "01", "02", "03"])
+def test_x_variants(nn):
+    path = fixture_path(f"x.compressed.{nn}")
+    if not os.path.exists(path):
+        pytest.skip("missing fixture")
+    with open(path, "rb") as f:
+        data = f.read()
+    assert decompress(data) == read("x")
+
+
+@pytest.mark.parametrize("quality", list(range(12)))
+@pytest.mark.parametrize("name", ["alice29.txt", "backward65536",
+                                  "random_then_unicode", "monkey",
+                                  "aaabaaaa", "10x10y", "ukkonooa"])
+def test_oracle_encoded_roundtrip(quality, name):
+    if not oracle.available():
+        pytest.skip("no system brotli")
+    data = read(name)
+    compressed = oracle.compress(data, quality=quality, lgwin=22)
+    assert decompress(compressed) == data
+
+
+@pytest.mark.parametrize("lgwin", [10, 14, 18, 24])
+def test_oracle_windows(lgwin):
+    if not oracle.available():
+        pytest.skip("no system brotli")
+    data = read("asyoulik.txt")
+    compressed = oracle.compress(data, quality=9, lgwin=lgwin)
+    assert decompress(compressed) == data
+
+
+def test_truncated_input_fails():
+    compressed = read("alice29.txt.compressed")
+    from brotli_tpu.core.bitio import NeedsMoreInput
+    with pytest.raises((BrotliDecodeError, NeedsMoreInput)):
+        decompress(compressed[:len(compressed) // 2])
+
+
+def test_garbage_fails():
+    with pytest.raises((BrotliDecodeError, Exception)):
+        decompress(b"\x13\x37" * 50)
