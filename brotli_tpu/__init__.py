@@ -7,12 +7,16 @@ Public API (capability parity with dropbox/rust-brotli, src/lib.rs):
 """
 
 from .decode.decoder import BrotliDecodeError, Decoder, decompress
+from .encode.encoder import compress
+from .encode.params import EncoderParams
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BrotliDecodeError",
     "Decoder",
+    "EncoderParams",
+    "compress",
     "decompress",
     "__version__",
 ]

@@ -184,5 +184,17 @@ class BitWriter:
         if self.bitpos:
             self.buf[-1] &= (1 << self.bitpos) - 1
 
+    def save_state(self):
+        """Checkpoint for rollback (per-metablock uncompressed fallback)."""
+        return (len(self.buf), self.bitpos,
+                self.buf[-1] if self.buf else 0)
+
+    def restore_state(self, state):
+        nbytes, bitpos, last = state
+        del self.buf[nbytes:]
+        if nbytes:
+            self.buf[-1] = last
+        self.bitpos = bitpos
+
     def getvalue(self) -> bytes:
         return bytes(self.buf)

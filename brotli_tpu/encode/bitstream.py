@@ -1,0 +1,323 @@
+"""Metablock serialization: headers + vectorized symbol emission.
+
+The hot path (per-command / per-literal Huffman emission) is fully
+vectorized: build (bits, nbits) item arrays in stream order with index
+arithmetic, exclusive-scan the bit lengths, and scatter-OR shifted values
+into a uint64 word buffer.  This is the same data-parallel shape as the
+TPU bit-pack kernel in brotli_tpu/ops/bitpack.py.
+
+Reference parity (format level): store_meta_block family
+(src/enc/brotli_bit_stream.rs:2035-2900), StoreCompressedMetaBlockHeader
+(:1292), BrotliEncodeMlen (:1272), BrotliWriteMetadataMetaBlock (:2869),
+BrotliWritePaddingMetaBlock (:2840), BrotliWriteEmptyLastMetaBlock (:2835).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.bitio import BitWriter
+from ..core.huffman import build_huffman_lengths
+from ..core.prefix import encoding_table, write_prefix_code
+from .command import CommandArrays, command_extra_bits
+
+# ---------------------------------------------------------------------------
+# Vectorized bit packing
+# ---------------------------------------------------------------------------
+
+
+def pack_bits(bits: np.ndarray, nbits: np.ndarray):
+    """Pack (bits[i], nbits[i]) items LSB-first into uint64 words.
+
+    Returns (words, total_bits).  nbits may be 0 (item skipped); each
+    item must fit 32 bits so a shifted value spans at most 2 words.
+    """
+    bits = np.asarray(bits, dtype=np.uint64)
+    nbits = np.asarray(nbits, dtype=np.int64)
+    total = int(nbits.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), 0
+    pos = np.zeros(len(nbits), dtype=np.int64)
+    np.cumsum(nbits[:-1], out=pos[1:])
+    word = pos >> 6
+    shift = (pos & 63).astype(np.uint64)
+    nwords = (total + 63) // 64 + 1
+    words = np.zeros(nwords, dtype=np.uint64)
+    lo = bits << shift
+    hi = np.where(shift > 0, bits >> (np.uint64(64) - shift), 0).astype(
+        np.uint64)
+    np.bitwise_or.at(words, word, lo)
+    np.bitwise_or.at(words, word + 1, hi)
+    return words, total
+
+
+# ---------------------------------------------------------------------------
+# Small header helpers
+# ---------------------------------------------------------------------------
+
+
+def write_stream_header(writer: BitWriter, lgwin: int,
+                        large_window: bool = False):
+    bits, nbits = C.encode_window_bits(lgwin, large_window)
+    writer.write(bits, nbits)
+
+
+def write_mlen(writer: BitWriter, mlen: int):
+    """MNIBBLES + MLEN (reference BrotliEncodeMlen,
+    src/enc/brotli_bit_stream.rs:1272)."""
+    assert 1 <= mlen <= (1 << 24)
+    lg = (mlen - 1).bit_length() if mlen > 1 else 1
+    mnibbles = max(4, (lg + 3) // 4)
+    writer.write(mnibbles - 4, 2)
+    writer.write(mlen - 1, mnibbles * 4)
+
+
+def write_empty_last_meta_block(writer: BitWriter):
+    writer.write(1, 1)  # ISLAST
+    writer.write(1, 1)  # ISLASTEMPTY
+
+
+def write_padding_meta_block(writer: BitWriter):
+    """Empty (non-last) metadata block used for byte alignment
+    (reference BrotliWritePaddingMetaBlock, brotli_bit_stream.rs:2840)."""
+    writer.write(0, 1)   # ISLAST
+    writer.write(3, 2)   # MNIBBLES == 0 -> metadata
+    writer.write(0, 1)   # reserved
+    writer.write(0, 2)   # MSKIPBYTES = 0
+    writer.align_to_byte()
+
+
+def write_metadata_meta_block(writer: BitWriter, payload: bytes):
+    """Skippable metadata metablock (reference
+    BrotliWriteMetadataMetaBlock, brotli_bit_stream.rs:2869)."""
+    n = len(payload)
+    assert n < (1 << 24)
+    writer.write(0, 1)   # ISLAST
+    writer.write(3, 2)   # MNIBBLES == 0
+    writer.write(0, 1)   # reserved
+    if n == 0:
+        writer.write(0, 2)
+    else:
+        nbytes = max(1, ((n - 1).bit_length() + 7) // 8)
+        writer.write(nbytes, 2)
+        writer.write(n - 1, 8 * nbytes)
+    writer.align_to_byte()
+    if n:
+        writer.write_bytes(payload)
+
+
+FORMAT_VERSION = 1  # reference src/lib.rs:67
+
+
+def encode_base_128(value: int) -> bytes:
+    """LEB128-style size-hint encoding (reference
+    brotli_bit_stream.rs encode_base_128)."""
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        out.append(b | (0x80 if value else 0))
+        if not value:
+            return bytes(out)
+
+
+def write_magic_number(writer: BitWriter, size_hint: int = 0,
+                       catable: bool = False, appendable: bool = False):
+    """Dropbox magic-number header: a metadata block after the window
+    header carrying magic + version + base-128 size hint (reference
+    BrotliWriteMetadataMetaBlock, brotli_bit_stream.rs:2869)."""
+    hint = encode_base_128(size_hint)
+    writer.write(0, 1)    # ISLAST
+    writer.write(3, 2)    # MNIBBLES == 0 -> metadata
+    writer.write(0, 1)    # reserved
+    writer.write(1, 2)    # MSKIPBYTES = 1
+    writer.write(3 + len(hint), 8)  # MSKIPLEN - 1
+    writer.align_to_byte()
+    if catable:
+        magic = bytes([0xE1, 0x97, 0x81])
+    elif appendable:
+        magic = bytes([0xE1, 0x97, 0x82])
+    else:
+        magic = bytes([0xE1, 0x97, 0x80])
+    writer.write_bytes(magic + bytes([FORMAT_VERSION]) + hint)
+
+
+def store_uncompressed_meta_block(writer: BitWriter, data: bytes):
+    """ISUNCOMPRESSED metablock; caller appends the empty-last block if
+    this ends the stream (uncompressed blocks cannot be ISLAST)."""
+    mlen = len(data)
+    assert 1 <= mlen <= (1 << 24)
+    writer.write(0, 1)   # ISLAST
+    write_mlen(writer, mlen)
+    writer.write(1, 1)   # ISUNCOMPRESSED
+    writer.align_to_byte()
+    writer.write_bytes(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# Literal extraction
+# ---------------------------------------------------------------------------
+
+
+def extract_literals(data: np.ndarray, start: int,
+                     cmds: CommandArrays) -> np.ndarray:
+    """Gather the literal bytes of a command stream (vectorized).
+
+    data: uint8 array of the full input; commands consume
+    insert_len + copy_len bytes each starting at `start`.
+    """
+    n = len(cmds)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    step = cmds.insert_len + cmds.copy_len
+    cmd_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(step[:-1], out=cmd_start[1:])
+    cmd_start += start
+    total = int(cmds.insert_len.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8)
+    # index of owning command for each literal + offset within its run
+    owner = np.repeat(np.arange(n), cmds.insert_len)
+    run_off = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(cmds.insert_len)[:-1]]),
+        cmds.insert_len)
+    return data[cmd_start[owner] + run_off]
+
+
+# ---------------------------------------------------------------------------
+# Trivial metablock (single histogram per category)
+# ---------------------------------------------------------------------------
+
+
+def _safe_hist(hist: np.ndarray) -> np.ndarray:
+    if hist.sum() == 0:
+        hist = hist.copy()
+        hist[0] = 1
+    return hist
+
+
+def store_meta_block_trivial(writer: BitWriter, data: np.ndarray, start: int,
+                             mlen: int, is_last: bool, cmds: CommandArrays,
+                             dist_params):
+    """Serialize one compressed metablock with one prefix code per
+    category (reference store_meta_block_trivial,
+    brotli_bit_stream.rs:2349)."""
+    literals = extract_literals(data, start, cmds)
+    dist_mask = (cmds.copy_len > 0) & ~C.CMD_IMPLICIT_DIST0[cmds.cmd_sym]
+    dist_syms = cmds.dist_code[dist_mask]
+
+    lit_hist = _safe_hist(np.bincount(literals, minlength=256))
+    cmd_hist = _safe_hist(np.bincount(cmds.cmd_sym, minlength=704))
+    alpha_d = dist_params.alphabet_size
+    dist_hist = _safe_hist(np.bincount(dist_syms, minlength=alpha_d))
+
+    lit_lengths = build_huffman_lengths(lit_hist)
+    cmd_lengths = build_huffman_lengths(cmd_hist)
+    dist_lengths = build_huffman_lengths(dist_hist)
+
+    writer.write(1 if is_last else 0, 1)
+    if is_last:
+        writer.write(0, 1)  # ISLASTEMPTY = 0
+    write_mlen(writer, mlen)
+    if not is_last:
+        writer.write(0, 1)  # ISUNCOMPRESSED = 0
+    for _ in range(3):      # NBLTYPES L/I/D = 1
+        writer.write(0, 1)
+    writer.write(dist_params.npostfix, 2)
+    writer.write(dist_params.ndirect >> dist_params.npostfix, 4)
+    writer.write(0, 2)      # context mode for the single literal block type
+    writer.write(0, 1)      # NTREESL = 1
+    writer.write(0, 1)      # NTREESD = 1
+    write_prefix_code(writer, lit_lengths)
+    write_prefix_code(writer, cmd_lengths)
+    write_prefix_code(writer, dist_lengths)
+
+    emit_command_stream(writer, cmds, literals,
+                        [lit_lengths], None,
+                        [cmd_lengths],
+                        [dist_lengths], None,
+                        lit_block=None, dist_block=None)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized command-stream emission
+# ---------------------------------------------------------------------------
+
+
+def emit_command_stream(writer: BitWriter, cmds: CommandArrays,
+                        literals: np.ndarray,
+                        lit_codes_list, lit_tree_of_literal,
+                        cmd_codes_list,
+                        dist_codes_list, dist_tree_of_dist,
+                        lit_block=None, dist_block=None,
+                        cmd_block=None, block_items=None):
+    """Emit the interleaved symbol stream of one metablock, vectorized.
+
+    lit_codes_list / cmd_codes_list / dist_codes_list: per-tree code-length
+    arrays.  lit_tree_of_literal (int[n_lit]) selects the tree per literal
+    (None = tree 0); dist_tree_of_dist likewise per distance symbol.
+    cmd_block (int[n_cmd]) selects the command tree (None = tree 0).
+    block_items: optional dict mapping item-stream insertion points to
+    pre-encoded (bits, nbits) pairs for block-switch codes — handled by
+    the caller in the full store_meta_block path.
+    """
+    n = len(cmds)
+    ins_val, ins_nb, copy_val, copy_nb = command_extra_bits(cmds)
+    dist_mask = (cmds.copy_len > 0) & ~C.CMD_IMPLICIT_DIST0[cmds.cmd_sym]
+
+    # Per-command item counts: cmd, ins_extra, copy_extra, literals, [dist+extra]
+    items_per_cmd = 3 + cmds.insert_len + 2 * dist_mask
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(items_per_cmd[:-1], out=offs[1:])
+    total_items = int(items_per_cmd.sum())
+
+    bits = np.zeros(total_items, dtype=np.uint64)
+    nbits = np.zeros(total_items, dtype=np.int64)
+
+    # command symbols
+    cmd_tree = (np.zeros(n, dtype=np.int64) if cmd_block is None
+                else np.asarray(cmd_block))
+    cmd_code_b = np.stack([encoding_table(l)[0] for l in cmd_codes_list])
+    cmd_code_n = np.stack([encoding_table(l)[1] for l in cmd_codes_list])
+    bits[offs] = cmd_code_b[cmd_tree, cmds.cmd_sym].astype(np.uint64)
+    nbits[offs] = cmd_code_n[cmd_tree, cmds.cmd_sym]
+    # insert/copy extra bits
+    bits[offs + 1] = ins_val.astype(np.uint64)
+    nbits[offs + 1] = ins_nb
+    bits[offs + 2] = copy_val.astype(np.uint64)
+    nbits[offs + 2] = copy_nb
+
+    # literals
+    n_lit = len(literals)
+    if n_lit:
+        owner = np.repeat(np.arange(n), cmds.insert_len)
+        run_off = np.arange(n_lit) - np.repeat(
+            np.concatenate([[0], np.cumsum(cmds.insert_len)[:-1]]),
+            cmds.insert_len)
+        lit_pos = offs[owner] + 3 + run_off
+        lit_tree = (np.zeros(n_lit, dtype=np.int64)
+                    if lit_tree_of_literal is None
+                    else np.asarray(lit_tree_of_literal))
+        lit_code_b = np.stack([encoding_table(l)[0] for l in lit_codes_list])
+        lit_code_n = np.stack([encoding_table(l)[1] for l in lit_codes_list])
+        bits[lit_pos] = lit_code_b[lit_tree, literals].astype(np.uint64)
+        nbits[lit_pos] = lit_code_n[lit_tree, literals]
+
+    # distance symbols + extra bits
+    d_idx = np.nonzero(dist_mask)[0]
+    if len(d_idx):
+        d_pos = offs[d_idx] + 3 + cmds.insert_len[d_idx]
+        d_syms = cmds.dist_code[d_idx]
+        d_tree = (np.zeros(len(d_idx), dtype=np.int64)
+                  if dist_tree_of_dist is None
+                  else np.asarray(dist_tree_of_dist))
+        dist_code_b = np.stack([encoding_table(l)[0] for l in dist_codes_list])
+        dist_code_n = np.stack([encoding_table(l)[1] for l in dist_codes_list])
+        bits[d_pos] = dist_code_b[d_tree, d_syms].astype(np.uint64)
+        nbits[d_pos] = dist_code_n[d_tree, d_syms]
+        bits[d_pos + 1] = cmds.dist_extra[d_idx].astype(np.uint64)
+        nbits[d_pos + 1] = cmds.dist_extra_bits[d_idx]
+
+    words, total_bits = pack_bits(bits, nbits)
+    writer.append_packed(words, total_bits)

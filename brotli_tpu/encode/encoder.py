@@ -1,0 +1,170 @@
+"""Top-level Brotli encoder: quality dispatch and stream assembly.
+
+One-shot `compress()` with capability parity targets from the reference's
+encoder_compress / compress_stream (src/enc/encode.rs:1436, :2873):
+stream shaping flags (catable / appendable / bare / byte_align / magic),
+custom LZ77 dictionaries, per-metablock uncompressed fallback
+(encode.rs:2141-2163), and whole-stream uncompressed fallback
+(MakeUncompressedStream, encode.rs:1388).
+
+Pipeline: batched match finding + greedy lazy parse (match.py, the TPU
+shape) -> distance-cache resolution (command.py) -> metablock
+optimization + serialization (metablock.py / bitstream.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.bitio import BitWriter
+from . import bitstream as bs
+from .command import resolve_commands
+from .match import find_best_matches, greedy_parse
+from .params import EncoderParams, max_compressed_size
+
+# Catable streams poison the initial distance cache so no command can rely
+# on the RFC's initial {4, 11, 15, 16} values, which would differ when the
+# stream is appended after another (reference encode.rs:693-703).
+POISONED_DISTANCE = 0x7FFFFFF0
+
+# Metablock span for the greedy path: large enough to amortize header
+# cost, small enough for histogram locality before block splitting cuts in.
+METABLOCK_SIZE = 1 << 22
+
+
+def compress(data, quality: int = 11, lgwin: int = 22, lgblock: int = 0,
+             mode: int = 0, catable: bool = False, appendable: bool = False,
+             bare: bool = False, byte_align: bool = False,
+             magic_number: bool = False, large_window: bool = False,
+             custom_dictionary: bytes = b"", q9_5: bool = False,
+             literal_byte_score: int = 540) -> bytes:
+    """One-shot compress (reference BrotliCompress, src/enc/mod.rs:142)."""
+    data = np.frombuffer(bytes(data), dtype=np.uint8)
+    params = EncoderParams(
+        quality=quality, lgwin=lgwin, lgblock=lgblock, mode=mode,
+        catable=catable, appendable=appendable, bare=bare,
+        byte_align=byte_align, magic_number=magic_number,
+        large_window=large_window, q9_5=q9_5,
+        literal_byte_score=literal_byte_score,
+    ).sanitize(len(data))
+    if params.catable:
+        custom_dictionary = b""  # catable forbids dictionaries (SanitizeParams)
+    out = compress_with_params(data, params, custom_dictionary)
+    # Whole-stream fallback: never exceed the uncompressed-stream bound
+    # (reference encoder_compress, encode.rs:1522-1537).
+    plain_flags = not (params.catable or params.appendable or params.bare
+                       or params.magic_number or custom_dictionary)
+    if plain_flags and len(out) > len(data) + 5:
+        alt = make_uncompressed_stream(data, params)
+        if len(alt) < len(out):
+            return alt
+    return out
+
+
+def make_uncompressed_stream(data: np.ndarray,
+                             params: EncoderParams) -> bytes:
+    """Raw fallback stream (reference MakeUncompressedStream,
+    encode.rs:1388-1433)."""
+    w = BitWriter()
+    bs.write_stream_header(w, params.lgwin, params.large_window)
+    n = len(data)
+    pos = 0
+    while pos < n:
+        chunk = min(n - pos, 1 << 24)
+        bs.store_uncompressed_meta_block(
+            w, data[pos:pos + chunk].tobytes())
+        pos += chunk
+    bs.write_empty_last_meta_block(w)
+    return w.getvalue()
+
+
+def _quality_knobs(params: EncoderParams):
+    """Match-finder geometry per quality (the TPU analog of ChooseHasher,
+    reference encode.rs:834-893: deeper candidate search and bigger
+    tables at higher quality)."""
+    q = params.quality
+    if q <= 1:
+        return dict(k=1, bucket_bits=15)
+    if q <= 3:
+        return dict(k=2, bucket_bits=16)
+    if q <= 6:
+        return dict(k=4, bucket_bits=17)
+    if q <= 9:
+        return dict(k=8, bucket_bits=17)
+    return dict(k=16, bucket_bits=18)
+
+
+def compress_with_params(data: np.ndarray, params: EncoderParams,
+                         custom_dictionary: bytes = b"") -> bytes:
+    n = len(data)
+    w = BitWriter()
+    if not params.bare:
+        bs.write_stream_header(w, params.lgwin, params.large_window)
+    if params.magic_number:
+        bs.write_magic_number(w, params.size_hint, catable=params.catable,
+                              appendable=params.appendable)
+
+    start = 0
+    cache = list(C.INITIAL_DISTANCE_CACHE)
+    if params.catable and n > 0:
+        # First bytes stored raw so context seeding is position-independent
+        # when concatenated (reference encode.rs:2258-2333).
+        k = min(2, n)
+        bs.store_uncompressed_meta_block(w, data[:k].tobytes())
+        start = k
+        cache = [POISONED_DISTANCE] * 4
+
+    if start >= n:
+        _finish_stream(w, params)
+        return w.getvalue()
+
+    dict_arr = np.frombuffer(bytes(custom_dictionary), dtype=np.uint8)
+    dlen = len(dict_arr)
+    full = np.concatenate([dict_arr, data]) if dlen else data
+
+    knobs = _quality_knobs(params)
+    best_len, best_dist, best_score = find_best_matches(
+        full, params.window_size, dict_len=dlen,
+        literal_byte_score=params.literal_byte_score, **knobs)
+
+    boundaries = list(range(start + METABLOCK_SIZE, n, METABLOCK_SIZE)) + [n]
+    segments = greedy_parse(full, best_len, best_dist, best_score,
+                            boundaries, dict_len=dlen, pos0=start)
+
+    seg_start = start
+    for i, ((ins, cps, dst), boundary) in enumerate(zip(segments, boundaries)):
+        mlen = boundary - seg_start
+        is_final = i == len(segments) - 1
+        is_last = is_final and not params.appendable
+        cmds, new_cache = resolve_commands(
+            ins, cps, dst, params.dist, initial_cache=cache,
+            pos_offset=dlen + seg_start, window_size=params.window_size)
+
+        state = w.save_state()
+        before = w.bit_length()
+        bs.store_meta_block_trivial(w, full, dlen + seg_start, mlen,
+                                    is_last, cmds, params.dist)
+        # Per-metablock expansion fallback (reference encode.rs:2141-2163).
+        if w.bit_length() - before > 8 * mlen + 40:
+            w.restore_state(state)
+            bs.store_uncompressed_meta_block(
+                w, data[seg_start:boundary].tobytes())
+            if is_last:
+                bs.write_empty_last_meta_block(w)
+            # uncompressed block: decoder's distance cache is unchanged
+        else:
+            cache = new_cache
+        seg_start = boundary
+
+    if params.appendable:
+        if params.byte_align and not w.is_byte_aligned():
+            bs.write_padding_meta_block(w)
+    return w.getvalue()
+
+
+def _finish_stream(w: BitWriter, params: EncoderParams):
+    if not params.appendable:
+        bs.write_empty_last_meta_block(w)
+    elif params.byte_align and not w.is_byte_aligned():
+        bs.write_padding_meta_block(w)

@@ -1,0 +1,129 @@
+"""Encoder parameter system.
+
+Capability parity with the reference's BrotliEncoderParams
+(reference src/enc/backward_references/mod.rs:72-125) and the numbered
+BrotliEncoderParameter enum (src/enc/parameters.rs:3-259), including the
+Dropbox extensions (q9.5, catable/appendable/bare/byte_align/magic,
+literal byte score).  `sanitize()` mirrors SanitizeParams
+(src/enc/encode.rs:546-568): catable implies appendable and forbids an
+external custom dictionary; bare implies byte_align.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+MIN_QUALITY = 0
+MAX_QUALITY = 11
+MIN_WINDOW_BITS = 10
+MAX_WINDOW_BITS = 24
+LARGE_MAX_WINDOW_BITS = 30
+MIN_INPUT_BLOCK_BITS = 16
+MAX_INPUT_BLOCK_BITS = 24
+
+# Encoding modes (reference parameters.rs BrotliEncoderMode)
+MODE_GENERIC = 0
+MODE_TEXT = 1
+MODE_FONT = 2
+
+
+@dataclass
+class DistanceParams:
+    """Distance prefix parameters (NPOSTFIX/NDIRECT, RFC 7932 section 4)."""
+    npostfix: int = 0
+    ndirect: int = 0
+    large_window: bool = False
+
+    @property
+    def alphabet_size(self) -> int:
+        max_distbits = 62 if self.large_window else 24
+        return 16 + self.ndirect + (max_distbits << (self.npostfix + 1))
+
+
+@dataclass
+class EncoderParams:
+    quality: int = 11
+    q9_5: bool = False            # the "9.5" pseudo-quality family
+    lgwin: int = 22
+    lgblock: int = 0              # 0 = auto (ComputeLgBlock)
+    mode: int = MODE_GENERIC
+    size_hint: int = 0
+    large_window: bool = False
+
+    # Stream-shaping flags (Dropbox extensions; reference README
+    # "Technical Reference" table)
+    catable: bool = False         # stream can be concatenated after another
+    appendable: bool = False      # another stream may be appended (no ISLAST)
+    bare: bool = False            # omit window header / final marker
+    byte_align: bool = False      # pad final output to a byte boundary
+    magic_number: bool = False    # emit magic-number metadata header
+
+    # Tuning
+    literal_byte_score: int = 540  # BROTLI_PARAM_LITERAL_BYTE_SCORE
+    avoid_distance_prefix_search: bool = False
+    favor_cpu_efficiency: bool = False
+    num_threads: int = 1
+
+    # IR / analysis side channel (reference §2.9)
+    log_meta_block: bool = False
+    stride_detection_quality: int = 0
+    prior_bitmask_detection: int = 0
+    literal_adaptation: tuple = ()
+    use_utf8_context_mode: bool | None = None  # None = auto-detect
+
+    dist: DistanceParams = field(default_factory=DistanceParams)
+
+    def sanitize(self, input_size: int | None = None) -> "EncoderParams":
+        """Resolve parameter dependencies (reference SanitizeParams,
+        src/enc/encode.rs:546-568 + ComputeLgBlock :570)."""
+        p = replace(self)
+        p.quality = max(MIN_QUALITY, min(MAX_QUALITY, p.quality))
+        if p.catable:
+            p.appendable = True
+        if p.bare:
+            p.byte_align = True
+        max_w = LARGE_MAX_WINDOW_BITS if p.large_window else MAX_WINDOW_BITS
+        p.lgwin = max(MIN_WINDOW_BITS, min(max_w, p.lgwin))
+        if input_size is not None and p.size_hint == 0:
+            p.size_hint = input_size
+        # Shrink the window for small inputs (reference encode.rs:662+).
+        if input_size is not None and 0 < input_size and p.quality >= 2:
+            while (p.lgwin > MIN_WINDOW_BITS
+                   and (1 << (p.lgwin - 1)) - 16 >= input_size):
+                p.lgwin -= 1
+        p.lgblock = compute_lg_block(p)
+        p.dist = replace(p.dist, large_window=p.large_window)
+        return p
+
+    @property
+    def window_size(self) -> int:
+        return (1 << self.lgwin) - 16
+
+    @property
+    def effective_quality(self) -> int:
+        """Quality used for algorithm selection: the 9.5 family runs
+        greedy match finding with full metablock optimization."""
+        return self.quality
+
+
+def compute_lg_block(p: EncoderParams) -> int:
+    """Reference ComputeLgBlock (src/enc/encode.rs:570-589)."""
+    lgblock = p.lgblock
+    if p.quality in (0, 1):
+        lgblock = p.lgwin
+    elif lgblock == 0:
+        lgblock = 16
+        if p.quality >= 9 and p.lgwin > lgblock:
+            lgblock = min(18, p.lgwin)
+    else:
+        lgblock = max(MIN_INPUT_BLOCK_BITS, min(MAX_INPUT_BLOCK_BITS, lgblock))
+    return lgblock
+
+
+def max_compressed_size(input_size: int) -> int:
+    """Worst-case output bound (reference BrotliEncoderMaxCompressedSize,
+    src/enc/encode.rs:1277-1299): input + uncompressed-metablock overhead
+    + 16 bytes slack for magic/headers."""
+    num_blocks = (input_size >> 24) + 1
+    overhead = 2 + 4 * num_blocks + 3 + 1
+    return input_size + overhead + 16

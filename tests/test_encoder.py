@@ -1,0 +1,171 @@
+"""Encoder round-trip and capability tests.
+
+Mirrors the reference's test strategy (SURVEY.md §4): round-trip is the
+universal oracle — every quality, every fixture, decoded both by our own
+decoder and by the upstream C library (bit-exact stream validity).
+Reference: src/enc/test.rs oneshot tests, src/bin/integration_tests.rs
+total_roundtrip_helper.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from brotli_tpu import compress, decompress
+from brotli_tpu.encode.encoder import make_uncompressed_stream
+from brotli_tpu.encode.params import EncoderParams
+
+from . import oracle
+from .conftest import TESTDATA
+
+FIXTURES = [
+    "alice29.txt", "asyoulik.txt", "10x10y", "aaabaaaa", "64x",
+    "monkey", "quickfox_repeated", "ukkonooa", "backward65536",
+    "random_org_10k.bin", "empty", "xyzzy", "quickfox",
+]
+
+
+def load(name):
+    with open(os.path.join(TESTDATA, name), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+@pytest.mark.parametrize("quality", [1, 5, 9, 11])
+def test_roundtrip_self(name, quality):
+    data = load(name)
+    out = compress(data, quality=quality)
+    assert decompress(out) == data
+
+
+@pytest.mark.parametrize("name", ["alice29.txt", "asyoulik.txt", "monkey",
+                                  "random_org_10k.bin", "quickfox_repeated"])
+@pytest.mark.parametrize("quality", [5, 9, 11])
+def test_roundtrip_upstream_oracle(name, quality):
+    if not oracle.available():
+        pytest.skip("system brotli unavailable")
+    data = load(name)
+    out = compress(data, quality=quality)
+    assert oracle.decompress(out, max_size_hint=len(data) + 64) == data
+
+
+@pytest.mark.parametrize("quality", [1, 5, 9, 11])
+def test_window_sizes(quality):
+    data = load("alice29.txt")
+    for lgwin in (10, 16, 18, 22, 24):
+        out = compress(data, quality=quality, lgwin=lgwin)
+        assert decompress(out) == data
+
+
+def test_size_competitive_q9():
+    """Compressed size should be within 10% of the C engine at q9
+    (north-star: <= reference; gap closes with context modeling)."""
+    if not oracle.available():
+        pytest.skip("system brotli unavailable")
+    data = load("alice29.txt")
+    ours = len(compress(data, quality=9))
+    ref = len(oracle.compress(data, quality=9))
+    assert ours <= ref * 1.10, (ours, ref)
+
+
+def test_incompressible_bounded():
+    rng = np.random.default_rng(42)
+    data = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+    out = compress(data, quality=9)
+    assert len(out) <= len(data) + 16
+    assert decompress(out) == data
+
+
+def test_empty_input():
+    out = compress(b"")
+    assert decompress(out) == b""
+    assert len(out) <= 2
+
+
+def test_tiny_inputs():
+    for k in range(1, 40):
+        data = bytes(range(k))
+        out = compress(data, quality=9)
+        assert decompress(out) == data
+
+
+def test_uncompressed_stream():
+    data = load("alice29.txt")
+    p = EncoderParams(quality=9).sanitize(len(data))
+    out = make_uncompressed_stream(np.frombuffer(data, np.uint8), p)
+    assert decompress(out) == data
+    if oracle.available():
+        assert oracle.decompress(out, max_size_hint=len(data)) == data
+
+
+def test_custom_dictionary_roundtrip():
+    data = load("alice29.txt")
+    d, body = data[:50000], data[50000:]
+    out = compress(body, quality=9, custom_dictionary=d)
+    assert decompress(out, custom_dictionary=d) == body
+    # dictionary must actually help
+    assert len(out) < len(compress(body, quality=9))
+
+
+def test_custom_dictionary_wrong_dict_differs():
+    data = load("alice29.txt")
+    d, body = data[:50000], data[50000:]
+    out = compress(body, quality=9, custom_dictionary=d)
+    try:
+        got = decompress(out, custom_dictionary=bytes(50000))
+        assert got != body
+    except Exception:
+        pass  # failing outright is also acceptable
+
+
+@pytest.mark.parametrize("quality", [5, 11])
+def test_appendable_stream_is_prefix(quality):
+    """Appendable streams lack ISLAST; appending an empty-last block makes
+    them decodable (reference README 'Stream Concatenation')."""
+    data = load("asyoulik.txt")
+    out = compress(data, quality=quality, appendable=True, byte_align=True)
+    finished = bytes(out) + b"\x03"  # empty last metablock, byte-aligned
+    assert decompress(finished) == data
+    if oracle.available():
+        assert oracle.decompress(finished, max_size_hint=len(data)) == data
+
+
+def test_catable_plus_appendable_concat():
+    """Simple concatenation path: -bare-less appendable first + catable
+    second + 0x03 terminator decodes to the concatenation
+    (reference README 'Stream Concatenation')."""
+    a = load("alice29.txt")[:40000]
+    b = load("asyoulik.txt")[:40000]
+    first = compress(a, quality=9, appendable=True, byte_align=True)
+    second = compress(b, quality=9, catable=True, byte_align=True, bare=True)
+    joined = bytes(first) + bytes(second) + b"\x03"
+    assert decompress(joined) == a + b
+    if oracle.available():
+        assert oracle.decompress(joined, max_size_hint=len(a) + len(b)) \
+            == a + b
+
+
+def test_magic_number_header():
+    data = load("quickfox")
+    out = compress(data, quality=9, magic_number=True)
+    assert decompress(out) == data
+
+
+@pytest.mark.parametrize("quality", [5, 9])
+def test_large_window(quality):
+    data = load("alice29.txt") * 2
+    out = compress(data, quality=quality, large_window=True, lgwin=26)
+    assert decompress(out, large_window=True) == data
+
+
+def test_all_byte_values():
+    data = bytes(range(256)) * 64
+    out = compress(data, quality=9)
+    assert decompress(out) == data
+    assert len(out) < 1200  # highly repetitive
+
+
+def test_deterministic():
+    data = load("alice29.txt")
+    assert compress(data, quality=9) == compress(data, quality=9)
