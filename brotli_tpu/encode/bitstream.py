@@ -155,6 +155,93 @@ def store_uncompressed_meta_block(writer: BitWriter, data: bytes):
     writer.write_bytes(bytes(data))
 
 
+def write_count_code(writer: BitWriter, v: int):
+    """NBLTYPES / NTREES variable-length count (RFC 9.2)."""
+    assert 1 <= v <= 256
+    if v == 1:
+        writer.write(0, 1)
+        return
+    writer.write(1, 1)
+    nbits = (v - 1).bit_length() - 1
+    writer.write(nbits, 3)
+    writer.write(v - 1 - (1 << nbits), nbits)
+
+
+def mtf_encode(values: np.ndarray) -> np.ndarray:
+    """Forward move-to-front (decoder applies the inverse, RFC 7.3)."""
+    mtf = list(range(256))
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(np.asarray(values).tolist()):
+        j = mtf.index(v)
+        out[i] = j
+        if j:
+            del mtf[j]
+            mtf.insert(0, v)
+    return out
+
+
+def write_context_map(writer: BitWriter, cmap: np.ndarray, ntrees: int):
+    """Serialize a context map with MTF + zero-RLE (RFC 7.3; reference
+    EncodeContextMap, brotli_bit_stream.rs:1783)."""
+    vals = mtf_encode(cmap)
+    # tokenize: zero runs -> (sym s, extra, s bits); values -> rlemax + v
+    runs = []
+    i = 0
+    n = len(vals)
+    max_run_bits = 0
+    while i < n:
+        if vals[i] == 0:
+            j = i
+            while j < n and vals[j] == 0:
+                j += 1
+            r = j - i
+            runs.append((0, r))
+            if r >= 2:
+                max_run_bits = max(max_run_bits, int(np.log2(r)))
+            i = j
+        else:
+            runs.append((int(vals[i]), 1))
+            i += 1
+    rlemax = min(16, max_run_bits)
+    tokens = []  # (symbol, extra_val, extra_bits)
+    for v, r in runs:
+        if v != 0:
+            tokens.append((rlemax + v, 0, 0))
+            continue
+        while r > 0:
+            if r == 1:
+                tokens.append((0, 0, 0))
+                r = 0
+            else:
+                s = min(rlemax, int(np.log2(r)))
+                if s == 0:
+                    tokens.append((0, 0, 0))
+                    r -= 1
+                    continue
+                take = min(r, (1 << s) + ((1 << s) - 1))
+                # ensure remainder is representable (avoid leaving r == 0
+                # mid-run is fine; any r >= 1 is representable)
+                extra = take - (1 << s)
+                tokens.append((s, extra, s))
+                r -= take
+    hist = np.zeros(ntrees + rlemax, dtype=np.int64)
+    for sym, _, _ in tokens:
+        hist[sym] += 1
+    lengths = build_huffman_lengths(hist)
+    if rlemax:
+        writer.write(1, 1)
+        writer.write(rlemax - 1, 4)
+    else:
+        writer.write(0, 1)
+    write_prefix_code(writer, lengths)
+    codes, emit_lens = encoding_table(lengths)
+    for sym, extra, ebits in tokens:
+        writer.write(int(codes[sym]), int(emit_lens[sym]))
+        if ebits:
+            writer.write(extra, ebits)
+    writer.write(1, 1)  # IMTF
+
+
 # ---------------------------------------------------------------------------
 # Literal extraction
 # ---------------------------------------------------------------------------
@@ -241,6 +328,101 @@ def store_meta_block_trivial(writer: BitWriter, data: np.ndarray, start: int,
 
 
 # ---------------------------------------------------------------------------
+# Full metablock (block types + context maps)
+# ---------------------------------------------------------------------------
+
+
+def _write_block_switch_header(writer: BitWriter, plan, type_lengths,
+                               len_lengths):
+    """Per-category header: type code, length code, first block length."""
+    write_prefix_code(writer, type_lengths)
+    write_prefix_code(writer, len_lengths)
+    len_codes, len_emit = encoding_table(len_lengths)
+    flc = plan["first_len_code"]
+    writer.write(int(len_codes[flc]), int(len_emit[flc]))
+    writer.write(int(plan["first_len"] - C.BLOCK_LEN_BASE[flc]),
+                 int(C.BLOCK_LEN_EXTRA[flc]))
+
+
+def store_meta_block(writer: BitWriter, plan, is_last: bool):
+    """Serialize a fully-optimized metablock (reference store_meta_block,
+    brotli_bit_stream.rs:2035): block-switch codes, context maps, multiple
+    prefix codes per category, vectorized emission with switch insertion."""
+    writer.write(1 if is_last else 0, 1)
+    if is_last:
+        writer.write(0, 1)
+    write_mlen(writer, plan.mlen)
+    if not is_last:
+        writer.write(0, 1)  # ISUNCOMPRESSED = 0
+
+    switch_headers = []
+    for split_plan, nt in ((plan.lit_switch, plan.lit_ntypes),
+                           (plan.cmd_switch, plan.cmd_ntypes),
+                           (plan.dist_switch, plan.dist_ntypes)):
+        write_count_code(writer, nt)
+        if nt >= 2:
+            tl = build_huffman_lengths(_safe_hist(split_plan["type_hist"]))
+            ll = build_huffman_lengths(_safe_hist(split_plan["len_hist"]))
+            _write_block_switch_header(writer, split_plan, tl, ll)
+            switch_headers.append((tl, ll))
+        else:
+            switch_headers.append((None, None))
+
+    writer.write(plan.dist_params.npostfix, 2)
+    writer.write(plan.dist_params.ndirect >> plan.dist_params.npostfix, 4)
+    for _ in range(plan.lit_ntypes):
+        writer.write(plan.context_mode, 2)
+
+    write_count_code(writer, plan.ntrees_l)
+    if plan.ntrees_l >= 2:
+        write_context_map(writer, plan.cmap_l, plan.ntrees_l)
+    write_count_code(writer, plan.ntrees_d)
+    if plan.ntrees_d >= 2:
+        write_context_map(writer, plan.cmap_d, plan.ntrees_d)
+
+    for lengths in plan.lit_lengths:
+        write_prefix_code(writer, lengths)
+    for lengths in plan.cmd_lengths:
+        write_prefix_code(writer, lengths)
+    for lengths in plan.dist_lengths:
+        write_prefix_code(writer, lengths)
+
+    switches = _build_switch_items(plan, switch_headers)
+    emit_command_stream(writer, plan.cmds, plan.literals,
+                        plan.lit_lengths, plan.lit_tree,
+                        plan.cmd_lengths,
+                        plan.dist_lengths, plan.dist_tree,
+                        cmd_block=plan.cmd_tree, switches=switches)
+
+
+def _build_switch_items(plan, switch_headers):
+    """Per-category block-switch wire items: (at_symbol_index,
+    3 x (bits, nbits)) keyed by category."""
+    out = {}
+    for cat, split_plan, (tl, ll) in zip(
+            ("lit", "cmd", "dist"),
+            (plan.lit_switch, plan.cmd_switch, plan.dist_switch),
+            switch_headers):
+        if tl is None or split_plan is None \
+                or len(split_plan["switch_at"]) == 0:
+            continue
+        tcodes, temit = encoding_table(tl)
+        lcodes, lemit = encoding_table(ll)
+        at = split_plan["switch_at"]
+        m = len(at)
+        bits = np.zeros((m, 3), dtype=np.uint64)
+        nbits = np.zeros((m, 3), dtype=np.int64)
+        for j in range(m):
+            ts = split_plan["type_syms"][j]
+            lc = split_plan["len_codes"][j]
+            ev, eb = split_plan["len_extra"][j]
+            bits[j] = (int(tcodes[ts]), int(lcodes[lc]), ev)
+            nbits[j] = (int(temit[ts]), int(lemit[lc]), eb)
+        out[cat] = (np.asarray(at, dtype=np.int64), bits, nbits)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Vectorized command-stream emission
 # ---------------------------------------------------------------------------
 
@@ -250,17 +432,16 @@ def emit_command_stream(writer: BitWriter, cmds: CommandArrays,
                         lit_codes_list, lit_tree_of_literal,
                         cmd_codes_list,
                         dist_codes_list, dist_tree_of_dist,
-                        lit_block=None, dist_block=None,
-                        cmd_block=None, block_items=None):
+                        cmd_block=None, switches=None):
     """Emit the interleaved symbol stream of one metablock, vectorized.
 
     lit_codes_list / cmd_codes_list / dist_codes_list: per-tree code-length
     arrays.  lit_tree_of_literal (int[n_lit]) selects the tree per literal
     (None = tree 0); dist_tree_of_dist likewise per distance symbol.
     cmd_block (int[n_cmd]) selects the command tree (None = tree 0).
-    block_items: optional dict mapping item-stream insertion points to
-    pre-encoded (bits, nbits) pairs for block-switch codes — handled by
-    the caller in the full store_meta_block path.
+    switches: dict of category -> (at_symbol_index, bits[m,3], nbits[m,3])
+    block-switch items inserted before the at-index-th symbol of that
+    category (RFC 6: switches fire when the category counter exhausts).
     """
     n = len(cmds)
     ins_val, ins_nb, copy_val, copy_nb = command_extra_bits(cmds)
@@ -290,6 +471,7 @@ def emit_command_stream(writer: BitWriter, cmds: CommandArrays,
 
     # literals
     n_lit = len(literals)
+    lit_pos = np.zeros(0, dtype=np.int64)
     if n_lit:
         owner = np.repeat(np.arange(n), cmds.insert_len)
         run_off = np.arange(n_lit) - np.repeat(
@@ -306,6 +488,7 @@ def emit_command_stream(writer: BitWriter, cmds: CommandArrays,
 
     # distance symbols + extra bits
     d_idx = np.nonzero(dist_mask)[0]
+    d_pos = np.zeros(0, dtype=np.int64)
     if len(d_idx):
         d_pos = offs[d_idx] + 3 + cmds.insert_len[d_idx]
         d_syms = cmds.dist_code[d_idx]
@@ -318,6 +501,23 @@ def emit_command_stream(writer: BitWriter, cmds: CommandArrays,
         nbits[d_pos] = dist_code_n[d_tree, d_syms]
         bits[d_pos + 1] = cmds.dist_extra[d_idx].astype(np.uint64)
         nbits[d_pos + 1] = cmds.dist_extra_bits[d_idx]
+
+    if switches:
+        # Map per-category symbol indices to item-stream positions and
+        # insert the 3-item switch groups before them.
+        ins_at, ins_bits, ins_nbits = [], [], []
+        pos_of = {"lit": lit_pos, "cmd": offs, "dist": d_pos}
+        for cat, (at, sb, sn) in switches.items():
+            items = pos_of[cat][at]
+            ins_at.append(np.repeat(items, 3))
+            ins_bits.append(sb.reshape(-1))
+            ins_nbits.append(sn.reshape(-1))
+        ins_at = np.concatenate(ins_at)
+        ins_bits = np.concatenate(ins_bits)
+        ins_nbits = np.concatenate(ins_nbits)
+        order = np.argsort(ins_at, kind="stable")
+        bits = np.insert(bits, ins_at[order], ins_bits[order])
+        nbits = np.insert(nbits, ins_at[order], ins_nbits[order])
 
     words, total_bits = pack_bits(bits, nbits)
     writer.append_packed(words, total_bits)

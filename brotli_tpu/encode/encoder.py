@@ -21,6 +21,7 @@ from ..core.bitio import BitWriter
 from . import bitstream as bs
 from .command import resolve_commands
 from .match import find_best_matches, greedy_parse
+from .metablock import build_meta_block
 from .params import EncoderParams, max_compressed_size
 
 # Catable streams poison the initial distance cache so no command can rely
@@ -85,14 +86,14 @@ def _quality_knobs(params: EncoderParams):
     tables at higher quality)."""
     q = params.quality
     if q <= 1:
-        return dict(k=1, bucket_bits=15)
+        return dict(k=1, bucket_bits=15, k8=0)
     if q <= 3:
-        return dict(k=2, bucket_bits=16)
+        return dict(k=2, bucket_bits=16, k8=1)
     if q <= 6:
-        return dict(k=4, bucket_bits=17)
+        return dict(k=4, bucket_bits=17, k8=2)
     if q <= 9:
-        return dict(k=8, bucket_bits=17)
-    return dict(k=16, bucket_bits=18)
+        return dict(k=12, bucket_bits=17, k8=6)
+    return dict(k=24, bucket_bits=18, k8=12)
 
 
 def compress_with_params(data: np.ndarray, params: EncoderParams,
@@ -124,13 +125,16 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     full = np.concatenate([dict_arr, data]) if dlen else data
 
     knobs = _quality_knobs(params)
-    best_len, best_dist, best_score = find_best_matches(
+    best_len, best_dist, best_score, best_isdict = find_best_matches(
         full, params.window_size, dict_len=dlen,
-        literal_byte_score=params.literal_byte_score, **knobs)
+        literal_byte_score=params.literal_byte_score,
+        use_dictionary=not params.catable, **knobs)
 
     boundaries = list(range(start + METABLOCK_SIZE, n, METABLOCK_SIZE)) + [n]
     segments = greedy_parse(full, best_len, best_dist, best_score,
-                            boundaries, dict_len=dlen, pos0=start)
+                            boundaries, dict_len=dlen, pos0=start,
+                            initial_cache=tuple(cache),
+                            best_isdict=best_isdict)
 
     seg_start = start
     for i, ((ins, cps, dst), boundary) in enumerate(zip(segments, boundaries)):
@@ -143,8 +147,14 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
 
         state = w.save_state()
         before = w.bit_length()
-        bs.store_meta_block_trivial(w, full, dlen + seg_start, mlen,
-                                    is_last, cmds, params.dist)
+        if params.quality >= 4:
+            plan = build_meta_block(
+                full, dlen + seg_start, mlen, cmds, params.dist,
+                params.quality, params.size_hint, mode=params.mode)
+            bs.store_meta_block(w, plan, is_last)
+        else:
+            bs.store_meta_block_trivial(w, full, dlen + seg_start, mlen,
+                                        is_last, cmds, params.dist)
         # Per-metablock expansion fallback (reference encode.rs:2141-2163).
         if w.bit_length() - before > 8 * mlen + 40:
             w.restore_state(state)

@@ -28,6 +28,9 @@ MATCH_CAP = 320            # vectorized length cap; longer matches are
 #                            extended exactly during the greedy walk
 
 
+HASH_MUL64 = 0x1FE35A7BD3579BD3
+
+
 def _u32_values(data: np.ndarray) -> np.ndarray:
     """v[i] = little-endian u32 at byte i (tail positions zero-padded)."""
     n = len(data)
@@ -35,9 +38,27 @@ def _u32_values(data: np.ndarray) -> np.ndarray:
     return d[:n] | (d[1:n + 1] << 8) | (d[2:n + 2] << 16) | (d[3:n + 3] << 24)
 
 
+def _u64_values(data: np.ndarray) -> np.ndarray:
+    """v[i] = little-endian u64 at byte i (tail zero-padded)."""
+    n = len(data)
+    d = np.concatenate([data, np.zeros(8, np.uint8)]).astype(np.uint64)
+    v = d[:n].copy()
+    for j in range(1, 8):
+        v |= d[j:n + j] << np.uint64(8 * j)
+    return v
+
+
 def hash_positions(data: np.ndarray, bucket_bits: int) -> np.ndarray:
     v = _u32_values(data)
     return ((v * np.uint32(HASH_MUL32)) >> np.uint32(32 - bucket_bits))
+
+
+def hash_positions_u64(data: np.ndarray, bucket_bits: int) -> np.ndarray:
+    """8-byte hash (reference H6's 64-bit hash, mod.rs H6Sub:1097):
+    catches long matches that 4-byte buckets bury under short ones."""
+    with np.errstate(over="ignore"):
+        v = _u64_values(data) * np.uint64(HASH_MUL64)
+    return (v >> np.uint64(64 - bucket_bits)).astype(np.int64)
 
 
 def topk_candidates(h: np.ndarray, k: int):
@@ -106,10 +127,17 @@ def extend_match(data: np.ndarray, cand: int, pos: int, cur_len: int,
 
 def find_best_matches(data: np.ndarray, window_size: int,
                       k: int = 8, bucket_bits: int = 17,
+                      k8: int = 4, bucket_bits8: int = 18,
                       min_length: int = 4,
                       literal_byte_score: int = LITERAL_BYTE_SCORE,
-                      dict_len: int = 0):
+                      dict_len: int = 0, use_dictionary: bool = True):
     """Best (length, distance, score) per position, vectorized.
+
+    Two candidate tables, like the reference's tiered hashers: 4-byte
+    hashes find short recent matches; 8-byte hashes (k8 > 0) find long
+    matches that crowded 4-byte buckets miss.  Optionally unioned with
+    static-dictionary candidates (reference SearchInStaticDictionary,
+    mod.rs:1942).
 
     data includes a dict_len-byte custom-dictionary prefix; positions in
     the prefix produce no matches but serve as candidates.  Distances are
@@ -120,49 +148,97 @@ def find_best_matches(data: np.ndarray, window_size: int,
     n = len(data)
     if n < 4:
         z = np.zeros(max(0, n - dict_len), dtype=np.int64)
-        return z, z.copy(), z.copy()
-    h = hash_positions(data, bucket_bits)
-    cands = topk_candidates(h, k)
-    v = _u32_values(data)
+        return z, z.copy(), z.copy(), np.zeros(len(z), dtype=bool)
 
     best_len = np.zeros(n, dtype=np.int64)
     best_dist = np.zeros(n, dtype=np.int64)
     best_score = np.zeros(n, dtype=np.int64)
+    best_isdict = np.zeros(n, dtype=bool)
     limit = n - np.arange(n)
-
     lbs = literal_byte_score // 4
-    for j in range(k):
-        c = cands[j]
-        pos = np.arange(n, dtype=np.int64)
-        dist = pos - c
-        valid = (c >= 0) & (dist <= window_size) & (v[np.maximum(c, 0)] == v)
-        idx = np.nonzero(valid)[0]
-        if len(idx) == 0:
-            continue
-        ml = match_lengths(data, c[idx], idx, limit[idx])
-        ok = ml >= min_length
-        idx = idx[ok]
-        ml = ml[ok]
-        if len(idx) == 0:
-            continue
-        sc = (lbs * ml - DISTANCE_BIT_PENALTY *
-              np.floor(np.log2(dist[idx])).astype(np.int64))
-        upd = sc > best_score[idx]
-        u = idx[upd]
-        best_len[u] = ml[upd]
-        best_dist[u] = dist[idx][upd]
-        best_score[u] = sc[upd]
+    pos = np.arange(n, dtype=np.int64)
+
+    def fold(cands, kk, vcheck):
+        for j in range(kk):
+            c = cands[j]
+            dist = pos - c
+            valid = (c >= 0) & (dist <= window_size) & \
+                (vcheck[np.maximum(c, 0)] == vcheck)
+            idx = np.nonzero(valid)[0]
+            if len(idx) == 0:
+                continue
+            ml = match_lengths(data, c[idx], idx, limit[idx])
+            ok = ml >= min_length
+            idx = idx[ok]
+            ml = ml[ok]
+            if len(idx) == 0:
+                continue
+            sc = (lbs * ml - DISTANCE_BIT_PENALTY *
+                  np.floor(np.log2(dist[idx])).astype(np.int64))
+            upd = sc > best_score[idx]
+            u = idx[upd]
+            best_len[u] = ml[upd]
+            best_dist[u] = dist[idx][upd]
+            best_score[u] = sc[upd]
+            best_isdict[u] = False
+
+    v = _u32_values(data)
+    fold(topk_candidates(hash_positions(data, bucket_bits), k), k, v)
+    if k8 > 0 and n >= 8:
+        fold(topk_candidates(hash_positions_u64(data, bucket_bits8), k8),
+             k8, v)
+
+    if use_dictionary:
+        from .static_dict import add_dictionary_matches
+        add_dictionary_matches(data, dict_len, window_size, lbs,
+                               best_len, best_dist, best_score, best_isdict)
 
     if dict_len:
         return (best_len[dict_len:], best_dist[dict_len:],
-                best_score[dict_len:])
-    return best_len, best_dist, best_score
+                best_score[dict_len:], best_isdict[dict_len:])
+    return best_len, best_dist, best_score, best_isdict
+
+
+LAST_DISTANCE_BONUS = 15   # flat bonus for cache-hit matches
+CACHE_PROBE_SPAN = 16      # positions after a copy probed for continuation
+
+
+def _cache_penalty(i: int) -> int:
+    """Reference BackwardReferencePenaltyUsingLastDistance
+    (src/enc/backward_references/mod.rs:1151)."""
+    return 39 + ((0x1CA10 >> (i & 0x0E)) & 0x0E)
+
+
+def _probe_len(data: np.ndarray, src: int, dst: int, limit: int) -> int:
+    """Cheap scalar match-length probe (short-biased)."""
+    if limit <= 0 or data[src] != data[dst]:
+        return 0
+    step = 16
+    l = 0
+    while l < limit:
+        t = min(step, limit - l)
+        x = data[src + l:src + l + t]
+        y = data[dst + l:dst + l + t]
+        neq = x != y
+        if neq.any():
+            return l + int(neq.argmax())
+        l += t
+        step = min(step * 4, 4096)
+    return l
 
 
 def greedy_parse(data: np.ndarray, best_len, best_dist, best_score,
-                 boundaries, dict_len: int = 0, pos0: int = 0):
-    """Greedy scan with lazy matching (reference CreateBackwardReferences,
-    src/enc/backward_references/mod.rs:2376-2552).
+                 boundaries, dict_len: int = 0, pos0: int = 0,
+                 initial_cache=(4, 11, 15, 16), best_isdict=None):
+    """Greedy scan with lazy matching and distance-cache reuse
+    (reference CreateBackwardReferences,
+    src/enc/backward_references/mod.rs:2376-2552; cache candidates scored
+    with the flat last-distance bonus and short-code penalties,
+    mod.rs:1720-1740, 1871-1876).
+
+    The cache here mirrors RFC semantics exactly (push-front on any
+    dist code != 0), so every cache hit resolves to a short code in
+    command.resolve_commands.
 
     data: dict_prefix + input; best_* are indexed relative to the input
     (position 0 == absolute dict_len).  boundaries: sorted absolute input
@@ -171,19 +247,86 @@ def greedy_parse(data: np.ndarray, best_len, best_dist, best_score,
     """
     n = len(data) - dict_len
     bl, bd, bs = best_len, best_dist, best_score
+    isd = best_isdict if best_isdict is not None \
+        else np.zeros(len(bs), dtype=bool)
     mpos = np.nonzero(bs > MIN_SCORE_DELTA)[0]
     nm = len(mpos)
     mp = 0
     pos = pos0
     insert_start = pos0
     segments = []
+    lbs = LITERAL_BYTE_SCORE // 4
+    cache = list(initial_cache)
+
+    def cached_match(q, boundary):
+        """Best (len, dist, score) at the 4 cached distances."""
+        limit = min(boundary, n) - q
+        best = (0, 0, 0)
+        for i in range(4):
+            d = cache[i]
+            if d <= 0 or d > dict_len + q:
+                continue
+            lc = _probe_len(data, dict_len + q - d, dict_len + q, limit)
+            if lc >= 4:
+                sc = lbs * lc + LAST_DISTANCE_BONUS
+                if i != 0:
+                    sc -= _cache_penalty(i)
+                if sc > best[2]:
+                    best = (lc, d, sc)
+        return best
+
+    def hash_score(q):
+        return int(bs[q])
 
     for boundary in boundaries:
         ins, cps, dst = [], [], []
+
+        def emit(p, l, d):
+            nonlocal pos, insert_start
+            ins.append(p - insert_start)
+            cps.append(l)
+            dst.append(d)
+            pos = p + l
+            insert_start = pos
+            if d != cache[0]:  # dist code 0 leaves the cache untouched
+                cache.pop()
+                cache.insert(0, d)
+
+        probe_end = pos  # no probing before the first copy
         while True:
+            # continuation probes at the cached distances across short
+            # literal gaps after a copy (cheap short-code commands)
+            q = max(pos, probe_end - CACHE_PROBE_SPAN)
+            hit = False
+            while q < probe_end:
+                lc, dc, sc = cached_match(q, boundary)
+                if lc >= 2 and sc > MIN_SCORE_DELTA:
+                    # the hash match at this position may be better
+                    hs = hash_score(q)
+                    if hs > sc:
+                        break  # fall through to hash handling below
+                    # lazy check against the next position's hash match
+                    if q + 1 < boundary and hash_score(q + 1) > \
+                            sc + COST_DIFF_LAZY:
+                        q += 1
+                        continue
+                    if q + lc > boundary:
+                        lc = boundary - q
+                        if lc < 2:
+                            q += 1
+                            continue
+                    emit(q, lc, dc)
+                    probe_end = min(pos + CACHE_PROBE_SPAN, boundary)
+                    q = pos
+                    hit = True
+                else:
+                    q += 1
+
             while mp < nm and mpos[mp] < pos:
                 mp += 1
             if mp >= nm or mpos[mp] >= boundary:
+                if hit:
+                    continue
                 break
             p = int(mpos[mp])
             s = int(bs[p])
@@ -198,19 +341,25 @@ def greedy_parse(data: np.ndarray, best_len, best_dist, best_score,
                 defers += 1
             l = int(bl[p])
             d = int(bd[p])
-            if l >= MATCH_CAP:
+            dict_ref = bool(isd[p])
+            # a cache-hit match at this position may score higher
+            lc, dc, sc = cached_match(p, boundary)
+            if sc > s:
+                l, d = lc, dc
+                dict_ref = False
+            elif l >= MATCH_CAP and not dict_ref:
                 l = extend_match(data, dict_len + p - d, dict_len + p, l,
                                  n - p)
             if p + l > boundary:
+                if dict_ref:  # dictionary words cannot be truncated
+                    mp += 1
+                    continue
                 l = boundary - p
                 if l < 2:
                     mp += 1
                     continue
-            ins.append(p - insert_start)
-            cps.append(l)
-            dst.append(d)
-            pos = p + l
-            insert_start = pos
+            emit(p, l, d)
+            probe_end = min(pos + CACHE_PROBE_SPAN, boundary)
 
         if boundary > insert_start or not ins:
             ins.append(boundary - insert_start)
