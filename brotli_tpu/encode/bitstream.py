@@ -323,8 +323,7 @@ def store_meta_block_trivial(writer: BitWriter, data: np.ndarray, start: int,
     emit_command_stream(writer, cmds, literals,
                         [lit_lengths], None,
                         [cmd_lengths],
-                        [dist_lengths], None,
-                        lit_block=None, dist_block=None)
+                        [dist_lengths], None)
 
 
 # ---------------------------------------------------------------------------

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 HASH_MUL32 = np.uint32(0x1E35A7BD)
-HASH_MUL64 = np.uint64(0x1FE35A7BD3579BD3)
-LEN_CAP = 32                 # 4 rounds x 8 bytes
+HASH_MUL32B = np.uint32(0x9E3779B1)
+LEN_CAP = 32                 # 8 rounds x 4 bytes
 DISTANCE_BIT_PENALTY = 30
 MIN_SCORE_DELTA = 100
 
@@ -33,13 +33,14 @@ def u32_values(data: jnp.ndarray) -> jnp.ndarray:
             | (d[3:n + 3] << 24))
 
 
-def u64_values(data: jnp.ndarray) -> jnp.ndarray:
+def u32_values_at(data: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """LE u32 at byte position i + offset (tail zero-padded)."""
     n = data.shape[0]
-    d = jnp.concatenate([data, jnp.zeros(8, jnp.uint8)]).astype(jnp.uint64)
-    v = d[:n]
-    for j in range(1, 8):
-        v = v | (d[j:n + j] << np.uint64(8 * j))
-    return v
+    pad = jnp.zeros(offset + 4, jnp.uint8)
+    d = jnp.concatenate([data, pad]).astype(jnp.uint32)
+    o = offset
+    return (d[o:n + o] | (d[o + 1:n + o + 1] << 8)
+            | (d[o + 2:n + o + 2] << 16) | (d[o + 3:n + o + 3] << 24))
 
 
 def topk_prev_same_hash(h: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -61,27 +62,30 @@ def topk_prev_same_hash(h: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(cands)
 
 
-def match_lengths_capped(v8: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+def match_lengths_capped(v4: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
                          limit: jnp.ndarray) -> jnp.ndarray:
-    """min(matchlen(a, b), limit, LEN_CAP) via u64 XOR + ctz rounds."""
-    n8 = v8.shape[0]
+    """min(matchlen(a, b), limit, LEN_CAP) via u32 XOR + ctz rounds.
+
+    v4[i] = LE u32 at byte i (u32_values); rounds advance 4 bytes.
+    """
+    n4 = v4.shape[0]
 
     def word_match(off):
-        ia = jnp.clip(a + off, 0, n8 - 1)
-        ib = jnp.clip(b + off, 0, n8 - 1)
-        x = v8[ia] ^ v8[ib]
-        # count trailing zero BYTES: ctz(x) // 8; x == 0 -> 8
+        ia = jnp.clip(a + off, 0, n4 - 1)
+        ib = jnp.clip(b + off, 0, n4 - 1)
+        x = v4[ia] ^ v4[ib]
+        # count trailing zero BYTES: ctz(x) // 8; x == 0 -> 4
         nz = x != 0
-        low = (x & (~x + np.uint64(1)))
-        ctz = jax.lax.population_count(low - np.uint64(1))
-        return jnp.where(nz, (ctz >> np.uint64(3)).astype(jnp.int32), 8)
+        low = (x & (~x + np.uint32(1)))
+        ctz = jax.lax.population_count(low - np.uint32(1))
+        return jnp.where(nz, (ctz >> np.uint32(3)).astype(jnp.int32), 4)
 
     total = jnp.zeros(a.shape, jnp.int32)
     alive = jnp.ones(a.shape, bool)
-    for r in range(LEN_CAP // 8):
-        m = word_match(r * 8)
+    for r in range(LEN_CAP // 4):
+        m = word_match(r * 4)
         total = total + jnp.where(alive, m, 0)
-        alive = alive & (m == 8)
+        alive = alive & (m == 4)
     return jnp.minimum(total, limit.astype(jnp.int32))
 
 
@@ -97,7 +101,7 @@ def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
     n = data.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     v4 = u32_values(data)
-    v8 = u64_values(data)
+    v4b = u32_values_at(data, 4)
     limit = (n - pos).astype(jnp.int32)
     lbs = literal_byte_score // 4
 
@@ -112,7 +116,7 @@ def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
             dist = pos - c
             cc = jnp.maximum(c, 0)
             valid = (c >= 0) & (dist <= window_size) & (v4[cc] == v4)
-            ml = match_lengths_capped(v8, cc, pos, limit)
+            ml = match_lengths_capped(v4, cc, pos, limit)
             ml = jnp.where(valid & (ml >= 4), ml, 0)
             logd = 31 - jax.lax.clz(
                 jnp.maximum(dist, 1).astype(jnp.int32))
@@ -124,11 +128,12 @@ def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
             best_score = jnp.where(upd, sc, best_score)
         return best_len, best_dist, best_score
 
-    h4 = u32_values(data) * HASH_MUL32 >> np.uint32(32 - bucket_bits)
+    h4 = v4 * HASH_MUL32 >> np.uint32(32 - bucket_bits)
     best = fold(topk_prev_same_hash(h4, k),
                 (best_len, best_dist, best_score))
     if k8 > 0:
-        h8 = (v8 * HASH_MUL64 >> np.uint64(64 - bucket_bits8)) \
-            .astype(jnp.uint32)
+        # 8-byte hash from two u32 loads (long-match table)
+        h8 = ((v4 * HASH_MUL32) ^ (v4b * HASH_MUL32B)) \
+            >> np.uint32(32 - bucket_bits8)
         best = fold(topk_prev_same_hash(h8, k8), best)
     return best
