@@ -1,0 +1,179 @@
+"""brotli CLI (reference src/bin/brotli.rs parity).
+
+Decompresses by default; -c switches to compression.  Flag surface
+mirrors the reference (bin/brotli.rs:551-835): -q/-0..-11 (incl. -q9.5),
+-w window, -l lgblock, -j threads, -b benchmark repeat, -catable /
+-appendable / -bare / -bytealign / -magic, -customdictionary=FILE,
+-utf8/-msb/-lsb/-signed context modes, -validate, -nothreadpool,
+-bytescore=, -largewindow, -i (IR dump).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+
+def usage() -> str:
+    return (
+        "usage: brotli [-c] [-q#|-#] [-w#] [-l#] [-j#] [-b#] [options] "
+        "[input [output]]\n"
+        "  decompresses by default; -c compresses\n"
+        "  -q# | -#        quality 0-11 (also -q9.5, -q9.5x)\n"
+        "  -w#             log2 window size (10-24; 30 with -largewindow)\n"
+        "  -l#             log2 input block size\n"
+        "  -j#             number of parallel parts (max 16)\n"
+        "  -b#             benchmark: repeat # times, report speed\n"
+        "  -catable -appendable -bare -bytealign -magic\n"
+        "  -customdictionary=FILE   LZ77 dictionary\n"
+        "  -utf8 -msb -lsb -signed  literal context mode\n"
+        "  -largewindow    enable >16MiB windows\n"
+        "  -bytescore=#    match scoring literal byte score\n"
+        "  -validate       decompress output and SHA-256 compare\n"
+        "  -nothreadpool   compress parts serially\n"
+        "  -i              dump command IR instead of compressing\n"
+    )
+
+
+def main(argv=None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    opts = dict(compress=False, quality=11, q9_5=False, lgwin=22,
+                lgblock=0, threads=1, bench=0, catable=False,
+                appendable=False, bare=False, byte_align=False,
+                magic=False, dictionary=b"", mode=0, large_window=False,
+                byte_score=540, validate=False, serial=False,
+                ir_dump=False)
+    files = []
+    for a in args:
+        if a in ("-h", "--help"):
+            sys.stdout.write(usage())
+            return 0
+        if a == "-c":
+            opts["compress"] = True
+        elif a == "-i":
+            opts["ir_dump"] = True
+            opts["compress"] = True
+        elif a in ("-q9.5", "-q9.5x", "-q9.5y"):
+            opts["quality"] = 10 if a == "-q9.5" else 11
+            opts["q9_5"] = True
+            opts["compress"] = True
+        elif a.startswith("-q"):
+            opts["quality"] = int(float(a[2:]))
+            opts["compress"] = True
+        elif a.startswith("-w"):
+            opts["lgwin"] = int(a[2:])
+        elif a.startswith("-l") and a[2:].isdigit():
+            opts["lgblock"] = int(a[2:])
+        elif a.startswith("-j"):
+            opts["threads"] = min(16, int(a[2:]))
+        elif a.startswith("-b") and a[2:].isdigit():
+            opts["bench"] = int(a[2:])
+        elif a == "-catable":
+            opts["catable"] = True
+            opts["compress"] = True
+        elif a == "-appendable":
+            opts["appendable"] = True
+            opts["compress"] = True
+        elif a == "-bare":
+            opts["bare"] = True
+        elif a == "-bytealign":
+            opts["byte_align"] = True
+        elif a == "-magic":
+            opts["magic"] = True
+        elif a.startswith("-customdictionary="):
+            with open(a.split("=", 1)[1], "rb") as f:
+                opts["dictionary"] = f.read()
+        elif a == "-utf8":
+            opts["mode"] = 1
+        elif a in ("-msb", "-lsb", "-signed"):
+            opts["mode"] = 0 if a != "-signed" else 2
+        elif a == "-largewindow":
+            opts["large_window"] = True
+        elif a.startswith("-bytescore="):
+            opts["byte_score"] = int(a.split("=", 1)[1])
+        elif a == "-validate":
+            opts["validate"] = True
+        elif a == "-nothreadpool":
+            opts["serial"] = True
+        elif a.lstrip("-").isdigit() and a.startswith("-"):
+            opts["quality"] = int(a.lstrip("-"))
+            opts["compress"] = True
+        elif a.startswith("-"):
+            sys.stderr.write(f"unknown flag {a}\n{usage()}")
+            return 2
+        else:
+            files.append(a)
+
+    data = _read(files[0] if files else None)
+
+    reps = max(1, opts["bench"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = _run_one(data, opts)
+    dt = (time.perf_counter() - t0) / reps
+    if opts["bench"]:
+        mbps = len(data) / max(dt, 1e-9) / 1e6
+        sys.stderr.write(f"{len(data)} bytes in {dt:.3f}s = "
+                         f"{mbps:.1f} MB/s\n")
+    if opts["ir_dump"]:
+        sys.stdout.write(out.decode())
+        return 0
+    _write(files[1] if len(files) > 1 else None, out)
+    return 0
+
+
+def _run_one(data: bytes, opts) -> bytes:
+    from .. import compress, compress_multi, decompress
+
+    if not opts["compress"]:
+        return decompress(data, custom_dictionary=opts["dictionary"],
+                          large_window=opts["large_window"])
+    if opts["ir_dump"]:
+        from ..utils.ir import dump_ir
+        return dump_ir(data, quality=opts["quality"],
+                       lgwin=opts["lgwin"]).encode()
+    if opts["threads"] > 1 and not opts["dictionary"]:
+        out = compress_multi(data, opts["threads"],
+                             quality=opts["quality"], lgwin=opts["lgwin"],
+                             mode=opts["mode"],
+                             backend="serial" if opts["serial"]
+                             else "thread")
+    else:
+        out = compress(
+            data, quality=opts["quality"], lgwin=opts["lgwin"],
+            lgblock=opts["lgblock"], mode=opts["mode"],
+            catable=opts["catable"], appendable=opts["appendable"],
+            bare=opts["bare"], byte_align=opts["byte_align"],
+            magic_number=opts["magic"],
+            custom_dictionary=opts["dictionary"],
+            large_window=opts["large_window"], q9_5=opts["q9_5"],
+            literal_byte_score=opts["byte_score"])
+    if opts["validate"]:
+        from .. import decompress as dec
+        rt = dec(out, custom_dictionary=opts["dictionary"],
+                 large_window=opts["large_window"])
+        if hashlib.sha256(rt).digest() != hashlib.sha256(data).digest():
+            raise RuntimeError("validation failed: round-trip mismatch")
+        sys.stderr.write("validation OK\n")
+    return out
+
+
+def _read(path):
+    if path in (None, "-"):
+        return sys.stdin.buffer.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _write(path, data):
+    if path in (None, "-"):
+        sys.stdout.buffer.write(data)
+        sys.stdout.buffer.flush()
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -355,7 +355,18 @@ def _backward_copy(out: bytearray, distance: int, copy_len: int,
 
 def decompress(data, custom_dictionary: bytes = b"",
                large_window: bool = False) -> bytes:
-    """One-shot decompress (tolerates nothing after the last block only if
-    byte-aligned padding; trailing garbage is ignored like the reference's
-    io wrappers)."""
+    """One-shot decompress (trailing garbage after the last block is
+    ignored, like the reference's io wrappers).  Dispatches to the
+    native (C++) decoder when available; the Python Decoder class
+    remains the oracle."""
+    from .. import native_bridge as nb
+    if nb.available():
+        try:
+            return nb.decode(data, custom_dictionary, large_window)
+        except ValueError as e:
+            code = e.args[0] if e.args else -2
+            if code == -1:
+                raise NeedsMoreInput() from None
+            raise BrotliDecodeError(
+                f"corrupt stream (native code {code})") from None
     return Decoder(custom_dictionary, large_window).decompress(data)

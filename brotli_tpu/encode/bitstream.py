@@ -257,7 +257,7 @@ def extract_literals(data: np.ndarray, start: int,
     n = len(cmds)
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
-    step = cmds.insert_len + cmds.copy_len
+    step = cmds.insert_len + cmds.copy_advance
     cmd_start = np.zeros(n, dtype=np.int64)
     np.cumsum(step[:-1], out=cmd_start[1:])
     cmd_start += start

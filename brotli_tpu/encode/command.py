@@ -22,9 +22,15 @@ from ..core import constants as C
 
 @dataclass
 class CommandArrays:
-    """Fully-resolved command stream for one metablock (struct of arrays)."""
+    """Fully-resolved command stream for one metablock (struct of arrays).
+
+    copy_len is the WIRE value (what the copy-length code encodes; for
+    dictionary references this selects the word-length bucket);
+    copy_advance is the bytes of input the command covers — they differ
+    only for dictionary cutoff transforms (output shorter than word).
+    """
     insert_len: np.ndarray    # int64[n]
-    copy_len: np.ndarray      # int64[n]  (actual copy length; 0 allowed only
+    copy_len: np.ndarray      # int64[n]  wire copy length (0 allowed only
     #                           for a trailing insert-only command)
     distance: np.ndarray      # int64[n]  resolved distance (dict refs are
     #                           > max_distance); 0 for insert-only tail
@@ -32,6 +38,11 @@ class CommandArrays:
     dist_extra: np.ndarray    # int64[n]  extra-bit value
     dist_extra_bits: np.ndarray  # int64[n]
     cmd_sym: np.ndarray       # int64[n]  command alphabet symbol (0..703)
+    copy_advance: np.ndarray = None  # int64[n]; defaults to copy_len
+
+    def __post_init__(self):
+        if self.copy_advance is None:
+            self.copy_advance = self.copy_len
 
     def __len__(self):
         return len(self.insert_len)
@@ -66,6 +77,7 @@ def compute_distance_code(distance: int, max_distance: int,
 
 
 def resolve_commands(insert_len, copy_len, distance, dist_params,
+                     advance=None,
                      initial_cache=None, pos_offset: int = 0,
                      window_size: int | None = None) -> CommandArrays:
     """Resolve raw (insert, copy, distance) triples into wire commands.
@@ -81,8 +93,27 @@ def resolve_commands(insert_len, copy_len, distance, dist_params,
     insert_len = np.asarray(insert_len, dtype=np.int64)
     copy_len = np.asarray(copy_len, dtype=np.int64)
     distance = np.asarray(distance, dtype=np.int64)
+    advance = copy_len if advance is None \
+        else np.asarray(advance, dtype=np.int64)
     n = len(insert_len)
     npostfix, ndirect = dist_params.npostfix, dist_params.ndirect
+
+    from .. import native_bridge as nb
+    if nb.available():
+        # position stepping uses the ADVANCE (output) lengths
+        code, extra, bits, use_last_n, cache = nb.resolve_distance_codes(
+            insert_len, advance, distance, npostfix, ndirect,
+            list(initial_cache if initial_cache is not None
+                 else C.INITIAL_DISTANCE_CACHE),
+            pos_offset,
+            window_size if window_size is not None else 1 << 62)
+        wire_copy = np.where(copy_len == 0, 4, copy_len)
+        ins_code = C.get_insert_length_code(insert_len)
+        copy_code = C.get_copy_length_code(wire_copy)
+        use_last_n &= (ins_code < 8) & (copy_code < 16)
+        cmd_sym = C.combine_length_codes(ins_code, copy_code, use_last_n)
+        return CommandArrays(insert_len, copy_len, distance, code,
+                             extra, bits, cmd_sym, advance), cache
 
     dist_code = np.zeros(n, dtype=np.int64)
     dist_extra = np.zeros(n, dtype=np.int64)
@@ -95,7 +126,7 @@ def resolve_commands(insert_len, copy_len, distance, dist_params,
     wsz = window_size if window_size is not None else 1 << 62
 
     il = insert_len.tolist()
-    cl = copy_len.tolist()
+    cl = advance.tolist()
     dl = distance.tolist()
     for i in range(n):
         pos += il[i]
@@ -117,8 +148,9 @@ def resolve_commands(insert_len, copy_len, distance, dist_params,
             cache.insert(0, d)
         elif d <= ndirect:
             dist_code[i] = 15 + d  # direct code: 16 + d - 1
-            cache.pop()
-            cache.insert(0, d)
+            if d <= max_distance:  # dict refs never enter the cache
+                cache.pop()
+                cache.insert(0, d)
         else:
             sym, extra, nbits = C.encode_distance(d, npostfix, ndirect)
             dist_code[i] = int(sym)
@@ -137,7 +169,8 @@ def resolve_commands(insert_len, copy_len, distance, dist_params,
     cmd_sym = C.combine_length_codes(ins_code, copy_code, use_last)
 
     return CommandArrays(insert_len, copy_len, distance, dist_code,
-                         dist_extra, dist_extra_bits, cmd_sym), cache
+                         dist_extra, dist_extra_bits, cmd_sym,
+                         advance), cache
 
 
 def command_extra_bits(cmd: CommandArrays):

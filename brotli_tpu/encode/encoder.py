@@ -100,7 +100,9 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
                          custom_dictionary: bytes = b"") -> bytes:
     n = len(data)
     w = BitWriter()
-    if not params.bare:
+    # only catable+bare streams omit the window header (reference
+    # ensure_initialized, encode.rs:676)
+    if not (params.bare and params.catable):
         bs.write_stream_header(w, params.lgwin, params.large_window)
     if params.magic_number:
         bs.write_magic_number(w, params.size_hint, catable=params.catable,
@@ -109,12 +111,13 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     start = 0
     cache = list(C.INITIAL_DISTANCE_CACHE)
     if params.catable and n > 0:
-        # First bytes stored raw so context seeding is position-independent
-        # when concatenated (reference encode.rs:2258-2333).
+        # First bytes stored raw so the stream's first compressed
+        # metablock is byte-re-alignable by BroCatli and context seeding
+        # is position-independent (reference encode.rs:2258-2333).
+        cache = [POISONED_DISTANCE] * 4
         k = min(2, n)
         bs.store_uncompressed_meta_block(w, data[:k].tobytes())
         start = k
-        cache = [POISONED_DISTANCE] * 4
 
     if start >= n:
         _finish_stream(w, params)
@@ -124,37 +127,74 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     dlen = len(dict_arr)
     full = np.concatenate([dict_arr, data]) if dlen else data
 
-    knobs = _quality_knobs(params)
-    best_len, best_dist, best_score, best_isdict = find_best_matches(
-        full, params.window_size, dict_len=dlen,
-        literal_byte_score=params.literal_byte_score,
-        use_dictionary=not params.catable, **knobs)
-
     boundaries = list(range(start + METABLOCK_SIZE, n, METABLOCK_SIZE)) + [n]
-    segments = greedy_parse(full, best_len, best_dist, best_score,
-                            boundaries, dict_len=dlen, pos0=start,
-                            initial_cache=tuple(cache),
-                            best_isdict=best_isdict)
+    # Quality dispatch (reference WriteMetaBlockInternal tiers,
+    # encode.rs:2026-2111): q10/q11 run the Zopfli optimal parse; the
+    # "9.5" family keeps greedy matching with full metablock
+    # optimization.
+    use_zopfli = params.quality >= 10 and not params.q9_5
+    if not use_zopfli:
+        knobs = _quality_knobs(params)
+        best_len, best_dist, best_score, best_isdict, best_wire = \
+            find_best_matches(
+                full, params.window_size, dict_len=dlen,
+                literal_byte_score=params.literal_byte_score,
+                use_dictionary=not params.catable, **knobs)
+        segments = greedy_parse(full, best_len, best_dist, best_score,
+                                boundaries, dict_len=dlen, pos0=start,
+                                initial_cache=tuple(cache),
+                                best_isdict=best_isdict,
+                                window_size=params.window_size,
+                                best_wire=best_wire)
+    else:
+        segments = [None] * len(boundaries)
 
     seg_start = start
-    for i, ((ins, cps, dst), boundary) in enumerate(zip(segments, boundaries)):
+    for i, (seg, boundary) in enumerate(zip(segments, boundaries)):
+        if use_zopfli:
+            from .zopfli import zopfli_segment
+            seg = zopfli_segment(full[:dlen + boundary], params,
+                                 dict_len=dlen + seg_start,
+                                 initial_cache=tuple(cache))
+        ins, cps, dst, adv = seg
         mlen = boundary - seg_start
         is_final = i == len(segments) - 1
-        is_last = is_final and not params.appendable
+        # appendable/byte_align streams never set ISLAST on content
+        # blocks; the trailer is written separately (encode.rs:1973,
+        # :2165)
+        suppress = params.appendable or params.byte_align
+        is_last = is_final and not suppress
+        dist_params = params.dist
         cmds, new_cache = resolve_commands(
-            ins, cps, dst, params.dist, initial_cache=cache,
+            ins, cps, dst, dist_params, advance=adv, initial_cache=cache,
             pos_offset=dlen + seg_start, window_size=params.window_size)
+        if params.quality >= 10 and not params.avoid_distance_prefix_search:
+            # per-metablock NPOSTFIX/NDIRECT search (reference
+            # BrotliBuildMetaBlock, metablock.rs:158-208)
+            from .metablock import choose_distance_params
+            copy_mask = cmds.copy_len > 0
+            better = choose_distance_params(
+                cmds.distance, copy_mask, cmds.dist_code,
+                large_window=params.large_window)
+            if (better.npostfix, better.ndirect) != (
+                    dist_params.npostfix, dist_params.ndirect):
+                dist_params = better
+                cmds, new_cache = resolve_commands(
+                    ins, cps, dst, dist_params, advance=adv,
+                    initial_cache=cache,
+                    pos_offset=dlen + seg_start,
+                    window_size=params.window_size)
 
         state = w.save_state()
         before = w.bit_length()
         if params.quality >= 4:
             plan = build_meta_block(
-                full, dlen + seg_start, mlen, cmds, params.dist,
+                full, dlen + seg_start, mlen, cmds, dist_params,
                 params.quality, params.size_hint, mode=params.mode)
             bs.store_meta_block(w, plan, is_last)
         else:
             bs.store_meta_block_trivial(w, full, dlen + seg_start, mlen,
-                                        is_last, cmds, params.dist)
+                                        is_last, cmds, dist_params)
         # Per-metablock expansion fallback (reference encode.rs:2141-2163).
         if w.bit_length() - before > 8 * mlen + 40:
             w.restore_state(state)
@@ -167,14 +207,24 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
             cache = new_cache
         seg_start = boundary
 
-    if params.appendable:
-        if params.byte_align and not w.is_byte_aligned():
-            bs.write_padding_meta_block(w)
+    if params.appendable or params.byte_align:
+        _write_trailer(w, params)
     return w.getvalue()
 
 
-def _finish_stream(w: BitWriter, params: EncoderParams):
-    if not params.appendable:
-        bs.write_empty_last_meta_block(w)
-    elif params.byte_align and not w.is_byte_aligned():
+def _write_trailer(w: BitWriter, params: EncoderParams):
+    """Stream trailer when ISLAST was suppressed on content blocks
+    (reference WriteEmptyLastBlocksInternal, encode.rs:1928): padding
+    metablock for byte alignment, then the '11' empty-last metablock
+    unless the stream is bare."""
+    if params.byte_align:
         bs.write_padding_meta_block(w)
+    if not params.bare:
+        bs.write_empty_last_meta_block(w)
+
+
+def _finish_stream(w: BitWriter, params: EncoderParams):
+    if params.appendable or params.byte_align:
+        _write_trailer(w, params)
+    else:
+        bs.write_empty_last_meta_block(w)

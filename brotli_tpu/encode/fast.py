@@ -31,23 +31,42 @@ SHARD = 1 << 22  # one metablock per shard
 
 @partial(jax.jit, static_argnames=("window_size", "k", "k8"))
 def _tpu_match_parse(data, window_size: int, k: int = 4, k8: int = 2):
-    """The jitted device pipeline: scores + committed parse."""
+    """The jitted device pipeline: scores + committed parse + compaction.
+
+    Commands are compacted ON DEVICE into fixed [n//8] buffers so only
+    ~n/2 bytes cross the host link instead of 9n (the dense per-position
+    arrays) — the host link, not HBM, is the fast path's bottleneck.
+    Copies beyond the buffer cap are dropped (they decay to literals,
+    still a valid parse).
+    """
+    import jax.numpy as jnp
+
     from ..ops.matching import best_matches_block
     from ..ops.parse import committed_parse
+    n = data.shape[0]
     best_len, best_dist, best_score = best_matches_block(
         data, window_size, k=k, k8=k8)
     visited, take = committed_parse(best_len, best_score, SUB_BLOCK)
-    return visited, take, best_dist
+    is_copy = visited & (take >= 2)
+    maxc = n // 8
+    idx = jnp.cumsum(is_copy.astype(jnp.int32)) - 1
+    tgt = jnp.where(is_copy, idx, maxc)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    cpos = jnp.zeros(maxc, jnp.int32).at[tgt].set(pos, mode="drop")
+    clen = jnp.zeros(maxc, jnp.int32).at[tgt].set(take, mode="drop")
+    cdist = jnp.zeros(maxc, jnp.int32).at[tgt].set(best_dist,
+                                                   mode="drop")
+    count = jnp.minimum(jnp.sum(is_copy.astype(jnp.int32)), maxc)
+    return cpos, clen, cdist, count
 
 
-def _commands_from_parse(visited: np.ndarray, take: np.ndarray,
-                         dist: np.ndarray, start: int, end: int,
+def _commands_from_parse(copy_pos: np.ndarray, copy_len: np.ndarray,
+                         copy_dist: np.ndarray, start: int, end: int,
                          dist_params) -> CommandArrays:
-    """Vectorized command extraction for input range [start, end)."""
-    v = visited[start:end] & (take[start:end] >= 2)
-    copy_pos = np.nonzero(v)[0] + start
-    copy_len = take[copy_pos].astype(np.int64)
-    copy_dist = dist[copy_pos].astype(np.int64)
+    """Vectorized command extraction from compact copy arrays."""
+    copy_pos = copy_pos.astype(np.int64)
+    copy_len = copy_len.astype(np.int64)
+    copy_dist = copy_dist.astype(np.int64)
 
     prev_end = np.concatenate([[start], copy_pos + copy_len])
     insert_len = copy_pos - prev_end[:-1]
@@ -99,17 +118,17 @@ def compress_fast(data, lgwin: int = 22, quality: int = 1) -> bytes:
         m = len(shard)
         m_main = (m // SUB_BLOCK) * SUB_BLOCK
         if m_main >= SUB_BLOCK:
-            visited, take, dist = (np.asarray(x) for x in _tpu_match_parse(
-                shard[:m_main], params.window_size))
-            visited = np.concatenate([visited, np.zeros(m - m_main, bool)])
-            take = np.concatenate([take,
-                                   np.zeros(m - m_main, take.dtype)])
-            dist = np.concatenate([dist, np.zeros(m - m_main, dist.dtype)])
+            cpos, clen, cdist, count = _tpu_match_parse(
+                shard[:m_main], params.window_size)
+            count = int(count)
+            cpos = np.asarray(cpos)[:count]
+            clen = np.asarray(clen)[:count]
+            cdist = np.asarray(cdist)[:count]
         else:
-            visited = np.zeros(m, bool)
-            take = np.zeros(m, np.int32)
-            dist = np.zeros(m, np.int32)
-        cmds = _commands_from_parse(visited, take, dist, 0, m, params.dist)
+            cpos = np.zeros(0, np.int32)
+            clen = np.zeros(0, np.int32)
+            cdist = np.zeros(0, np.int32)
+        cmds = _commands_from_parse(cpos, clen, cdist, 0, m, params.dist)
         is_last = s1 == n
         state = w.save_state()
         before = w.bit_length()

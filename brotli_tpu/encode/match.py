@@ -148,12 +148,23 @@ def find_best_matches(data: np.ndarray, window_size: int,
     n = len(data)
     if n < 4:
         z = np.zeros(max(0, n - dict_len), dtype=np.int64)
-        return z, z.copy(), z.copy(), np.zeros(len(z), dtype=bool)
+        return (z, z.copy(), z.copy(), np.zeros(len(z), dtype=bool),
+                z.copy())
+
+    from .. import native_bridge as nb
+    if nb.available():
+        return nb.find_best_matches(
+            data, window_size, k=k, bucket_bits=bucket_bits, k8=k8,
+            bucket_bits8=bucket_bits8, min_length=min_length,
+            literal_byte_score=literal_byte_score, dict_len=dict_len,
+            use_dictionary=use_dictionary, match_cap=MATCH_CAP)
 
     best_len = np.zeros(n, dtype=np.int64)
     best_dist = np.zeros(n, dtype=np.int64)
     best_score = np.zeros(n, dtype=np.int64)
     best_isdict = np.zeros(n, dtype=bool)
+    best_wire = np.zeros(n, dtype=np.int64)  # wire copy length (differs
+    #                       from best_len only for dict cutoff matches)
     limit = n - np.arange(n)
     lbs = literal_byte_score // 4
     pos = np.arange(n, dtype=np.int64)
@@ -181,6 +192,7 @@ def find_best_matches(data: np.ndarray, window_size: int,
             best_dist[u] = dist[idx][upd]
             best_score[u] = sc[upd]
             best_isdict[u] = False
+            best_wire[u] = ml[upd]
 
     v = _u32_values(data)
     fold(topk_candidates(hash_positions(data, bucket_bits), k), k, v)
@@ -191,12 +203,14 @@ def find_best_matches(data: np.ndarray, window_size: int,
     if use_dictionary:
         from .static_dict import add_dictionary_matches
         add_dictionary_matches(data, dict_len, window_size, lbs,
-                               best_len, best_dist, best_score, best_isdict)
+                               best_len, best_dist, best_score,
+                               best_isdict, best_wire)
 
     if dict_len:
         return (best_len[dict_len:], best_dist[dict_len:],
-                best_score[dict_len:], best_isdict[dict_len:])
-    return best_len, best_dist, best_score, best_isdict
+                best_score[dict_len:], best_isdict[dict_len:],
+                best_wire[dict_len:])
+    return best_len, best_dist, best_score, best_isdict, best_wire
 
 
 LAST_DISTANCE_BONUS = 15   # flat bonus for cache-hit matches
@@ -229,7 +243,30 @@ def _probe_len(data: np.ndarray, src: int, dst: int, limit: int) -> int:
 
 def greedy_parse(data: np.ndarray, best_len, best_dist, best_score,
                  boundaries, dict_len: int = 0, pos0: int = 0,
-                 initial_cache=(4, 11, 15, 16), best_isdict=None):
+                 initial_cache=(4, 11, 15, 16), best_isdict=None,
+                 window_size: int = 1 << 62, best_wire=None):
+    """Greedy walk dispatcher: native (C++) when available, else the
+    Python reference implementation below (the oracle for tests).
+    Segments are (insert[], wire_copy[], distance[], advance[]) where
+    advance != wire_copy only for dictionary cutoff transforms."""
+    from .. import native_bridge as nb
+    if nb.available():
+        return nb.greedy_parse(
+            data, best_len, best_dist, best_score, boundaries,
+            dict_len=dict_len, pos0=pos0, initial_cache=initial_cache,
+            best_isdict=best_isdict, window_size=window_size,
+            best_wire=best_wire)
+    return greedy_parse_py(data, best_len, best_dist, best_score,
+                           boundaries, dict_len=dict_len, pos0=pos0,
+                           initial_cache=initial_cache,
+                           best_isdict=best_isdict,
+                           window_size=window_size, best_wire=best_wire)
+
+
+def greedy_parse_py(data: np.ndarray, best_len, best_dist, best_score,
+                    boundaries, dict_len: int = 0, pos0: int = 0,
+                    initial_cache=(4, 11, 15, 16), best_isdict=None,
+                    window_size: int = 1 << 62, best_wire=None):
     """Greedy scan with lazy matching and distance-cache reuse
     (reference CreateBackwardReferences,
     src/enc/backward_references/mod.rs:2376-2552; cache candidates scored
@@ -249,6 +286,7 @@ def greedy_parse(data: np.ndarray, best_len, best_dist, best_score,
     bl, bd, bs = best_len, best_dist, best_score
     isd = best_isdict if best_isdict is not None \
         else np.zeros(len(bs), dtype=bool)
+    bw = best_wire if best_wire is not None else bl
     mpos = np.nonzero(bs > MIN_SCORE_DELTA)[0]
     nm = len(mpos)
     mp = 0
@@ -279,16 +317,20 @@ def greedy_parse(data: np.ndarray, best_len, best_dist, best_score,
         return int(bs[q])
 
     for boundary in boundaries:
-        ins, cps, dst = [], [], []
+        ins, cps, dst, adv = [], [], [], []
 
-        def emit(p, l, d):
+        def emit(p, l, d, wire=None):
             nonlocal pos, insert_start
             ins.append(p - insert_start)
-            cps.append(l)
+            cps.append(l if wire is None else wire)
             dst.append(d)
+            adv.append(l)
             pos = p + l
             insert_start = pos
-            if d != cache[0]:  # dist code 0 leaves the cache untouched
+            # mirror resolve_commands: dictionary references (beyond
+            # max_distance) and dist-code-0 leave the cache untouched
+            max_distance = min(dict_len + p, window_size)
+            if d <= max_distance and d != cache[0]:
                 cache.pop()
                 cache.insert(0, d)
 
@@ -341,31 +383,36 @@ def greedy_parse(data: np.ndarray, best_len, best_dist, best_score,
                 defers += 1
             l = int(bl[p])
             d = int(bd[p])
+            wire = int(bw[p])
             dict_ref = bool(isd[p])
             # a cache-hit match at this position may score higher
             lc, dc, sc = cached_match(p, boundary)
             if sc > s:
                 l, d = lc, dc
                 dict_ref = False
+                wire = l
             elif l >= MATCH_CAP and not dict_ref:
                 l = extend_match(data, dict_len + p - d, dict_len + p, l,
                                  n - p)
+                wire = l
             if p + l > boundary:
                 if dict_ref:  # dictionary words cannot be truncated
                     mp += 1
                     continue
                 l = boundary - p
+                wire = l
                 if l < 2:
                     mp += 1
                     continue
-            emit(p, l, d)
+            emit(p, l, d, wire if dict_ref else l)
             probe_end = min(pos + CACHE_PROBE_SPAN, boundary)
 
         if boundary > insert_start or not ins:
             ins.append(boundary - insert_start)
             cps.append(0)
             dst.append(0)
+            adv.append(0)
         insert_start = boundary
         pos = max(pos, boundary)
-        segments.append((ins, cps, dst))
+        segments.append((ins, cps, dst, adv))
     return segments

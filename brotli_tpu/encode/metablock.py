@@ -187,8 +187,8 @@ SPLIT_PARAMS = {
                     header_cost=320.0),
     "command": dict(chunk=128, max_types=16, switch_cost=13.5, min_run=3,
                     header_cost=500.0),
-    "distance": dict(chunk=128, max_types=16, switch_cost=14.6, min_run=3,
-                     header_cost=300.0),
+    "distance": dict(chunk=128, max_types=8, switch_cost=14.6, min_run=3,
+                     header_cost=600.0),
 }
 MIN_LENGTH_FOR_SPLITTING = 128
 
@@ -340,6 +340,112 @@ def _runs(types: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
+def cluster_context_histograms(bucket_hist: np.ndarray, max_trees: int,
+                               header_cost: float):
+    """Cluster per-(block type x context) histograms into trees
+    (reference BrotliClusterHistograms, src/enc/cluster.rs:360): k-means
+    reduction to max_trees followed by greedy pairwise merging while a
+    merge saves more than the per-tree description cost.
+
+    Returns (assign[buckets] -> tree id, tree_hists[ntrees, alphabet]).
+    """
+    nb, alpha = bucket_hist.shape
+    totals = bucket_hist.sum(axis=1)
+    used = np.nonzero(totals > 0)[0]
+    if len(used) == 0:
+        return np.zeros(nb, dtype=np.int64), np.zeros((1, alpha),
+                                                      dtype=np.int64)
+    hist = bucket_hist[used].astype(np.float64)
+
+    k = int(min(max_trees, len(used)))
+    # k-means initialization: largest buckets as seeds
+    seeds = np.argsort(-totals[used])[:k]
+    cent = hist[seeds].copy()
+    assign = None
+    for _ in range(6):
+        tot = cent.sum(axis=1, keepdims=True) + alpha * 0.25
+        logp = np.log2((cent + 0.25) / tot)
+        cost = -(hist @ logp.T)
+        new_assign = cost.argmin(axis=1)
+        if assign is not None and np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+        cent = np.zeros((k, alpha))
+        np.add.at(cent, assign, hist)
+
+    # greedy pairwise merge with header-cost gating
+    alive = sorted(set(assign.tolist()))
+    cost_of = {t: shannon_entropy(cent[t]) for t in alive}
+    merged = True
+    while merged and len(alive) > 1:
+        merged = False
+        best_delta, best_pair = 0.0, None
+        for ii in range(len(alive)):
+            for jj in range(ii + 1, len(alive)):
+                a, b = alive[ii], alive[jj]
+                d = (shannon_entropy(cent[a] + cent[b])
+                     - cost_of[a] - cost_of[b] - header_cost)
+                if d < best_delta:
+                    best_delta, best_pair = d, (a, b)
+        if best_pair:
+            a, b = best_pair
+            cent[a] += cent[b]
+            cost_of[a] = shannon_entropy(cent[a])
+            alive.remove(b)
+            assign = np.where(assign == b, a, assign)
+            merged = True
+
+    remap = {t: i for i, t in enumerate(sorted(set(assign.tolist())))}
+    ntrees = len(remap)
+    out_assign = np.zeros(nb, dtype=np.int64)
+    out_assign[used] = np.array([remap[t] for t in assign])
+    tree_hists = np.zeros((ntrees, alpha), dtype=np.int64)
+    np.add.at(tree_hists, out_assign[used],
+              bucket_hist[used])
+    return out_assign, tree_hists
+
+
+def choose_distance_params(distances: np.ndarray, copy_mask: np.ndarray,
+                           dist_codes_now: np.ndarray,
+                           large_window: bool = False):
+    """Distance NPOSTFIX/NDIRECT search (reference BrotliBuildMetaBlock,
+    metablock.rs:158-208): pick the (npostfix, ndirect) minimizing
+    estimated distance-stream cost.  Short codes (cache hits) are
+    unaffected; only long-form distances are re-binned, vectorized."""
+    from .params import DistanceParams
+    long_mask = copy_mask & (dist_codes_now >= 16)
+    dists = distances[long_mask]
+    n_short = int(copy_mask.sum() - long_mask.sum())
+    if len(dists) == 0:
+        return DistanceParams(large_window=large_window)
+    best = None
+    for npostfix in range(4):
+        for wire in (0, 4, 8, 15):  # NDIRECT = wire << npostfix (4 bits)
+            ndirect = wire << npostfix
+            direct = dists <= ndirect
+            far = dists[~direct]
+            if len(far):
+                sym, extra, nbits = C.encode_distance(far, npostfix,
+                                                      ndirect)
+                hist = np.bincount(sym - 16,
+                                   minlength=16 + ndirect)
+                extra_cost = int(nbits.sum())
+            else:
+                hist = np.zeros(1, dtype=np.int64)
+                extra_cost = 0
+            if direct.any():
+                dh = np.bincount(dists[direct] - 1, minlength=ndirect)
+                sym_cost = shannon_entropy(np.concatenate([hist, dh]))
+            else:
+                sym_cost = shannon_entropy(hist)
+            total = sym_cost + extra_cost \
+                + 0.5 * n_short  # short codes share the alphabet head
+            if best is None or total < best[0]:
+                best = (total, npostfix, ndirect)
+    return DistanceParams(npostfix=best[1], ndirect=best[2],
+                          large_window=large_window)
+
+
 # ---------------------------------------------------------------------------
 # Metablock plan: the full optimization pipeline
 # ---------------------------------------------------------------------------
@@ -431,39 +537,65 @@ def build_meta_block(full: np.ndarray, start: int, mlen: int,
     plan.dist_switch = plan_block_switches(dist_split) \
         if dist_split.num_types >= 2 else None
 
-    # ---- context maps + tree assignment ----
-    ntrees_l = lit_split.num_types * num_lit_ctx
-    cmap_l = np.zeros(64 * lit_split.num_types, dtype=np.int64)
-    for t in range(lit_split.num_types):
-        cmap_l[t * 64:(t + 1) * 64] = t * num_lit_ctx + lit_static_map
-    plan.ntrees_l = ntrees_l
-    plan.cmap_l = cmap_l
+    alpha_d = dist_params.alphabet_size
+    dynamic_ctx = quality >= 10 and n_lit > 512
 
-    ntrees_d = dist_split.num_types
-    cmap_d = np.repeat(np.arange(ntrees_d, dtype=np.int64), 4)
-    plan.ntrees_d = ntrees_d
-    plan.cmap_d = cmap_d
+    if dynamic_ctx:
+        # ---- dynamic context maps: cluster per-(type, context)
+        # histograms (the q10+/BrotliBuildMetaBlock path,
+        # metablock.rs:133 + cluster.rs) ----
+        buckets_l = lit_split.types * 64 + ctx
+        bh = np.bincount(buckets_l * 256 + literals,
+                         minlength=lit_split.num_types * 64 * 256
+                         ).reshape(lit_split.num_types * 64, 256)
+        cmap_l, lit_h = cluster_context_histograms(
+            bh, max_trees=48, header_cost=300.0)
+        plan.ntrees_l = lit_h.shape[0]
+        plan.cmap_l = cmap_l
+        lit_tree = cmap_l[buckets_l]
 
-    lit_tree = lit_split.types * num_lit_ctx + lit_static_map[ctx] \
-        if n_lit else np.zeros(0, dtype=np.int64)
+        dctx = C.distance_context_from_copy_len(
+            cmds.copy_len[dist_mask])
+        buckets_d = dist_split.types * 4 + dctx
+        bhd = np.bincount(buckets_d * alpha_d + dist_syms,
+                          minlength=dist_split.num_types * 4 * alpha_d
+                          ).reshape(dist_split.num_types * 4, alpha_d)
+        cmap_d, dist_h = cluster_context_histograms(
+            bhd, max_trees=8, header_cost=500.0)
+        plan.ntrees_d = dist_h.shape[0]
+        plan.cmap_d = cmap_d
+        plan.dist_tree = cmap_d[buckets_d]
+    else:
+        # ---- static context maps (q<10 greedy path) ----
+        ntrees_l = lit_split.num_types * num_lit_ctx
+        cmap_l = np.zeros(64 * lit_split.num_types, dtype=np.int64)
+        for t in range(lit_split.num_types):
+            cmap_l[t * 64:(t + 1) * 64] = \
+                t * num_lit_ctx + lit_static_map
+        plan.ntrees_l = ntrees_l
+        plan.cmap_l = cmap_l
+        lit_tree = lit_split.types * num_lit_ctx + lit_static_map[ctx] \
+            if n_lit else np.zeros(0, dtype=np.int64)
+        lit_h = np.bincount(lit_tree * 256 + literals,
+                            minlength=ntrees_l * 256
+                            ).reshape(ntrees_l, 256)
+
+        ntrees_d = dist_split.num_types
+        plan.ntrees_d = ntrees_d
+        plan.cmap_d = np.repeat(np.arange(ntrees_d, dtype=np.int64), 4)
+        plan.dist_tree = dist_split.types
+        dist_h = np.bincount(dist_split.types * alpha_d + dist_syms,
+                             minlength=ntrees_d * alpha_d
+                             ).reshape(ntrees_d, alpha_d)
+
     plan.lit_tree = lit_tree
     plan.cmd_tree = cmd_split.types
-    plan.dist_tree = dist_split.types
-
-    # ---- histograms + Huffman codes per tree (vectorized bincounts) ----
-    lit_h = np.bincount(lit_tree * 256 + literals,
-                        minlength=ntrees_l * 256).reshape(ntrees_l, 256)
     plan.lit_lengths = [build_huffman_lengths(_safe(h)) for h in lit_h]
 
     nct = cmd_split.num_types
     cmd_h = np.bincount(cmd_split.types * 704 + cmds.cmd_sym,
                         minlength=nct * 704).reshape(nct, 704)
     plan.cmd_lengths = [build_huffman_lengths(_safe(h)) for h in cmd_h]
-
-    alpha_d = dist_params.alphabet_size
-    dist_h = np.bincount(dist_split.types * alpha_d + dist_syms,
-                         minlength=ntrees_d * alpha_d).reshape(ntrees_d,
-                                                               alpha_d)
     plan.dist_lengths = [build_huffman_lengths(_safe(h)) for h in dist_h]
     return plan
 
@@ -471,7 +603,7 @@ def build_meta_block(full: np.ndarray, start: int, mlen: int,
 def _literal_positions(cmds, start: int) -> np.ndarray:
     """Absolute position in the input of each literal (vectorized)."""
     n = len(cmds)
-    step = cmds.insert_len + cmds.copy_len
+    step = cmds.insert_len + cmds.copy_advance
     cmd_start = np.zeros(n, dtype=np.int64)
     np.cumsum(step[:-1], out=cmd_start[1:])
     cmd_start += start

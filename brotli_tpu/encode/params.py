@@ -86,8 +86,10 @@ class EncoderParams:
         p.lgwin = max(MIN_WINDOW_BITS, min(max_w, p.lgwin))
         if input_size is not None and p.size_hint == 0:
             p.size_hint = input_size
-        # Shrink the window for small inputs (reference encode.rs:662+).
-        if input_size is not None and 0 < input_size and p.quality >= 2:
+        # Shrink the window for small inputs — but never for streams meant
+        # for concatenation, whose window must match across parts.
+        if (input_size is not None and 0 < input_size and p.quality >= 2
+                and not (p.catable or p.appendable)):
             while (p.lgwin > MIN_WINDOW_BITS
                    and (1 << (p.lgwin - 1)) - 16 >= input_size):
                 p.lgwin -= 1

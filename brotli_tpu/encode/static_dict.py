@@ -77,14 +77,35 @@ def dict_index():
     return word_bytes, word_len, word_idx, table, size_bits
 
 
+@lru_cache(maxsize=1)
+def omit_last_transform_ids():
+    """transform id of the bare ('', OmitLast_k, '') transform per k
+    (RFC Appendix B); index 0 = identity."""
+    from ..core.dictionary import OMIT_LAST_1
+    d = get_dictionary()
+    ids = np.full(10, -1, dtype=np.int64)
+    ids[0] = 0
+    for t in range(len(d.t_type)):
+        ty = d.t_type[t]
+        if d.t_prefix[t] == b"" and d.t_suffix[t] == b"" \
+                and OMIT_LAST_1 <= ty <= OMIT_LAST_1 + 8:
+            ids[ty - OMIT_LAST_1 + 1] = t
+    return ids
+
+
 def add_dictionary_matches(data: np.ndarray, dict_len: int,
                            window_size: int, lbs: int,
                            best_len: np.ndarray, best_dist: np.ndarray,
                            best_score: np.ndarray, best_isdict: np.ndarray,
+                           best_wire: np.ndarray,
                            chunk: int = 1 << 20):
     """Union static-dictionary matches into the per-position best arrays
-    (in place).  Only full-word identity-transform matches."""
+    (in place).  Full-word identity matches plus cutoff (OmitLast_k)
+    partial matches, like the reference's TestStaticDictionaryItem
+    (mod.rs:1896): a prefix match of m of the word's L bytes encodes as
+    transform omit_last_(L-m) with wire copy length L and output m."""
     word_bytes, word_len, word_idx, table, size_bits = dict_index()
+    omit_ids = omit_last_transform_ids()
     n = len(data)
     if n < 4:
         return
@@ -107,24 +128,30 @@ def add_dictionary_matches(data: np.ndarray, dict_len: int,
                 continue
             ee = np.maximum(e, 0)
             L = word_len[ee]
-            fits = hit & (idx + L <= n)
             eq = window == word_bytes[ee]
             cmp_ok = np.cumprod(eq, axis=1, dtype=bool)
-            # full word equal: all positions < L equal
-            full = cmp_ok[np.arange(len(ee)), np.minimum(L, MAX_WORD_LEN)
-                          - 1]
-            ok = fits & full
+            mlen = np.minimum(cmp_ok.sum(axis=1), L)
+            mlen = np.minimum(mlen, n - idx)  # clamp to available input
+            omit = L - mlen
+            valid_t = (omit == 0) | ((omit <= 9) &
+                                     (omit_ids[np.minimum(omit, 9)] >= 0))
+            ok = hit & (mlen >= 4) & valid_t
             if not ok.any():
                 continue
             sel = np.nonzero(ok)[0]
             pos = idx[sel]
+            m = mlen[sel]
+            Ls = L[sel]
+            transform = omit_ids[Ls - m]
             max_dist = np.minimum(pos, window_size)
-            dist = max_dist + 1 + word_idx[ee[sel]]
-            sc = (lbs * L[sel] - DISTANCE_BIT_PENALTY *
+            wid = (transform << size_bits[Ls]) + word_idx[ee[sel]]
+            dist = max_dist + 1 + wid
+            sc = (lbs * m - DISTANCE_BIT_PENALTY *
                   np.floor(np.log2(dist)).astype(np.int64))
             upd = sc > best_score[pos]
             u = pos[upd]
-            best_len[u] = L[sel][upd]
+            best_len[u] = m[upd]
             best_dist[u] = dist[upd]
             best_score[u] = sc[upd]
             best_isdict[u] = True
+            best_wire[u] = Ls[upd]

@@ -1,0 +1,211 @@
+"""Streaming compressor: bounded-memory chunked encode with carried
+window context.
+
+The reference's push-pull state machine (BrotliEncoderStateStruct,
+src/enc/encode.rs:149; compress_stream :2873) keeps a ring buffer and
+emits metablocks as input accumulates.  Here each processed chunk
+becomes one metablock; the last `window` bytes of already-processed
+input ride along as match context (distances reach back across chunk
+boundaries, like the ring buffer), and the distance cache and partial
+output byte carry across metablocks.
+
+Operations mirror the reference: process() buffers and emits full
+chunks, flush() forces pending input out and byte-aligns with a padding
+metablock (OPERATION_FLUSH), finish() ends the stream
+(OPERATION_FINISH), emit_metadata() writes a skippable metadata block
+(OPERATION_EMIT_METADATA).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.bitio import BitWriter
+from . import bitstream as bs
+from .command import resolve_commands
+from .encoder import POISONED_DISTANCE, _quality_knobs
+from .match import find_best_matches, greedy_parse
+from .metablock import build_meta_block
+from .params import EncoderParams
+
+
+class Compressor:
+    """Incremental encoder with bounded memory."""
+
+    def __init__(self, quality: int = 9, lgwin: int = 22, mode: int = 0,
+                 chunk_size: int = 1 << 20,
+                 custom_dictionary: bytes = b"", catable: bool = False,
+                 appendable: bool = False, byte_align: bool = False,
+                 magic_number: bool = False):
+        self.params = EncoderParams(
+            quality=quality, lgwin=lgwin, mode=mode, catable=catable,
+            appendable=appendable, byte_align=byte_align,
+            magic_number=magic_number).sanitize(None)
+        self.chunk_size = chunk_size
+        self._w = BitWriter()
+        self._pending = bytearray()
+        self._context = np.frombuffer(
+            bytes(custom_dictionary)[-self.params.window_size:],
+            dtype=np.uint8)
+        self._abs_pos = len(self._context)
+        self._cache = list(C.INITIAL_DISTANCE_CACHE)
+        self._started = False
+        self._finished = False
+        self._head_written = False
+        self._out_emitted = 0
+
+    def _start(self):
+        if self._started:
+            return
+        self._started = True
+        p = self.params
+        if not (p.bare and p.catable):
+            bs.write_stream_header(self._w, p.lgwin, p.large_window)
+        if p.magic_number:
+            bs.write_magic_number(self._w, 0, catable=p.catable,
+                                  appendable=p.appendable)
+        if p.catable:
+            self._cache = [POISONED_DISTANCE] * 4
+            # the 2-byte raw head is written with the first data chunk
+
+    def _emit_chunk(self, chunk: np.ndarray, is_last: bool):
+        p = self.params
+        self._start()
+        if p.catable and not self._head_written and len(chunk) > 0:
+            self._head_written = True
+            k = min(2, len(chunk))
+            bs.store_uncompressed_meta_block(self._w, chunk[:k].tobytes())
+            self._advance(chunk[:k])
+            chunk = chunk[k:]
+            if len(chunk) == 0:
+                if is_last:
+                    self._end_stream()
+                return
+        n = len(chunk)
+        if n == 0:
+            if is_last:
+                self._end_stream()
+            return
+        full = np.concatenate([self._context, chunk])
+        dlen = len(self._context)
+        knobs = _quality_knobs(p)
+        bl, bd, bsc, isd, bw = find_best_matches(
+            full, p.window_size, dict_len=dlen,
+            literal_byte_score=p.literal_byte_score,
+            use_dictionary=not p.catable, **knobs)
+        segs = greedy_parse(full, bl, bd, bsc, [n], dict_len=dlen,
+                            pos0=0, initial_cache=tuple(self._cache),
+                            best_isdict=isd, window_size=p.window_size,
+                            best_wire=bw)
+        ins, cps, dst, adv = segs[0]
+        cmds, new_cache = resolve_commands(
+            ins, cps, dst, p.dist, advance=adv,
+            initial_cache=self._cache,
+            pos_offset=self._abs_pos, window_size=p.window_size)
+        suppress = p.appendable or p.byte_align
+        mark_last = is_last and not suppress
+        state = self._w.save_state()
+        before = self._w.bit_length()
+        if p.quality >= 4:
+            plan = build_meta_block(full, dlen, n, cmds, p.dist,
+                                    p.quality, n, mode=p.mode)
+            bs.store_meta_block(self._w, plan, mark_last)
+        else:
+            bs.store_meta_block_trivial(self._w, full, dlen, n,
+                                        mark_last, cmds, p.dist)
+        if self._w.bit_length() - before > 8 * n + 40:
+            self._w.restore_state(state)
+            bs.store_uncompressed_meta_block(self._w, chunk.tobytes())
+            if mark_last:
+                bs.write_empty_last_meta_block(self._w)
+        else:
+            self._cache = new_cache
+        self._advance(chunk)
+        if is_last and suppress:
+            self._trailer()
+
+    def _advance(self, chunk: np.ndarray):
+        self._abs_pos += len(chunk)
+        w = self.params.window_size
+        self._context = np.concatenate([self._context, chunk])[-w:]
+
+    def _end_stream(self):
+        """Terminate when the final chunk was empty or ISLAST was
+        suppressed on content blocks."""
+        p = self.params
+        if p.appendable or p.byte_align:
+            self._trailer()
+        else:
+            bs.write_empty_last_meta_block(self._w)
+
+    def _trailer(self):
+        p = self.params
+        if p.byte_align:
+            bs.write_padding_meta_block(self._w)
+        if (p.appendable or p.byte_align) and not p.bare:
+            bs.write_empty_last_meta_block(self._w)
+
+    # -- public API ------------------------------------------------------
+    def process(self, data: bytes) -> bytes:
+        """Buffer input; emit output as whole chunks complete
+        (OPERATION_PROCESS)."""
+        assert not self._finished, "compressor already finished"
+        self._pending += bytes(data)
+        while len(self._pending) >= self.chunk_size:
+            chunk = np.frombuffer(
+                bytes(self._pending[:self.chunk_size]), np.uint8)
+            del self._pending[:self.chunk_size]
+            self._emit_chunk(chunk, False)
+        return self._drain()
+
+    def flush(self) -> bytes:
+        """Emit all pending input and byte-align (OPERATION_FLUSH)."""
+        assert not self._finished
+        if self._pending:
+            chunk = np.frombuffer(bytes(self._pending), np.uint8)
+            self._pending.clear()
+            self._emit_chunk(chunk, False)
+        else:
+            self._start()
+        bs.write_padding_meta_block(self._w)
+        return self._drain()
+
+    def emit_metadata(self, payload: bytes) -> bytes:
+        """Write a skippable metadata metablock
+        (OPERATION_EMIT_METADATA; reference process_metadata,
+        encode.rs:2579)."""
+        assert not self._finished
+        if self._pending:
+            chunk = np.frombuffer(bytes(self._pending), np.uint8)
+            self._pending.clear()
+            self._emit_chunk(chunk, False)
+        else:
+            self._start()
+        bs.write_metadata_meta_block(self._w, payload)
+        return self._drain()
+
+    def finish(self) -> bytes:
+        """End the stream (OPERATION_FINISH)."""
+        assert not self._finished
+        self._finished = True
+        chunk = np.frombuffer(bytes(self._pending), np.uint8)
+        self._pending.clear()
+        self._start()
+        if len(chunk):
+            self._emit_chunk(chunk, True)
+        else:
+            self._end_stream()
+        return self._drain()
+
+    def is_finished(self) -> bool:
+        return self._finished
+
+    def _drain(self) -> bytes:
+        buf = self._w.buf
+        # hold back the final (possibly partial) byte until finished
+        upto = len(buf) if self._finished else max(
+            0, len(buf) - (0 if self._w.is_byte_aligned() else 1))
+        out = bytes(buf[self._out_emitted:upto])
+        self._out_emitted = upto
+        return out

@@ -1,0 +1,312 @@
+"""Zopfli-style optimal parse for q10/q11.
+
+Reference: BrotliCreateZopfliBackwardReferences /
+BrotliCreateHqZopfliBackwardReferences (src/enc/backward_references/
+hq.rs:984, :1237) — a shortest-path DP over positions where edge costs
+come from a fitted cost model (ZopfliCostModel, hq.rs:167: literal
+costs from sliding-window entropy, command/distance costs from
+histograms), refined over two iterations (hq.rs:1392-1443: iter 0 from
+a greedy pre-pass, iter 1 from the emitted commands).
+
+Shape differences from the reference, for the batched pipeline:
+candidate matches come from the vectorized top-K tables instead of a
+mutable hash-to-binary-tree; edges (match targets, distance symbol
+costs, sub-lengths) are precomputed vectorized so the sequential DP
+loop is a lean scalar pass; the insert-run start search uses a running
+minimum of (cost[u] - literal_prefix[u]) — the O(1) core of the
+reference's StartPosQueue trick (hq.rs:185).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import constants as C
+from .match import MATCH_CAP, extend_match, find_best_matches, greedy_parse
+
+INF = float("inf")
+
+# insert/copy code lookup tables (list indexing is ~10x faster than
+# np.searchsorted in the scalar DP loop)
+_INS_CODE = np.searchsorted(C.INSERT_BASE,
+                            np.arange(1 << 16), side="right") - 1
+_COPY_CODE = np.searchsorted(C.COPY_BASE,
+                             np.arange(1 << 16), side="right") - 1
+_INS_CODE_L = _INS_CODE.tolist()
+_COPY_CODE_L = _COPY_CODE.tolist()
+_INS_EXTRA_L = C.INSERT_EXTRA.tolist()
+_CMD_SYM = np.zeros((24, 24), dtype=np.int64)
+for _i in range(24):
+    _CMD_SYM[_i] = C.combine_length_codes(
+        np.full(24, _i), np.arange(24), np.zeros(24, bool))
+_CMD_SYM_L = [row.tolist() for row in _CMD_SYM]
+
+
+def estimate_literal_costs(data: np.ndarray, window: int = 4096):
+    """Per-byte literal bit cost from block entropy (reference
+    BrotliEstimateBitCostsForLiterals, src/enc/literal_cost.rs:178)."""
+    n = len(data)
+    nblocks = max(1, (n + window - 1) // window)
+    pad = nblocks * window - n
+    padded = np.concatenate([data, np.zeros(pad, np.uint8)])
+    blocks = padded.reshape(nblocks, window)
+    hist = np.apply_along_axis(
+        lambda b: np.bincount(b, minlength=256), 1, blocks).astype(
+        np.float64)
+    if pad:
+        hist[-1] -= np.bincount(padded[-pad:], minlength=256)
+    totals = hist.sum(axis=1, keepdims=True)
+    p = (hist + 0.3) / (totals + 0.3 * 256)
+    bits = -np.log2(p)
+    block_of = np.minimum(np.arange(n) // window, nblocks - 1)
+    return bits[block_of, data[:n]]
+
+
+def _cost_tables(lit_hist, cmd_hist, dist_hist):
+    def costs(h):
+        h = np.asarray(h, np.float64) + 0.25
+        return -np.log2(h / h.sum())
+    return costs(lit_hist), costs(cmd_hist), costs(dist_hist)
+
+
+def _histograms_from_commands(data, cmds, dist_alpha):
+    from .bitstream import extract_literals
+    lits = extract_literals(data, 0, cmds)
+    lit_hist = np.bincount(lits, minlength=256)
+    cmd_hist = np.bincount(cmds.cmd_sym, minlength=704)
+    mask = (cmds.copy_len > 0) & ~C.CMD_IMPLICIT_DIST0[cmds.cmd_sym]
+    dist_hist = np.bincount(cmds.dist_code[mask], minlength=dist_alpha)
+    return lit_hist, cmd_hist, dist_hist
+
+
+def _build_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
+                 cost_dist, dist_params, n):
+    """Vectorized edge construction: per match candidate, the full
+    length plus a geometric ladder of shorter lengths (dictionary
+    matches keep only the exact word length).  Returns edges grouped by
+    source position: lists (length, dist, copy_code, base_cost) where
+    base = dist symbol cost + dist/copy extra bits."""
+    npostfix, ndirect = dist_params.npostfix, dist_params.ndirect
+    mvalid = cand_lens >= 2
+    ci, pp = np.nonzero(mvalid)
+    L = cand_lens[ci, pp]
+    D = cand_dists[ci, pp]
+    ISD = cand_isdict[ci, pp]
+    W = cand_wire[ci, pp]
+    # dedupe (p, d) pairs keeping the longest
+    order = np.lexsort((-L, D, pp))
+    pp, L, D, ISD, W = (pp[order], L[order], D[order], ISD[order],
+                        W[order])
+    keep = np.ones(len(pp), bool)
+    keep[1:] = (pp[1:] != pp[:-1]) | (D[1:] != D[:-1])
+    pp, L, D, ISD, W = pp[keep], L[keep], D[keep], ISD[keep], W[keep]
+
+    # distance symbol costs (vectorized)
+    dcost = np.zeros(len(pp))
+    direct = D <= ndirect
+    if direct.any():
+        dcost[direct] = cost_dist[15 + D[direct]]
+    far = ~direct
+    if far.any():
+        sym, extra, nbits = C.encode_distance(D[far], npostfix, ndirect)
+        dcost[far] = cost_dist[sym] + nbits
+
+    ladders = [(L, W)]
+    for sub in (4, 6, 10, 16, 32, 64, 128):
+        # dictionary words cannot be shortened (copy_len selects the word)
+        cut = np.where((L > sub) & ~ISD, sub, 0)
+        ladders.append((cut, cut))
+    edges = [[] for _ in range(n + 1)]
+    for lad, wires in ladders:
+        sel = np.nonzero(lad >= 2)[0]
+        ll = lad[sel]          # advance (output) length
+        ww = wires[sel]        # wire copy length (codes)
+        cc = _COPY_CODE[np.minimum(ww, (1 << 16) - 1)]
+        base = dcost[sel] + C.COPY_EXTRA[cc]
+        src = pp[sel]
+        dd = D[sel]
+        for s, l2, w2, d2, c2, b2 in zip(src.tolist(), ll.tolist(),
+                                         ww.tolist(), dd.tolist(),
+                                         cc.tolist(), base.tolist()):
+            edges[s].append((l2, w2, d2, c2, b2))
+    return edges
+
+
+def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
+    """Shortest-path DP.  cost[j] = min bits for a parse of [0, j)
+    ending exactly at a copy end (or j == 0); insert runs are closed
+    implicitly via the running-min start."""
+    cost = [INF] * (n + 1)
+    cost[0] = 0.0
+    prev_start = [0] * (n + 1)
+    prev_len = [0] * (n + 1)
+    prev_wire = [0] * (n + 1)
+    prev_dist = [0] * (n + 1)
+
+    lcp_l = lcp.tolist()
+    cost_cmd_l = cost_cmd.tolist()
+    ins_code = _INS_CODE_L
+    ins_extra = _INS_EXTRA_L
+    cmd_sym = _CMD_SYM_L
+
+    best_adj = INF
+    best_u = 0
+    for p in range(n):
+        c = cost[p]
+        if c < INF:
+            adj = c - lcp_l[p]
+            if adj < best_adj:
+                best_adj = adj
+                best_u = p
+        ep = edges[p]
+        if not ep:
+            continue
+        lp = lcp_l[p]
+        for (ll, ww, d, ccode, base) in ep:
+            tgt = p + ll
+            if tgt > n:
+                continue
+            ct = cost[tgt]
+            # start candidate 1: running-min u (possibly long insert)
+            il = p - best_u
+            ic = ins_code[il] if il < 65536 else 23
+            t = (best_adj + lp + base + ins_extra[ic]
+                 + cost_cmd_l[cmd_sym[ic][ccode]])
+            if t < ct:
+                cost[tgt] = ct = t
+                prev_start[tgt] = best_u
+                prev_len[tgt] = ll
+                prev_wire[tgt] = ww
+                prev_dist[tgt] = d
+            # start candidate 2: zero-insert continuation from p
+            if cost[p] < INF and best_u != p:
+                t = (cost[p] + base
+                     + cost_cmd_l[cmd_sym[0][ccode]])
+                if t < ct:
+                    cost[tgt] = t
+                    prev_start[tgt] = p
+                    prev_len[tgt] = ll
+                    prev_wire[tgt] = ww
+                    prev_dist[tgt] = d
+
+    # close the stream: possibly a final pure-literal run from best u
+    end_from_u = best_adj + lcp_l[n]
+    ins, cps, dst, adv = [], [], [], []
+    pos = n
+    if cost[n] == INF or end_from_u < cost[n]:
+        ins.append(n - best_u)
+        cps.append(0)
+        dst.append(0)
+        adv.append(0)
+        pos = best_u
+    while pos > 0:
+        u = prev_start[pos]
+        l = prev_len[pos]
+        ins.append(pos - l - u)
+        cps.append(prev_wire[pos])
+        dst.append(prev_dist[pos])
+        adv.append(l)
+        pos = u
+    ins.reverse()
+    cps.reverse()
+    dst.reverse()
+    adv.reverse()
+    return ins, cps, dst, adv
+
+
+def _collect_candidates(full, window_size, dict_len, literal_byte_score,
+                        use_dictionary):
+    """Per-position candidate rows: deep hash-4, deep hash-8, dict."""
+    outs = []
+    for kw in (dict(k=16, bucket_bits=17, k8=0, use_dictionary=False),
+               dict(k=1, bucket_bits=17, k8=12,
+                    use_dictionary=use_dictionary)):
+        bl, bd, bs, isd, bw = find_best_matches(
+            full, window_size, dict_len=dict_len,
+            literal_byte_score=literal_byte_score, **kw)
+        outs.append((bl, bd, isd, bw))
+    cand_lens = np.stack([o[0] for o in outs])
+    cand_dists = np.stack([o[1] for o in outs])
+    cand_isdict = np.stack([o[2] for o in outs])
+    cand_wire = np.stack([o[3] for o in outs])
+    return cand_lens, cand_dists, cand_isdict, cand_wire
+
+
+def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
+                   initial_cache=(4, 11, 15, 16)):
+    """q10/q11 command generation for one region with cost-model
+    refinement.  Returns (ins[], cps[], dst[])."""
+    from .command import resolve_commands
+
+    n = len(full) - dict_len
+    window_size = params.window_size
+    dist_alpha = params.dist.alphabet_size
+
+    cand_lens, cand_dists, cand_isdict, cand_wire = _collect_candidates(
+        full, window_size, dict_len, params.literal_byte_score,
+        not params.catable)
+    if dict_len:
+        cand_lens = cand_lens[:, dict_len:].copy()
+        cand_dists = cand_dists[:, dict_len:].copy()
+        cand_isdict = cand_isdict[:, dict_len:].copy()
+        cand_wire = cand_wire[:, dict_len:].copy()
+    # exact lengths for cap-hit matches, with amortized skipping: inside
+    # a span already covered by a longer extended match, the capped edge
+    # is kept as-is (the long edge from the span start dominates), which
+    # bounds total extension work to O(n) on runs like 'aaaa...'
+    hits = np.argwhere((cand_lens >= MATCH_CAP) & ~cand_isdict)
+    hits = hits[np.argsort(hits[:, 1], kind="stable")]
+    last_end = -1
+    for ci, p in hits:
+        if p < last_end - 32:
+            continue
+        d = int(cand_dists[ci, p])
+        ext = extend_match(full, dict_len + p - d, dict_len + p,
+                           int(cand_lens[ci, p]), n - p)
+        cand_lens[ci, p] = ext
+        cand_wire[ci, p] = ext
+        last_end = max(last_end, int(p) + ext)
+
+    # greedy pre-pass for the iteration-0 cost model
+    flat = np.argmax(cand_lens, axis=0)
+    ar = np.arange(n)
+    bl = cand_lens[flat, ar]
+    bd = cand_dists[flat, ar]
+    bs = np.where(bl >= 4, 135 * bl - 30 * np.log2(
+        np.maximum(bd, 2)).astype(np.int64), 0)
+    bwire = cand_wire[flat, ar]
+    bisd = cand_isdict[flat, ar]
+    pre = greedy_parse(full, bl, bd, bs, [n], dict_len=dict_len, pos0=0,
+                       initial_cache=initial_cache,
+                       window_size=window_size, best_isdict=bisd,
+                       best_wire=bwire)
+    p_ins, p_cps, p_dst, p_adv = pre[0]
+    pre_cmds, _ = resolve_commands(p_ins, p_cps, p_dst, params.dist,
+                                   advance=p_adv,
+                                   initial_cache=list(initial_cache),
+                                   pos_offset=dict_len,
+                                   window_size=window_size)
+
+    data_region = full[dict_len:]
+    lit_costs = estimate_literal_costs(data_region)
+    lcp = np.concatenate([[0.0], np.cumsum(lit_costs)])
+
+    lh, ch, dh = _histograms_from_commands(data_region, pre_cmds,
+                                           dist_alpha)
+    iters = 2 if params.quality >= 11 else 1
+    result = None
+    for it in range(iters):
+        _, cost_cmd, cost_dist = _cost_tables(lh, ch, dh)
+        edges = _build_edges(cand_lens, cand_dists, cand_isdict,
+                             cand_wire, cost_dist, params.dist, n)
+        result = zopfli_parse(n, lcp, cost_cmd, edges)
+        if it + 1 < iters:
+            r_ins, r_cps, r_dst, r_adv = result
+            cmds, _ = resolve_commands(r_ins, r_cps, r_dst, params.dist,
+                                       advance=r_adv,
+                                       initial_cache=list(initial_cache),
+                                       pos_offset=dict_len,
+                                       window_size=window_size)
+            lh, ch, dh = _histograms_from_commands(data_region, cmds,
+                                                   dist_alpha)
+    return result

@@ -1,0 +1,296 @@
+"""Loader/bindings for the native (C++) runtime hot loops.
+
+Compiles native/hotloops.cpp on first use (g++, cached next to the
+source), binds with ctypes, and exposes drop-in replacements for the
+Python serial loops.  The Python implementations remain the oracles;
+tests assert command-for-command equality.  Set BROTLI_TPU_NO_NATIVE=1
+to force the Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRCS = [os.path.join(_NATIVE_DIR, "hotloops.cpp"),
+         os.path.join(_NATIVE_DIR, "decoder.cpp")]
+_SRC = _SRCS[0]
+_LIB = os.path.join(_NATIVE_DIR, "libbrotli_tpu_native.so")
+
+_lib = None
+_tried = False
+
+I64 = ctypes.POINTER(ctypes.c_int64)
+U8 = ctypes.POINTER(ctypes.c_uint8)
+F64 = ctypes.POINTER(ctypes.c_double)
+
+
+def _ptr(a, t=I64):
+    return a.ctypes.data_as(t)
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("BROTLI_TPU_NO_NATIVE"):
+        return None
+    try:
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < src_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 *_SRCS, "-o", _LIB + ".tmp"],
+                check=True, capture_output=True, timeout=120)
+            os.replace(_LIB + ".tmp", _LIB)
+        _lib = ctypes.CDLL(_LIB)
+        _lib.greedy_parse_native.restype = ctypes.c_int64
+        _lib.resolve_commands_native.restype = None
+        _lib.zopfli_dp_native.restype = None
+        _lib.decode_native.restype = ctypes.c_int64
+        _lib.decoder_set_dictionary.restype = None
+        _install_decoder_dictionary(_lib)
+    except Exception:
+        _lib = None
+    return _lib
+
+
+_dict_refs = []
+
+
+def _install_decoder_dictionary(lib):
+    """Hand the RFC dictionary + transforms + context LUTs to the native
+    decoder (kept alive on the module)."""
+    from .core import constants as C
+    from .core.dictionary import get_dictionary
+    d = get_dictionary()
+    data = np.frombuffer(d.data, dtype=np.uint8)
+    n_len = 25
+    offsets = np.zeros(n_len, dtype=np.int64)
+    size_bits = np.zeros(n_len, dtype=np.int64)
+    for length in range(4, n_len):
+        offsets[length] = int(d.offsets_by_length[length])
+        size_bits[length] = int(d.size_bits_by_length[length])
+    tp = np.zeros((121, 16), dtype=np.uint8)
+    ts = np.zeros((121, 16), dtype=np.uint8)
+    tpl = np.zeros(121, dtype=np.int64)
+    tsl = np.zeros(121, dtype=np.int64)
+    tt = np.zeros(121, dtype=np.int64)
+    for i in range(121):
+        p = d.t_prefix[i]
+        sfx = d.t_suffix[i]
+        tp[i, :len(p)] = np.frombuffer(p, np.uint8)
+        ts[i, :len(sfx)] = np.frombuffer(sfx, np.uint8)
+        tpl[i] = len(p)
+        tsl[i] = len(sfx)
+        tt[i] = d.t_type[i]
+    lut0 = np.ascontiguousarray(C.CONTEXT_LUT0, dtype=np.uint8)
+    lut1 = np.ascontiguousarray(C.CONTEXT_LUT1, dtype=np.uint8)
+    refs = (data, offsets, size_bits, tp, tpl, ts, tsl, tt, lut0, lut1)
+    _dict_refs.append(refs)
+    lib.decoder_set_dictionary(
+        _ptr(data, U8), _ptr(offsets), _ptr(size_bits),
+        _ptr(tp, U8), _ptr(tpl), _ptr(ts, U8), _ptr(tsl), _ptr(tt),
+        _ptr(lut0, U8), _ptr(lut1, U8))
+
+
+_table_mem = None
+
+
+def decode(data: bytes, custom_dictionary: bytes = b"",
+           large_window: bool = False, size_hint: int | None = None):
+    """Native one-shot decode.  Returns bytes.
+    Raises ValueError(code) with code -1 (truncated) or -2 (corrupt)."""
+    global _table_mem
+    lib = get_lib()
+    if _table_mem is None:
+        _table_mem = np.zeros(1 << 23, dtype=np.int32)
+    src = np.frombuffer(bytes(data), dtype=np.uint8)
+    cd = np.frombuffer(bytes(custom_dictionary), dtype=np.uint8)
+    cap = max(size_hint or 0, 4 * len(src) + (1 << 16))
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        r = lib.decode_native(
+            _ptr(src, U8), ctypes.c_int64(len(src)),
+            _ptr(out, U8), ctypes.c_int64(cap),
+            _ptr(cd, U8) if len(cd) else ctypes.POINTER(
+                ctypes.c_uint8)(),
+            ctypes.c_int64(len(cd)), ctypes.c_int64(int(large_window)),
+            _ptr(_table_mem), ctypes.c_int64(len(_table_mem)))
+        if r == -3:
+            if cap >= 1 << 31:
+                raise ValueError(-3)
+            cap *= 8
+            continue
+        if r < 0:
+            raise ValueError(int(r))
+        return out[:r].tobytes()
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def greedy_parse(data, best_len, best_dist, best_score, boundaries,
+                 dict_len=0, pos0=0, initial_cache=(4, 11, 15, 16),
+                 best_isdict=None, window_size=1 << 62,
+                 match_cap=320, min_score=100, cost_diff_lazy=175,
+                 last_dist_bonus=15, cache_probe_span=16, lbs=135,
+                 best_wire=None):
+    """Native greedy walk; same contract as match.greedy_parse.
+    Segments are (insert[], wire_copy[], distance[], advance[])."""
+    lib = get_lib()
+    n = len(data) - dict_len
+    bl = np.ascontiguousarray(best_len, dtype=np.int64)
+    bd = np.ascontiguousarray(best_dist, dtype=np.int64)
+    bs = np.ascontiguousarray(best_score, dtype=np.int64)
+    isd = np.ascontiguousarray(
+        best_isdict if best_isdict is not None
+        else np.zeros(n, dtype=bool), dtype=np.uint8)
+    bw = np.ascontiguousarray(
+        best_wire if best_wire is not None else bl, dtype=np.int64)
+    mpos = np.nonzero(bs > min_score)[0].astype(np.int64)
+    bnd = np.asarray(boundaries, dtype=np.int64)
+    cache = np.asarray(initial_cache, dtype=np.int64)
+    max_cmds = n + len(bnd) + 1
+    out_i = np.empty(max_cmds, dtype=np.int64)
+    out_c = np.empty(max_cmds, dtype=np.int64)
+    out_d = np.empty(max_cmds, dtype=np.int64)
+    out_a = np.empty(max_cmds, dtype=np.int64)
+    seg_counts = np.zeros(len(bnd), dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n_out = lib.greedy_parse_native(
+        _ptr(data, U8), ctypes.c_int64(len(data)),
+        ctypes.c_int64(dict_len),
+        _ptr(bl), _ptr(bd), _ptr(bs), _ptr(isd, U8), _ptr(bw),
+        _ptr(mpos), ctypes.c_int64(len(mpos)),
+        _ptr(bnd), ctypes.c_int64(len(bnd)), ctypes.c_int64(pos0),
+        _ptr(cache), ctypes.c_int64(window_size),
+        ctypes.c_int64(match_cap), ctypes.c_int64(min_score),
+        ctypes.c_int64(cost_diff_lazy), ctypes.c_int64(last_dist_bonus),
+        ctypes.c_int64(cache_probe_span), ctypes.c_int64(lbs),
+        _ptr(out_i), _ptr(out_c), _ptr(out_d), _ptr(out_a),
+        _ptr(seg_counts), ctypes.c_int64(max_cmds))
+    segments = []
+    off = 0
+    for cnt in seg_counts.tolist():
+        segments.append((out_i[off:off + cnt].tolist(),
+                         out_c[off:off + cnt].tolist(),
+                         out_d[off:off + cnt].tolist(),
+                         out_a[off:off + cnt].tolist()))
+        off += cnt
+    assert off == n_out
+    return segments
+
+
+def resolve_distance_codes(insert_len, copy_len, distance, npostfix,
+                           ndirect, initial_cache, pos_offset,
+                           window_size):
+    """Native distance-code resolution; returns
+    (code, extra, extra_bits, use_last, final_cache)."""
+    lib = get_lib()
+    il = np.ascontiguousarray(insert_len, dtype=np.int64)
+    cl = np.ascontiguousarray(copy_len, dtype=np.int64)
+    dl = np.ascontiguousarray(distance, dtype=np.int64)
+    n = len(il)
+    cache = np.asarray(initial_cache, dtype=np.int64).copy()
+    out_code = np.empty(n, dtype=np.int64)
+    out_extra = np.empty(n, dtype=np.int64)
+    out_bits = np.empty(n, dtype=np.int64)
+    out_ul = np.empty(n, dtype=np.uint8)
+    lib.resolve_commands_native(
+        _ptr(il), _ptr(cl), _ptr(dl), ctypes.c_int64(n),
+        ctypes.c_int64(npostfix), ctypes.c_int64(ndirect),
+        _ptr(cache), ctypes.c_int64(pos_offset),
+        ctypes.c_int64(window_size),
+        _ptr(out_code), _ptr(out_extra), _ptr(out_bits),
+        _ptr(out_ul, U8))
+    return out_code, out_extra, out_bits, out_ul.astype(bool), \
+        cache.tolist()
+
+
+def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
+                      bucket_bits8=18, min_length=4,
+                      literal_byte_score=540, dict_len=0,
+                      use_dictionary=True, match_cap=320):
+    """Native match finder; same contract as match.find_best_matches."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(data)
+    best_len = np.zeros(n, dtype=np.int64)
+    best_dist = np.zeros(n, dtype=np.int64)
+    best_score = np.zeros(n, dtype=np.int64)
+    best_isdict = np.zeros(n, dtype=np.uint8)
+    best_wire = np.zeros(n, dtype=np.int64)
+    if use_dictionary:
+        from .encode.static_dict import (DICT_HASH_BITS, dict_index,
+                                         omit_last_transform_ids)
+        word_bytes, word_len, word_idx, table, size_bits = dict_index()
+        word_bytes = np.ascontiguousarray(word_bytes, dtype=np.uint8)
+        word_len = np.ascontiguousarray(word_len, dtype=np.int64)
+        word_idx = np.ascontiguousarray(word_idx, dtype=np.int64)
+        table = np.ascontiguousarray(table, dtype=np.int64)
+        size_bits = np.ascontiguousarray(size_bits, dtype=np.int64)
+        omit_ids = np.ascontiguousarray(omit_last_transform_ids(),
+                                        dtype=np.int64)
+        dict_args = (_ptr(table), ctypes.c_int64(DICT_HASH_BITS),
+                     ctypes.c_int64(table.shape[1]),
+                     _ptr(word_bytes, U8), _ptr(word_len),
+                     _ptr(word_idx), _ptr(size_bits), _ptr(omit_ids))
+    else:
+        null = ctypes.POINTER(ctypes.c_int64)()
+        dict_args = (null, ctypes.c_int64(0), ctypes.c_int64(0),
+                     ctypes.POINTER(ctypes.c_uint8)(), null, null,
+                     null, null)
+    lib.find_matches_native(
+        _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(dict_len),
+        ctypes.c_int64(window_size), ctypes.c_int64(k),
+        ctypes.c_int64(bucket_bits), ctypes.c_int64(k8),
+        ctypes.c_int64(bucket_bits8),
+        ctypes.c_int64(literal_byte_score // 4),
+        ctypes.c_int64(match_cap),
+        *dict_args,
+        _ptr(best_len), _ptr(best_dist), _ptr(best_score),
+        _ptr(best_isdict, U8), _ptr(best_wire))
+    ibd = best_isdict.astype(bool)
+    if dict_len:
+        return (best_len[dict_len:], best_dist[dict_len:],
+                best_score[dict_len:], ibd[dict_len:],
+                best_wire[dict_len:])
+    return best_len, best_dist, best_score, ibd, best_wire
+
+
+def zopfli_dp(n, lcp, cost_cmd, edge_off, e_len, e_dist, e_ccode,
+              e_base, ins_code_tab, ins_extra_tab, cmd_sym_tab):
+    """Native Zopfli relaxation; returns (cost, prev_start, prev_len,
+    prev_dist)."""
+    lib = get_lib()
+    lcp = np.ascontiguousarray(lcp, dtype=np.float64)
+    cost_cmd = np.ascontiguousarray(cost_cmd, dtype=np.float64)
+    edge_off = np.ascontiguousarray(edge_off, dtype=np.int64)
+    e_len = np.ascontiguousarray(e_len, dtype=np.int64)
+    e_dist = np.ascontiguousarray(e_dist, dtype=np.int64)
+    e_ccode = np.ascontiguousarray(e_ccode, dtype=np.int64)
+    e_base = np.ascontiguousarray(e_base, dtype=np.float64)
+    ins_code_tab = np.ascontiguousarray(ins_code_tab, dtype=np.int64)
+    ins_extra_tab = np.ascontiguousarray(ins_extra_tab, dtype=np.int64)
+    cmd_sym_tab = np.ascontiguousarray(cmd_sym_tab, dtype=np.int64)
+    cost = np.empty(n + 1, dtype=np.float64)
+    prev_start = np.empty(n + 1, dtype=np.int64)
+    prev_len = np.empty(n + 1, dtype=np.int64)
+    prev_dist = np.empty(n + 1, dtype=np.int64)
+    lib.zopfli_dp_native(
+        ctypes.c_int64(n), _ptr(lcp, F64), _ptr(cost_cmd, F64),
+        _ptr(edge_off), _ptr(e_len), _ptr(e_dist), _ptr(e_ccode),
+        _ptr(e_base, F64), _ptr(ins_code_tab), _ptr(ins_extra_tab),
+        _ptr(cmd_sym_tab),
+        _ptr(cost, F64), _ptr(prev_start), _ptr(prev_len),
+        _ptr(prev_dist))
+    return cost, prev_start, prev_len, prev_dist

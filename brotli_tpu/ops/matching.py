@@ -89,6 +89,66 @@ def match_lengths_capped(v4: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
     return jnp.minimum(total, limit.astype(jnp.int32))
 
 
+def _fold_sorted(h: jnp.ndarray, k: int, vs: list, pos: jnp.ndarray,
+                 window_size: int, lbs: int, best):
+    """Candidate fold entirely in hash-sorted space.
+
+    After the stable sort by hash, a position's k most-recent same-hash
+    predecessors are its k left neighbors in sort order — so candidate
+    compares become SHIFTED SLICE compares (pure vector ops).  The u32
+    chunk values are gathered into sorted order ONCE per 4-byte round
+    (len(vs) gathers total), instead of once per (candidate, round):
+    the gather traffic drops by a factor of k.
+    """
+    n = h.shape[0]
+    order = jnp.argsort(h, stable=True).astype(jnp.int32)
+    h_s = h[order]
+    vs_s = [v[order] for v in vs]
+    limit_s = (n - order).astype(jnp.int32)
+
+    s_len = jnp.zeros(n, jnp.int32)
+    s_dist = jnp.zeros(n, jnp.int32)
+    s_score = jnp.zeros(n, jnp.int32)
+    for j in range(1, k + 1):
+        zpad = jnp.zeros(j, dtype=h_s.dtype)
+        same = jnp.concatenate([jnp.zeros(j, bool), h_s[j:] == h_s[:-j]])
+        cand = jnp.concatenate(
+            [jnp.zeros(j, jnp.int32), order[:-j]])
+        dist = order - cand
+        # match length via u32 XOR rounds on shifted slices
+        total = jnp.zeros(n, jnp.int32)
+        alive = same
+        for v_s in vs_s:
+            shifted = jnp.concatenate(
+                [jnp.zeros(j, v_s.dtype), v_s[:-j]])
+            x = v_s ^ shifted
+            nz = x != 0
+            low = x & (~x + np.uint32(1))
+            ctz = jax.lax.population_count(low - np.uint32(1))
+            m = jnp.where(nz, (ctz >> np.uint32(3)).astype(jnp.int32), 4)
+            total = total + jnp.where(alive, m, 0)
+            alive = alive & (m == 4)
+        ml = jnp.minimum(total, limit_s)
+        valid = same & (dist <= window_size) & (ml >= 4)
+        ml = jnp.where(valid, ml, 0)
+        logd = 31 - jax.lax.clz(jnp.maximum(dist, 1))
+        sc = jnp.where(ml > 0, lbs * ml - DISTANCE_BIT_PENALTY * logd, 0)
+        upd = sc > s_score
+        s_len = jnp.where(upd, ml, s_len)
+        s_dist = jnp.where(upd, dist, s_dist)
+        s_score = jnp.where(upd, sc, s_score)
+
+    # scatter back to position space, keeping the running best
+    best_len, best_dist, best_score = best
+    p_len = jnp.zeros(n, jnp.int32).at[order].set(s_len)
+    p_dist = jnp.zeros(n, jnp.int32).at[order].set(s_dist)
+    p_score = jnp.zeros(n, jnp.int32).at[order].set(s_score)
+    upd = p_score > best_score
+    return (jnp.where(upd, p_len, best_len),
+            jnp.where(upd, p_dist, best_dist),
+            jnp.where(upd, p_score, best_score))
+
+
 def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
                        bucket_bits: int = 17, k8: int = 4,
                        bucket_bits8: int = 18,
@@ -101,39 +161,17 @@ def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
     n = data.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     v4 = u32_values(data)
-    v4b = u32_values_at(data, 4)
-    limit = (n - pos).astype(jnp.int32)
+    vs = [v4] + [u32_values_at(data, 4 * r)
+                 for r in range(1, LEN_CAP // 4)]
     lbs = literal_byte_score // 4
 
-    best_len = jnp.zeros(n, jnp.int32)
-    best_dist = jnp.zeros(n, jnp.int32)
-    best_score = jnp.zeros(n, jnp.int32)
-
-    def fold(cands, best):
-        best_len, best_dist, best_score = best
-        for j in range(cands.shape[0]):
-            c = cands[j].astype(jnp.int32)
-            dist = pos - c
-            cc = jnp.maximum(c, 0)
-            valid = (c >= 0) & (dist <= window_size) & (v4[cc] == v4)
-            ml = match_lengths_capped(v4, cc, pos, limit)
-            ml = jnp.where(valid & (ml >= 4), ml, 0)
-            logd = 31 - jax.lax.clz(
-                jnp.maximum(dist, 1).astype(jnp.int32))
-            sc = lbs * ml - DISTANCE_BIT_PENALTY * logd
-            sc = jnp.where(ml > 0, sc, 0)
-            upd = sc > best_score
-            best_len = jnp.where(upd, ml, best_len)
-            best_dist = jnp.where(upd, dist, best_dist)
-            best_score = jnp.where(upd, sc, best_score)
-        return best_len, best_dist, best_score
-
+    best = (jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+            jnp.zeros(n, jnp.int32))
     h4 = v4 * HASH_MUL32 >> np.uint32(32 - bucket_bits)
-    best = fold(topk_prev_same_hash(h4, k),
-                (best_len, best_dist, best_score))
+    best = _fold_sorted(h4, k, vs, pos, window_size, lbs, best)
     if k8 > 0:
         # 8-byte hash from two u32 loads (long-match table)
-        h8 = ((v4 * HASH_MUL32) ^ (v4b * HASH_MUL32B)) \
+        h8 = ((v4 * HASH_MUL32) ^ (vs[1] * HASH_MUL32B)) \
             >> np.uint32(32 - bucket_bits8)
-        best = fold(topk_prev_same_hash(h8, k8), best)
+        best = _fold_sorted(h8, k8, vs, pos, window_size, lbs, best)
     return best

@@ -1,0 +1,165 @@
+"""IR / metablock analysis side-channel.
+
+The reference threads a metablock callback through every compress entry
+point when log_meta_block is set (BROTLI_METABLOCK_CALLBACK; reference
+src/enc/interface.rs:468 Command enum, brotli_bit_stream.rs:420
+LogMetaBlock) and the CLI dumps the IR as text (-i; bin/util.rs:85
+write_one).  Same IR vocabulary here: PredictionMode, BlockSwitch
+{Literal,Command,Distance}, Copy, Dict, Literal — produced either from
+an encode pass or by replaying a compressed stream.
+
+Text format matches write_one:
+    prediction <mode> lcontextmap ... dcontextmap ...
+    ltype <t> <stride> / ctype <t> / dtype <t>
+    copy <n> from <d>
+    dict <n> word <size>,<id> <hex> func <f> <hex>
+    insert <n> <hex>
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.dictionary import get_dictionary
+
+
+@dataclass
+class PredictionMode:
+    mode: int = 0
+    literal_context_map: list = field(default_factory=list)
+    distance_context_map: list = field(default_factory=list)
+
+
+@dataclass
+class BlockSwitchLiteral:
+    block_type: int = 0
+    stride: int = 0
+
+
+@dataclass
+class BlockSwitchCommand:
+    block_type: int = 0
+
+
+@dataclass
+class BlockSwitchDistance:
+    block_type: int = 0
+
+
+@dataclass
+class Copy:
+    num_bytes: int = 0
+    distance: int = 0
+
+
+@dataclass
+class Dict:
+    word_size: int = 0
+    word_id: int = 0
+    transform: int = 0
+    final_size: int = 0
+
+
+@dataclass
+class Literal:
+    data: bytes = b""
+    high_entropy: bool = False
+
+
+MODE_NAMES = {0: "lsb6", 1: "msb6", 2: "utf8", 3: "sign"}
+
+
+def ir_from_commands(data: np.ndarray, start: int, cmds, plan=None,
+                     pos_offset: int = 0, window_size: int = 1 << 62):
+    """Build the IR command list for one metablock from resolved
+    commands (the encoder-side channel, reference process_command_queue,
+    brotli_bit_stream.rs:220-418)."""
+    out = []
+    if plan is not None:
+        out.append(PredictionMode(
+            mode=plan.context_mode,
+            literal_context_map=list(map(int, plan.cmap_l)),
+            distance_context_map=list(map(int, plan.cmap_d))))
+    pos = start
+    abs_pos = pos_offset
+    for i in range(len(cmds)):
+        il = int(cmds.insert_len[i])
+        cl = int(cmds.copy_len[i])
+        av = int(cmds.copy_advance[i])
+        d = int(cmds.distance[i])
+        if il:
+            out.append(Literal(bytes(data[pos:pos + il])))
+        pos += il
+        abs_pos += il
+        if cl:
+            max_distance = min(abs_pos, window_size)
+            if d > max_distance:
+                word_id = d - max_distance - 1
+                dic = get_dictionary()
+                sb = int(dic.size_bits_by_length[cl])
+                out.append(Dict(word_size=cl, word_id=word_id & ((1 << sb)
+                                                                 - 1),
+                                transform=word_id >> sb,
+                                final_size=av))
+            else:
+                out.append(Copy(num_bytes=cl, distance=d))
+            pos += av
+            abs_pos += av
+    return out
+
+
+def format_ir(commands) -> str:
+    """Reference write_one text format (bin/util.rs:85)."""
+    lines = []
+    dic = get_dictionary()
+    for c in commands:
+        if isinstance(c, PredictionMode):
+            lcm = "".join(f" {v}" for v in c.literal_context_map)
+            dcm = "".join(f" {v}" for v in c.distance_context_map)
+            lines.append(f"prediction {MODE_NAMES.get(c.mode, '?')} "
+                         f"lcontextmap{lcm} dcontextmap{dcm}")
+        elif isinstance(c, BlockSwitchLiteral):
+            lines.append(f"ltype {c.block_type} {c.stride}")
+        elif isinstance(c, BlockSwitchCommand):
+            lines.append(f"ctype {c.block_type}")
+        elif isinstance(c, BlockSwitchDistance):
+            lines.append(f"dtype {c.block_type}")
+        elif isinstance(c, Copy):
+            lines.append(f"copy {c.num_bytes} from {c.distance}")
+        elif isinstance(c, Dict):
+            raw = dic.word(c.word_size, c.word_id)
+            xform = dic.transformed(c.word_size, c.word_id, c.transform)
+            lines.append(
+                f"dict {c.final_size} word {c.word_size},{c.word_id} "
+                f"{raw.hex()} func {c.transform} {xform.hex()}")
+        elif isinstance(c, Literal):
+            kind = "rndins" if c.high_entropy else "insert"
+            lines.append(f"{kind} {len(c.data)} {c.data.hex()}")
+    return "\n".join(lines) + "\n"
+
+
+def dump_ir(data: bytes, quality: int = 9, lgwin: int = 22) -> str:
+    """Encode `data` and return the IR dump (CLI -i flag)."""
+    from ..encode.command import resolve_commands
+    from ..encode.encoder import _quality_knobs
+    from ..encode.match import find_best_matches, greedy_parse
+    from ..encode.params import EncoderParams
+
+    raw = np.frombuffer(bytes(data), dtype=np.uint8)
+    p = EncoderParams(quality=quality, lgwin=lgwin).sanitize(len(raw))
+    if len(raw) == 0:
+        return ""
+    knobs = _quality_knobs(p)
+    bl, bd, bs, isd, bw = find_best_matches(
+        raw, p.window_size, literal_byte_score=p.literal_byte_score,
+        **knobs)
+    segs = greedy_parse(raw, bl, bd, bs, [len(raw)], best_isdict=isd,
+                        window_size=p.window_size, best_wire=bw)
+    ins, cps, dst, adv = segs[0]
+    cmds, _ = resolve_commands(ins, cps, dst, p.dist, advance=adv,
+                               window_size=p.window_size)
+    ir = ir_from_commands(raw, 0, cmds, window_size=p.window_size)
+    return format_ir(ir)

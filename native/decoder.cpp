@@ -1,0 +1,695 @@
+// Native RFC 7932 decoder core.
+//
+// Semantics mirror brotli_tpu/decode/decoder.py (the tested Python
+// oracle; tests assert byte-identical output on fixtures and fuzz).
+// Exported with a plain C ABI for ctypes.  The TPU batched path decodes
+// independent streams in parallel; this is the single-stream host
+// runtime (reference surface: BrotliDecompressStream, src/lib.rs:33-52).
+//
+// Error codes: >= 0 output length; -1 needs more input (truncated);
+// -2 corrupt stream; -3 output buffer too small.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <cstdio>
+#include <cstdlib>
+// env-gated trace for decoder debugging (BROTLI_DBG=1)
+#define DBG(...) do { if (std::getenv("BROTLI_DBG"))     std::fprintf(stderr, __VA_ARGS__); } while (0)
+
+namespace {
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t size;       // bytes
+    int64_t pos;        // bit position
+    bool overflow = false;
+
+    inline uint64_t peek(int nbits) {
+        int64_t byte0 = pos >> 3;
+        uint64_t v = 0;
+        int64_t avail = size - byte0;
+        if (avail >= 8) {
+            std::memcpy(&v, data + byte0, 8);
+        } else if (avail > 0) {
+            std::memcpy(&v, data + byte0, (size_t)avail);
+        }
+        return (v >> (pos & 7)) & ((1ull << nbits) - 1);
+    }
+    inline uint64_t read(int nbits) {
+        if (pos + nbits > size * 8) { overflow = true; return 0; }
+        uint64_t v = peek(nbits);
+        pos += nbits;
+        return v;
+    }
+    inline void skip(int nbits) {
+        if (pos + nbits > size * 8) { overflow = true; return; }
+        pos += nbits;
+    }
+    inline bool align_ok() {   // align to byte; padding must be zero
+        int n = (int)((-pos) & 7);
+        return read(n) == 0;
+    }
+    inline bool at_least(int64_t bits) {
+        return pos + bits <= size * 8;
+    }
+};
+
+// flat prefix decode table: 2^max_len entries of (sym << 4 | len)
+struct PrefixTable {
+    int32_t* tab = nullptr;
+    int max_len = 0;
+    int single = -1;
+
+    inline int decode(BitReader& br) {
+        if (single >= 0) return single;
+        uint64_t bits = br.peek(max_len);
+        int32_t e = tab[bits];
+        br.skip(e & 15);
+        return e >> 4;
+    }
+};
+
+struct TableArena {
+    int32_t* mem;
+    int64_t cap;
+    int64_t used = 0;
+    int32_t* alloc(int64_t n) {
+        if (used + n > cap) return nullptr;
+        int32_t* p = mem + used;
+        used += n;
+        return p;
+    }
+};
+
+static const int64_t kInsertBase[24] = {
+    0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26, 34, 50, 66, 98, 130, 194,
+    322, 578, 1090, 2114, 6210, 22594};
+static const int kInsertExtra[24] = {
+    0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7, 8, 9, 10, 12,
+    14, 24};
+static const int64_t kCopyBase[24] = {
+    2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 22, 30, 38, 54, 70, 102,
+    134, 198, 326, 582, 1094, 2118};
+static const int kCopyExtra[24] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7, 8, 9,
+    10, 24};
+static const int64_t kBlockLenBase[26] = {
+    1, 5, 9, 13, 17, 25, 33, 41, 49, 65, 81, 97, 113, 145, 177, 209,
+    241, 305, 369, 497, 753, 1265, 2289, 4337, 8433, 16625};
+static const int kBlockLenExtra[26] = {
+    2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 6, 6, 7, 8, 9, 10,
+    11, 12, 13, 24};
+static const int kDistShortIdx[16] = {0, 1, 2, 3, 0, 0, 0, 0, 0, 0, 1,
+                                      1, 1, 1, 1, 1};
+static const int kDistShortDelta[16] = {0, 0, 0, 0, -1, 1, -2, 2, -3, 3,
+                                        -1, 1, -2, 2, -3, 3};
+static const int kClOrder[18] = {1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9,
+                                 10, 11, 12, 13, 14, 15};
+
+// dictionary transform data (set once from Python)
+struct DictData {
+    const uint8_t* data;
+    const int64_t* offsets_by_length;   // [25]
+    const int64_t* size_bits_by_length; // [25]
+    const uint8_t* t_prefix;            // [121 * 16] padded
+    const int64_t* t_prefix_len;
+    const uint8_t* t_suffix;
+    const int64_t* t_suffix_len;
+    const int64_t* t_type;
+    const uint8_t* ctx_lut0;            // [4][256]
+    const uint8_t* ctx_lut1;
+};
+static DictData g_dict;
+
+static int read_clcode_len(BitReader& br) {
+    if (br.read(1) == 0) return br.read(1) == 0 ? 0 : 3;
+    if (br.read(1) == 0) return 4;
+    if (br.read(1) == 0) return 2;
+    return br.read(1) == 0 ? 1 : 5;
+}
+
+// build flat decode table from code lengths; returns false on corrupt
+static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
+                        TableArena& arena) {
+    int nz = 0, single = -1, maxlen = 0;
+    int64_t space = 0;
+    for (int i = 0; i < n; i++) {
+        if (lengths[i]) {
+            nz++;
+            single = i;
+            maxlen = std::max(maxlen, (int)lengths[i]);
+            space += 1ll << (15 - lengths[i]);
+        }
+    }
+    if (nz == 0) return false;
+    if (nz == 1) { pt.single = single; pt.max_len = 0; return true; }
+    if (space != (1ll << 15)) return false;  // not Kraft-complete
+    pt.single = -1;
+    pt.max_len = maxlen;
+    int64_t tsize = 1ll << maxlen;
+    pt.tab = arena.alloc(tsize);
+    if (!pt.tab) return false;
+    // canonical code assignment, LSB-first
+    int count[16] = {0};
+    for (int i = 0; i < n; i++) count[lengths[i]]++;
+    count[0] = 0;
+    int64_t next_code[17] = {0};
+    int64_t code = 0;
+    for (int l = 1; l <= 15; l++) {
+        code = (code + count[l - 1]) << 1;
+        next_code[l] = code;
+    }
+    for (int i = 0; i < n; i++) {
+        int l = lengths[i];
+        if (!l) continue;
+        int64_t c = next_code[l]++;
+        // bit-reverse l bits
+        int64_t r = 0;
+        for (int b = 0; b < l; b++) r |= ((c >> b) & 1) << (l - 1 - b);
+        int64_t step = 1ll << l;
+        for (int64_t idx = r; idx < tsize; idx += step)
+            pt.tab[idx] = (int32_t)((i << 4) | l);
+    }
+    return true;
+}
+
+// read a prefix code description (RFC 3.4/3.5) into lengths[n]
+static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
+                            PrefixTable& pt, TableArena& arena) {
+    std::memset(lengths, 0, n);
+    int hskip = (int)br.read(2);
+    if (br.overflow) return -1;
+    if (hskip == 1) {
+        int nsym = (int)br.read(2) + 1;
+        int bits = 1;
+        while ((1 << bits) < n) bits++;
+        int syms[4];
+        for (int i = 0; i < nsym; i++) {
+            int s = (int)br.read(bits);
+            if (s >= n) return br.overflow ? -1 : -2;
+            for (int j = 0; j < i; j++)
+                if (syms[j] == s) return br.overflow ? -1 : -2;
+            syms[i] = s;
+        }
+        if (br.overflow) return -1;
+        if (nsym == 1) lengths[syms[0]] = 1;
+        else if (nsym == 2) {
+            lengths[syms[0]] = lengths[syms[1]] = 1;
+        } else if (nsym == 3) {
+            lengths[syms[0]] = 1;
+            lengths[syms[1]] = lengths[syms[2]] = 2;
+        } else {
+            if (br.read(1)) {
+                lengths[syms[0]] = 1;
+                lengths[syms[1]] = 2;
+                lengths[syms[2]] = lengths[syms[3]] = 3;
+            } else {
+                for (int i = 0; i < 4; i++) lengths[syms[i]] = 2;
+            }
+        }
+        if (!build_table(pt, lengths, n, arena)) return br.overflow ? -1 : -2;
+        return 0;
+    }
+    // complex
+    uint8_t cl_len[18] = {0};
+    int64_t space = 0;
+    int num_codes = 0;
+    for (int i = hskip; i < 18; i++) {
+        int l = read_clcode_len(br);
+        if (br.overflow) return -1;
+        cl_len[kClOrder[i]] = (uint8_t)l;
+        if (l) {
+            num_codes++;
+            space += 32 >> l;
+            if (space >= 32) break;
+        }
+    }
+    if (num_codes != 1 && space != 32) return br.overflow ? -1 : -2;
+    PrefixTable cl;
+    int32_t clmem[1 << 5];
+    TableArena cl_arena{clmem, 1 << 5, 0};
+    if (!build_table(cl, cl_len, 18, cl_arena)) return br.overflow ? -1 : -2;
+
+    int64_t sym_space = 0;
+    int i = 0;
+    int prev_nonzero = 8;
+    int prev_repeat_sym = -1;
+    int64_t repeat = 0;
+    while (i < n && sym_space < 32768) {
+        int sym = cl.decode(br);
+        if (br.overflow) return -1;
+        if (sym < 16) {
+            lengths[i++] = (uint8_t)sym;
+            prev_repeat_sym = -1;
+            if (sym) {
+                prev_nonzero = sym;
+                sym_space += 32768 >> sym;
+            }
+        } else {
+            int eb = sym == 16 ? 2 : 3;
+            int64_t extra = (int64_t)br.read(eb);
+            if (br.overflow) return -1;
+            int64_t new_repeat;
+            if (prev_repeat_sym == sym)
+                new_repeat = ((repeat - 2) << eb) + 3 + extra;
+            else
+                new_repeat = 3 + extra;
+            int64_t delta = new_repeat -
+                (prev_repeat_sym == sym ? repeat : 0);
+            repeat = new_repeat;
+            prev_repeat_sym = sym;
+            int val = sym == 16 ? prev_nonzero : 0;
+            if (i + delta > n) return br.overflow ? -1 : -2;
+            for (int64_t j = 0; j < delta; j++)
+                lengths[i++] = (uint8_t)val;
+            if (val) sym_space += delta * (32768 >> val);
+        }
+    }
+    if (sym_space != 32768) return br.overflow ? -1 : -2;
+    if (!build_table(pt, lengths, n, arena)) return br.overflow ? -1 : -2;
+    return 0;
+}
+
+struct BlockCat {
+    int num_types = 1;
+    int cur = 0, prev = 1;
+    int64_t remaining = 1ll << 60;
+    PrefixTable type_pt, len_pt;
+    bool has = false;
+};
+
+static int read_count_code(BitReader& br) {
+    if (br.read(1) == 0) return 1;
+    int nbits = (int)br.read(3);
+    return (1 << nbits) + 1 + (int)br.read(nbits);
+}
+
+static int read_block_len(BitReader& br, PrefixTable& pt) {
+    int s = pt.decode(br);
+    if (s >= 26) return -1;
+    return (int)(kBlockLenBase[s] + br.read(kBlockLenExtra[s]));
+}
+
+static int read_block_header(BitReader& br, BlockCat& bc,
+                             TableArena& arena, uint8_t* scratch) {
+    bc.num_types = read_count_code(br);
+    if (br.overflow) return -1;
+    bc.cur = 0; bc.prev = 1;
+    if (bc.num_types >= 2) {
+        bc.has = true;
+        int r = read_prefix_code(br, scratch, bc.num_types + 2,
+                                 bc.type_pt, arena);
+        if (r) return r;
+        r = read_prefix_code(br, scratch, 26, bc.len_pt, arena);
+        if (r) return r;
+        int bl = read_block_len(br, bc.len_pt);
+        if (bl < 0 || br.overflow) return br.overflow ? -1 : -2;
+        bc.remaining = bl;
+    } else {
+        bc.remaining = 1ll << 60;
+    }
+    return 0;
+}
+
+static inline int tick(BitReader& br, BlockCat& bc) {
+    if (bc.remaining == 0) {
+        int s = bc.type_pt.decode(br);
+        int next;
+        if (s == 0) next = bc.prev;
+        else if (s == 1) next = (bc.cur + 1) % bc.num_types;
+        else next = s - 2;
+        if (next >= bc.num_types) return br.overflow ? -1 : -2;
+        bc.prev = bc.cur; bc.cur = next;
+        int bl = read_block_len(br, bc.len_pt);
+        if (bl < 0) return br.overflow ? -1 : -2;
+        bc.remaining = bl;
+    }
+    bc.remaining--;
+    return 0;
+}
+
+static int read_context_map(BitReader& br, int num_ctx, int ntrees,
+                            uint8_t* cmap, TableArena& arena,
+                            uint8_t* scratch) {
+    std::memset(cmap, 0, num_ctx);
+    if (ntrees < 2) return 0;
+    int rlemax = br.read(1) ? (int)br.read(4) + 1 : 0;
+    PrefixTable pt;
+    int r = read_prefix_code(br, scratch, ntrees + rlemax, pt, arena);
+    if (r) return r;
+    int i = 0;
+    while (i < num_ctx) {
+        int sym = pt.decode(br);
+        if (br.overflow) return -1;
+        if (sym == 0) {
+            cmap[i++] = 0;
+        } else if (sym <= rlemax) {
+            int64_t reps = (1ll << sym) + (int64_t)br.read(sym);
+            if (i + reps > num_ctx) return br.overflow ? -1 : -2;
+            i += (int)reps;
+        } else {
+            cmap[i++] = (uint8_t)(sym - rlemax);
+        }
+    }
+    if (br.read(1)) {  // inverse MTF
+        uint8_t mtf[256];
+        for (int j = 0; j < 256; j++) mtf[j] = (uint8_t)j;
+        for (int j = 0; j < num_ctx; j++) {
+            int v = cmap[j];
+            uint8_t x = mtf[v];
+            cmap[j] = x;
+            if (v) {
+                std::memmove(mtf + 1, mtf, v);
+                mtf[0] = x;
+            }
+        }
+    }
+    for (int j = 0; j < num_ctx; j++)
+        if (cmap[j] >= ntrees) return br.overflow ? -1 : -2;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void decoder_set_dictionary(
+    const uint8_t* data, const int64_t* offsets_by_length,
+    const int64_t* size_bits_by_length,
+    const uint8_t* t_prefix, const int64_t* t_prefix_len,
+    const uint8_t* t_suffix, const int64_t* t_suffix_len,
+    const int64_t* t_type,
+    const uint8_t* ctx_lut0, const uint8_t* ctx_lut1)
+{
+    g_dict = DictData{data, offsets_by_length, size_bits_by_length,
+                      t_prefix, t_prefix_len, t_suffix, t_suffix_len,
+                      t_type, ctx_lut0, ctx_lut1};
+}
+
+static int64_t ferment(uint8_t* buf, int64_t len, int64_t i) {
+    uint8_t c = buf[i];
+    if (c < 192) {
+        if (c >= 'a' && c <= 'z') buf[i] = c ^ 32;
+        return 1;
+    }
+    if (c < 224) {
+        if (i + 1 < len) buf[i + 1] ^= 32;
+        return 2;
+    }
+    if (i + 2 < len) buf[i + 2] ^= 5;
+    return 3;
+}
+
+// transform a dictionary word into out; returns output length or -2
+static int64_t transform_word(int64_t word_len, int64_t idx,
+                              int64_t transform, uint8_t* out) {
+    if (transform >= 121) return -2;
+    const uint8_t* w = g_dict.data +
+        g_dict.offsets_by_length[word_len] + word_len * idx;
+    int64_t ty = g_dict.t_type[transform];
+    int64_t start = 0, len = word_len;
+    if (ty >= 12 && ty <= 20) {        // omit first 1..9
+        int64_t k = ty - 11;
+        start = std::min(k, len);
+        len -= start;
+    } else if (ty >= 1 && ty <= 9) {   // omit last 1..9
+        len = len > ty ? len - ty : 0;
+    }
+    int64_t o = 0;
+    const uint8_t* pre = g_dict.t_prefix + transform * 16;
+    for (int64_t j = 0; j < g_dict.t_prefix_len[transform]; j++)
+        out[o++] = pre[j];
+    int64_t body = o;
+    for (int64_t j = 0; j < len; j++) out[o++] = w[start + j];
+    if (ty == 10) {                    // uppercase first
+        if (len > 0) ferment(out + body, len, 0);
+    } else if (ty == 11) {             // uppercase all
+        int64_t i = 0;
+        while (i < len) i += ferment(out + body, len, i);
+    }
+    const uint8_t* suf = g_dict.t_suffix + transform * 16;
+    for (int64_t j = 0; j < g_dict.t_suffix_len[transform]; j++)
+        out[o++] = suf[j];
+    return o;
+}
+
+int64_t decode_native(
+    const uint8_t* in, int64_t in_len,
+    uint8_t* out, int64_t out_cap,
+    const uint8_t* custom_dict, int64_t custom_dict_len,
+    int64_t large_window,
+    int32_t* table_mem, int64_t table_mem_size)
+{
+    BitReader br{in, in_len, 0};
+    int64_t out_len = 0;
+
+    // window bits
+    int wbits;
+    if (br.read(1) == 0) wbits = 16;
+    else {
+        int n = (int)br.read(3);
+        if (n != 0) wbits = 17 + n;
+        else {
+            int m = (int)br.read(3);
+            if (m == 0) wbits = 17;
+            else if (m == 1) {
+                if (!large_window) return br.overflow ? -1 : -2;
+                if (br.read(1)) return br.overflow ? -1 : -2;
+                wbits = (int)br.read(6);
+                if (wbits < 10 || wbits > 30) return br.overflow ? -1 : -2;
+            } else wbits = 8 + m;
+        }
+    }
+    if (br.overflow) return -1;
+    int64_t window_size = (1ll << wbits) - 16;
+    int64_t dist_cache[4] = {4, 11, 15, 16};
+    int max_distbits = large_window ? 62 : 24;
+
+    uint8_t scratch[1200];
+    uint8_t word_buf[64];
+
+    for (;;) {
+        int64_t islast = br.read(1);
+        if (br.overflow) return -1;
+        if (islast && br.read(1)) break;  // ISLASTEMPTY
+        if (br.overflow) return -1;
+        int64_t mnibbles = br.read(2);
+        if (mnibbles == 3) {  // metadata
+            if (br.read(1)) return br.overflow ? -1 : -2;
+            int64_t mskip = br.read(2);
+            int64_t skip = 0;
+            if (mskip) {
+                int64_t val = br.read((int)(8 * mskip));
+                if (mskip > 1 && (val >> (8 * (mskip - 1))) == 0)
+                    return br.overflow ? -1 : -2;
+                skip = val + 1;
+            }
+            if (!br.align_ok()) return br.overflow ? -1 : -2;
+            if (!br.at_least(8 * skip)) return -1;
+            br.skip((int)(8 * skip));
+            if (islast) break;
+            continue;
+        }
+        int64_t mlen = br.read((int)(16 + 4 * mnibbles)) + 1;
+        if (br.overflow) return -1;
+        if (mnibbles > 0 && ((mlen - 1) >> (16 + 4 * (mnibbles - 1))) == 0)
+            return br.overflow ? -1 : -2;
+        if (!islast && br.read(1)) {  // ISUNCOMPRESSED
+            int n = (int)((-br.pos) & 7);
+            if (br.read(n) != 0) { /* tolerated padding */ }
+            if (!br.at_least(8 * mlen)) return -1;
+            if (out_len + mlen > out_cap) return -3;
+            std::memcpy(out + out_len, in + (br.pos >> 3),
+                        (size_t)mlen);
+            br.skip((int)(8 * mlen));
+            out_len += mlen;
+            continue;
+        }
+
+        // ---- compressed metablock ----
+        TableArena arena{table_mem, table_mem_size, 0};
+        BlockCat L, I, D;
+        int r;
+        if ((r = read_block_header(br, L, arena, scratch))) return r;
+        if ((r = read_block_header(br, I, arena, scratch))) return r;
+        if ((r = read_block_header(br, D, arena, scratch))) return r;
+
+        int npostfix = (int)br.read(2);
+        int ndirect = (int)br.read(4) << npostfix;
+        uint8_t modes[256];
+        for (int t = 0; t < L.num_types; t++)
+            modes[t] = (uint8_t)br.read(2);
+        if (br.overflow) return -1;
+
+        int ntrees_l = read_count_code(br);
+        uint8_t cmap_l[256 * 64];
+        if ((r = read_context_map(br, 64 * L.num_types, ntrees_l,
+                                  cmap_l, arena, scratch)))
+            return r;
+        int ntrees_d = read_count_code(br);
+        uint8_t cmap_d[256 * 4];
+        if ((r = read_context_map(br, 4 * D.num_types, ntrees_d,
+                                  cmap_d, arena, scratch)))
+            return r;
+
+        int dist_alpha = 16 + ndirect + (max_distbits << (npostfix + 1));
+        PrefixTable lit_pt[256], cmd_pt[256], dist_pt[256];
+        uint8_t big_scratch[1 << 11];
+        for (int t = 0; t < ntrees_l; t++) {
+            lit_pt[t] = PrefixTable();
+            if ((r = read_prefix_code(br, big_scratch, 256, lit_pt[t],
+                                      arena)))
+                return r;
+        }
+        for (int t = 0; t < I.num_types; t++) {
+            cmd_pt[t] = PrefixTable();
+            if ((r = read_prefix_code(br, big_scratch, 704, cmd_pt[t],
+                                      arena)))
+                return r;
+        }
+        for (int t = 0; t < ntrees_d; t++) {
+            dist_pt[t] = PrefixTable();
+            if ((r = read_prefix_code(br, big_scratch, dist_alpha,
+                                      dist_pt[t], arena)))
+                return r;
+        }
+
+        const uint8_t* lut0 = nullptr;
+        const uint8_t* lut1 = nullptr;
+
+        auto prev_byte = [&](int k) -> uint8_t {
+            if (out_len >= k) return out[out_len - k];
+            int64_t i = custom_dict_len - (k - out_len);
+            return i >= 0 ? custom_dict[i] : 0;
+        };
+        uint8_t p1 = prev_byte(1), p2 = prev_byte(2);
+
+        while (mlen > 0) {
+            if ((r = tick(br, I))) return r;
+            int cmd = cmd_pt[I.cur].decode(br);
+            DBG("cmd=%d pos=%ld mlen=%ld out=%ld ovf=%d\n", cmd,
+                br.pos, mlen, out_len, (int)br.overflow);
+            if (br.overflow) return -1;
+            if (cmd >= 704) return br.overflow ? -1 : -2;
+            // decompose command symbol
+            int cell = cmd >> 6;
+            int low = cmd & 63;
+            static const int ib_tab[11] = {0, 0, 0, 0, 8, 8, 0, 16, 8,
+                                           16, 16};
+            static const int cb_tab[11] = {0, 8, 0, 8, 0, 8, 16, 0, 16,
+                                           8, 16};
+            static const bool imp_tab[11] = {true, true, false, false,
+                                             false, false, false, false,
+                                             false, false, false};
+            int ins_code = ib_tab[cell] + ((low >> 3) & 7);
+            int copy_code = cb_tab[cell] + (low & 7);
+            bool implicit0 = imp_tab[cell];
+            int64_t ins_len = kInsertBase[ins_code] +
+                (int64_t)br.read(kInsertExtra[ins_code]);
+            int64_t copy_len = kCopyBase[copy_code] +
+                (int64_t)br.read(kCopyExtra[copy_code]);
+            if (br.overflow) return -1;
+
+            if (ins_len > mlen) return br.overflow ? -1 : -2;
+            for (int64_t j = 0; j < ins_len; j++) {
+                if ((r = tick(br, L))) return r;
+                int mode = modes[L.cur];
+                int ctx = g_dict.ctx_lut0[mode * 256 + p1] |
+                          g_dict.ctx_lut1[mode * 256 + p2];
+                int tree = cmap_l[(L.cur << 6) | ctx];
+                int lit = lit_pt[tree].decode(br);
+                if (br.overflow) return -1;
+                if (out_len >= out_cap) return -3;
+                out[out_len++] = (uint8_t)lit;
+                p2 = p1;
+                p1 = (uint8_t)lit;
+            }
+            mlen -= ins_len;
+            if (mlen == 0) break;
+
+            int64_t pos_total = out_len + custom_dict_len;
+            int64_t max_distance = std::min(pos_total, window_size);
+            int64_t distance;
+            int dcode = 0;
+            if (implicit0) {
+                distance = dist_cache[0];
+            } else {
+                if ((r = tick(br, D))) return r;
+                int dctx = (int)std::min<int64_t>(
+                    std::max<int64_t>(copy_len, 2), 5) - 2;
+                int tree = cmap_d[(D.cur << 2) | dctx];
+                dcode = dist_pt[tree].decode(br);
+                if (br.overflow) return -1;
+                if (dcode < 16) {
+                    distance = dist_cache[kDistShortIdx[dcode]] +
+                               kDistShortDelta[dcode];
+                    if (distance <= 0) return br.overflow ? -1 : -2;
+                } else if (dcode < 16 + ndirect) {
+                    distance = dcode - 16 + 1;
+                } else {
+                    int64_t h = dcode - ndirect - 16;
+                    int64_t hcode = h >> npostfix;
+                    int64_t lcode = h & ((1 << npostfix) - 1);
+                    int nbits = (int)(1 + (hcode >> 1));
+                    int64_t offset = ((2 + (hcode & 1)) << nbits) - 4;
+                    int64_t extra = (int64_t)br.read(nbits);
+                    if (br.overflow) return -1;
+                    distance = ((offset + extra) << npostfix) + lcode +
+                               ndirect + 1;
+                }
+            }
+
+            DBG("ins=%ld copy=%ld dist=%ld dcode=%d maxd=%ld pos=%ld ovf=%d\n",
+                ins_len, copy_len, distance, dcode, max_distance,
+                br.pos, (int)br.overflow);
+            if (distance > max_distance) {
+                // static dictionary reference
+                if (copy_len < 4 || copy_len > 24) return br.overflow ? -1 : -2;
+                int64_t word_id = distance - max_distance - 1;
+                int64_t sb = g_dict.size_bits_by_length[copy_len];
+                int64_t idx = word_id & ((1ll << sb) - 1);
+                int64_t transform = word_id >> sb;
+                int64_t wl = transform_word(copy_len, idx, transform,
+                                            word_buf);
+                if (wl < 0) return br.overflow ? -1 : -2;
+                if (wl > mlen) return br.overflow ? -1 : -2;
+                if (out_len + wl > out_cap) return -3;
+                std::memcpy(out + out_len, word_buf, (size_t)wl);
+                out_len += wl;
+                mlen -= wl;
+            } else {
+                if (copy_len > mlen) return br.overflow ? -1 : -2;
+                if (out_len + copy_len > out_cap) return -3;
+                int64_t remaining = copy_len;
+                int64_t src = out_len - distance;
+                if (src < 0) {
+                    int64_t dstart = custom_dict_len + src;
+                    if (dstart < 0) return br.overflow ? -1 : -2;
+                    int64_t take = std::min(remaining, -src);
+                    std::memcpy(out + out_len, custom_dict + dstart,
+                                (size_t)take);
+                    out_len += take;
+                    remaining -= take;
+                    src = out_len - distance;
+                }
+                for (int64_t j = 0; j < remaining; j++)
+                    out[out_len + j] = out[src + j];
+                out_len += remaining;
+                mlen -= copy_len;
+                if (dcode != 0) {
+                    dist_cache[3] = dist_cache[2];
+                    dist_cache[2] = dist_cache[1];
+                    dist_cache[1] = dist_cache[0];
+                    dist_cache[0] = distance;
+                }
+            }
+            p1 = prev_byte(1);
+            p2 = prev_byte(2);
+        }
+        if (islast) break;
+    }
+    return out_len;
+}
+
+}  // extern "C"

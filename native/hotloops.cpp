@@ -1,0 +1,456 @@
+// Native runtime for tpu-brotli: the encoder's serial hot loops.
+//
+// The TPU (JAX/XLA) side owns the batched passes (hashing, candidate
+// search, match lengths, bit packing); these are the loops that are
+// inherently sequential — the greedy lazy walk with distance-cache
+// probes (reference src/enc/backward_references/mod.rs:2376-2552), the
+// distance-cache short-code resolution (src/enc/command.rs:48-69), and
+// the Zopfli shortest-path relaxation (src/enc/backward_references/
+// hq.rs:644-830).  Exported with a plain C ABI for ctypes.
+//
+// Build: g++ -O3 -march=native -shared -fPIC hotloops.cpp -o libbrotli_tpu_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// helpers
+// ---------------------------------------------------------------------------
+
+static inline int64_t probe_len(const uint8_t* data, int64_t src,
+                                int64_t dst, int64_t limit) {
+    if (limit <= 0 || data[src] != data[dst]) return 0;
+    int64_t l = 0;
+    while (l + 8 <= limit) {
+        uint64_t a, b;
+        std::memcpy(&a, data + src + l, 8);
+        std::memcpy(&b, data + dst + l, 8);
+        uint64_t x = a ^ b;
+        if (x) return l + (__builtin_ctzll(x) >> 3);
+        l += 8;
+    }
+    while (l < limit && data[src + l] == data[dst + l]) l++;
+    return l;
+}
+
+static inline int64_t cache_penalty(int64_t i) {
+    return 39 + ((0x1CA10u >> (i & 0x0E)) & 0x0E);
+}
+
+static inline int64_t log2floor(int64_t v) {
+    return v > 0 ? 63 - __builtin_clzll((uint64_t)v) : 0;
+}
+
+// ---------------------------------------------------------------------------
+// greedy lazy walk with distance-cache probes
+// (mirrors brotli_tpu/encode/match.py greedy_parse — that host path is
+// the oracle; tests assert byte-identical command output)
+// ---------------------------------------------------------------------------
+
+int64_t greedy_parse_native(
+    const uint8_t* data, int64_t total_len, int64_t dict_len,
+    const int64_t* best_len, const int64_t* best_dist,
+    const int64_t* best_score, const uint8_t* best_isdict,
+    const int64_t* best_wire,
+    const int64_t* mpos, int64_t nm,
+    const int64_t* boundaries, int64_t n_boundaries, int64_t pos0,
+    const int64_t* initial_cache, int64_t window_size,
+    int64_t match_cap, int64_t min_score, int64_t cost_diff_lazy,
+    int64_t last_dist_bonus, int64_t cache_probe_span, int64_t lbs,
+    int64_t* out_insert, int64_t* out_copy, int64_t* out_dist,
+    int64_t* out_adv, int64_t* out_seg_counts, int64_t max_cmds)
+{
+    int64_t n = total_len - dict_len;
+    int64_t cache[4] = {initial_cache[0], initial_cache[1],
+                        initial_cache[2], initial_cache[3]};
+    int64_t mp = 0;
+    int64_t pos = pos0;
+    int64_t insert_start = pos0;
+    int64_t n_out = 0;
+
+    auto cached_match = [&](int64_t q, int64_t boundary,
+                            int64_t* lc_out, int64_t* dc_out) -> int64_t {
+        int64_t limit = std::min(boundary, n) - q;
+        int64_t bl2 = 0, bd2 = 0, bs2 = 0;
+        for (int i = 0; i < 4; i++) {
+            int64_t d = cache[i];
+            if (d <= 0 || d > dict_len + q) continue;
+            int64_t lc = probe_len(data, dict_len + q - d, dict_len + q,
+                                   limit);
+            if (lc >= 4) {
+                int64_t sc = lbs * lc + last_dist_bonus;
+                if (i != 0) sc -= cache_penalty(i);
+                if (sc > bs2) { bs2 = sc; bl2 = lc; bd2 = d; }
+            }
+        }
+        *lc_out = bl2; *dc_out = bd2;
+        return bs2;
+    };
+
+    for (int64_t bi = 0; bi < n_boundaries; bi++) {
+        int64_t boundary = boundaries[bi];
+        int64_t seg_start_count = n_out;
+
+        auto emit = [&](int64_t p, int64_t l, int64_t d,
+                        int64_t wire) {
+            if (n_out >= max_cmds) return;
+            out_insert[n_out] = p - insert_start;
+            out_copy[n_out] = wire;
+            out_dist[n_out] = d;
+            out_adv[n_out] = l;
+            n_out++;
+            pos = p + l;
+            insert_start = pos;
+            int64_t max_distance = std::min(dict_len + p, window_size);
+            if (d <= max_distance && d != cache[0]) {
+                cache[3] = cache[2]; cache[2] = cache[1];
+                cache[1] = cache[0]; cache[0] = d;
+            }
+        };
+
+        int64_t probe_end = pos;
+        for (;;) {
+            // cache-continuation probes
+            int64_t q = std::max(pos, probe_end - cache_probe_span);
+            bool hit = false;
+            while (q < probe_end) {
+                int64_t lc, dc;
+                int64_t sc = cached_match(q, boundary, &lc, &dc);
+                if (lc >= 2 && sc > min_score) {
+                    int64_t hs = best_score[q];
+                    if (hs > sc) break;
+                    if (q + 1 < boundary &&
+                        best_score[q + 1] > sc + cost_diff_lazy) {
+                        q++; continue;
+                    }
+                    if (q + lc > boundary) {
+                        lc = boundary - q;
+                        if (lc < 2) { q++; continue; }
+                    }
+                    emit(q, lc, dc, lc);
+                    probe_end = std::min(pos + cache_probe_span,
+                                         boundary);
+                    q = pos;
+                    hit = true;
+                } else {
+                    q++;
+                }
+            }
+
+            while (mp < nm && mpos[mp] < pos) mp++;
+            if (mp >= nm || mpos[mp] >= boundary) {
+                if (hit) continue;
+                break;
+            }
+            int64_t p = mpos[mp];
+            int64_t s = best_score[p];
+            int defers = 0;
+            while (defers < 4 && mp + 1 < nm && mpos[mp + 1] == p + 1 &&
+                   p + 1 < boundary &&
+                   best_score[p + 1] > s + cost_diff_lazy) {
+                mp++; p++; s = best_score[p]; defers++;
+            }
+            int64_t l = best_len[p];
+            int64_t d = best_dist[p];
+            int64_t wire = best_wire[p];
+            bool dict_ref = best_isdict[p] != 0;
+            int64_t lc, dc;
+            int64_t sc = cached_match(p, boundary, &lc, &dc);
+            if (sc > s) {
+                l = lc; d = dc; dict_ref = false; wire = l;
+            } else if (l >= match_cap && !dict_ref) {
+                l += probe_len(data, dict_len + p - d + l,
+                               dict_len + p + l, n - p - l);
+                wire = l;
+            }
+            if (p + l > boundary) {
+                if (dict_ref) { mp++; continue; }
+                l = boundary - p;
+                wire = l;
+                if (l < 2) { mp++; continue; }
+            }
+            emit(p, l, d, dict_ref ? wire : l);
+            probe_end = std::min(pos + cache_probe_span, boundary);
+        }
+
+        if (boundary > insert_start ||
+            n_out == seg_start_count) {
+            if (n_out < max_cmds) {
+                out_insert[n_out] = boundary - insert_start;
+                out_copy[n_out] = 0;
+                out_dist[n_out] = 0;
+                out_adv[n_out] = 0;
+                n_out++;
+            }
+        }
+        insert_start = boundary;
+        if (pos < boundary) pos = boundary;
+        out_seg_counts[bi] = n_out - seg_start_count;
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// distance-cache resolution (reference ComputeDistanceCode)
+// ---------------------------------------------------------------------------
+
+void resolve_commands_native(
+    const int64_t* insert_len, const int64_t* copy_len,
+    const int64_t* distance, int64_t n,
+    int64_t npostfix, int64_t ndirect,
+    int64_t* cache_io, int64_t pos_offset, int64_t window_size,
+    int64_t* out_code, int64_t* out_extra, int64_t* out_extra_bits,
+    uint8_t* out_use_last)
+{
+    int64_t cache[4] = {cache_io[0], cache_io[1], cache_io[2],
+                        cache_io[3]};
+    int64_t pos = pos_offset;
+    for (int64_t i = 0; i < n; i++) {
+        pos += insert_len[i];
+        int64_t c = copy_len[i];
+        int64_t d = distance[i];
+        out_extra[i] = 0; out_extra_bits[i] = 0; out_use_last[i] = 0;
+        if (c == 0) { out_code[i] = 0; out_use_last[i] = 1; continue; }
+        int64_t max_distance = std::min(pos, window_size);
+        int64_t sc = -1;
+        if (d <= max_distance) {
+            if (d == cache[0]) sc = 0;
+            else if (d == cache[1]) sc = 1;
+            else if (d == cache[2]) sc = 2;
+            else if (d == cache[3]) sc = 3;
+            else {
+                int64_t k = d - cache[0] + 3;
+                static const int64_t m0[7] = {8, 6, 4, -1, 5, 7, 9};
+                static const int64_t m1[7] = {14, 12, 10, -1, 11, 13, 15};
+                if (k >= 0 && k <= 6 && k != 3) sc = m0[k];
+                else {
+                    k = d - cache[1] + 3;
+                    if (k >= 0 && k <= 6 && k != 3) sc = m1[k];
+                }
+            }
+        }
+        bool update = false;
+        if (sc == 0) {
+            out_code[i] = 0; out_use_last[i] = 1;
+        } else if (sc > 0) {
+            out_code[i] = sc; update = true;
+        } else if (d <= ndirect) {
+            // direct code; dictionary pseudo-distances (beyond
+            // max_distance) never enter the decoder's cache
+            out_code[i] = 15 + d;
+            update = d <= max_distance;
+        } else {
+            int64_t dd = d - ndirect - 1;
+            int64_t lcode = dd & ((1 << npostfix) - 1);
+            int64_t dp = dd >> npostfix;
+            int64_t nb = log2floor(dp + 4) - 1;
+            int64_t prefix = (dp + 4) >> nb & 1;
+            int64_t extra = dp + 4 - ((2 + prefix) << nb);
+            int64_t hcode = 2 * (nb - 1) + prefix;
+            out_code[i] = 16 + ndirect + ((hcode << npostfix) | lcode);
+            out_extra[i] = extra;
+            out_extra_bits[i] = nb;
+            if (d <= max_distance) update = true;
+        }
+        if (update) {
+            cache[3] = cache[2]; cache[2] = cache[1];
+            cache[1] = cache[0]; cache[0] = d;
+        }
+        pos += c;
+    }
+    cache_io[0] = cache[0]; cache_io[1] = cache[1];
+    cache_io[2] = cache[2]; cache_io[3] = cache[3];
+}
+
+// ---------------------------------------------------------------------------
+// Zopfli shortest-path relaxation (reference hq.rs UpdateNodes core)
+// edges are pre-sorted by source position: edge_off[p]..edge_off[p+1]
+// ---------------------------------------------------------------------------
+
+void zopfli_dp_native(
+    int64_t n, const double* lcp, const double* cost_cmd,
+    const int64_t* edge_off,
+    const int64_t* e_len, const int64_t* e_dist,
+    const int64_t* e_ccode, const double* e_base,
+    const int64_t* ins_code_tab, const int64_t* ins_extra_tab,
+    const int64_t* cmd_sym_tab /* [24*24] */,
+    double* cost, int64_t* prev_start, int64_t* prev_len,
+    int64_t* prev_dist)
+{
+    const double INF = 1e30;
+    for (int64_t i = 0; i <= n; i++) {
+        cost[i] = INF; prev_start[i] = 0; prev_len[i] = 0;
+        prev_dist[i] = 0;
+    }
+    cost[0] = 0.0;
+    double best_adj = INF;
+    int64_t best_u = 0;
+    for (int64_t p = 0; p < n; p++) {
+        double c = cost[p];
+        if (c < INF) {
+            double adj = c - lcp[p];
+            if (adj < best_adj) { best_adj = adj; best_u = p; }
+        }
+        int64_t e0 = edge_off[p], e1 = edge_off[p + 1];
+        if (e0 == e1) continue;
+        double lp = lcp[p];
+        for (int64_t e = e0; e < e1; e++) {
+            int64_t ll = e_len[e];
+            int64_t tgt = p + ll;
+            if (tgt > n) continue;
+            int64_t ccode = e_ccode[e];
+            double base = e_base[e];
+            double ct = cost[tgt];
+            int64_t il = p - best_u;
+            int64_t ic = il < 65536 ? ins_code_tab[il] : 23;
+            double t = best_adj + lp + base + ins_extra_tab[ic] +
+                       cost_cmd[cmd_sym_tab[ic * 24 + ccode]];
+            if (t < ct) {
+                cost[tgt] = ct = t;
+                prev_start[tgt] = best_u;
+                prev_len[tgt] = ll;
+                prev_dist[tgt] = e_dist[e];
+            }
+            if (c < INF && best_u != p) {
+                t = c + base + cost_cmd[cmd_sym_tab[ccode]];
+                if (t < ct) {
+                    cost[tgt] = t;
+                    prev_start[tgt] = p;
+                    prev_len[tgt] = ll;
+                    prev_dist[tgt] = e_dist[e];
+                }
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// match finder: top-K most-recent candidates per hash bucket
+// (exact native equivalent of match.find_best_matches: ring buffers of
+// the K most recent positions per 4-byte and 8-byte hash bucket, same
+// candidate order, scoring, and tie-breaking as the numpy oracle)
+// ---------------------------------------------------------------------------
+
+static inline uint32_t load32(const uint8_t* p) {
+    uint32_t v; std::memcpy(&v, p, 4); return v;
+}
+static inline uint64_t load64(const uint8_t* p) {
+    uint64_t v; std::memcpy(&v, p, 8); return v;
+}
+
+void find_matches_native(
+    const uint8_t* data, int64_t n, int64_t dict_len,
+    int64_t window_size, int64_t k, int64_t bucket_bits,
+    int64_t k8, int64_t bucket_bits8, int64_t lbs, int64_t match_cap,
+    // static dictionary index (may be null): hash table of word ids
+    const int64_t* dict_table, int64_t dict_hash_bits,
+    int64_t dict_slots, const uint8_t* dict_words_flat,
+    const int64_t* dict_word_len, const int64_t* dict_word_idx,
+    const int64_t* dict_size_bits, const int64_t* omit_ids,
+    int64_t* best_len, int64_t* best_dist, int64_t* best_score,
+    uint8_t* best_isdict, int64_t* best_wire)
+{
+    const uint32_t HASH_MUL32 = 0x1E35A7BDu;
+    const uint64_t HASH_MUL64 = 0x1FE35A7BD3579BD3ull;
+    int64_t nbuckets4 = int64_t(1) << bucket_bits;
+    int64_t nbuckets8 = int64_t(1) << bucket_bits8;
+    // ring buffers of recent positions (+count)
+    int32_t* ring4 = new int32_t[nbuckets4 * k];
+    int32_t* cnt4 = new int32_t[nbuckets4]();
+    int32_t* ring8 = k8 ? new int32_t[nbuckets8 * k8] : nullptr;
+    int32_t* cnt8 = k8 ? new int32_t[nbuckets8]() : nullptr;
+
+    auto score_of = [&](int64_t len, int64_t dist) -> int64_t {
+        return lbs * len - 30 * log2floor(dist);
+    };
+
+    for (int64_t i = 0; i < n; i++) {
+        best_len[i] = 0; best_dist[i] = 0; best_score[i] = 0;
+        best_isdict[i] = 0; best_wire[i] = 0;
+        if (i + 4 > n) continue;
+        uint32_t v4 = load32(data + i);
+        uint32_t h4 = (v4 * HASH_MUL32) >> (32 - bucket_bits);
+        int64_t limit = std::min(n - i, match_cap);
+
+        int64_t bl = 0, bd = 0, bs = 0;
+        // 4-byte table: iterate most-recent first
+        {
+            int32_t c = cnt4[h4];
+            int32_t m = (int32_t)std::min<int64_t>(c, k);
+            for (int32_t j = 0; j < m; j++) {
+                int64_t cand = ring4[h4 * k + ((c - 1 - j) % k + k) % k];
+                int64_t dist = i - cand;
+                if (dist > window_size) break;
+                if (load32(data + cand) != v4) continue;
+                int64_t ml = probe_len(data, cand, i, limit);
+                if (ml < 4) continue;
+                int64_t sc = score_of(ml, dist);
+                if (sc > bs) { bs = sc; bl = ml; bd = dist; }
+            }
+            ring4[h4 * k + (cnt4[h4] % k)] = (int32_t)i;
+            cnt4[h4]++;
+        }
+        // 8-byte table
+        if (k8 && i + 8 <= n) {
+            uint64_t v8 = load64(data + i);
+            uint32_t h8 = (uint32_t)((v8 * HASH_MUL64)
+                                     >> (64 - bucket_bits8));
+            int32_t c = cnt8[h8];
+            int32_t m = (int32_t)std::min<int64_t>(c, k8);
+            for (int32_t j = 0; j < m; j++) {
+                int64_t cand = ring8[h8 * k8 + ((c - 1 - j) % k8 + k8)
+                                     % k8];
+                int64_t dist = i - cand;
+                if (dist > window_size) break;
+                if (load32(data + cand) != v4) continue;
+                int64_t ml = probe_len(data, cand, i, limit);
+                if (ml < 4) continue;
+                int64_t sc = score_of(ml, dist);
+                if (sc > bs) { bs = sc; bl = ml; bd = dist; }
+            }
+            ring8[h8 * k8 + (cnt8[h8] % k8)] = (int32_t)i;
+            cnt8[h8]++;
+        }
+        bool isdict = false;
+        int64_t bwire = bl;
+        // static dictionary probe: identity + cutoff (OmitLast_k)
+        if (dict_table && i >= dict_len) {
+            uint32_t hd = (v4 * HASH_MUL32) >> (32 - dict_hash_bits);
+            for (int64_t s = 0; s < dict_slots; s++) {
+                int64_t e = dict_table[hd * dict_slots + s];
+                if (e < 0) continue;
+                int64_t L = dict_word_len[e];
+                const uint8_t* w = dict_words_flat + e * 24;
+                int64_t avail = std::min<int64_t>(L, n - i);
+                int64_t m = 0;
+                while (m < avail && data[i + m] == w[m]) m++;
+                if (m < 4) continue;
+                int64_t omit = L - m;
+                int64_t transform;
+                if (omit == 0) transform = 0;
+                else if (omit <= 9 && omit_ids[omit] >= 0)
+                    transform = omit_ids[omit];
+                else continue;
+                int64_t maxd = std::min<int64_t>(i, window_size);
+                int64_t dist = maxd + 1 +
+                    (transform << dict_size_bits[L]) + dict_word_idx[e];
+                int64_t sc = score_of(m, dist);
+                if (sc > bs) {
+                    bs = sc; bl = m; bd = dist; isdict = true;
+                    bwire = L;
+                }
+            }
+        }
+        best_len[i] = bl; best_dist[i] = bd; best_score[i] = bs;
+        best_isdict[i] = isdict ? 1 : 0;
+        best_wire[i] = isdict ? bwire : bl;
+    }
+    delete[] ring4; delete[] cnt4;
+    delete[] ring8; delete[] cnt8;
+}
+
+}  // extern "C"

@@ -1,0 +1,149 @@
+"""BroCatli concatenation + CompressMulti tests.
+
+Mirrors the reference's test strategy: src/bin/test_broccoli.rs
+(concat orders, window mismatch, tiny files, serialization),
+src/bin/test_threading.rs (1-16 part round-trips),
+src/enc/threading/test.rs (error-path joining).
+"""
+
+import numpy as np
+import pytest
+
+from brotli_tpu import (BroCatli, compress, compress_multi, concatenate,
+                        decompress)
+from brotli_tpu.concat.brocatli import BroCatliResult
+
+from . import oracle
+from .conftest import TESTDATA
+
+
+def load(name):
+    with open(f"{TESTDATA}/{name}", "rb") as f:
+        return f.read()
+
+
+def test_concat_basic():
+    a = load("alice29.txt")[:30000]
+    b = load("asyoulik.txt")[:30000]
+    s1 = compress(a, quality=9, appendable=True)
+    s2 = compress(b, quality=9, catable=True)
+    j = concatenate([s1, s2])
+    assert decompress(j) == a + b
+    if oracle.available():
+        assert oracle.decompress(j, max_size_hint=70000) == a + b
+
+
+def test_concat_many_tiny():
+    parts = [b"a", b"bc", b"def", b"x" * 100, b"", b"yz"]
+    streams = [compress(parts[0], quality=5, appendable=True)]
+    streams += [compress(p, quality=5, catable=True) for p in parts[1:]]
+    j = concatenate(streams)
+    assert decompress(j) == b"".join(parts)
+
+
+def test_concat_window_mismatch_rejected():
+    a = compress(b"hello" * 100, quality=5, appendable=True, lgwin=18)
+    b = compress(b"world" * 100, quality=5, catable=True, lgwin=22)
+    with pytest.raises(ValueError, match="WindowSize"):
+        concatenate([a, b])
+
+
+def test_concat_plain_file_rejected():
+    """Plain (non-appendable) first file ends with ISLAST content block,
+    not the '11' empty-last — BroCatli must reject it."""
+    a = compress(b"hello" * 2000, quality=5)  # plain
+    b = compress(b"world" * 2000, quality=5, catable=True)
+    with pytest.raises(ValueError):
+        concatenate([a, b])
+
+
+def test_concat_serialization_resume():
+    a = load("alice29.txt")[:20000]
+    b = load("asyoulik.txt")[:20000]
+    s1 = compress(a, quality=7, appendable=True)
+    s2 = compress(b, quality=7, catable=True)
+    bc = BroCatli()
+    out = bytearray()
+    bc.new_brotli_file()
+    bc.stream(s1, out)
+    state = bc.serialize_to_buffer()
+    bc2 = BroCatli.deserialize_from_buffer(state)
+    bc2.new_brotli_file()
+    bc2.stream(s2, out)
+    assert bc2.finish(out) == BroCatliResult.Success
+    assert decompress(bytes(out)) == a + b
+
+
+def test_concat_corrupt_state_rejected():
+    state = bytearray(BroCatli().serialize_to_buffer())
+    state[8] = 7  # invalid last_bytes_len
+    with pytest.raises(ValueError):
+        BroCatli.deserialize_from_buffer(bytes(state))
+
+
+def test_concat_window_size_constructor():
+    a = load("alice29.txt")[:20000]
+    s = compress(a, quality=9, catable=True, lgwin=22)
+    j = concatenate([s], window_size=22)
+    assert decompress(j) == a
+
+
+def test_bare_byte_align_manual_concat():
+    """README 'Stream Concatenation' simple path: -bare -appendable
+    first + -bare -catable rest + literal 0x03 terminator."""
+    a = load("alice29.txt")[:25000]
+    b = load("asyoulik.txt")[:25000]
+    f1 = compress(a, quality=9, appendable=True, bare=True,
+                  byte_align=True)
+    f2 = compress(b, quality=9, catable=True, bare=True, byte_align=True)
+    joined = bytes(f1) + bytes(f2) + b"\x03"
+    assert decompress(joined) == a + b
+    if oracle.available():
+        assert oracle.decompress(joined, max_size_hint=60000) == a + b
+
+
+@pytest.mark.parametrize("parts", [1, 2, 3, 8, 16])
+def test_compress_multi_roundtrip(parts):
+    data = load("alice29.txt")
+    out = compress_multi(data, parts, quality=9)
+    assert decompress(out) == data
+    if oracle.available():
+        assert oracle.decompress(out, max_size_hint=len(data)) == data
+
+
+def test_compress_multi_size_overhead_bounded():
+    """Prefix-dictionary priming keeps cross-shard matches: multi-part
+    output stays close to single-part (reference claims lossless-ish
+    sharding via dictionary priming, threading/mod.rs:354-366)."""
+    data = load("alice29.txt")
+    single = len(compress_multi(data, 1, quality=9))
+    multi = len(compress_multi(data, 8, quality=9))
+    assert multi <= single * 1.03
+
+
+def test_compress_multi_serial_backend_matches():
+    data = load("asyoulik.txt")[:60000]
+    a = compress_multi(data, 4, quality=7, backend="thread")
+    b = compress_multi(data, 4, quality=7, backend="serial")
+    assert a == b  # deterministic across backends
+
+
+def test_compress_multi_error_propagation():
+    """All workers join even when one fails; first error surfaces
+    (reference threading/mod.rs:506-533)."""
+    from brotli_tpu.parallel import multi
+
+    original = multi.compress_part
+
+    def boom(data, i, n, params):
+        if i == 2:
+            raise RuntimeError("injected shard failure")
+        return original(data, i, n, params)
+
+    multi.compress_part = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            compress_multi(np.zeros(200000, np.uint8).tobytes(), 4,
+                           quality=5)
+    finally:
+        multi.compress_part = original

@@ -132,13 +132,15 @@ def test_appendable_stream_is_prefix(quality):
 
 
 def test_catable_plus_appendable_concat():
-    """Simple concatenation path: -bare-less appendable first + catable
-    second + 0x03 terminator decodes to the concatenation
-    (reference README 'Stream Concatenation')."""
+    """Simple concatenation path (reference README 'Stream
+    Concatenation'): '-bare -appendable' first + '-bare -catable' rest
+    + literal 0x03 terminator decodes to the concatenation."""
     a = load("alice29.txt")[:40000]
     b = load("asyoulik.txt")[:40000]
-    first = compress(a, quality=9, appendable=True, byte_align=True)
-    second = compress(b, quality=9, catable=True, byte_align=True, bare=True)
+    first = compress(a, quality=9, appendable=True, bare=True,
+                     byte_align=True)
+    second = compress(b, quality=9, catable=True, byte_align=True,
+                      bare=True)
     joined = bytes(first) + bytes(second) + b"\x03"
     assert decompress(joined) == a + b
     if oracle.available():

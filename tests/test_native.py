@@ -1,0 +1,138 @@
+"""Native (C++) runtime vs Python-oracle equivalence tests.
+
+The Python implementations are the specification; the native hot loops
+and decoder must match them command-for-command / byte-for-byte
+(mirrors the reference's hasher equivalence tests,
+src/enc/backward_references/test.rs).
+"""
+
+import numpy as np
+import pytest
+
+from brotli_tpu import compress, native_bridge as nb
+from brotli_tpu.decode.decoder import Decoder
+
+from .conftest import TESTDATA
+
+pytestmark = pytest.mark.skipif(not nb.available(),
+                                reason="native lib unavailable")
+
+
+def load(name):
+    with open(f"{TESTDATA}/{name}", "rb") as f:
+        return f.read()
+
+
+def test_greedy_walk_matches_python_oracle():
+    from brotli_tpu.encode.match import find_best_matches, greedy_parse_py
+    data = np.frombuffer(load("alice29.txt"), np.uint8)
+    w = (1 << 22) - 16
+    bl, bd, bs, isd, bw = find_best_matches(data, w, k=8, k8=4)
+    py = greedy_parse_py(data, bl, bd, bs, [70000, len(data)],
+                         best_isdict=isd, window_size=w, best_wire=bw)
+    nt = nb.greedy_parse(data, bl, bd, bs, [70000, len(data)],
+                         best_isdict=isd, window_size=w, best_wire=bw)
+    for a, b in zip(py, nt):
+        assert list(map(list, a)) == list(map(list, b))
+
+
+def test_resolve_matches_python_oracle():
+    import os
+    from brotli_tpu.encode.command import resolve_commands
+    from brotli_tpu.encode.match import find_best_matches, greedy_parse
+    from brotli_tpu.encode.params import DistanceParams
+    data = np.frombuffer(load("asyoulik.txt"), np.uint8)
+    w = (1 << 22) - 16
+    bl, bd, bs, isd, bw = find_best_matches(data, w, k=8, k8=4)
+    segs = greedy_parse(data, bl, bd, bs, [len(data)], best_isdict=isd,
+                        window_size=w, best_wire=bw)
+    ins, cps, dst, adv = segs[0]
+    dp = DistanceParams(npostfix=1, ndirect=8)
+    native_cmds, nc = resolve_commands(ins, cps, dst, dp, advance=adv,
+                                       window_size=w)
+    os.environ["BROTLI_TPU_NO_NATIVE"] = "1"
+    nb._lib, nb._tried = None, True
+    try:
+        py_cmds, pc = resolve_commands(ins, cps, dst, dp, advance=adv,
+                                       window_size=w)
+    finally:
+        del os.environ["BROTLI_TPU_NO_NATIVE"]
+        nb._tried = False
+    assert np.array_equal(native_cmds.dist_code, py_cmds.dist_code)
+    assert np.array_equal(native_cmds.dist_extra, py_cmds.dist_extra)
+    assert np.array_equal(native_cmds.cmd_sym, py_cmds.cmd_sym)
+    assert nc == pc
+
+
+@pytest.mark.parametrize("name", ["alice29.txt", "asyoulik.txt",
+                                  "monkey", "random_org_10k.bin"])
+@pytest.mark.parametrize("quality", [1, 5, 9, 11])
+def test_native_decode_matches_python(name, quality):
+    data = load(name)
+    comp = compress(data, quality=quality)
+    got_native = nb.decode(comp)
+    got_python = Decoder().decompress(comp)
+    assert got_native == got_python == data
+
+
+def test_native_decode_fixtures():
+    for name in ("alice29.txt", "asyoulik.txt", "64x",
+                 "compressed_file", "backward65536"):
+        comp = load(name + ".compressed")
+        assert nb.decode(comp) == load(name)
+
+
+def test_native_decode_custom_dict_and_large_window():
+    data = load("alice29.txt")
+    d, body = data[:30000], data[30000:]
+    cd = compress(body, quality=9, custom_dictionary=d)
+    assert nb.decode(cd, custom_dictionary=d) == body
+    lw = compress(data, quality=5, large_window=True, lgwin=25)
+    assert nb.decode(lw, large_window=True) == data
+
+
+def test_native_decode_error_codes():
+    comp = bytearray(compress(load("quickfox"), quality=9))
+    with pytest.raises(ValueError):
+        nb.decode(bytes(comp[: len(comp) // 2]))  # truncated -> -1
+    comp[8] ^= 0xFF
+    try:
+        out = nb.decode(bytes(comp))
+        assert out != load("quickfox")  # or decodes differently
+    except ValueError:
+        pass
+
+
+def test_native_decoder_fuzz_equivalence():
+    from brotli_tpu import BrotliDecodeError
+    from brotli_tpu.core.bitio import NeedsMoreInput
+    data = load("asyoulik.txt")[:30000]
+    comp = bytearray(compress(data, quality=7))
+    rng = np.random.default_rng(3)
+
+    def run(f):
+        try:
+            return ("ok", f())
+        except NeedsMoreInput:
+            return ("more", None)
+        except ValueError as e:
+            if e.args and e.args[0] == -1:  # native truncation code
+                return ("more", None)
+            return ("err", None)
+        except BrotliDecodeError:
+            return ("err", None)
+
+    for trial in range(60):
+        c = bytearray(comp)
+        kind = trial % 3
+        if kind == 0:
+            c[int(rng.integers(0, len(c)))] ^= int(rng.integers(1, 256))
+        elif kind == 1:
+            c = c[: int(rng.integers(1, len(c)))]
+        else:
+            c += bytes(rng.integers(0, 256, 4, dtype=np.uint8))
+        rn = run(lambda: nb.decode(bytes(c)))
+        rp = run(lambda: Decoder().decompress(bytes(c)))
+        assert rn[0] == rp[0], (trial, rn[0], rp[0])
+        if rn[0] == "ok":
+            assert rn[1] == rp[1]

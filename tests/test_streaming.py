@@ -1,0 +1,148 @@
+"""Streaming API tests: incremental encode/decode, io wrappers, fast path.
+
+Reference parity targets: compress_stream PROCESS/FLUSH/FINISH/
+EMIT_METADATA ops (src/enc/encode.rs:1380), BrotliDecompressStream
+resumability (ffi/decompressor.rs), reader/writer io wrappers
+(src/enc/reader.rs, writer.rs), streaming byte-at-a-time decode
+(src/bin/integration_tests.rs:756-798).
+"""
+
+import io
+
+import pytest
+
+from brotli_tpu import (Compressor, CompressorReader, CompressorWriter,
+                        Decompressor, DecompressorWriter, StreamDecoder,
+                        compress, decompress)
+from brotli_tpu.decode.decoder import BrotliDecodeError
+
+from . import oracle
+from .conftest import TESTDATA
+
+
+def load(name):
+    with open(f"{TESTDATA}/{name}", "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("feed", [1 << 12, 7001, 1 << 20])
+def test_stream_compress_roundtrip(feed):
+    data = load("alice29.txt")
+    c = Compressor(quality=9, chunk_size=1 << 16)
+    out = bytearray()
+    for i in range(0, len(data), feed):
+        out += c.process(data[i:i + feed])
+    out += c.finish()
+    assert decompress(bytes(out)) == data
+    if oracle.available():
+        assert oracle.decompress(bytes(out),
+                                 max_size_hint=len(data)) == data
+
+
+def test_stream_compress_flush_makes_prefix_decodable():
+    data = load("asyoulik.txt")
+    c = Compressor(quality=5, chunk_size=1 << 15)
+    out = bytearray()
+    out += c.process(data[:40000])
+    out += c.flush()
+    sd = StreamDecoder()
+    assert bytes(sd.decompress(bytes(out))) == data[:40000]
+    out += c.process(data[40000:])
+    out += c.finish()
+    assert decompress(bytes(out)) == data
+
+
+def test_stream_compress_metadata():
+    data = load("quickfox")
+    c = Compressor(quality=5)
+    out = c.process(data) + c.emit_metadata(b"meta-payload") + c.finish()
+    assert decompress(out) == data
+
+
+def test_stream_decode_chunked():
+    """Resumable decode at arbitrary feed sizes.  The StreamDecoder
+    suspends at metablock granularity, so byte-at-a-time feeding is
+    exercised on a small stream (the reference's byte-by-byte test,
+    integration_tests.rs:756, runs against its symbol-level decoder)."""
+    data = load("alice29.txt")
+    comp = compress(data, quality=9)
+    for step in (997, 1 << 16):
+        sd = StreamDecoder()
+        got = bytearray()
+        for i in range(0, len(comp), step):
+            got += sd.decompress(comp[i:i + step])
+        got += sd.finish()
+        assert bytes(got) == data
+        assert sd.finished
+    small = load("ukkonooa")
+    comp = compress(small, quality=9)
+    for step in (1, 3):
+        sd = StreamDecoder()
+        got = bytearray()
+        for i in range(0, len(comp), step):
+            got += sd.decompress(comp[i:i + step])
+        got += sd.finish()
+        assert bytes(got) == small
+
+
+def test_stream_decode_truncated_raises():
+    comp = compress(load("alice29.txt"), quality=9)
+    sd = StreamDecoder()
+    sd.decompress(comp[:len(comp) // 2])
+    with pytest.raises(BrotliDecodeError, match="truncated"):
+        sd.finish()
+
+
+def test_stream_decode_upstream_fixture():
+    comp = load("alice29.txt.compressed")
+    plain = load("alice29.txt")
+    sd = StreamDecoder()
+    got = sd.decompress(comp) + sd.finish()
+    assert got == plain
+
+
+def test_io_wrappers_roundtrip():
+    data = load("asyoulik.txt")
+    # CompressorWriter -> DecompressorWriter
+    sink = io.BytesIO()
+    w = CompressorWriter(sink, quality=7)
+    for i in range(0, len(data), 9973):
+        w.write(data[i:i + 9973])
+    w.close()
+    comp = sink.getvalue()
+    assert decompress(comp) == data
+
+    out_sink = io.BytesIO()
+    dw = DecompressorWriter(out_sink)
+    for i in range(0, len(comp), 4099):
+        dw.write(comp[i:i + 4099])
+    assert dw.into_inner().getvalue() == data
+
+    # CompressorReader -> Decompressor
+    r = CompressorReader(io.BytesIO(data), quality=7)
+    comp2 = r.read()
+    d = Decompressor(io.BytesIO(comp2))
+    chunks = []
+    while True:
+        c = d.read(8192)
+        if not c:
+            break
+        chunks.append(c)
+    assert b"".join(chunks) == data
+
+
+def test_custom_dictionary_streaming():
+    data = load("alice29.txt")
+    d, body = data[:50000], data[50000:]
+    c = Compressor(quality=9, custom_dictionary=d)
+    out = c.process(body) + c.finish()
+    assert decompress(out, custom_dictionary=d) == body
+
+
+def test_fast_path_small():
+    from brotli_tpu.encode.fast import compress_fast
+    data = load("ukkonooa") * 50
+    out = compress_fast(data)
+    assert decompress(out) == data
+    if oracle.available():
+        assert oracle.decompress(out, max_size_hint=len(data)) == data
