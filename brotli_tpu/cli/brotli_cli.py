@@ -43,7 +43,8 @@ def main(argv=None) -> int:
                 appendable=False, bare=False, byte_align=False,
                 magic=False, dictionary=b"", mode=0, large_window=False,
                 byte_score=540, validate=False, serial=False,
-                ir_dump=False)
+                ir_dump=False, findprior=False, findspeed=False,
+                stride_quality=0, speed=None)
     files = []
     for a in args:
         if a in ("-h", "--help"):
@@ -96,6 +97,18 @@ def main(argv=None) -> int:
             opts["validate"] = True
         elif a == "-nothreadpool":
             opts["serial"] = True
+        elif a == "-findprior":
+            opts["findprior"] = True
+            opts["compress"] = True
+        elif a == "-findspeed":
+            opts["findspeed"] = True
+            opts["compress"] = True
+        elif a in ("-basicstride", "-advstride", "-stride"):
+            opts["stride_quality"] = 1 if a == "-basicstride" else 2
+            opts["compress"] = True
+        elif a.startswith("-speed="):
+            inc, cap = a.split("=", 1)[1].split(",")
+            opts["speed"] = (int(inc), int(cap))
         elif a.lstrip("-").isdigit() and a.startswith("-"):
             opts["quality"] = int(a.lstrip("-"))
             opts["compress"] = True
@@ -125,6 +138,19 @@ def main(argv=None) -> int:
 
 def _run_one(data: bytes, opts) -> bytes:
     from .. import compress, compress_multi, decompress
+
+    if opts["findprior"] or opts["findspeed"] or opts["stride_quality"]:
+        from ..utils.analysis import analyze
+        res = analyze(data,
+                      stride_detection_quality=opts["stride_quality"]
+                      or 1,
+                      prior_bitmask_detection=int(opts["findprior"]))
+        sys.stderr.write(
+            f"stride {res.best_stride} costs {res.stride_costs}\n"
+            f"cmspeedinc {res.cm_speed[0]} cmspeedmax {res.cm_speed[1]} "
+            f"stspeedinc {res.stride_speed[0]} "
+            f"stspeedmax {res.stride_speed[1]}\n"
+            f"prior {res.prior}\n")
 
     if not opts["compress"]:
         return decompress(data, custom_dictionary=opts["dictionary"],

@@ -134,18 +134,31 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     # optimization.
     use_zopfli = params.quality >= 10 and not params.q9_5
     if not use_zopfli:
+        from .. import native_bridge as nb
         knobs = _quality_knobs(params)
-        best_len, best_dist, best_score, best_isdict, best_wire = \
-            find_best_matches(
-                full, params.window_size, dict_len=dlen,
+        if nb.available():
+            # one-pass native search+parse (the reference's
+            # CreateBackwardReferences shape: search only at parse
+            # positions, bulk hash insertion over match bodies)
+            segments = nb.combined_parse(
+                full, params.window_size, boundaries, dict_len=dlen,
+                pos0=start, initial_cache=tuple(cache),
                 literal_byte_score=params.literal_byte_score,
                 use_dictionary=not params.catable, **knobs)
-        segments = greedy_parse(full, best_len, best_dist, best_score,
-                                boundaries, dict_len=dlen, pos0=start,
-                                initial_cache=tuple(cache),
-                                best_isdict=best_isdict,
-                                window_size=params.window_size,
-                                best_wire=best_wire)
+        else:
+            best_len, best_dist, best_score, best_isdict, best_wire = \
+                find_best_matches(
+                    full, params.window_size, dict_len=dlen,
+                    literal_byte_score=params.literal_byte_score,
+                    use_dictionary=not params.catable, **knobs)
+            segments = greedy_parse(full, best_len, best_dist,
+                                    best_score,
+                                    boundaries, dict_len=dlen,
+                                    pos0=start,
+                                    initial_cache=tuple(cache),
+                                    best_isdict=best_isdict,
+                                    window_size=params.window_size,
+                                    best_wire=best_wire)
     else:
         segments = [None] * len(boundaries)
 

@@ -242,14 +242,13 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     window_size = params.window_size
     dist_alpha = params.dist.alphabet_size
 
+    # find_best_matches already returns region-relative arrays
+    # (index 0 == absolute position dict_len)
     cand_lens, cand_dists, cand_isdict, cand_wire = _collect_candidates(
         full, window_size, dict_len, params.literal_byte_score,
         not params.catable)
-    if dict_len:
-        cand_lens = cand_lens[:, dict_len:].copy()
-        cand_dists = cand_dists[:, dict_len:].copy()
-        cand_isdict = cand_isdict[:, dict_len:].copy()
-        cand_wire = cand_wire[:, dict_len:].copy()
+    cand_lens = cand_lens.copy()
+    cand_wire = cand_wire.copy()
     # exact lengths for cap-hit matches, with amortized skipping: inside
     # a span already covered by a longer extended match, the capped edge
     # is kept as-is (the long edge from the span start dominates), which

@@ -55,6 +55,7 @@ def get_lib():
         _lib.resolve_commands_native.restype = None
         _lib.zopfli_dp_native.restype = None
         _lib.decode_native.restype = ctypes.c_int64
+        _lib.combined_parse_native.restype = ctypes.c_int64
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)
     except Exception:
@@ -265,6 +266,71 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
                 best_score[dict_len:], ibd[dict_len:],
                 best_wire[dict_len:])
     return best_len, best_dist, best_score, ibd, best_wire
+
+
+def _dict_index_args(use_dictionary):
+    if use_dictionary:
+        from .encode.static_dict import (DICT_HASH_BITS, dict_index,
+                                         omit_last_transform_ids)
+        word_bytes, word_len, word_idx, table, size_bits = dict_index()
+        refs = (np.ascontiguousarray(table, dtype=np.int64),
+                np.ascontiguousarray(word_bytes, dtype=np.uint8),
+                np.ascontiguousarray(word_len, dtype=np.int64),
+                np.ascontiguousarray(word_idx, dtype=np.int64),
+                np.ascontiguousarray(size_bits, dtype=np.int64),
+                np.ascontiguousarray(omit_last_transform_ids(),
+                                     dtype=np.int64))
+        args = (_ptr(refs[0]), ctypes.c_int64(DICT_HASH_BITS),
+                ctypes.c_int64(refs[0].shape[1]), _ptr(refs[1], U8),
+                _ptr(refs[2]), _ptr(refs[3]), _ptr(refs[4]),
+                _ptr(refs[5]))
+        return args, refs
+    null = ctypes.POINTER(ctypes.c_int64)()
+    return (null, ctypes.c_int64(0), ctypes.c_int64(0),
+            ctypes.POINTER(ctypes.c_uint8)(), null, null, null,
+            null), ()
+
+
+def combined_parse(data, window_size, boundaries, dict_len=0, pos0=0,
+                   initial_cache=(4, 11, 15, 16), k=8, bucket_bits=17,
+                   k8=4, bucket_bits8=18, literal_byte_score=540,
+                   use_dictionary=True):
+    """One-pass native search+parse (the reference's
+    CreateBackwardReferences shape).  Returns segments like
+    match.greedy_parse: (insert[], wire[], dist[], advance[])."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(data) - dict_len
+    dict_args, _refs = _dict_index_args(use_dictionary)
+    bnd = np.asarray(boundaries, dtype=np.int64)
+    cache = np.asarray(initial_cache, dtype=np.int64)
+    max_cmds = n // 2 + len(bnd) + 2
+    out_i = np.empty(max_cmds, dtype=np.int64)
+    out_c = np.empty(max_cmds, dtype=np.int64)
+    out_d = np.empty(max_cmds, dtype=np.int64)
+    out_a = np.empty(max_cmds, dtype=np.int64)
+    seg_counts = np.zeros(len(bnd), dtype=np.int64)
+    n_out = lib.combined_parse_native(
+        _ptr(data, U8), ctypes.c_int64(len(data)),
+        ctypes.c_int64(dict_len), ctypes.c_int64(window_size),
+        ctypes.c_int64(k), ctypes.c_int64(bucket_bits),
+        ctypes.c_int64(k8), ctypes.c_int64(bucket_bits8),
+        ctypes.c_int64(literal_byte_score // 4),
+        *dict_args,
+        _ptr(bnd), ctypes.c_int64(len(bnd)), ctypes.c_int64(pos0),
+        _ptr(cache),
+        _ptr(out_i), _ptr(out_c), _ptr(out_d), _ptr(out_a),
+        _ptr(seg_counts), ctypes.c_int64(max_cmds))
+    segments = []
+    off = 0
+    for cnt in seg_counts.tolist():
+        segments.append((out_i[off:off + cnt].tolist(),
+                         out_c[off:off + cnt].tolist(),
+                         out_d[off:off + cnt].tolist(),
+                         out_a[off:off + cnt].tolist()))
+        off += cnt
+    assert off == n_out
+    return segments
 
 
 def zopfli_dp(n, lcp, cost_cmd, edge_off, e_len, e_dist, e_ccode,

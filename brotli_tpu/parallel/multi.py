@@ -51,11 +51,75 @@ def compress_part(data: np.ndarray, i: int, n_parts: int,
     return compress_with_params(part, p, custom_dictionary=prefix)
 
 
+def _compress_part_shared(raw, i, n_parts, params, best):
+    """Shard compression against a SHARED match table (the
+    favor_cpu_efficiency analog, reference threading/mod.rs:456-542:
+    one hasher built over the whole input and shared with every worker
+    instead of each worker re-hashing its prefix)."""
+    from ..core import constants as C
+    from ..core.bitio import BitWriter
+    from ..encode import bitstream as bs
+    from ..encode.command import resolve_commands
+    from ..encode.encoder import POISONED_DISTANCE
+    from ..encode.match import greedy_parse
+    from ..encode.metablock import build_meta_block
+
+    bl, bd, bsc, isd, bw = best
+    n = len(raw)
+    lo, hi = _get_range(i, n_parts, n)
+    w = BitWriter()
+    p = EncoderParams(
+        quality=params.quality, lgwin=params.lgwin, mode=params.mode,
+        appendable=(i == 0), catable=(i > 0)).sanitize(hi - lo)
+
+    bs.write_stream_header(w, p.lgwin, p.large_window)
+    start = lo
+    cache = list(C.INITIAL_DISTANCE_CACHE)
+    if i > 0:
+        cache = [POISONED_DISTANCE] * 4
+        k = min(2, hi - lo)
+        bs.store_uncompressed_meta_block(w, raw[lo:lo + k].tobytes())
+        start = lo + k
+    if start < hi:
+        region = raw[:hi]
+        segs = greedy_parse(region, bl[:hi], bd[:hi], bsc[:hi],
+                            [hi], dict_len=0, pos0=start,
+                            initial_cache=tuple(cache),
+                            best_isdict=isd[:hi],
+                            window_size=p.window_size,
+                            best_wire=bw[:hi])
+        ins, cps, dst, adv = segs[0]
+        cmds, _ = resolve_commands(ins, cps, dst, p.dist, advance=adv,
+                                   initial_cache=cache, pos_offset=start,
+                                   window_size=p.window_size)
+        mlen = hi - start
+        state = w.save_state()
+        before = w.bit_length()
+        if p.quality >= 4:
+            plan = build_meta_block(region, start, mlen, cmds, p.dist,
+                                    p.quality, mlen, mode=p.mode)
+            bs.store_meta_block(w, plan, False)
+        else:
+            bs.store_meta_block_trivial(w, region, start, mlen, False,
+                                        cmds, p.dist)
+        if w.bit_length() - before > 8 * mlen + 40:
+            w.restore_state(state)
+            bs.store_uncompressed_meta_block(w, raw[start:hi].tobytes())
+    bs.write_empty_last_meta_block(w)  # '11' trailer, stripped on merge
+    return w.getvalue()
+
+
 def compress_multi(data, num_parts: int, quality: int = 9,
                    lgwin: int = 22, mode: int = 0,
-                   backend: str = "thread") -> bytes:
+                   backend: str = "thread",
+                   favor_cpu_efficiency: bool = False) -> bytes:
     """Parallel compress + lossless merge (reference CompressMulti,
-    threading/mod.rs:413; enc/mod.rs compress_multi :95)."""
+    threading/mod.rs:413; enc/mod.rs compress_multi :95).
+
+    favor_cpu_efficiency: compute ONE shared match table over the whole
+    input and let every shard parse against it (reference's shared-
+    hasher optimization); otherwise each worker hashes its own prefix.
+    """
     raw = np.frombuffer(bytes(data), dtype=np.uint8)
     num_parts = max(1, min(num_parts, MAX_THREADS))
     if len(raw) < num_parts * 4096:
@@ -67,6 +131,36 @@ def compress_multi(data, num_parts: int, quality: int = 9,
         p = EncoderParams(quality=quality, lgwin=lgwin,
                           mode=mode).sanitize(len(raw))
         return compress_with_params(raw, p)
+
+    if favor_cpu_efficiency and 2 <= params.quality <= 9:
+        from ..encode.encoder import _quality_knobs
+        from ..encode.match import find_best_matches
+        knobs = _quality_knobs(params)
+        # shards > 0 are catable: no static dictionary (SanitizeParams)
+        best = find_best_matches(
+            raw, params.window_size, dict_len=0,
+            literal_byte_score=params.literal_byte_score,
+            use_dictionary=False, **knobs)
+        if backend == "thread":
+            with ThreadPoolExecutor(max_workers=num_parts) as pool:
+                futures = [pool.submit(_compress_part_shared, raw, i,
+                                       num_parts, params, best)
+                           for i in range(num_parts)]
+                results, first_err = [], None
+                for f in futures:
+                    try:
+                        results.append(f.result())
+                    except Exception as e:  # noqa: BLE001
+                        results.append(None)
+                        if first_err is None:
+                            first_err = e
+                if first_err is not None:
+                    raise first_err
+        else:
+            results = [_compress_part_shared(raw, i, num_parts, params,
+                                             best)
+                       for i in range(num_parts)]
+        return _merge(results)
 
     if backend == "thread":
         with ThreadPoolExecutor(max_workers=num_parts) as pool:
@@ -88,7 +182,10 @@ def compress_multi(data, num_parts: int, quality: int = 9,
     else:
         results = [compress_part(raw, i, num_parts, params)
                    for i in range(num_parts)]
+    return _merge(results)
 
+
+def _merge(results) -> bytes:
     bc = BroCatli()
     out = bytearray()
     for piece in results:

@@ -454,3 +454,260 @@ void find_matches_native(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// combined search + greedy parse (the reference's actual hot-path shape:
+// CreateBackwardReferences, mod.rs:2376 — FindLongestMatch only at parse
+// positions, bulk hash insertion over skipped spans, lazy matching,
+// distance-cache candidates at every searched position, sparse-skip over
+// incompressible spreads).  Used for the q2-q9 one-shot host path; the
+// decoupled matcher+walk remains the cross-checked oracle pipeline.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SearchResult {
+    int64_t len = 0, dist = 0, score = 0, wire = 0;
+    bool isdict = false;
+};
+
+struct CombinedCtx {
+    const uint8_t* data;
+    int64_t n;                // total incl. dict prefix
+    int64_t dict_len;
+    int64_t window;
+    int64_t k, k8;
+    int64_t lbs;
+    uint32_t shift4, shift8;
+    int32_t* ring4; int32_t* cnt4;
+    int32_t* ring8; int32_t* cnt8;
+    int64_t ins_pos = 0;      // next absolute position to insert
+    // dictionary index
+    const int64_t* dict_table;
+    int64_t dict_hash_bits, dict_slots;
+    const uint8_t* dict_words;
+    const int64_t* dict_wlen;
+    const int64_t* dict_widx;
+    const int64_t* dict_sbits;
+    const int64_t* omit_ids;
+
+    inline void insert_upto(int64_t stop) {
+        for (int64_t i = ins_pos; i < stop; i++) {
+            if (i + 4 <= n) {
+                uint32_t v4 = load32(data + i);
+                uint32_t h4 = (v4 * 0x1E35A7BDu) >> shift4;
+                ring4[h4 * k + (cnt4[h4] % k)] = (int32_t)i;
+                cnt4[h4]++;
+                if (k8 && i + 8 <= n) {
+                    uint64_t v8 = load64(data + i);
+                    uint32_t h8 = (uint32_t)(
+                        (v8 * 0x1FE35A7BD3579BD3ull) >> shift8);
+                    ring8[h8 * k8 + (cnt8[h8] % k8)] = (int32_t)i;
+                    cnt8[h8]++;
+                }
+            }
+        }
+        if (stop > ins_pos) ins_pos = stop;
+    }
+
+    // search at absolute position i (candidates strictly before i)
+    SearchResult search(int64_t i, const int64_t* cache) {
+        SearchResult sr;
+        insert_upto(i);
+        if (i + 4 > n) return sr;
+        int64_t limit = n - i;
+        // distance-cache candidates (flat bonus scoring)
+        for (int c = 0; c < 4; c++) {
+            int64_t d = cache[c];
+            if (d <= 0 || d > i) continue;
+            int64_t ml = probe_len(data, i - d, i, limit);
+            if (ml >= 4) {
+                int64_t sc = lbs * ml + 15;
+                if (c != 0) sc -= cache_penalty(c);
+                if (sc > sr.score) {
+                    sr.score = sc; sr.len = ml; sr.dist = d;
+                    sr.wire = ml; sr.isdict = false;
+                }
+            }
+        }
+        uint32_t v4 = load32(data + i);
+        {
+            uint32_t h4 = (v4 * 0x1E35A7BDu) >> shift4;
+            int32_t c = cnt4[h4];
+            int32_t m = (int32_t)std::min<int64_t>(c, k);
+            for (int32_t j = 0; j < m; j++) {
+                int64_t cand = ring4[h4 * k + ((c - 1 - j) % k + k) % k];
+                int64_t dist = i - cand;
+                if (dist > window) break;
+                if (load32(data + cand) != v4) continue;
+                int64_t ml = probe_len(data, cand, i, limit);
+                if (ml < 4) continue;
+                int64_t sc = lbs * ml - 30 * log2floor(dist);
+                if (sc > sr.score) {
+                    sr.score = sc; sr.len = ml; sr.dist = dist;
+                    sr.wire = ml; sr.isdict = false;
+                }
+            }
+        }
+        if (k8 && i + 8 <= n) {
+            uint64_t v8 = load64(data + i);
+            uint32_t h8 = (uint32_t)((v8 * 0x1FE35A7BD3579BD3ull)
+                                     >> shift8);
+            int32_t c = cnt8[h8];
+            int32_t m = (int32_t)std::min<int64_t>(c, k8);
+            for (int32_t j = 0; j < m; j++) {
+                int64_t cand = ring8[h8 * k8 + ((c - 1 - j) % k8 + k8)
+                                     % k8];
+                int64_t dist = i - cand;
+                if (dist > window) break;
+                if (load32(data + cand) != v4) continue;
+                int64_t ml = probe_len(data, cand, i, limit);
+                if (ml < 4) continue;
+                int64_t sc = lbs * ml - 30 * log2floor(dist);
+                if (sc > sr.score) {
+                    sr.score = sc; sr.len = ml; sr.dist = dist;
+                    sr.wire = ml; sr.isdict = false;
+                }
+            }
+        }
+        if (dict_table && i >= dict_len) {
+            uint32_t hd = (v4 * 0x1E35A7BDu) >> (32 - dict_hash_bits);
+            for (int64_t s = 0; s < dict_slots; s++) {
+                int64_t e = dict_table[hd * dict_slots + s];
+                if (e < 0) continue;
+                int64_t L = dict_wlen[e];
+                const uint8_t* wptr = dict_words + e * 24;
+                int64_t avail = std::min<int64_t>(L, n - i);
+                int64_t m = 0;
+                while (m < avail && data[i + m] == wptr[m]) m++;
+                if (m < 4) continue;
+                int64_t omit = L - m;
+                int64_t transform;
+                if (omit == 0) transform = 0;
+                else if (omit <= 9 && omit_ids[omit] >= 0)
+                    transform = omit_ids[omit];
+                else continue;
+                int64_t maxd = std::min<int64_t>(i, window);
+                int64_t dist = maxd + 1 +
+                    (transform << dict_sbits[L]) + dict_widx[e];
+                int64_t sc = lbs * m - 30 * log2floor(dist);
+                if (sc > sr.score) {
+                    sr.score = sc; sr.len = m; sr.dist = dist;
+                    sr.wire = L; sr.isdict = true;
+                }
+            }
+        }
+        return sr;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t combined_parse_native(
+    const uint8_t* data, int64_t total_len, int64_t dict_len,
+    int64_t window_size, int64_t k, int64_t bucket_bits,
+    int64_t k8, int64_t bucket_bits8, int64_t lbs,
+    const int64_t* dict_table, int64_t dict_hash_bits,
+    int64_t dict_slots, const uint8_t* dict_words_flat,
+    const int64_t* dict_word_len, const int64_t* dict_word_idx,
+    const int64_t* dict_size_bits, const int64_t* omit_ids,
+    const int64_t* boundaries, int64_t n_boundaries, int64_t pos0,
+    const int64_t* initial_cache,
+    int64_t* out_insert, int64_t* out_copy, int64_t* out_dist,
+    int64_t* out_adv, int64_t* out_seg_counts, int64_t max_cmds)
+{
+    CombinedCtx cx;
+    cx.data = data; cx.n = total_len; cx.dict_len = dict_len;
+    cx.window = window_size; cx.k = k; cx.k8 = k8; cx.lbs = lbs;
+    cx.shift4 = (uint32_t)(32 - bucket_bits);
+    cx.shift8 = (uint32_t)(64 - bucket_bits8);
+    int64_t nb4 = int64_t(1) << bucket_bits;
+    int64_t nb8 = int64_t(1) << bucket_bits8;
+    cx.ring4 = new int32_t[nb4 * k];
+    cx.cnt4 = new int32_t[nb4]();
+    cx.ring8 = k8 ? new int32_t[nb8 * k8] : nullptr;
+    cx.cnt8 = k8 ? new int32_t[nb8]() : nullptr;
+    cx.dict_table = dict_table;
+    cx.dict_hash_bits = dict_hash_bits;
+    cx.dict_slots = dict_slots;
+    cx.dict_words = dict_words_flat;
+    cx.dict_wlen = dict_word_len;
+    cx.dict_widx = dict_word_idx;
+    cx.dict_sbits = dict_size_bits;
+    cx.omit_ids = omit_ids;
+
+    int64_t cache[4] = {initial_cache[0], initial_cache[1],
+                        initial_cache[2], initial_cache[3]};
+    int64_t n_out = 0;
+    int64_t insert_start = dict_len + pos0;  // absolute
+    int64_t pos = dict_len + pos0;
+
+    for (int64_t bi = 0; bi < n_boundaries; bi++) {
+        int64_t boundary = dict_len + boundaries[bi];  // absolute
+        int64_t seg_start_count = n_out;
+        int64_t misses = 0;
+        while (pos + 2 <= boundary) {
+            SearchResult sr = cx.search(pos, cache);
+            if (sr.score <= 100) {
+                // sparse skip over incompressible spreads
+                // (LiteralSpreeLengthForSparseSearch, mod.rs:150)
+                int64_t step = 1;
+                if (misses > 512) step = 4;
+                else if (misses > 64) step = 2;
+                misses++;
+                pos += step;
+                continue;
+            }
+            // lazy matching: defer up to 4 times
+            int defers = 0;
+            while (defers < 4 && pos + 1 + 4 <= boundary) {
+                SearchResult sr2 = cx.search(pos + 1, cache);
+                if (sr2.score > sr.score + 175) {
+                    pos++; sr = sr2; defers++;
+                } else break;
+            }
+            misses = 0;
+            int64_t l = sr.len;
+            if (pos + l > boundary) {
+                if (sr.isdict) { pos++; continue; }
+                l = boundary - pos;
+                sr.wire = l;
+                if (l < 2) { pos++; continue; }
+            }
+            if (n_out < max_cmds) {
+                out_insert[n_out] = pos - insert_start;
+                out_copy[n_out] = sr.wire;
+                out_dist[n_out] = sr.dist;
+                out_adv[n_out] = l;
+                n_out++;
+            }
+            int64_t max_distance = std::min(pos, window_size);
+            if (sr.dist <= max_distance && sr.dist != cache[0]) {
+                cache[3] = cache[2]; cache[2] = cache[1];
+                cache[1] = cache[0]; cache[0] = sr.dist;
+            }
+            cx.insert_upto(std::min(pos + l, cx.n));
+            pos += l;
+            insert_start = pos;
+        }
+        if (boundary > insert_start || n_out == seg_start_count) {
+            if (n_out < max_cmds) {
+                out_insert[n_out] = boundary - insert_start;
+                out_copy[n_out] = 0;
+                out_dist[n_out] = 0;
+                out_adv[n_out] = 0;
+                n_out++;
+            }
+        }
+        insert_start = boundary;
+        if (pos < boundary) pos = boundary;
+        out_seg_counts[bi] = n_out - seg_start_count;
+    }
+    delete[] cx.ring4; delete[] cx.cnt4;
+    delete[] cx.ring8; delete[] cx.cnt8;
+    return n_out;
+}
+
+}  // extern "C"
