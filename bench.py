@@ -50,63 +50,68 @@ def bench_c_baseline(data: bytes, quality: int) -> float:
 
 
 def main():
-    from brotli_tpu import decompress
-    from brotli_tpu.encode.fast import compress_fast
+    from brotli_tpu import compress, decompress
+    from tests import oracle
 
     corpus = build_corpus()
-    n = len(corpus)
 
-    # warm up (compile cache)
-    compress_fast(corpus[: 1 << 22])
-    t0 = time.perf_counter()
-    out = compress_fast(corpus)
-    dt = time.perf_counter() - t0
-    ours_bps = n / dt
-
-    # round-trip sanity (on a slice to keep bench fast)
-    assert decompress(out[:]) == corpus, "round-trip failed"
-
-    base_bps = bench_c_baseline(corpus, quality=1)
-    vs = ours_bps / base_bps if base_bps else 0.0
-
-    # host (native C++ runtime) path at q9: size + speed vs C engine
-    from brotli_tpu import compress
-    sl = corpus[:1 << 20]
-    t0 = time.perf_counter()
-    out9 = compress(sl, quality=9)
-    q9_dt = time.perf_counter() - t0
-    assert decompress(out9) == sl
-    from tests import oracle
-    c9 = oracle.compress(sl, quality=9) if oracle.available() else b"x"
-
-    # decode throughput (native C++ decoder) vs C engine
-    decompress(out9)  # warm
-    t0 = time.perf_counter()
-    decompress(out9)
-    dec_dt = time.perf_counter() - t0
-    if oracle.available():
+    # ---- north-star: q5/q9 encode + decode round-trip throughput ----
+    results = {}
+    sl = corpus[: 4 << 20]
+    for q in (5, 9):
+        compress(sl[: 1 << 16], quality=q)  # warm
         t0 = time.perf_counter()
-        oracle.decompress(out9, max_size_hint=len(sl))
-        c_dec_dt = time.perf_counter() - t0
-    else:
-        c_dec_dt = 0.0
+        out = compress(sl, quality=q)
+        enc_dt = time.perf_counter() - t0
+        plain = decompress(out)  # warm decode path too
+        assert plain == sl, "round-trip failed"
+        t0 = time.perf_counter()
+        decompress(out)
+        dec_dt = time.perf_counter() - t0
 
+        if oracle.available():
+            t0 = time.perf_counter()
+            cout = oracle.compress(sl, quality=q)
+            c_enc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            oracle.decompress(cout, max_size_hint=len(sl))
+            c_dec = time.perf_counter() - t0
+            c_rt = len(sl) / (c_enc + c_dec)
+            size_vs = len(out) / len(cout)
+        else:
+            c_rt, size_vs = 0.0, 0.0
+        rt_bps = len(sl) / (enc_dt + dec_dt)
+        results[q] = dict(
+            enc_MBps=round(len(sl) / enc_dt / 1e6, 2),
+            dec_MBps=round(len(sl) / dec_dt / 1e6, 1),
+            roundtrip_MBps=round(rt_bps / 1e6, 2),
+            vs_c_roundtrip=round(rt_bps / c_rt, 3) if c_rt else 0.0,
+            size_vs_c=round(size_vs, 4),
+        )
+
+    # ---- TPU fast path (q1 tier) on one chip ----
+    try:
+        from brotli_tpu.encode.fast import compress_fast
+        compress_fast(corpus[: 1 << 22])  # compile
+        t0 = time.perf_counter()
+        fout = compress_fast(corpus)
+        fdt = time.perf_counter() - t0
+        assert decompress(fout) == corpus
+        fast_mbps = round(len(corpus) / fdt / 1e6, 2)
+    except Exception:
+        fast_mbps = 0.0
+
+    q9 = results[9]
     print(json.dumps({
-        "metric": "fast-path (q1-tier) end-to-end encode throughput, "
-                  "8MiB mixed corpus, 1 chip",
-        "value": round(ours_bps / 1e9, 4),
-        "unit": "GB/s",
-        "vs_baseline": round(vs, 3),
+        "metric": "q9 encode+decode round-trip throughput, 4MiB mixed "
+                  "corpus, 1 chip host path (native runtime)",
+        "value": q9["roundtrip_MBps"],
+        "unit": "MB/s",
+        "vs_baseline": q9["vs_c_roundtrip"],
         "detail": {
-            "compressed_bytes": len(out),
-            "ratio": round(n / len(out), 3),
-            "c_engine_q1_GBps": round(base_bps / 1e9, 4),
-            "seconds": round(dt, 3),
-            "q9_host_MBps": round(len(sl) / q9_dt / 1e6, 3),
-            "q9_size_vs_c": round(len(out9) / len(c9), 4),
-            "decode_MBps": round(len(sl) / dec_dt / 1e6, 1),
-            "decode_vs_c": round(c_dec_dt / dec_dt, 3) if c_dec_dt
-            else 0.0,
+            "q9": q9,
+            "q5": results[5],
+            "tpu_fast_path_MBps": fast_mbps,
         },
     }))
 

@@ -30,52 +30,43 @@ SHARD = 1 << 22  # one metablock per shard
 
 
 @partial(jax.jit, static_argnames=("window_size", "k", "k8"))
-def _tpu_match_parse(data, window_size: int, k: int = 4, k8: int = 2):
-    """The jitted device pipeline: scores + committed parse + compaction.
+def _tpu_match_compact(data, window_size: int, k: int = 2, k8: int = 1):
+    """The jitted device pipeline: batched match finding + on-device
+    compaction of accepted candidates (score > kMinScore).
 
-    Commands are compacted ON DEVICE into fixed [n//8] buffers so only
-    ~n/2 bytes cross the host link instead of 9n (the dense per-position
-    arrays) — the host link, not HBM, is the fast path's bottleneck.
-    Copies beyond the buffer cap are dropped (they decay to literals,
-    still a valid parse).
+    Only ~n/2 bytes of compact match records cross the host link instead
+    of 9n dense arrays — the link, not HBM, is the bottleneck.  The
+    greedy commitment itself runs in the native host walk (lazy matching
+    + cache probes), which both beats the pointer-doubling device parse
+    on wall-clock and produces a better parse.  Matches beyond the
+    buffer cap drop to literals (still a valid parse).
     """
     import jax.numpy as jnp
 
-    from ..ops.matching import best_matches_block
-    from ..ops.parse import committed_parse
+    from ..ops.matching import MIN_SCORE_DELTA, best_matches_block
     n = data.shape[0]
     best_len, best_dist, best_score = best_matches_block(
         data, window_size, k=k, k8=k8)
-    visited, take = committed_parse(best_len, best_score, SUB_BLOCK)
-    is_copy = visited & (take >= 2)
+    keep = best_score > MIN_SCORE_DELTA
     maxc = n // 8
-    idx = jnp.cumsum(is_copy.astype(jnp.int32)) - 1
-    tgt = jnp.where(is_copy, idx, maxc)
+    idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, idx, maxc)
     pos = jnp.arange(n, dtype=jnp.int32)
     cpos = jnp.zeros(maxc, jnp.int32).at[tgt].set(pos, mode="drop")
-    clen = jnp.zeros(maxc, jnp.int32).at[tgt].set(take, mode="drop")
+    clen = jnp.zeros(maxc, jnp.int32).at[tgt].set(best_len, mode="drop")
     cdist = jnp.zeros(maxc, jnp.int32).at[tgt].set(best_dist,
                                                    mode="drop")
-    count = jnp.minimum(jnp.sum(is_copy.astype(jnp.int32)), maxc)
+    count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), maxc)
     return cpos, clen, cdist, count
 
 
-def _commands_from_parse(copy_pos: np.ndarray, copy_len: np.ndarray,
-                         copy_dist: np.ndarray, start: int, end: int,
-                         dist_params) -> CommandArrays:
-    """Vectorized command extraction from compact copy arrays."""
-    copy_pos = copy_pos.astype(np.int64)
-    copy_len = copy_len.astype(np.int64)
-    copy_dist = copy_dist.astype(np.int64)
-
-    prev_end = np.concatenate([[start], copy_pos + copy_len])
-    insert_len = copy_pos - prev_end[:-1]
-    tail = end - (int(prev_end[-1]) if len(copy_pos) else start)
-
-    if tail > 0 or len(copy_pos) == 0:
-        insert_len = np.concatenate([insert_len, [tail]])
-        copy_len = np.concatenate([copy_len, [0]])
-        copy_dist = np.concatenate([copy_dist, [0]])
+def _commands_from_segments(insert_len, copy_len, copy_dist, advance,
+                            dist_params) -> CommandArrays:
+    """Vectorized command construction (explicit distances, no cache
+    short codes — what keeps the path loop-free)."""
+    insert_len = np.asarray(insert_len, dtype=np.int64)
+    copy_len = np.asarray(copy_len, dtype=np.int64)
+    copy_dist = np.asarray(copy_dist, dtype=np.int64)
 
     n = len(insert_len)
     npostfix, ndirect = dist_params.npostfix, dist_params.ndirect
@@ -112,23 +103,38 @@ def compress_fast(data, lgwin: int = 22, quality: int = 1) -> bytes:
         bs.write_empty_last_meta_block(w)
         return w.getvalue()
 
+    from ..encode.match import greedy_parse
     for s0 in range(0, n, SHARD):
         s1 = min(s0 + SHARD, n)
         shard = raw[s0:s1]
         m = len(shard)
         m_main = (m // SUB_BLOCK) * SUB_BLOCK
         if m_main >= SUB_BLOCK:
-            cpos, clen, cdist, count = _tpu_match_parse(
+            cpos, clen, cdist, count = _tpu_match_compact(
                 shard[:m_main], params.window_size)
             count = int(count)
-            cpos = np.asarray(cpos)[:count]
-            clen = np.asarray(clen)[:count]
-            cdist = np.asarray(cdist)[:count]
+            cpos = np.asarray(cpos)[:count].astype(np.int64)
+            lens = np.asarray(clen)[:count].astype(np.int64)
+            dists = np.asarray(cdist)[:count].astype(np.int64)
+            bl = np.zeros(m, np.int64)
+            bd = np.zeros(m, np.int64)
+            bsc = np.zeros(m, np.int64)
+            bl[cpos] = lens
+            bd[cpos] = dists
+            # recompute scores on host (cheaper than shipping them)
+            bsc[cpos] = (135 * lens - 30 * np.floor(
+                np.log2(np.maximum(dists, 2))).astype(np.int64))
         else:
-            cpos = np.zeros(0, np.int32)
-            clen = np.zeros(0, np.int32)
-            cdist = np.zeros(0, np.int32)
-        cmds = _commands_from_parse(cpos, clen, cdist, 0, m, params.dist)
+            bl = np.zeros(m, np.int64)
+            bd = np.zeros(m, np.int64)
+            bsc = np.zeros(m, np.int64)
+        segs = greedy_parse(shard, bl, bd, bsc, [m],
+                            window_size=params.window_size)
+        ins, cps, dst, adv = segs[0]
+        from .command import resolve_commands
+        cmds, _ = resolve_commands(ins, cps, dst, params.dist,
+                                   advance=adv,
+                                   window_size=params.window_size)
         is_last = s1 == n
         state = w.save_state()
         before = w.bit_length()

@@ -479,8 +479,12 @@ def build_meta_block(full: np.ndarray, start: int, mlen: int,
     per-tree Huffman codes (reference BrotliBuildMetaBlockGreedy,
     metablock.rs:1022, with the static-context-map path of
     WriteMetaBlockInternal, encode.rs:2026-2111)."""
-    from ..core.huffman import build_huffman_lengths
+    from ..core.huffman import build_huffman_lengths, \
+        optimize_counts_for_rle
     from .bitstream import extract_literals
+
+    def _lengths(h):
+        return build_huffman_lengths(optimize_counts_for_rle(_safe(h)))
 
     plan = MetaBlockPlan()
     plan.mlen = mlen
@@ -590,13 +594,13 @@ def build_meta_block(full: np.ndarray, start: int, mlen: int,
 
     plan.lit_tree = lit_tree
     plan.cmd_tree = cmd_split.types
-    plan.lit_lengths = [build_huffman_lengths(_safe(h)) for h in lit_h]
+    plan.lit_lengths = [_lengths(h) for h in lit_h]
 
     nct = cmd_split.num_types
     cmd_h = np.bincount(cmd_split.types * 704 + cmds.cmd_sym,
                         minlength=nct * 704).reshape(nct, 704)
-    plan.cmd_lengths = [build_huffman_lengths(_safe(h)) for h in cmd_h]
-    plan.dist_lengths = [build_huffman_lengths(_safe(h)) for h in dist_h]
+    plan.cmd_lengths = [_lengths(h) for h in cmd_h]
+    plan.dist_lengths = [_lengths(h) for h in dist_h]
     return plan
 
 

@@ -112,30 +112,71 @@ def _build_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
         dcost[far] = cost_dist[sym] + nbits
 
     ladders = [(L, W)]
-    for sub in (4, 6, 10, 16, 32, 64, 128):
+    near = np.where((L > 4) & ~ISD, L - 1, 0)
+    ladders.append((near, near))
+    near2 = np.where((L > 5) & ~ISD, L - 2, 0)
+    ladders.append((near2, near2))
+    for sub in (4, 5, 6, 8, 10, 13, 16, 22, 32, 48, 64, 96, 128, 192):
         # dictionary words cannot be shortened (copy_len selects the word)
         cut = np.where((L > sub) & ~ISD, sub, 0)
         ladders.append((cut, cut))
-    edges = [[] for _ in range(n + 1)]
+
+    srcs, lens, wires_a, dists, ccodes, bases = [], [], [], [], [], []
     for lad, wires in ladders:
         sel = np.nonzero(lad >= 2)[0]
         ll = lad[sel]          # advance (output) length
         ww = wires[sel]        # wire copy length (codes)
         cc = _COPY_CODE[np.minimum(ww, (1 << 16) - 1)]
-        base = dcost[sel] + C.COPY_EXTRA[cc]
-        src = pp[sel]
-        dd = D[sel]
-        for s, l2, w2, d2, c2, b2 in zip(src.tolist(), ll.tolist(),
-                                         ww.tolist(), dd.tolist(),
-                                         cc.tolist(), base.tolist()):
-            edges[s].append((l2, w2, d2, c2, b2))
-    return edges
+        srcs.append(pp[sel])
+        lens.append(ll)
+        wires_a.append(ww)
+        dists.append(D[sel])
+        ccodes.append(cc)
+        bases.append(dcost[sel] + C.COPY_EXTRA[cc])
+    src = np.concatenate(srcs)
+    order = np.argsort(src, kind="stable")
+    src = src[order]
+    e_len = np.concatenate(lens)[order]
+    e_wire = np.concatenate(wires_a)[order]
+    e_dist = np.concatenate(dists)[order]
+    e_ccode = np.concatenate(ccodes)[order]
+    e_base = np.concatenate(bases)[order]
+    edge_off = np.zeros(n + 2, dtype=np.int64)
+    np.add.at(edge_off, src + 1, 1)
+    edge_off = np.cumsum(edge_off)[:n + 1]
+    return edge_off, e_len, e_wire, e_dist, e_ccode, e_base
 
 
 def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
     """Shortest-path DP.  cost[j] = min bits for a parse of [0, j)
     ending exactly at a copy end (or j == 0); insert runs are closed
-    implicitly via the running-min start."""
+    implicitly via the running-min start.  Dispatches to the native
+    relaxation when available."""
+    edge_off, e_len, e_wire, e_dist, e_ccode, e_base = edges
+
+    from .. import native_bridge as nb
+    if nb.available():
+        cost, prev_start, prev_len, prev_wire, prev_dist = nb.zopfli_dp(
+            n, lcp, cost_cmd, edge_off, e_len, e_wire, e_dist, e_ccode,
+            e_base, _INS_CODE, C.INSERT_EXTRA, _CMD_SYM.reshape(-1))
+        cost = cost.tolist()
+        prev_start = prev_start.tolist()
+        prev_len = prev_len.tolist()
+        prev_wire = prev_wire.tolist()
+        prev_dist = prev_dist.tolist()
+        best_adj = INF
+        best_u = 0
+        lcp_l = lcp.tolist()
+        for p in range(n):
+            c = cost[p]
+            if c < 1e29:
+                adj = c - lcp_l[p]
+                if adj < best_adj:
+                    best_adj = adj
+                    best_u = p
+        return _backtrack(n, lcp_l, cost, prev_start, prev_len,
+                          prev_wire, prev_dist, best_adj, best_u)
+
     cost = [INF] * (n + 1)
     cost[0] = 0.0
     prev_start = [0] * (n + 1)
@@ -148,6 +189,10 @@ def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
     ins_code = _INS_CODE_L
     ins_extra = _INS_EXTRA_L
     cmd_sym = _CMD_SYM_L
+    eo = edge_off.tolist()
+    el, ew, ed, ec, eb = (e_len.tolist(), e_wire.tolist(),
+                          e_dist.tolist(), e_ccode.tolist(),
+                          e_base.tolist())
 
     best_adj = INF
     best_u = 0
@@ -158,14 +203,17 @@ def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
             if adj < best_adj:
                 best_adj = adj
                 best_u = p
-        ep = edges[p]
-        if not ep:
+        e0, e1 = eo[p], eo[p + 1]
+        if e0 == e1:
             continue
         lp = lcp_l[p]
-        for (ll, ww, d, ccode, base) in ep:
+        for e in range(e0, e1):
+            ll = el[e]
             tgt = p + ll
             if tgt > n:
                 continue
+            ccode = ec[e]
+            base = eb[e]
             ct = cost[tgt]
             # start candidate 1: running-min u (possibly long insert)
             il = p - best_u
@@ -176,8 +224,8 @@ def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
                 cost[tgt] = ct = t
                 prev_start[tgt] = best_u
                 prev_len[tgt] = ll
-                prev_wire[tgt] = ww
-                prev_dist[tgt] = d
+                prev_wire[tgt] = ew[e]
+                prev_dist[tgt] = ed[e]
             # start candidate 2: zero-insert continuation from p
             if cost[p] < INF and best_u != p:
                 t = (cost[p] + base
@@ -186,14 +234,20 @@ def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
                     cost[tgt] = t
                     prev_start[tgt] = p
                     prev_len[tgt] = ll
-                    prev_wire[tgt] = ww
-                    prev_dist[tgt] = d
+                    prev_wire[tgt] = ew[e]
+                    prev_dist[tgt] = ed[e]
 
+    return _backtrack(n, lcp_l, cost, prev_start, prev_len, prev_wire,
+                      prev_dist, best_adj, best_u)
+
+
+def _backtrack(n, lcp_l, cost, prev_start, prev_len, prev_wire,
+               prev_dist, best_adj, best_u):
     # close the stream: possibly a final pure-literal run from best u
     end_from_u = best_adj + lcp_l[n]
     ins, cps, dst, adv = [], [], [], []
     pos = n
-    if cost[n] == INF or end_from_u < cost[n]:
+    if cost[n] >= 1e29 or end_from_u < cost[n]:
         ins.append(n - best_u)
         cps.append(0)
         dst.append(0)
@@ -218,8 +272,9 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
                         use_dictionary):
     """Per-position candidate rows: deep hash-4, deep hash-8, dict."""
     outs = []
-    for kw in (dict(k=16, bucket_bits=17, k8=0, use_dictionary=False),
-               dict(k=1, bucket_bits=17, k8=12,
+    for kw in (dict(k=24, bucket_bits=17, k8=0, use_dictionary=False),
+               dict(k=8, bucket_bits=14, k8=0, use_dictionary=False),
+               dict(k=1, bucket_bits=17, k8=16,
                     use_dictionary=use_dictionary)):
         bl, bd, bs, isd, bw = find_best_matches(
             full, window_size, dict_len=dict_len,

@@ -333,15 +333,17 @@ def combined_parse(data, window_size, boundaries, dict_len=0, pos0=0,
     return segments
 
 
-def zopfli_dp(n, lcp, cost_cmd, edge_off, e_len, e_dist, e_ccode,
-              e_base, ins_code_tab, ins_extra_tab, cmd_sym_tab):
+def zopfli_dp(n, lcp, cost_cmd, edge_off, e_len, e_wire, e_dist,
+              e_ccode, e_base, ins_code_tab, ins_extra_tab,
+              cmd_sym_tab):
     """Native Zopfli relaxation; returns (cost, prev_start, prev_len,
-    prev_dist)."""
+    prev_wire, prev_dist)."""
     lib = get_lib()
     lcp = np.ascontiguousarray(lcp, dtype=np.float64)
     cost_cmd = np.ascontiguousarray(cost_cmd, dtype=np.float64)
     edge_off = np.ascontiguousarray(edge_off, dtype=np.int64)
     e_len = np.ascontiguousarray(e_len, dtype=np.int64)
+    e_wire = np.ascontiguousarray(e_wire, dtype=np.int64)
     e_dist = np.ascontiguousarray(e_dist, dtype=np.int64)
     e_ccode = np.ascontiguousarray(e_ccode, dtype=np.int64)
     e_base = np.ascontiguousarray(e_base, dtype=np.float64)
@@ -351,12 +353,14 @@ def zopfli_dp(n, lcp, cost_cmd, edge_off, e_len, e_dist, e_ccode,
     cost = np.empty(n + 1, dtype=np.float64)
     prev_start = np.empty(n + 1, dtype=np.int64)
     prev_len = np.empty(n + 1, dtype=np.int64)
+    prev_wire = np.empty(n + 1, dtype=np.int64)
     prev_dist = np.empty(n + 1, dtype=np.int64)
     lib.zopfli_dp_native(
         ctypes.c_int64(n), _ptr(lcp, F64), _ptr(cost_cmd, F64),
-        _ptr(edge_off), _ptr(e_len), _ptr(e_dist), _ptr(e_ccode),
+        _ptr(edge_off), _ptr(e_len), _ptr(e_wire), _ptr(e_dist),
+        _ptr(e_ccode),
         _ptr(e_base, F64), _ptr(ins_code_tab), _ptr(ins_extra_tab),
         _ptr(cmd_sym_tab),
         _ptr(cost, F64), _ptr(prev_start), _ptr(prev_len),
-        _ptr(prev_dist))
-    return cost, prev_start, prev_len, prev_dist
+        _ptr(prev_wire), _ptr(prev_dist))
+    return cost, prev_start, prev_len, prev_wire, prev_dist

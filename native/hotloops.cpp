@@ -274,17 +274,18 @@ void resolve_commands_native(
 void zopfli_dp_native(
     int64_t n, const double* lcp, const double* cost_cmd,
     const int64_t* edge_off,
-    const int64_t* e_len, const int64_t* e_dist,
+    const int64_t* e_len, const int64_t* e_wire,
+    const int64_t* e_dist,
     const int64_t* e_ccode, const double* e_base,
     const int64_t* ins_code_tab, const int64_t* ins_extra_tab,
     const int64_t* cmd_sym_tab /* [24*24] */,
     double* cost, int64_t* prev_start, int64_t* prev_len,
-    int64_t* prev_dist)
+    int64_t* prev_wire, int64_t* prev_dist)
 {
     const double INF = 1e30;
     for (int64_t i = 0; i <= n; i++) {
         cost[i] = INF; prev_start[i] = 0; prev_len[i] = 0;
-        prev_dist[i] = 0;
+        prev_wire[i] = 0; prev_dist[i] = 0;
     }
     cost[0] = 0.0;
     double best_adj = INF;
@@ -313,6 +314,7 @@ void zopfli_dp_native(
                 cost[tgt] = ct = t;
                 prev_start[tgt] = best_u;
                 prev_len[tgt] = ll;
+                prev_wire[tgt] = e_wire[e];
                 prev_dist[tgt] = e_dist[e];
             }
             if (c < INF && best_u != p) {
@@ -321,6 +323,7 @@ void zopfli_dp_native(
                     cost[tgt] = t;
                     prev_start[tgt] = p;
                     prev_len[tgt] = ll;
+                    prev_wire[tgt] = e_wire[e];
                     prev_dist[tgt] = e_dist[e];
                 }
             }
