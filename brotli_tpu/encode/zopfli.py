@@ -272,9 +272,9 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
                         use_dictionary):
     """Per-position candidate rows: deep hash-4, deep hash-8, dict."""
     outs = []
-    for kw in (dict(k=24, bucket_bits=17, k8=0, use_dictionary=False),
-               dict(k=8, bucket_bits=14, k8=0, use_dictionary=False),
-               dict(k=1, bucket_bits=17, k8=16,
+    for kw in (dict(k=48, bucket_bits=17, k8=0, use_dictionary=False),
+               dict(k=12, bucket_bits=14, k8=0, use_dictionary=False),
+               dict(k=1, bucket_bits=17, k8=24,
                     use_dictionary=use_dictionary)):
         bl, bd, bs, isd, bw = find_best_matches(
             full, window_size, dict_len=dict_len,
@@ -347,7 +347,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
 
     lh, ch, dh = _histograms_from_commands(data_region, pre_cmds,
                                            dist_alpha)
-    iters = 2 if params.quality >= 11 else 1
+    iters = 3 if params.quality >= 11 else 1
     result = None
     for it in range(iters):
         _, cost_cmd, cost_dist = _cost_tables(lh, ch, dh)

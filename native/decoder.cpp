@@ -24,17 +24,25 @@ struct BitReader {
     int64_t size;       // bytes
     int64_t pos;        // bit position
     bool overflow = false;
+    uint64_t cache = 0;
+    int64_t cache_bit0 = -1000;  // bit index of cache bit 0
+
+    inline void refill() {
+        int64_t b = pos >> 3;
+        uint64_t v = 0;
+        int64_t avail = size - b;
+        if (avail >= 8) {
+            std::memcpy(&v, data + b, 8);
+        } else if (avail > 0) {
+            std::memcpy(&v, data + b, (size_t)avail);
+        }
+        cache = v;
+        cache_bit0 = b << 3;
+    }
 
     inline uint64_t peek(int nbits) {
-        int64_t byte0 = pos >> 3;
-        uint64_t v = 0;
-        int64_t avail = size - byte0;
-        if (avail >= 8) {
-            std::memcpy(&v, data + byte0, 8);
-        } else if (avail > 0) {
-            std::memcpy(&v, data + byte0, (size_t)avail);
-        }
-        return (v >> (pos & 7)) & ((1ull << nbits) - 1);
+        if (__builtin_expect(pos + nbits > cache_bit0 + 64, 0)) refill();
+        return (cache >> (pos - cache_bit0)) & ((1ull << nbits) - 1);
     }
     inline uint64_t read(int nbits) {
         if (pos + nbits > size * 8) { overflow = true; return 0; }
@@ -59,10 +67,9 @@ struct BitReader {
 struct PrefixTable {
     int32_t* tab = nullptr;
     int max_len = 0;
-    int single = -1;
+    int single = -1;  // kept for introspection; decode is branch-free
 
     inline int decode(BitReader& br) {
-        if (single >= 0) return single;
         uint64_t bits = br.peek(max_len);
         int32_t e = tab[bits];
         br.skip(e & 15);
@@ -143,7 +150,15 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
         }
     }
     if (nz == 0) return false;
-    if (nz == 1) { pt.single = single; pt.max_len = 0; return true; }
+    if (nz == 1) {
+        // 0-bit code: one-entry table keeps decode branch-free
+        pt.single = single;
+        pt.max_len = 0;
+        pt.tab = arena.alloc(1);
+        if (!pt.tab) return false;
+        pt.tab[0] = (int32_t)(single << 4);
+        return true;
+    }
     if (space != (1ll << 15)) return false;  // not Kraft-complete
     pt.single = -1;
     pt.max_len = maxlen;
@@ -592,18 +607,34 @@ int64_t decode_native(
             if (br.overflow) return -1;
 
             if (ins_len > mlen) return br.overflow ? -1 : -2;
-            for (int64_t j = 0; j < ins_len; j++) {
-                if ((r = tick(br, L))) return r;
-                int mode = modes[L.cur];
-                int ctx = g_dict.ctx_lut0[mode * 256 + p1] |
-                          g_dict.ctx_lut1[mode * 256 + p2];
-                int tree = cmap_l[(L.cur << 6) | ctx];
-                int lit = lit_pt[tree].decode(br);
+            if (out_len + ins_len > out_cap) return -3;
+            if (!L.has && ntrees_l == 1) {
+                // common fast path: one literal block type, one tree
+                PrefixTable& pt = lit_pt[0];
+                for (int64_t j = 0; j < ins_len; j++) {
+                    int lit = pt.decode(br);
+                    out[out_len++] = (uint8_t)lit;
+                }
                 if (br.overflow) return -1;
-                if (out_len >= out_cap) return -3;
-                out[out_len++] = (uint8_t)lit;
-                p2 = p1;
-                p1 = (uint8_t)lit;
+                if (out_len >= 2) {
+                    p1 = out[out_len - 1];
+                    p2 = out[out_len - 2];
+                } else {
+                    p1 = prev_byte(1); p2 = prev_byte(2);
+                }
+            } else {
+                for (int64_t j = 0; j < ins_len; j++) {
+                    if ((r = tick(br, L))) return r;
+                    int mode = modes[L.cur];
+                    int ctx = g_dict.ctx_lut0[mode * 256 + p1] |
+                              g_dict.ctx_lut1[mode * 256 + p2];
+                    int tree = cmap_l[(L.cur << 6) | ctx];
+                    int lit = lit_pt[tree].decode(br);
+                    if (br.overflow) return -1;
+                    out[out_len++] = (uint8_t)lit;
+                    p2 = p1;
+                    p1 = (uint8_t)lit;
+                }
             }
             mlen -= ins_len;
             if (mlen == 0) break;
@@ -673,8 +704,13 @@ int64_t decode_native(
                     remaining -= take;
                     src = out_len - distance;
                 }
-                for (int64_t j = 0; j < remaining; j++)
-                    out[out_len + j] = out[src + j];
+                if (distance >= remaining) {
+                    std::memcpy(out + out_len, out + src,
+                                (size_t)remaining);
+                } else {
+                    for (int64_t j = 0; j < remaining; j++)
+                        out[out_len + j] = out[src + j];
+                }
                 out_len += remaining;
                 mlen -= copy_len;
                 if (dcode != 0) {

@@ -542,6 +542,10 @@ struct CombinedCtx {
                 int64_t cand = ring4[h4 * k + ((c - 1 - j) % k + k) % k];
                 int64_t dist = i - cand;
                 if (dist > window) break;
+                // a candidate can only beat the best if it matches at
+                // least one byte past it (reference mod.rs:1714)
+                if (sr.len > 0 && (sr.len >= limit ||
+                    data[cand + sr.len] != data[i + sr.len])) continue;
                 if (load32(data + cand) != v4) continue;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
@@ -563,6 +567,8 @@ struct CombinedCtx {
                                      % k8];
                 int64_t dist = i - cand;
                 if (dist > window) break;
+                if (sr.len > 0 && (sr.len >= limit ||
+                    data[cand + sr.len] != data[i + sr.len])) continue;
                 if (load32(data + cand) != v4) continue;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
