@@ -42,7 +42,9 @@ def pack_bits(bits: np.ndarray, nbits: np.ndarray):
     np.cumsum(nbits[:-1], out=pos[1:])
     word = pos >> 6
     shift = (pos & 63).astype(np.uint64)
-    nwords = (total + 63) // 64 + 1
+    # +2: a trailing zero-bit item (single-symbol code) sits at
+    # pos == total and still scatters into word+1
+    nwords = total // 64 + 2
     words = np.zeros(nwords, dtype=np.uint64)
     lo = bits << shift
     hi = np.where(shift > 0, bits >> (np.uint64(64) - shift), 0).astype(

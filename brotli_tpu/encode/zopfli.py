@@ -40,6 +40,10 @@ for _i in range(24):
     _CMD_SYM[_i] = C.combine_length_codes(
         np.full(24, _i), np.arange(24), np.zeros(24, bool))
 _CMD_SYM_L = [row.tolist() for row in _CMD_SYM]
+_CMD_SYM_LAST = np.zeros((24, 24), dtype=np.int64)
+for _i in range(8):
+    _CMD_SYM_LAST[_i, :16] = C.combine_length_codes(
+        np.full(16, _i), np.arange(16), np.ones(16, bool))
 
 
 def estimate_literal_costs(data: np.ndarray, window: int = 4096):
@@ -121,7 +125,8 @@ def _build_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
         cut = np.where((L > sub) & ~ISD, sub, 0)
         ladders.append((cut, cut))
 
-    srcs, lens, wires_a, dists, ccodes, bases = [], [], [], [], [], []
+    srcs, lens, wires_a, dists, ccodes, bases, dcosts = \
+        [], [], [], [], [], [], []
     for lad, wires in ladders:
         sel = np.nonzero(lad >= 2)[0]
         ll = lad[sel]          # advance (output) length
@@ -133,6 +138,7 @@ def _build_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
         dists.append(D[sel])
         ccodes.append(cc)
         bases.append(dcost[sel] + C.COPY_EXTRA[cc])
+        dcosts.append(dcost[sel])
     src = np.concatenate(srcs)
     order = np.argsort(src, kind="stable")
     src = src[order]
@@ -141,10 +147,11 @@ def _build_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
     e_dist = np.concatenate(dists)[order]
     e_ccode = np.concatenate(ccodes)[order]
     e_base = np.concatenate(bases)[order]
+    e_dcost = np.concatenate(dcosts)[order]
     edge_off = np.zeros(n + 2, dtype=np.int64)
     np.add.at(edge_off, src + 1, 1)
     edge_off = np.cumsum(edge_off)[:n + 1]
-    return edge_off, e_len, e_wire, e_dist, e_ccode, e_base
+    return edge_off, e_len, e_wire, e_dist, e_ccode, e_base, e_dcost
 
 
 def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
@@ -152,13 +159,19 @@ def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
     ending exactly at a copy end (or j == 0); insert runs are closed
     implicitly via the running-min start.  Dispatches to the native
     relaxation when available."""
-    edge_off, e_len, e_wire, e_dist, e_ccode, e_base = edges
+    (edge_off, e_len, e_wire, e_dist, e_ccode, e_base, e_dcost,
+     cost_dist_short, data, dict_len, window_size,
+     initial_cache) = edges
 
     from .. import native_bridge as nb
     if nb.available():
-        cost, prev_start, prev_len, prev_wire, prev_dist = nb.zopfli_dp(
-            n, lcp, cost_cmd, edge_off, e_len, e_wire, e_dist, e_ccode,
-            e_base, _INS_CODE, C.INSERT_EXTRA, _CMD_SYM.reshape(-1))
+        cost, prev_start, prev_len, prev_wire, prev_dist = \
+            nb.zopfli_dp_cache(
+                n, lcp, cost_cmd, cost_dist_short, edge_off, e_len,
+                e_wire, e_dist, e_ccode, e_base, e_dcost,
+                _INS_CODE, C.INSERT_EXTRA, _CMD_SYM.reshape(-1),
+                _CMD_SYM_LAST.reshape(-1), data, dict_len, window_size,
+                initial_cache)
         cost = cost.tolist()
         prev_start = prev_start.tolist()
         prev_len = prev_len.tolist()
@@ -351,8 +364,20 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     result = None
     for it in range(iters):
         _, cost_cmd, cost_dist = _cost_tables(lh, ch, dh)
+        cds = cost_dist[:16].copy()
+        if it == 0:
+            # optimistic seeding: the pre-pass sees few cache hits, so
+            # learned short-code/implicit-cell costs start prohibitive
+            # and the DP would never discover them (reference seeds its
+            # cost model from literal costs for the same reason)
+            cds = np.minimum(cds, 6.0)
+            cost_cmd = cost_cmd.copy()
+            cost_cmd[:128] = np.minimum(cost_cmd[:128], 11.0)
         edges = _build_edges(cand_lens, cand_dists, cand_isdict,
                              cand_wire, cost_dist, params.dist, n)
+        edges = edges + (cds, full, dict_len,
+                         window_size, np.asarray(initial_cache,
+                                                 dtype=np.int64))
         result = zopfli_parse(n, lcp, cost_cmd, edges)
         if it + 1 < iters:
             r_ins, r_cps, r_dst, r_adv = result

@@ -56,6 +56,7 @@ def get_lib():
         _lib.zopfli_dp_native.restype = None
         _lib.decode_native.restype = ctypes.c_int64
         _lib.combined_parse_native.restype = ctypes.c_int64
+        _lib.zopfli_dp_cache_native.restype = None
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)
     except Exception:
@@ -331,6 +332,55 @@ def combined_parse(data, window_size, boundaries, dict_len=0, pos0=0,
         off += cnt
     assert off == n_out
     return segments
+
+
+def zopfli_dp_cache(n, lcp, cost_cmd, cost_dist_short, edge_off,
+                    e_len, e_wire, e_dist, e_ccode, e_base, e_dcost,
+                    ins_code_tab, ins_extra_tab, cmd_sym_tab,
+                    cmd_sym_last_tab, data, dict_len, window_size,
+                    initial_cache):
+    """Cache-aware native Zopfli relaxation (short-code edge costs +
+    cache-continuation edges); returns (cost, prev_start, prev_len,
+    prev_wire, prev_dist)."""
+    lib = get_lib()
+    arrs = dict(
+        lcp=np.ascontiguousarray(lcp, dtype=np.float64),
+        cost_cmd=np.ascontiguousarray(cost_cmd, dtype=np.float64),
+        cds=np.ascontiguousarray(cost_dist_short, dtype=np.float64),
+        eo=np.ascontiguousarray(edge_off, dtype=np.int64),
+        el=np.ascontiguousarray(e_len, dtype=np.int64),
+        ew=np.ascontiguousarray(e_wire, dtype=np.int64),
+        ed=np.ascontiguousarray(e_dist, dtype=np.int64),
+        ec=np.ascontiguousarray(e_ccode, dtype=np.int64),
+        eb=np.ascontiguousarray(e_base, dtype=np.float64),
+        edc=np.ascontiguousarray(e_dcost, dtype=np.float64),
+        ict=np.ascontiguousarray(ins_code_tab, dtype=np.int64),
+        iet=np.ascontiguousarray(ins_extra_tab, dtype=np.int64),
+        cst=np.ascontiguousarray(cmd_sym_tab, dtype=np.int64),
+        cslt=np.ascontiguousarray(cmd_sym_last_tab, dtype=np.int64),
+        data=np.ascontiguousarray(data, dtype=np.uint8),
+        cache=np.ascontiguousarray(initial_cache, dtype=np.int64),
+    )
+    cost = np.empty(n + 1, dtype=np.float64)
+    prev_start = np.empty(n + 1, dtype=np.int64)
+    prev_len = np.empty(n + 1, dtype=np.int64)
+    prev_wire = np.empty(n + 1, dtype=np.int64)
+    prev_dist = np.empty(n + 1, dtype=np.int64)
+    node_cache = np.empty(4 * (n + 1), dtype=np.int64)
+    lib.zopfli_dp_cache_native(
+        ctypes.c_int64(n), _ptr(arrs["lcp"], F64),
+        _ptr(arrs["cost_cmd"], F64), _ptr(arrs["cds"], F64),
+        _ptr(arrs["eo"]), _ptr(arrs["el"]), _ptr(arrs["ew"]),
+        _ptr(arrs["ed"]), _ptr(arrs["ec"]), _ptr(arrs["eb"], F64),
+        _ptr(arrs["edc"], F64),
+        _ptr(arrs["ict"]), _ptr(arrs["iet"]), _ptr(arrs["cst"]),
+        _ptr(arrs["cslt"]),
+        _ptr(arrs["data"], U8), ctypes.c_int64(len(arrs["data"])),
+        ctypes.c_int64(dict_len), ctypes.c_int64(window_size),
+        _ptr(arrs["cache"]),
+        _ptr(cost, F64), _ptr(prev_start), _ptr(prev_len),
+        _ptr(prev_wire), _ptr(prev_dist), _ptr(node_cache))
+    return cost, prev_start, prev_len, prev_wire, prev_dist
 
 
 def zopfli_dp(n, lcp, cost_cmd, edge_off, e_len, e_wire, e_dist,

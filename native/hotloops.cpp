@@ -332,6 +332,173 @@ void zopfli_dp_native(
 }
 
 // ---------------------------------------------------------------------------
+// cache-aware Zopfli relaxation (reference UpdateNodes +
+// ComputeDistanceCache, hq.rs:644-830, :454): every DP node carries its
+// exact RFC distance cache, edges whose distance hits the start node's
+// cache are charged the short-code cost, and the 4 cached distances
+// spawn continuation edges (probed against the data) at every position.
+// ---------------------------------------------------------------------------
+
+static inline int short_code_of(int64_t d, const int64_t* c) {
+    if (d == c[0]) return 0;
+    if (d == c[1]) return 1;
+    if (d == c[2]) return 2;
+    if (d == c[3]) return 3;
+    int64_t k = d - c[0] + 3;
+    static const int m0[7] = {8, 6, 4, -1, 5, 7, 9};
+    static const int m1[7] = {14, 12, 10, -1, 11, 13, 15};
+    if (k >= 0 && k <= 6 && k != 3) return m0[k];
+    k = d - c[1] + 3;
+    if (k >= 0 && k <= 6 && k != 3) return m1[k];
+    return -1;
+}
+
+void zopfli_dp_cache_native(
+    int64_t n, const double* lcp, const double* cost_cmd,
+    const double* cost_dist_short /* [16] */,
+    const int64_t* edge_off,
+    const int64_t* e_len, const int64_t* e_wire, const int64_t* e_dist,
+    const int64_t* e_ccode, const double* e_base, const double* e_dcost,
+    const int64_t* ins_code_tab, const int64_t* ins_extra_tab,
+    const int64_t* cmd_sym_tab /* [24*24] use_last=0 */,
+    const int64_t* cmd_sym_last_tab /* [24*24] use_last=1 */,
+    const uint8_t* data, int64_t total_len, int64_t dict_len,
+    int64_t window_size, const int64_t* initial_cache,
+    double* cost, int64_t* prev_start, int64_t* prev_len,
+    int64_t* prev_wire, int64_t* prev_dist, int64_t* node_cache)
+{
+    const double INF = 1e30;
+    for (int64_t i = 0; i <= n; i++) {
+        cost[i] = INF; prev_start[i] = 0; prev_len[i] = 0;
+        prev_wire[i] = 0; prev_dist[i] = 0;
+    }
+    cost[0] = 0.0;
+    for (int c4 = 0; c4 < 4; c4++)
+        node_cache[c4] = initial_cache[c4];
+
+    double best_adj = INF;
+    int64_t best_u = 0;
+
+    // copy-code lookup (lengths up to 64K)
+    auto copy_code_of = [&](int64_t l) -> int {
+        static const int64_t base[24] = {2,3,4,5,6,7,8,9,10,12,14,18,22,
+                                         30,38,54,70,102,134,198,326,
+                                         582,1094,2118};
+        int lo = 0, hi = 23;
+        while (lo < hi) {
+            int mid = (lo + hi + 1) >> 1;
+            if (base[mid] <= l) lo = mid; else hi = mid - 1;
+        }
+        return lo;
+    };
+    static const int copy_extra_tab[24] = {0,0,0,0,0,0,0,0,1,1,2,2,3,3,
+                                           4,4,5,5,6,7,8,9,10,24};
+
+    auto relax = [&](int64_t p, int64_t u, double start_cost,
+                     int64_t tgt, int64_t adv, int64_t wire, int64_t d,
+                     double edge_cost, int dcode) {
+        if (tgt > n) return;
+        double t = start_cost + edge_cost;
+        if (t >= cost[tgt]) return;
+        cost[tgt] = t;
+        prev_start[tgt] = u;
+        prev_len[tgt] = adv;
+        prev_wire[tgt] = wire;
+        prev_dist[tgt] = d;
+        // cache propagation mirrors resolve_commands: dcode 0 and
+        // dictionary refs leave the cache unchanged
+        const int64_t* cs = node_cache + 4 * u;
+        int64_t* ct = node_cache + 4 * tgt;
+        int64_t max_distance = std::min(dict_len + p, window_size);
+        if (dcode != 0 && d <= max_distance) {
+            ct[0] = d; ct[1] = cs[0]; ct[2] = cs[1]; ct[3] = cs[2];
+        } else {
+            ct[0] = cs[0]; ct[1] = cs[1]; ct[2] = cs[2]; ct[3] = cs[3];
+        }
+    };
+
+    for (int64_t p = 0; p < n; p++) {
+        double c = cost[p];
+        if (c < INF) {
+            double adj = c - lcp[p];
+            if (adj < best_adj) { best_adj = adj; best_u = p; }
+        }
+        // two start candidates: running-min u and zero-insert from p
+        struct Start { int64_t u; double base_noins; int64_t il; };
+        Start starts[2];
+        int ns = 0;
+        if (best_adj < INF)
+            starts[ns++] = Start{best_u, best_adj + lcp[p],
+                                 p - best_u};
+        if (c < INF && p != best_u)
+            starts[ns++] = Start{p, c, 0};
+
+        for (int si = 0; si < ns; si++) {
+            const Start& st = starts[si];
+            const int64_t* cs = node_cache + 4 * st.u;
+            int ic = st.il < 65536 ? (int)ins_code_tab[st.il] : 23;
+            double ins_cost = (double)ins_extra_tab[ic];
+            int64_t max_distance = std::min(dict_len + p, window_size);
+
+            // cache-continuation edges (probe capped: longer matches
+            // arrive through the candidate tables anyway)
+            for (int ci = 0; ci < 4; ci++) {
+                int64_t d = cs[ci];
+                if (d <= 0 || d > max_distance) continue;
+                int64_t ml = probe_len(data, dict_len + p - d,
+                                       dict_len + p,
+                                       std::min<int64_t>(n - p, 512));
+                if (ml < 2) continue;
+                int cc = copy_code_of(ml);
+                int sc = short_code_of(d, cs);
+                double edge;
+                int dcode;
+                if (sc == 0 && ic < 8 && cc < 16) {
+                    edge = ins_cost + copy_extra_tab[cc] +
+                           cost_cmd[cmd_sym_last_tab[ic * 24 + cc]];
+                    dcode = 0;
+                } else {
+                    int use = sc >= 0 ? sc : 0;
+                    edge = ins_cost + copy_extra_tab[cc] +
+                           cost_cmd[cmd_sym_tab[ic * 24 + cc]] +
+                           cost_dist_short[use];
+                    dcode = use;
+                }
+                relax(p, st.u, st.base_noins, p + ml, ml, ml, d, edge,
+                      dcode);
+            }
+
+            // table edges
+            int64_t e0 = edge_off[p], e1 = edge_off[p + 1];
+            for (int64_t e = e0; e < e1; e++) {
+                int64_t ll = e_len[e];
+                int64_t d = e_dist[e];
+                int cc = (int)e_ccode[e];
+                int sc = d <= max_distance ? short_code_of(d, cs) : -1;
+                double edge;
+                int dcode;
+                if (sc == 0 && ic < 8 && cc < 16) {
+                    edge = ins_cost + (e_base[e] - e_dcost[e]) +
+                           cost_cmd[cmd_sym_last_tab[ic * 24 + cc]];
+                    dcode = 0;
+                } else if (sc > 0) {
+                    edge = ins_cost + (e_base[e] - e_dcost[e]) +
+                           cost_dist_short[sc] +
+                           cost_cmd[cmd_sym_tab[ic * 24 + cc]];
+                    dcode = sc;
+                } else {
+                    edge = ins_cost + e_base[e] +
+                           cost_cmd[cmd_sym_tab[ic * 24 + cc]];
+                    dcode = 16;  // any non-zero, non-short marker
+                }
+                relax(p, st.u, st.base_noins, p + ll, ll, e_wire[e], d,
+                      edge, dcode);
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // match finder: top-K most-recent candidates per hash bucket
 // (exact native equivalent of match.find_best_matches: ring buffers of
 // the K most recent positions per 4-byte and 8-byte hash bucket, same

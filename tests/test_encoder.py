@@ -171,3 +171,31 @@ def test_all_byte_values():
 def test_deterministic():
     data = load("alice29.txt")
     assert compress(data, quality=9) == compress(data, quality=9)
+
+
+def test_multi_metablock_large_input():
+    """Inputs spanning several metablocks exercise boundary breaking,
+    cache carry, and per-segment serialization."""
+    base = load("alice29.txt") + load("asyoulik.txt")
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, 1 << 18, dtype=np.uint8).tobytes()
+    data = (base * 24)[: 5 << 20] + noise
+    for q in (1, 5, 9):
+        out = compress(data, quality=q)
+        assert decompress(out) == data
+    if oracle.available():
+        assert oracle.decompress(out, max_size_hint=len(data) + 64) == data
+
+
+def test_q9_5_family():
+    """The 9.5 pseudo-quality: greedy match finding + full metablock
+    optimization (reference encode.rs:2064-2111)."""
+    data = load("alice29.txt")
+    out95 = compress(data, quality=10, q9_5=True)
+    assert decompress(out95) == data
+    out9 = compress(data, quality=9)
+    out11 = compress(data, quality=11)
+    # 9.5 sits between q9 and q11 in both effort and size
+    assert len(out11) <= len(out95) <= len(out9) * 1.02
+    if oracle.available():
+        assert oracle.decompress(out95, max_size_hint=len(data)) == data
