@@ -22,7 +22,6 @@ import numpy as np
 from ..core import constants as C
 from ..core.bitio import BitWriter
 from . import bitstream as bs
-from .command import CommandArrays
 from .params import EncoderParams
 
 SUB_BLOCK = 4096
@@ -58,38 +57,6 @@ def _tpu_match_compact(data, window_size: int, k: int = 2, k8: int = 1):
                                                    mode="drop")
     count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), maxc)
     return cpos, clen, cdist, count
-
-
-def _commands_from_segments(insert_len, copy_len, copy_dist, advance,
-                            dist_params) -> CommandArrays:
-    """Vectorized command construction (explicit distances, no cache
-    short codes — what keeps the path loop-free)."""
-    insert_len = np.asarray(insert_len, dtype=np.int64)
-    copy_len = np.asarray(copy_len, dtype=np.int64)
-    copy_dist = np.asarray(copy_dist, dtype=np.int64)
-
-    n = len(insert_len)
-    npostfix, ndirect = dist_params.npostfix, dist_params.ndirect
-    dist_code = np.zeros(n, dtype=np.int64)
-    dist_extra = np.zeros(n, dtype=np.int64)
-    dist_extra_bits = np.zeros(n, dtype=np.int64)
-    has_copy = copy_len > 0
-    if has_copy.any():
-        hc = np.nonzero(has_copy)[0]
-        sym, extra, nbits = C.encode_distance(copy_dist[hc], npostfix,
-                                              ndirect)
-        dist_code[hc] = sym
-        dist_extra[hc] = extra
-        dist_extra_bits[hc] = nbits
-
-    wire_copy = np.where(copy_len == 0, 4, copy_len)
-    ins_code = C.get_insert_length_code(insert_len)
-    copy_code = C.get_copy_length_code(wire_copy)
-    # trailing insert-only command may use the implicit-dist0 cell
-    use_last = (copy_len == 0) & (ins_code < 8) & (copy_code < 16)
-    cmd_sym = C.combine_length_codes(ins_code, copy_code, use_last)
-    return CommandArrays(insert_len, copy_len, copy_dist, dist_code,
-                         dist_extra, dist_extra_bits, cmd_sym)
 
 
 def compress_fast(data, lgwin: int = 22, quality: int = 1) -> bytes:

@@ -90,14 +90,24 @@ class Compressor:
         full = np.concatenate([self._context, chunk])
         dlen = len(self._context)
         knobs = _quality_knobs(p)
-        bl, bd, bsc, isd, bw = find_best_matches(
-            full, p.window_size, dict_len=dlen,
-            literal_byte_score=p.literal_byte_score,
-            use_dictionary=not p.catable, **knobs)
-        segs = greedy_parse(full, bl, bd, bsc, [n], dict_len=dlen,
-                            pos0=0, initial_cache=tuple(self._cache),
-                            best_isdict=isd, window_size=p.window_size,
-                            best_wire=bw)
+        from .. import native_bridge as nb
+        if nb.available():
+            segs = nb.combined_parse(
+                full, p.window_size, [n], dict_len=dlen, pos0=0,
+                initial_cache=tuple(self._cache),
+                literal_byte_score=p.literal_byte_score,
+                use_dictionary=not p.catable, **knobs)
+        else:
+            bl, bd, bsc, isd, bw = find_best_matches(
+                full, p.window_size, dict_len=dlen,
+                literal_byte_score=p.literal_byte_score,
+                use_dictionary=not p.catable, **knobs)
+            segs = greedy_parse(full, bl, bd, bsc, [n], dict_len=dlen,
+                                pos0=0,
+                                initial_cache=tuple(self._cache),
+                                best_isdict=isd,
+                                window_size=p.window_size,
+                                best_wire=bw)
         ins, cps, dst, adv = segs[0]
         cmds, new_cache = resolve_commands(
             ins, cps, dst, p.dist, advance=adv,
