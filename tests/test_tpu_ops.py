@@ -128,3 +128,16 @@ def test_sharded_pipeline_psum():
     visited, take, dist, n_cmds = step(sharded)
     assert visited.shape == shards.shape
     assert int(n_cmds) > 0
+
+
+def test_compress_mesh_end_to_end():
+    """Full multi-chip compression: per-chip matching via shard_map,
+    host commit, BroCatli merge — decodable by the strict decoder."""
+    from brotli_tpu import decompress
+    from brotli_tpu.parallel.mesh import compress_mesh, make_mesh
+    data = load("alice29.txt") + load("asyoulik.txt")
+    mesh = make_mesh(8)
+    out = compress_mesh(data, mesh=mesh)
+    assert decompress(out) == data
+    out1 = compress_mesh(data, mesh=make_mesh(1))
+    assert decompress(out1) == data
