@@ -32,7 +32,12 @@ def pack_bits(bits: np.ndarray, nbits: np.ndarray):
 
     Returns (words, total_bits).  nbits may be 0 (item skipped); each
     item must fit 32 bits so a shifted value spans at most 2 words.
+    Dispatches to the native packer when available (this numpy scatter
+    version is the oracle and the jax/ops.bitpack shape).
     """
+    from .. import native_bridge as nb
+    if nb.available():
+        return nb.pack_bits(bits, nbits)
     bits = np.asarray(bits, dtype=np.uint64)
     nbits = np.asarray(nbits, dtype=np.int64)
     total = int(nbits.sum())

@@ -57,6 +57,7 @@ def get_lib():
         _lib.decode_native.restype = ctypes.c_int64
         _lib.combined_parse_native.restype = ctypes.c_int64
         _lib.zopfli_dp_cache_native.restype = None
+        _lib.pack_bits_native.restype = ctypes.c_int64
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)
     except Exception:
@@ -216,6 +217,22 @@ def resolve_distance_codes(insert_len, copy_len, distance, npostfix,
         _ptr(out_ul, U8))
     return out_code, out_extra, out_bits, out_ul.astype(bool), \
         cache.tolist()
+
+
+def pack_bits(bits, nbits):
+    """Native bit packer; same contract as bitstream.pack_bits."""
+    lib = get_lib()
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    nbits = np.ascontiguousarray(nbits, dtype=np.int64)
+    total = int(nbits.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), 0
+    words = np.zeros(total // 64 + 2, dtype=np.uint64)
+    U64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.pack_bits_native(bits.ctypes.data_as(U64), _ptr(nbits),
+                         ctypes.c_int64(len(bits)),
+                         words.ctypes.data_as(U64))
+    return words, total
 
 
 def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,

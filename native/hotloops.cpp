@@ -332,6 +332,28 @@ void zopfli_dp_native(
 }
 
 // ---------------------------------------------------------------------------
+// bit packing: (bits, nbits) items -> LSB-first u64 words
+// (the serialization hot loop; mirrors bitstream.pack_bits)
+// ---------------------------------------------------------------------------
+
+int64_t pack_bits_native(const uint64_t* bits, const int64_t* nbits,
+                         int64_t n, uint64_t* words)
+{
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t nb = nbits[i];
+        if (!nb) continue;
+        uint64_t b = bits[i];
+        int64_t w = pos >> 6;
+        int sh = (int)(pos & 63);
+        words[w] |= b << sh;
+        if (sh + nb > 64) words[w + 1] |= b >> (64 - sh);
+        pos += nb;
+    }
+    return pos;
+}
+
+// ---------------------------------------------------------------------------
 // cache-aware Zopfli relaxation (reference UpdateNodes +
 // ComputeDistanceCache, hq.rs:644-830, :454): every DP node carries its
 // exact RFC distance cache, edges whose distance hits the start node's

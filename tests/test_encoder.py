@@ -199,3 +199,13 @@ def test_q9_5_family():
     assert len(out11) <= len(out95) <= len(out9) * 1.02
     if oracle.available():
         assert oracle.decompress(out95, max_size_hint=len(data)) == data
+
+
+def test_golden_sizes():
+    """Compression-ratio regression pins (the analog of the reference's
+    alice q10/q11 golden sizes, integration_tests.rs:404-418).  Bands,
+    not exact bytes: the parse is tuning-sensitive, the ceiling is not."""
+    data = load("alice29.txt")
+    assert len(compress(data, quality=5)) <= 52_500
+    assert len(compress(data, quality=9)) <= 51_600
+    assert len(compress(data, quality=11)) <= 48_600
