@@ -15,6 +15,7 @@ Capability parity with dropbox/rust-brotli (reference src/lib.rs):
 
 from .concat.brocatli import BroCatli, BroCatliResult, concatenate
 from .decode.decoder import BrotliDecodeError, Decoder, decompress
+from .decode.batch import decompress_batch
 from .decode.stream import StreamDecoder
 from .encode.encoder import compress
 from .encode.params import EncoderParams
@@ -42,4 +43,5 @@ __all__ = [
     "compress_multi",
     "concatenate",
     "decompress",
+    "decompress_batch",
 ]

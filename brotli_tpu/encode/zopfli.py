@@ -284,9 +284,24 @@ def _backtrack(n, lcp_l, cost, prev_start, prev_len, prev_wire,
 def _collect_candidates(full, window_size, dict_len, literal_byte_score,
                         use_dictionary):
     """Per-position candidate rows: deep hash-4, deep hash-8, dict."""
+    from .. import native_bridge as nb
     outs = []
-    for kw in (dict(k=48, bucket_bits=17, k8=0, use_dictionary=False),
-               dict(k=12, bucket_bits=14, k8=0, use_dictionary=False),
+    if nb.available():
+        # deep table with runner-up (2 diverse rows from one pass)
+        bl, bd, bs, isd, bw, b2l, b2d = nb.find_best_matches(
+            full, window_size, dict_len=dict_len,
+            literal_byte_score=literal_byte_score,
+            k=48, bucket_bits=17, k8=0, use_dictionary=False,
+            want_top2=True)
+        outs.append((bl, bd, isd, bw))
+        outs.append((b2l, b2d, np.zeros(len(b2l), bool), b2l))
+    else:
+        bl, bd, bs, isd, bw = find_best_matches(
+            full, window_size, dict_len=dict_len,
+            literal_byte_score=literal_byte_score,
+            k=48, bucket_bits=17, k8=0, use_dictionary=False)
+        outs.append((bl, bd, isd, bw))
+    for kw in (dict(k=12, bucket_bits=14, k8=0, use_dictionary=False),
                dict(k=1, bucket_bits=17, k8=24,
                     use_dictionary=use_dictionary)):
         bl, bd, bs, isd, bw = find_best_matches(

@@ -238,8 +238,11 @@ def pack_bits(bits, nbits):
 def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
                       bucket_bits8=18, min_length=4,
                       literal_byte_score=540, dict_len=0,
-                      use_dictionary=True, match_cap=320):
-    """Native match finder; same contract as match.find_best_matches."""
+                      use_dictionary=True, match_cap=320,
+                      want_top2=False):
+    """Native match finder; same contract as match.find_best_matches.
+    With want_top2, also returns the runner-up (len, dist) arrays
+    (distinct distance) for Zopfli candidate diversity."""
     lib = get_lib()
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(data)
@@ -248,6 +251,8 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
     best_score = np.zeros(n, dtype=np.int64)
     best_isdict = np.zeros(n, dtype=np.uint8)
     best_wire = np.zeros(n, dtype=np.int64)
+    b2l = np.zeros(n, dtype=np.int64) if want_top2 else None
+    b2d = np.zeros(n, dtype=np.int64) if want_top2 else None
     if use_dictionary:
         from .encode.static_dict import (DICT_HASH_BITS, dict_index,
                                          omit_last_transform_ids)
@@ -277,13 +282,16 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
         ctypes.c_int64(match_cap),
         *dict_args,
         _ptr(best_len), _ptr(best_dist), _ptr(best_score),
-        _ptr(best_isdict, U8), _ptr(best_wire))
+        _ptr(best_isdict, U8), _ptr(best_wire),
+        _ptr(b2l) if want_top2 else I64(),
+        _ptr(b2d) if want_top2 else I64())
     ibd = best_isdict.astype(bool)
-    if dict_len:
-        return (best_len[dict_len:], best_dist[dict_len:],
-                best_score[dict_len:], ibd[dict_len:],
-                best_wire[dict_len:])
-    return best_len, best_dist, best_score, ibd, best_wire
+    sl = slice(dict_len, None) if dict_len else slice(None)
+    base = (best_len[sl], best_dist[sl], best_score[sl], ibd[sl],
+            best_wire[sl])
+    if want_top2:
+        return base + (b2l[sl], b2d[sl])
+    return base
 
 
 def _dict_index_args(use_dictionary):

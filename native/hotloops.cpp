@@ -544,7 +544,8 @@ void find_matches_native(
     const int64_t* dict_word_len, const int64_t* dict_word_idx,
     const int64_t* dict_size_bits, const int64_t* omit_ids,
     int64_t* best_len, int64_t* best_dist, int64_t* best_score,
-    uint8_t* best_isdict, int64_t* best_wire)
+    uint8_t* best_isdict, int64_t* best_wire,
+    int64_t* best2_len, int64_t* best2_dist)
 {
     const uint32_t HASH_MUL32 = 0x1E35A7BDu;
     const uint64_t HASH_MUL64 = 0x1FE35A7BD3579BD3ull;
@@ -569,6 +570,15 @@ void find_matches_native(
         int64_t limit = std::min(n - i, match_cap);
 
         int64_t bl = 0, bd = 0, bs = 0;
+        int64_t b2l = 0, b2d = 0, b2s = 0;
+        auto consider = [&](int64_t ml, int64_t dist, int64_t sc) {
+            if (sc > bs) {
+                if (bd != dist) { b2l = bl; b2d = bd; b2s = bs; }
+                bs = sc; bl = ml; bd = dist;
+            } else if (sc > b2s && dist != bd) {
+                b2s = sc; b2l = ml; b2d = dist;
+            }
+        };
         // 4-byte table: iterate most-recent first
         {
             int32_t c = cnt4[h4];
@@ -580,8 +590,7 @@ void find_matches_native(
                 if (load32(data + cand) != v4) continue;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
-                int64_t sc = score_of(ml, dist);
-                if (sc > bs) { bs = sc; bl = ml; bd = dist; }
+                consider(ml, dist, score_of(ml, dist));
             }
             ring4[h4 * k + (cnt4[h4] % k)] = (int32_t)i;
             cnt4[h4]++;
@@ -601,8 +610,7 @@ void find_matches_native(
                 if (load32(data + cand) != v4) continue;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
-                int64_t sc = score_of(ml, dist);
-                if (sc > bs) { bs = sc; bl = ml; bd = dist; }
+                consider(ml, dist, score_of(ml, dist));
             }
             ring8[h8 * k8 + (cnt8[h8] % k8)] = (int32_t)i;
             cnt8[h8]++;
@@ -640,6 +648,7 @@ void find_matches_native(
         best_len[i] = bl; best_dist[i] = bd; best_score[i] = bs;
         best_isdict[i] = isdict ? 1 : 0;
         best_wire[i] = isdict ? bwire : bl;
+        if (best2_len) { best2_len[i] = b2l; best2_dist[i] = b2d; }
     }
     delete[] ring4; delete[] cnt4;
     delete[] ring8; delete[] cnt8;

@@ -146,3 +146,19 @@ def test_fast_path_small():
     assert decompress(out) == data
     if oracle.available():
         assert oracle.decompress(out, max_size_hint=len(data)) == data
+
+
+def test_decompress_batch():
+    from brotli_tpu import compress, decompress_batch
+    datas = [load("alice29.txt"), load("asyoulik.txt"),
+             load("quickfox") * 50, b"", b"x"]
+    streams = [compress(d, quality=7) for d in datas]
+    assert decompress_batch(streams, threads=4) == datas
+    assert decompress_batch(streams, threads=1) == datas
+    # error propagation: corrupt one stream
+    bad = list(streams)
+    bad[2] = bad[2][: len(bad[2]) // 2]
+    import pytest as _pytest
+    from brotli_tpu.core.bitio import NeedsMoreInput
+    with _pytest.raises(Exception):
+        decompress_batch(bad, threads=4)
