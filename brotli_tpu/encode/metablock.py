@@ -227,7 +227,7 @@ def _merge_types(assign: np.ndarray, hist: np.ndarray, k: int,
 
 
 def split_symbols(syms: np.ndarray, alphabet_size: int, category: str,
-                  iters: int = 6) -> BlockSplit:
+                  iters: int = 3) -> BlockSplit:
     """Entropy-cluster a symbol stream into block types.
 
     Lloyd iterations: cost[chunk, type] = -hist_chunk · log2 p_type via

@@ -15,7 +15,12 @@
 #include <cstdio>
 #include <cstdlib>
 // env-gated trace for decoder debugging (BROTLI_DBG=1)
-#define DBG(...) do { if (std::getenv("BROTLI_DBG"))     std::fprintf(stderr, __VA_ARGS__); } while (0)
+static inline bool dbg_enabled() {
+    static const bool on = std::getenv("BROTLI_DBG") != nullptr;
+    return on;
+}
+#define DBG(...) do { if (dbg_enabled()) \
+    std::fprintf(stderr, __VA_ARGS__); } while (0)
 
 namespace {
 

@@ -84,3 +84,34 @@ def test_truncated_input_fails():
 def test_garbage_fails():
     with pytest.raises((BrotliDecodeError, Exception)):
         decompress(b"\x13\x37" * 50)
+
+
+def test_c_engine_mode_matrix():
+    """Decoder conformance across the C engine's quality/mode/window
+    matrix (text/font context modes, all window encodings)."""
+    import ctypes
+
+    try:
+        enc = ctypes.CDLL("libbrotlienc.so.1")
+    except OSError:
+        import pytest
+        pytest.skip("system brotli unavailable")
+    with open(fixture_path("alice29.txt"), "rb") as f:
+        data = f.read()
+
+    def c_compress(payload, quality, lgwin, mode):
+        enc.BrotliEncoderCompress.restype = ctypes.c_int
+        ms = len(payload) + (len(payload) >> 2) + 1024
+        out = ctypes.create_string_buffer(ms)
+        osz = ctypes.c_size_t(ms)
+        assert enc.BrotliEncoderCompress(quality, lgwin, mode,
+                                         len(payload), payload,
+                                         ctypes.byref(osz), out)
+        return out.raw[:osz.value]
+
+    from brotli_tpu import decompress
+    for q in (0, 2, 6, 11):
+        for mode in (0, 1, 2):
+            for lgwin in (10, 24):
+                comp = c_compress(data, q, lgwin, mode)
+                assert decompress(comp) == data, (q, mode, lgwin)
