@@ -72,25 +72,66 @@ class Literal:
 MODE_NAMES = {0: "lsb6", 1: "msb6", 2: "utf8", 3: "sign"}
 
 
+def _switch_types(switch_plan, ntypes):
+    """Decode the wire type symbols back to block-type ids."""
+    cur, prev = 0, 1
+    out = []
+    for s in switch_plan["type_syms"]:
+        if s == 0:
+            new = prev
+        elif s == 1:
+            new = (cur + 1) % ntypes
+        else:
+            new = s - 2
+        prev, cur = cur, new
+        out.append((new, s))
+    return out
+
+
 def ir_from_commands(data: np.ndarray, start: int, cmds, plan=None,
                      pos_offset: int = 0, window_size: int = 1 << 62):
     """Build the IR command list for one metablock from resolved
     commands (the encoder-side channel, reference process_command_queue,
-    brotli_bit_stream.rs:220-418)."""
+    brotli_bit_stream.rs:220-418).  With a MetaBlockPlan, block-switch
+    records are interleaved at their firing points."""
     out = []
+    lit_switches = []
+    cmd_switches = []
     if plan is not None:
         out.append(PredictionMode(
             mode=plan.context_mode,
             literal_context_map=list(map(int, plan.cmap_l)),
             distance_context_map=list(map(int, plan.cmap_d))))
+        if plan.lit_switch:
+            at = plan.lit_switch["switch_at"]
+            types = [b for b, _ in _switch_types(plan.lit_switch,
+                                                 plan.lit_ntypes)]
+            lit_switches = list(zip(map(int, at), types))
+        if plan.cmd_switch:
+            at = plan.cmd_switch["switch_at"]
+            types = [b for b, _ in _switch_types(plan.cmd_switch,
+                                                 plan.cmd_ntypes)]
+            cmd_switches = list(zip(map(int, at), types))
+    lit_i = 0
+    cmd_i = 0
+    n_lit_seen = 0
     pos = start
     abs_pos = pos_offset
     for i in range(len(cmds)):
+        while cmd_i < len(cmd_switches) and cmd_switches[cmd_i][0] == i:
+            out.append(BlockSwitchCommand(cmd_switches[cmd_i][1]))
+            cmd_i += 1
         il = int(cmds.insert_len[i])
         cl = int(cmds.copy_len[i])
         av = int(cmds.copy_advance[i])
         d = int(cmds.distance[i])
         if il:
+            while (lit_i < len(lit_switches)
+                   and n_lit_seen <= lit_switches[lit_i][0]
+                   < n_lit_seen + il):
+                out.append(BlockSwitchLiteral(lit_switches[lit_i][1], 0))
+                lit_i += 1
+            n_lit_seen += il
             out.append(Literal(bytes(data[pos:pos + il])))
         pos += il
         abs_pos += il
