@@ -155,3 +155,173 @@ def add_dictionary_matches(data: np.ndarray, dict_len: int,
             best_score[u] = sc[upd]
             best_isdict[u] = True
             best_wire[u] = Ls[upd]
+
+
+EXT_HASH_BITS = 20
+EXT_SLOTS = 12
+EXT_MAX_OUT = 38
+
+
+@lru_cache(maxsize=1)
+def expanded_dict_index():
+    """Index of every (word x transform) pair keyed by the 4-byte
+    prefix of the TRANSFORMED output, so case/affix variants are found
+    by the same hash probe as identity matches (the reference encoder's
+    transform-aware search, BrotliFindAllStaticDictionaryMatches in
+    src/enc/static_dict.rs, hand-tests each transform class; here the
+    transform table is expanded ahead of time instead).  Returns
+    (entry_bytes[m, 38], out_len[m], wire[m], wid[m], table[2^20, 12])."""
+    from ..core.dictionary import apply_transform
+    d = get_dictionary()
+    data = np.frombuffer(d.data, dtype=np.uint8)
+    n_tr = len(d.t_type)
+    eb, eo, ew, ewid = [], [], [], []
+    for length in range(4, MAX_WORD_LEN + 1):
+        nwords = d.num_words(length)
+        if nwords == 0:
+            continue
+        off = int(d.offsets_by_length[length])
+        bits = int(d.size_bits_by_length[length])
+        words = [bytes(data[off + i * length: off + (i + 1) * length])
+                 for i in range(nwords)]
+        for t in range(n_tr):
+            outs = [apply_transform(d, w, t) for w in words]
+            for i, out in enumerate(outs):
+                lo = len(out)
+                if lo < 4 or lo > EXT_MAX_OUT:
+                    continue
+                eb.append(out)
+                eo.append(lo)
+                ew.append(length)
+                ewid.append((t << bits) | i)
+    m = len(eb)
+    entry_bytes = np.zeros((m, EXT_MAX_OUT), dtype=np.uint8)
+    for i, out in enumerate(eb):
+        entry_bytes[i, :len(out)] = np.frombuffer(out, np.uint8)
+    out_len = np.asarray(eo, dtype=np.int64)
+    wire = np.asarray(ew, dtype=np.int64)
+    wid = np.asarray(ewid, dtype=np.int64)
+    # hash table over transformed 4-byte prefixes; buckets keep the
+    # shortest EXT_SLOTS entries (short outputs fire most often)
+    v = (entry_bytes[:, 0].astype(np.uint32)
+         | (entry_bytes[:, 1].astype(np.uint32) << 8)
+         | (entry_bytes[:, 2].astype(np.uint32) << 16)
+         | (entry_bytes[:, 3].astype(np.uint32) << 24))
+    h = ((v * np.uint32(HASH_MUL32))
+         >> np.uint32(32 - EXT_HASH_BITS)).astype(np.int64)
+    order = np.lexsort((out_len, h))
+    hs = h[order]
+    rank = np.arange(m) - np.searchsorted(hs, hs, side="left")
+    keep = rank < EXT_SLOTS
+    table = np.full((1 << EXT_HASH_BITS, EXT_SLOTS), -1, dtype=np.int32)
+    table[hs[keep], rank[keep]] = order[keep].astype(np.int32)
+    return entry_bytes, out_len, wire, wid, table
+
+
+def collect_dict_matches(data: np.ndarray, dict_len: int,
+                         window_size: int, chunk: int = 1 << 16):
+    """ALL static-dictionary matches (every transform) as sparse
+    candidates for the optimal parser: (pos, out_len, pseudo_dist,
+    wire), pos relative to the region start.  The DP prices each
+    against window matches and literals (reference hq.rs:707 feeds
+    dictionary matches to Zopfli the same way)."""
+    entry_bytes, e_out, e_wire, e_wid, table = expanded_dict_index()
+    d = get_dictionary()
+    n = len(data)
+    out_p, out_l, out_d, out_w = [], [], [], []
+    if n - dict_len < 4:
+        return (np.zeros(0, np.int64),) * 4
+    pad = np.concatenate([data, np.zeros(EXT_MAX_OUT, np.uint8)])
+    span = np.arange(EXT_MAX_OUT)
+    for c0 in range(dict_len, n - 3, chunk):
+        c1 = min(c0 + chunk, n - 3)
+        idx = np.arange(c0, c1, dtype=np.int64)
+        v = (pad[idx].astype(np.uint32)
+             | (pad[idx + 1].astype(np.uint32) << 8)
+             | (pad[idx + 2].astype(np.uint32) << 16)
+             | (pad[idx + 3].astype(np.uint32) << 24))
+        h = ((v * np.uint32(HASH_MUL32))
+             >> np.uint32(32 - EXT_HASH_BITS)).astype(np.int64)
+        cands = table[h]                              # [m, SLOTS]
+        hit = cands >= 0
+        if not hit.any():
+            continue
+        window = pad[idx[:, None] + span[None, :]]    # [m, 38]
+        ee = np.maximum(cands, 0)
+        eq = window[:, None, :] == entry_bytes[ee]    # [m, SLOTS, 38]
+        pref = np.cumprod(eq, axis=2, dtype=bool).sum(axis=2)
+        lo = e_out[ee]
+        ok = hit & (pref >= lo) & (idx[:, None] + lo <= n)
+        if not ok.any():
+            continue
+        mi, si = np.nonzero(ok)
+        pos = idx[mi]
+        sel = ee[mi, si]
+        max_dist = np.minimum(pos, window_size)
+        out_p.append(pos - dict_len)
+        out_l.append(lo[mi, si])
+        out_d.append(max_dist + 1 + e_wid[sel])
+        out_w.append(e_wire[sel])
+    if not out_p:
+        return (np.zeros(0, np.int64),) * 4
+    return (np.concatenate(out_p), np.concatenate(out_l),
+            np.concatenate(out_d), np.concatenate(out_w))
+
+
+def collect_dict_matches_identity(data: np.ndarray, dict_len: int,
+                                  window_size: int, chunk: int = 1 << 20):
+    """ALL static-dictionary matches as sparse candidates for the
+    optimal parser: (pos, out_len, pseudo_dist, wire) with pos relative
+    to the region start.  Unlike add_dictionary_matches this does not
+    gate on beating the window match — the DP prices both and chooses
+    (reference hq.rs:1237 feeds dictionary matches to Zopfli the same
+    way, via BrotliFindAllStaticDictionaryMatches)."""
+    word_bytes, word_len, word_idx, table, size_bits = dict_index()
+    omit_ids = omit_last_transform_ids()
+    n = len(data)
+    out_p, out_l, out_d, out_w = [], [], [], []
+    if n < 4:
+        return (np.zeros(0, np.int64),) * 4
+    d32 = np.concatenate([data, np.zeros(4, np.uint8)]).astype(np.uint32)
+    v = d32[:n] | (d32[1:n + 1] << 8) | (d32[2:n + 2] << 16) \
+        | (d32[3:n + 3] << 24)
+    h = ((v * np.uint32(HASH_MUL32)) >> np.uint32(32 - DICT_HASH_BITS)) \
+        .astype(np.int64)
+    pad = np.concatenate([data, np.zeros(MAX_WORD_LEN, np.uint8)])
+    span = np.arange(MAX_WORD_LEN)
+    for c0 in range(dict_len, n, chunk):
+        c1 = min(c0 + chunk, n)
+        idx = np.arange(c0, c1, dtype=np.int64)
+        window = pad[idx[:, None] + span[None, :]]
+        for slot in range(DICT_SLOTS):
+            e = table[h[c0:c1], slot]
+            hit = e >= 0
+            if not hit.any():
+                continue
+            ee = np.maximum(e, 0)
+            L = word_len[ee]
+            eq = window == word_bytes[ee]
+            cmp_ok = np.cumprod(eq, axis=1, dtype=bool)
+            mlen = np.minimum(cmp_ok.sum(axis=1), L)
+            mlen = np.minimum(mlen, n - idx)
+            omit = L - mlen
+            valid_t = (omit == 0) | ((omit <= 9) &
+                                     (omit_ids[np.minimum(omit, 9)] >= 0))
+            ok = hit & (mlen >= 4) & valid_t
+            if not ok.any():
+                continue
+            sel = np.nonzero(ok)[0]
+            pos = idx[sel]
+            m = mlen[sel]
+            Ls = L[sel]
+            transform = omit_ids[Ls - m]
+            max_dist = np.minimum(pos, window_size)
+            wid = (transform << size_bits[Ls]) + word_idx[ee[sel]]
+            out_p.append(pos - dict_len)
+            out_l.append(m)
+            out_d.append(max_dist + 1 + wid)
+            out_w.append(Ls)
+    if not out_p:
+        return (np.zeros(0, np.int64),) * 4
+    return (np.concatenate(out_p), np.concatenate(out_l),
+            np.concatenate(out_d), np.concatenate(out_w))

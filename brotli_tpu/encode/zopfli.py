@@ -46,31 +46,91 @@ for _i in range(8):
         np.full(16, _i), np.arange(16), np.ones(16, bool))
 
 
-def estimate_literal_costs(data: np.ndarray, window: int = 4096):
-    """Per-byte literal bit cost from block entropy (reference
-    BrotliEstimateBitCostsForLiterals, src/enc/literal_cost.rs:178)."""
+def _sliding_key_counts(keys: np.ndarray, queries: np.ndarray,
+                        lo: np.ndarray, hi: np.ndarray):
+    """count_i = #{j in [lo_i, hi_i] : keys[j] == queries[i]} via one
+    composite-key sort (key*n + pos is sorted ascending per key)."""
+    n = len(keys)
+    order = np.argsort(keys, kind="stable")
+    S = keys[order].astype(np.int64) * n + order
+    base = queries.astype(np.int64) * n
+    h = np.searchsorted(S, base + np.minimum(hi, n - 1), side="right")
+    l = np.searchsorted(S, base + np.maximum(lo, 0), side="left")
+    return h - l
+
+
+def estimate_literal_costs(data: np.ndarray, window: int = 0):
+    """Per-byte literal bit cost from a sliding local histogram
+    (reference BrotliEstimateBitCostsForLiterals, src/enc/
+    literal_cost.rs:179: +-495-byte window with UTF8 context classes
+    for mostly-UTF8 input, +-2000-byte single histogram otherwise; the
+    sequential add/remove histogram walk is replaced by a composite-key
+    searchsorted, which gives the same window counts in O(n log n))."""
     n = len(data)
-    nblocks = max(1, (n + window - 1) // window)
-    pad = nblocks * window - n
-    padded = np.concatenate([data, np.zeros(pad, np.uint8)])
-    blocks = padded.reshape(nblocks, window)
-    hist = np.apply_along_axis(
-        lambda b: np.bincount(b, minlength=256), 1, blocks).astype(
-        np.float64)
-    if pad:
-        hist[-1] -= np.bincount(padded[-pad:], minlength=256)
-    totals = hist.sum(axis=1, keepdims=True)
-    p = (hist + 0.3) / (totals + 0.3 * 256)
-    bits = -np.log2(p)
-    block_of = np.minimum(np.arange(n) // window, nblocks - 1)
-    return bits[block_of, data[:n]]
+    if n == 0:
+        return np.zeros(0)
+    raw = data.tobytes()
+    utf8 = len(raw.decode("utf-8", errors="ignore").encode()) > 0.75 * n
+    idx = np.arange(n)
+    if utf8:
+        half = 495
+        # context class of position i from bytes i-1 (c) and i-2 (last):
+        # ASCII continuation -> 0, multibyte lead -> 1, interior -> 2
+        # (literal_cost.rs:8, UTF8Position), clamped by the sampled
+        # multi-byte level (DecideMultiByteStatsLevel)
+        c = np.concatenate([[0], data[:-1]]).astype(np.int64)
+        last = np.concatenate([[0, 0], data[:-2]]).astype(np.int64)
+        cls2 = np.where(c < 128, 0,
+                        np.where(c >= 192, 1, np.where(last < 0xE0, 0, 2)))
+        counts = np.bincount(cls2, minlength=3)
+        max_utf8 = 0 if counts[1] + counts[2] < 25 else (
+            1 if counts[2] < 500 else 2)
+        cls = np.minimum(cls2, max_utf8)
+        lo, hi = idx - half + 1, idx + half
+        if max_utf8 == 0:
+            cnt = _sliding_key_counts(data.astype(np.int64),
+                                      data.astype(np.int64), lo, hi)
+            W = np.minimum(hi, n - 1) - np.maximum(lo, 0) + 1
+        else:
+            key = cls * 256 + data
+            cnt = _sliding_key_counts(key, key, lo, hi)
+            W = _sliding_key_counts(cls, cls, lo, hi)
+        cost = (np.log2(np.maximum(W, 1))
+                - np.log2(np.maximum(cnt, 1)) + 0.02905)
+        cost = np.where(cost < 1.0, cost * 0.5 + 0.5, cost)
+        ramp = idx < 2000
+        cost = cost + ramp * (0.7 - (2000 - np.minimum(idx, 2000))
+                              / 2000.0 * 0.35)
+    else:
+        half = 2000
+        lo, hi = idx - half + 1, idx + half
+        cnt = _sliding_key_counts(data.astype(np.int64),
+                                  data.astype(np.int64), lo, hi)
+        W = np.minimum(hi, n - 1) - np.maximum(lo, 0) + 1
+        cost = (np.log2(np.maximum(W, 1))
+                - np.log2(np.maximum(cnt, 1)) + 0.029)
+        cost = np.where(cost < 1.0, cost * 0.5 + 0.5, cost)
+    return cost
+
+
+def _set_cost(h, literal=False):
+    """Histogram -> per-symbol bit cost (reference SetCost,
+    hq.rs:1046): missing symbols cost log2(sum [+ nmissing]) + 2,
+    present symbols are floored at 1 bit."""
+    h = np.asarray(h, np.float64)
+    s = h.sum()
+    if s == 0:
+        return np.full(len(h), 2.0)
+    miss = s if literal else s + (h == 0).sum()
+    cost = np.where(h > 0,
+                    np.maximum(np.log2(s) - np.log2(np.maximum(h, 1)), 1.0),
+                    np.log2(miss) + 2.0)
+    return cost
 
 
 def _cost_tables(lit_hist, cmd_hist, dist_hist):
-    def costs(h):
-        h = np.asarray(h, np.float64) + 0.25
-        return -np.log2(h / h.sum())
-    return costs(lit_hist), costs(cmd_hist), costs(dist_hist)
+    return (_set_cost(lit_hist, literal=True), _set_cost(cmd_hist),
+            _set_cost(dist_hist))
 
 
 def _histograms_from_commands(data, cmds, dist_alpha):
@@ -84,7 +144,7 @@ def _histograms_from_commands(data, cmds, dist_alpha):
 
 
 def _build_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
-                 cost_dist, dist_params, n):
+                 cost_dist, dist_params, n, extra=None):
     """Vectorized edge construction: per match candidate, the full
     length plus a geometric ladder of shorter lengths (dictionary
     matches keep only the exact word length).  Returns edges grouped by
@@ -97,6 +157,17 @@ def _build_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
     D = cand_dists[ci, pp]
     ISD = cand_isdict[ci, pp]
     W = cand_wire[ci, pp]
+    if extra is not None:
+        # sparse all-matches from the native collector plus dense
+        # dictionary candidates (the reference's hash-to-binary-tree +
+        # BrotliFindAllStaticDictionaryMatches, hq.rs:1237, return every
+        # distinct-distance match; these rows are the batched analog)
+        xp, xl, xd, xisd, xw = extra
+        pp = np.concatenate([pp, xp])
+        L = np.concatenate([L, xl])
+        D = np.concatenate([D, xd])
+        ISD = np.concatenate([ISD, xisd])
+        W = np.concatenate([W, xw])
     # dedupe (p, d) pairs keeping the longest
     order = np.lexsort((-L, D, pp))
     pp, L, D, ISD, W = (pp[order], L[order], D[order], ISD[order],
@@ -369,6 +440,23 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                                    pos_offset=dict_len,
                                    window_size=window_size)
 
+    from .. import native_bridge as nb
+    extra = None
+    if params.quality >= 11:
+        xs = []
+        if nb.available():
+            mp, ml, md = nb.collect_matches(full, window_size,
+                                            dict_len=dict_len)
+            xs.append((mp, ml, md, np.zeros(len(mp), bool), ml))
+        if not params.catable:
+            from .static_dict import collect_dict_matches
+            dp_, dl_, dd_, dw_ = collect_dict_matches(
+                full, dict_len, window_size)
+            xs.append((dp_, dl_, dd_, np.ones(len(dp_), bool), dw_))
+        if xs:
+            extra = tuple(np.concatenate([x[i] for x in xs])
+                          for i in range(5))
+
     data_region = full[dict_len:]
     lit_costs = estimate_literal_costs(data_region)
     lcp = np.concatenate([[0.0], np.cumsum(lit_costs)])
@@ -378,7 +466,14 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     iters = 3 if params.quality >= 11 else 1
     result = None
     for it in range(iters):
-        _, cost_cmd, cost_dist = _cost_tables(lh, ch, dh)
+        cost_lit, cost_cmd, cost_dist = _cost_tables(lh, ch, dh)
+        if it > 0:
+            # iterations >= 1 price literals from the previous parse's
+            # literal histogram, not the position estimator (reference
+            # set_from_commands, hq.rs:1076: only bytes that stayed
+            # literals shape the cost)
+            lcp = np.concatenate([[0.0],
+                                  np.cumsum(cost_lit[data_region])])
         cds = cost_dist[:16].copy()
         if it == 0:
             # optimistic seeding: the pre-pass sees few cache hits, so
@@ -389,7 +484,8 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
             cost_cmd = cost_cmd.copy()
             cost_cmd[:128] = np.minimum(cost_cmd[:128], 11.0)
         edges = _build_edges(cand_lens, cand_dists, cand_isdict,
-                             cand_wire, cost_dist, params.dist, n)
+                             cand_wire, cost_dist, params.dist, n,
+                             extra=extra)
         edges = edges + (cds, full, dict_len,
                          window_size, np.asarray(initial_cache,
                                                  dtype=np.int64))

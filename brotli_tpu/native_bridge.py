@@ -58,6 +58,7 @@ def get_lib():
         _lib.combined_parse_native.restype = ctypes.c_int64
         _lib.zopfli_dp_cache_native.restype = None
         _lib.pack_bits_native.restype = ctypes.c_int64
+        _lib.collect_matches_native.restype = ctypes.c_int64
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)
     except Exception:
@@ -217,6 +218,30 @@ def resolve_distance_codes(insert_len, copy_len, distance, npostfix,
         _ptr(out_ul, U8))
     return out_code, out_extra, out_bits, out_ul.astype(bool), \
         cache.tolist()
+
+
+def collect_matches(data, window_size, dict_len=0, k=48,
+                    bucket_bits=17, k8=24, bucket_bits8=18, min_len=4,
+                    max_per_pos=16):
+    """All useful matches per position (the optimal parser's candidate
+    source).  Returns (pos, len, dist) arrays, positions relative to
+    the region start (index 0 == absolute dict_len)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(data)
+    cap = max(1, (n - dict_len)) * max_per_pos // 2 + 1024
+    out_pos = np.empty(cap, dtype=np.int64)
+    out_len = np.empty(cap, dtype=np.int64)
+    out_dist = np.empty(cap, dtype=np.int64)
+    m = lib.collect_matches_native(
+        _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(dict_len),
+        ctypes.c_int64(window_size), ctypes.c_int64(k),
+        ctypes.c_int64(bucket_bits), ctypes.c_int64(k8),
+        ctypes.c_int64(bucket_bits8), ctypes.c_int64(min_len),
+        ctypes.c_int64(max_per_pos),
+        _ptr(out_pos), _ptr(out_len), _ptr(out_dist),
+        ctypes.c_int64(cap))
+    return out_pos[:m], out_len[:m], out_dist[:m]
 
 
 def pack_bits(bits, nbits):

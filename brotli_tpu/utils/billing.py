@@ -45,6 +45,7 @@ def account(stream: bytes, custom_dictionary: bytes = b"",
     """Decode `stream`, returning {'bits': Counter, 'stats': Counter}."""
     reader = BillingReader(stream)
     stats = Counter()
+    trace = []  # (tree, dcode, distance, copy_len) per explicit distance
 
     class AccountingDecoder(D.Decoder):
         def _decode_compressed_metablock(self, reader, out, mlen,
@@ -154,10 +155,14 @@ def account(stream: bytes, custom_dictionary: bytes = b"",
                             dcode, npostfix, ndirect, extra))
                         reader.section = "dist_syms"
                 stats[f"copy_len_{min(copy_len, 10)}"] += 1
+                if not C.CMD_IMPLICIT_DIST0[cmd_sym]:
+                    trace.append((tree, dcode, distance, copy_len))
                 if distance > max_distance:
                     word = static_dict.resolve(
                         copy_len, distance - max_distance - 1)
                     stats["dict_refs"] += 1
+                    trace.append(("dict", copy_len,
+                                  distance - max_distance - 1, len(word)))
                     out += word
                     mlen -= len(word)
                 else:
@@ -171,7 +176,8 @@ def account(stream: bytes, custom_dictionary: bytes = b"",
 
     dec = AccountingDecoder(custom_dictionary, large_window)
     out = dec.decompress_reader(reader)
-    return {"bits": reader.bill, "stats": stats, "output_len": len(out)}
+    return {"bits": reader.bill, "stats": stats, "output_len": len(out),
+            "dist_trace": trace}
 
 
 def compare(a: bytes, b: bytes, label_a="ours", label_b="theirs"):

@@ -37,6 +37,14 @@ static inline int64_t probe_len(const uint8_t* data, int64_t src,
     return l;
 }
 
+static inline uint32_t load32(const uint8_t* p) {
+    uint32_t v; std::memcpy(&v, p, 4); return v;
+}
+
+static inline uint64_t load64(const uint8_t* p) {
+    uint64_t v; std::memcpy(&v, p, 8); return v;
+}
+
 static inline int64_t cache_penalty(int64_t i) {
     return 39 + ((0x1CA10u >> (i & 0x0E)) & 0x0E);
 }
@@ -332,6 +340,107 @@ void zopfli_dp_native(
 }
 
 // ---------------------------------------------------------------------------
+// all-matches collection for the optimal parser (the H10
+// hash-to-binary-tree analog, reference StoreAndFindMatchesH10,
+// hash_to_binary_tree.rs:437: return EVERY useful match per position,
+// with the long-match skip-ahead of hq.rs:1339)
+// ---------------------------------------------------------------------------
+
+int64_t collect_matches_native(
+    const uint8_t* data, int64_t n, int64_t dict_len,
+    int64_t window_size, int64_t k, int64_t bucket_bits,
+    int64_t k8, int64_t bucket_bits8, int64_t min_len,
+    int64_t max_per_pos,
+    int64_t* out_pos, int64_t* out_len, int64_t* out_dist,
+    int64_t cap)
+{
+    int64_t nb4 = int64_t(1) << bucket_bits;
+    int64_t nb8 = int64_t(1) << bucket_bits8;
+    int32_t* ring4 = new int32_t[nb4 * k];
+    int32_t* cnt4 = new int32_t[nb4]();
+    int32_t* ring8 = k8 ? new int32_t[nb8 * k8] : nullptr;
+    int32_t* cnt8 = k8 ? new int32_t[nb8]() : nullptr;
+    uint32_t shift4 = (uint32_t)(32 - bucket_bits);
+    uint32_t shift8 = (uint32_t)(64 - bucket_bits8);
+
+    int64_t m = 0;
+    int64_t skip_until = 0;
+    int64_t ins_pos = 0;
+
+    auto insert_upto = [&](int64_t stop) {
+        for (int64_t i = ins_pos; i < stop; i++) {
+            if (i + 4 <= n) {
+                uint32_t v = load32(data + i);
+                uint32_t h = (v * 0x1E35A7BDu) >> shift4;
+                ring4[h * k + (cnt4[h] % k)] = (int32_t)i;
+                cnt4[h]++;
+                if (k8 && i + 8 <= n) {
+                    uint64_t v8 = load64(data + i);
+                    uint32_t h8 = (uint32_t)(
+                        (v8 * 0x1FE35A7BD3579BD3ull) >> shift8);
+                    ring8[h8 * k8 + (cnt8[h8] % k8)] = (int32_t)i;
+                    cnt8[h8]++;
+                }
+            }
+        }
+        if (stop > ins_pos) ins_pos = stop;
+    };
+
+    int64_t dists_seen[128];
+    for (int64_t i = dict_len; i + 4 <= n; i++) {
+        insert_upto(i);
+        if (i < skip_until) continue;
+        int64_t limit = n - i;
+        uint32_t v4 = load32(data + i);
+        int per = 0;
+        int64_t longest = 0;
+        int64_t best_per_len[2] = {0, 0};  // track to prune dominated
+
+        auto emit = [&](int64_t cand) {
+            int64_t dist = i - cand;
+            if (dist > window_size) return;
+            if (load32(data + cand) != v4) return;
+            for (int d = 0; d < per; d++)
+                if (dists_seen[d] == dist) return;
+            int64_t ml = probe_len(data, cand, i, limit);
+            if (ml < min_len) return;
+            if (per < max_per_pos && m < cap) {
+                dists_seen[per++] = dist;
+                out_pos[m] = i - dict_len;
+                out_len[m] = ml;
+                out_dist[m] = dist;
+                m++;
+                longest = std::max(longest, ml);
+            }
+        };
+
+        {
+            uint32_t h = (v4 * 0x1E35A7BDu) >> shift4;
+            int32_t c = cnt4[h];
+            int32_t kk = (int32_t)std::min<int64_t>(c, k);
+            for (int32_t j = 0; j < kk && per < max_per_pos; j++)
+                emit(ring4[h * k + ((c - 1 - j) % k + k) % k]);
+        }
+        if (k8 && i + 8 <= n) {
+            uint64_t v8 = load64(data + i);
+            uint32_t h8 = (uint32_t)((v8 * 0x1FE35A7BD3579BD3ull)
+                                     >> shift8);
+            int32_t c = cnt8[h8];
+            int32_t kk = (int32_t)std::min<int64_t>(c, k8);
+            for (int32_t j = 0; j < kk && per < max_per_pos; j++)
+                emit(ring8[h8 * k8 + ((c - 1 - j) % k8 + k8) % k8]);
+        }
+        // long-match skip-ahead (matches stay in the tables via
+        // insert_upto; reference hq.rs:1339 skips after >325 matches)
+        if (longest > 325)
+            skip_until = i + longest - 64;
+    }
+    delete[] ring4; delete[] cnt4;
+    delete[] ring8; delete[] cnt8;
+    return m;
+}
+
+// ---------------------------------------------------------------------------
 // bit packing: (bits, nbits) items -> LSB-first u64 words
 // (the serialization hot loop; mirrors bitstream.pack_bits)
 // ---------------------------------------------------------------------------
@@ -526,13 +635,6 @@ void zopfli_dp_cache_native(
 // the K most recent positions per 4-byte and 8-byte hash bucket, same
 // candidate order, scoring, and tie-breaking as the numpy oracle)
 // ---------------------------------------------------------------------------
-
-static inline uint32_t load32(const uint8_t* p) {
-    uint32_t v; std::memcpy(&v, p, 4); return v;
-}
-static inline uint64_t load64(const uint8_t* p) {
-    uint64_t v; std::memcpy(&v, p, 8); return v;
-}
 
 void find_matches_native(
     const uint8_t* data, int64_t n, int64_t dict_len,
