@@ -25,6 +25,9 @@ from ..core import constants as C
 from .match import MATCH_CAP, extend_match, find_best_matches, greedy_parse
 
 INF = float("inf")
+Q11_ITERS = 5  # cost-model refinement rounds at q11 (reference runs 2;
+               # extra rounds keep improving the parse/histogram
+               # equilibrium and stop early on convergence)
 
 # insert/copy code lookup tables (list indexing is ~10x faster than
 # np.searchsorted in the scalar DP loop)
@@ -133,6 +136,66 @@ def _cost_tables(lit_hist, cmd_hist, dist_hist):
             _set_cost(dist_hist))
 
 
+def _context_distance_costs(cmds, dist_alpha, beta: float = 32.0):
+    """[4, alpha] distance symbol costs conditioned on the RFC
+    copy-length distance context, from the previous parse (the real
+    coder clusters distance histograms over these contexts; a single
+    global table misprices short-copy distances)."""
+    mask = (cmds.copy_len > 0) & ~C.CMD_IMPLICIT_DIST0[cmds.cmd_sym]
+    ctx = C.distance_context_from_copy_len(cmds.copy_len[mask])
+    h = np.zeros((4, dist_alpha), np.float64)
+    np.add.at(h, (ctx, cmds.dist_code[mask]), 1.0)
+    g = h.sum(axis=0)
+    gp = g / max(g.sum(), 1.0)
+    p = (h + beta * gp[None, :] + 1e-12) / (h.sum(axis=1)[:, None] + beta)
+    return np.maximum(-np.log2(p), 1.0)
+
+
+def _context_literal_costs(data_region, full, dict_len, cmds,
+                           mode: int = 2, alpha: float = 64.0,
+                           bias: float = 0.4):
+    """Per-position literal bit cost conditioned on the RFC literal
+    context (lut0[p1] | lut1[p2]), from the previous parse's literals.
+
+    The final coder codes literals in context-clustered trees, so a
+    global literal histogram overprices them by ~0.5-1 bit each — which
+    biases the DP toward marginal short copies.  (The reference's
+    Zopfli shares that bias; this is a deliberate improvement over
+    hq.rs:1076.)  Counts are smoothed toward the global distribution to
+    approximate the coder's context clustering."""
+    n_cmd = len(cmds.insert_len)
+    step = cmds.insert_len + cmds.copy_advance
+    cmd_start = np.zeros(n_cmd, np.int64)
+    np.cumsum(step[:-1], out=cmd_start[1:])
+    total = int(cmds.insert_len.sum())
+    lut0, lut1 = C.CONTEXT_LUT0[mode], C.CONTEXT_LUT1[mode]
+    hist = np.zeros((64, 256), np.float64)
+    if total:
+        owner = np.repeat(np.arange(n_cmd), cmds.insert_len)
+        run_off = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(cmds.insert_len)[:-1]]),
+            cmds.insert_len)
+        lpos = cmd_start[owner] + run_off
+        absd = dict_len + lpos
+        p1 = np.where(absd >= 1, full[np.maximum(absd - 1, 0)], 0)
+        p2 = np.where(absd >= 2, full[np.maximum(absd - 2, 0)], 0)
+        ctx = lut0[p1] | lut1[p2]
+        np.add.at(hist, (ctx, data_region[lpos]), 1.0)
+    ctx_tot = hist.sum(axis=1)
+    g = hist.sum(axis=0)
+    g = g / max(g.sum(), 1.0)
+    p = (hist + alpha * g[None, :] + 1e-9) / (ctx_tot[:, None] + alpha)
+    cost_tab = np.maximum(-np.log2(p), 1.0)
+    idx = dict_len + np.arange(len(data_region))
+    p1a = np.where(idx >= 1, full[np.maximum(idx - 1, 0)], 0)
+    p2a = np.where(idx >= 2, full[np.maximum(idx - 2, 0)], 0)
+    ctx_all = lut0[p1a] | lut1[p2a]
+    # the flat bias prices the per-literal share of costs outside the
+    # model (context-tree descriptions, context-map and block-switch
+    # overhead grow with literal-tree usage); tuned empirically
+    return cost_tab[ctx_all, data_region] + bias
+
+
 def _histograms_from_commands(data, cmds, dist_alpha):
     from .bitstream import extract_literals
     lits = extract_literals(data, 0, cmds)
@@ -143,13 +206,13 @@ def _histograms_from_commands(data, cmds, dist_alpha):
     return lit_hist, cmd_hist, dist_hist
 
 
-def _build_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
-                 cost_dist, dist_params, n, extra=None):
-    """Vectorized edge construction: per match candidate, the full
-    length plus a geometric ladder of shorter lengths (dictionary
-    matches keep only the exact word length).  Returns edges grouped by
-    source position: lists (length, dist, copy_code, base_cost) where
-    base = dist symbol cost + dist/copy extra bits."""
+def _prepare_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
+                   dist_params, n, extra=None):
+    """One-time vectorized edge construction: per match candidate, the
+    full length plus a geometric ladder of shorter lengths (dictionary
+    matches keep only the exact word length).  Cost-independent — the
+    per-iteration cost model only re-prices via _price_edges.  Returns
+    edges grouped by source position."""
     npostfix, ndirect = dist_params.npostfix, dist_params.ndirect
     mvalid = cand_lens >= 2
     ci, pp = np.nonzero(mvalid)
@@ -176,52 +239,62 @@ def _build_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
     keep[1:] = (pp[1:] != pp[:-1]) | (D[1:] != D[:-1])
     pp, L, D, ISD, W = pp[keep], L[keep], D[keep], ISD[keep], W[keep]
 
-    # distance symbol costs (vectorized)
-    dcost = np.zeros(len(pp))
+    # distance symbol / extra-bit split (cost-independent)
+    sym_a = np.zeros(len(pp), np.int64)
+    nbits_a = np.zeros(len(pp), np.int64)
     direct = D <= ndirect
     if direct.any():
-        dcost[direct] = cost_dist[15 + D[direct]]
+        sym_a[direct] = 15 + D[direct]
     far = ~direct
     if far.any():
-        sym, extra, nbits = C.encode_distance(D[far], npostfix, ndirect)
-        dcost[far] = cost_dist[sym] + nbits
+        sym, extra_v, nbits = C.encode_distance(D[far], npostfix,
+                                                ndirect)
+        sym_a[far] = sym
+        nbits_a[far] = nbits
 
-    ladders = [(L, W)]
-    near = np.where((L > 4) & ~ISD, L - 1, 0)
-    ladders.append((near, near))
-    near2 = np.where((L > 5) & ~ISD, L - 2, 0)
-    ladders.append((near2, near2))
-    for sub in (4, 5, 6, 8, 10, 13, 16, 22, 32, 48, 64, 96, 128, 192):
-        # dictionary words cannot be shortened (copy_len selects the word)
-        cut = np.where((L > sub) & ~ISD, sub, 0)
-        ladders.append((cut, cut))
+    # length ladder as one candidate-major matrix: col 0 = exact
+    # length, cols 1-2 = l-1 / l-2, remaining cols = fixed sub-lengths
+    # (dictionary words cannot be shortened — copy_len selects the
+    # word).  Candidate-major keeps edges grouped by (sorted) source
+    # position, so no final sort is needed.
+    subs = np.array((4, 5, 6, 8, 10, 13, 16, 22, 32, 48, 64, 96, 128,
+                     192), dtype=np.int32)
+    m = len(pp)
+    M = np.zeros((m, 3 + len(subs)), np.int32)
+    notd = ~ISD
+    L32 = L.astype(np.int32)
+    M[:, 0] = L32
+    M[:, 1] = np.where((L32 > 4) & notd, L32 - 1, 0)
+    M[:, 2] = np.where((L32 > 5) & notd, L32 - 2, 0)
+    M[:, 3:] = np.where((L32[:, None] > subs[None, :]) & notd[:, None],
+                        subs[None, :], 0)
+    ci, ri = np.nonzero(M >= 2)
+    e_len = M[ci, ri].astype(np.int64)
+    e_wire = np.where(ri == 0, W[ci], e_len)
+    src = pp[ci]
+    e_dist = D[ci]
+    e_ccode = _COPY_CODE[np.minimum(e_wire, (1 << 16) - 1)]
+    e_sym = sym_a[ci]
+    e_nbits = nbits_a[ci]
+    e_dctx = np.maximum(np.minimum(e_wire, 5) - 2, 0)
+    edge_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=edge_off[1:])
+    return (edge_off, e_len, e_wire, e_dist, e_ccode, e_sym, e_nbits,
+            e_dctx)
 
-    srcs, lens, wires_a, dists, ccodes, bases, dcosts = \
-        [], [], [], [], [], [], []
-    for lad, wires in ladders:
-        sel = np.nonzero(lad >= 2)[0]
-        ll = lad[sel]          # advance (output) length
-        ww = wires[sel]        # wire copy length (codes)
-        cc = _COPY_CODE[np.minimum(ww, (1 << 16) - 1)]
-        srcs.append(pp[sel])
-        lens.append(ll)
-        wires_a.append(ww)
-        dists.append(D[sel])
-        ccodes.append(cc)
-        bases.append(dcost[sel] + C.COPY_EXTRA[cc])
-        dcosts.append(dcost[sel])
-    src = np.concatenate(srcs)
-    order = np.argsort(src, kind="stable")
-    src = src[order]
-    e_len = np.concatenate(lens)[order]
-    e_wire = np.concatenate(wires_a)[order]
-    e_dist = np.concatenate(dists)[order]
-    e_ccode = np.concatenate(ccodes)[order]
-    e_base = np.concatenate(bases)[order]
-    e_dcost = np.concatenate(dcosts)[order]
-    edge_off = np.zeros(n + 2, dtype=np.int64)
-    np.add.at(edge_off, src + 1, 1)
-    edge_off = np.cumsum(edge_off)[:n + 1]
+
+def _price_edges(prepared, cost_dist):
+    """Per-iteration pricing of prepared edges: dist symbol cost (+ the
+    copy-length distance context when cost_dist is [4, alpha]) + dist
+    and copy extra bits."""
+    (edge_off, e_len, e_wire, e_dist, e_ccode, e_sym, e_nbits,
+     e_dctx) = prepared
+    cost_dist = np.asarray(cost_dist)
+    if cost_dist.ndim == 2:
+        e_dcost = cost_dist[e_dctx, e_sym] + e_nbits
+    else:
+        e_dcost = cost_dist[e_sym] + e_nbits
+    e_base = e_dcost + C.COPY_EXTRA[e_ccode]
     return edge_off, e_len, e_wire, e_dist, e_ccode, e_base, e_dcost
 
 
@@ -463,33 +536,45 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
 
     lh, ch, dh = _histograms_from_commands(data_region, pre_cmds,
                                            dist_alpha)
-    iters = 3 if params.quality >= 11 else 1
+    iters = Q11_ITERS if params.quality >= 11 else 2
     result = None
+    prepared = None
     for it in range(iters):
-        cost_lit, cost_cmd, cost_dist = _cost_tables(lh, ch, dh)
-        if it > 0:
-            # iterations >= 1 price literals from the previous parse's
-            # literal histogram, not the position estimator (reference
-            # set_from_commands, hq.rs:1076: only bytes that stayed
-            # literals shape the cost)
-            lcp = np.concatenate([[0.0],
-                                  np.cumsum(cost_lit[data_region])])
-        cds = cost_dist[:16].copy()
-        if it == 0:
-            # optimistic seeding: the pre-pass sees few cache hits, so
-            # learned short-code/implicit-cell costs start prohibitive
-            # and the DP would never discover them (reference seeds its
-            # cost model from literal costs for the same reason)
-            cds = np.minimum(cds, 6.0)
-            cost_cmd = cost_cmd.copy()
-            cost_cmd[:128] = np.minimum(cost_cmd[:128], 11.0)
-        edges = _build_edges(cand_lens, cand_dists, cand_isdict,
-                             cand_wire, cost_dist, params.dist, n,
-                             extra=extra)
+        if it == 0 and params.quality >= 11:
+            # iteration-0 prior (reference set_from_literal_costs,
+            # hq.rs:222): gentle index-graded costs — small command /
+            # distance symbols cheap, large ones dear — with literal
+            # costs from the position estimator.  A histogram seed from
+            # a greedy pre-pass locks the parse into the pre-pass's
+            # copy-heavy equilibrium.
+            cost_cmd = np.log2(11.0 + np.arange(704))
+            cost_dist = np.log2(20.0 + np.arange(dist_alpha,
+                                                 dtype=np.float64))
+        else:
+            cost_lit, cost_cmd, cost_dist = _cost_tables(lh, ch, dh)
+            if it > 0:
+                # iterations >= 1 price literals and distances from the
+                # previous parse, context-conditioned (see
+                # _context_literal_costs / _context_distance_costs)
+                lc = _context_literal_costs(data_region, full, dict_len,
+                                            prev_cmds)
+                lcp = np.concatenate([[0.0], np.cumsum(lc)])
+                cost_dist = _context_distance_costs(prev_cmds,
+                                                    dist_alpha)
+        cds = (cost_dist[3, :16] if cost_dist.ndim == 2
+               else cost_dist[:16]).copy()
+        if prepared is None:
+            prepared = _prepare_edges(cand_lens, cand_dists,
+                                      cand_isdict, cand_wire,
+                                      params.dist, n, extra=extra)
+        edges = _price_edges(prepared, cost_dist)
         edges = edges + (cds, full, dict_len,
                          window_size, np.asarray(initial_cache,
                                                  dtype=np.int64))
+        prev = result
         result = zopfli_parse(n, lcp, cost_cmd, edges)
+        if result == prev:
+            break
         if it + 1 < iters:
             r_ins, r_cps, r_dst, r_adv = result
             cmds, _ = resolve_commands(r_ins, r_cps, r_dst, params.dist,
@@ -497,6 +582,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                                        initial_cache=list(initial_cache),
                                        pos_offset=dict_len,
                                        window_size=window_size)
+            prev_cmds = cmds
             lh, ch, dh = _histograms_from_commands(data_region, cmds,
                                                    dist_alpha)
     return result

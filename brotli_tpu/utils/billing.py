@@ -46,6 +46,7 @@ def account(stream: bytes, custom_dictionary: bytes = b"",
     reader = BillingReader(stream)
     stats = Counter()
     trace = []  # (tree, dcode, distance, copy_len) per explicit distance
+    commands = []  # (insert_len, wire_copy_len, distance, advance)
 
     class AccountingDecoder(D.Decoder):
         def _decode_compressed_metablock(self, reader, out, mlen,
@@ -122,6 +123,7 @@ def account(stream: bytes, custom_dictionary: bytes = b"",
                     p2, p1 = p1, lit
                 mlen -= ins_len
                 if mlen == 0:
+                    commands.append((ins_len, 0, 0, 0))
                     break
                 pos_total = len(out) + dlen
                 max_distance = min(pos_total, window_size)
@@ -163,10 +165,14 @@ def account(stream: bytes, custom_dictionary: bytes = b"",
                     stats["dict_refs"] += 1
                     trace.append(("dict", copy_len,
                                   distance - max_distance - 1, len(word)))
+                    commands.append((ins_len, copy_len, distance,
+                                     len(word)))
                     out += word
                     mlen -= len(word)
                 else:
                     D._backward_copy(out, distance, copy_len, dict_bytes)
+                    commands.append((ins_len, copy_len, distance,
+                                     copy_len))
                     mlen -= copy_len
                     if dcode != 0:
                         dist_cache.pop()
@@ -177,7 +183,7 @@ def account(stream: bytes, custom_dictionary: bytes = b"",
     dec = AccountingDecoder(custom_dictionary, large_window)
     out = dec.decompress_reader(reader)
     return {"bits": reader.bill, "stats": stats, "output_len": len(out),
-            "dist_trace": trace}
+            "dist_trace": trace, "commands": commands}
 
 
 def compare(a: bytes, b: bytes, label_a="ours", label_b="theirs"):

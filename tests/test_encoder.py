@@ -208,4 +208,5 @@ def test_golden_sizes():
     data = load("alice29.txt")
     assert len(compress(data, quality=5)) <= 52_500
     assert len(compress(data, quality=9)) <= 51_600
-    assert len(compress(data, quality=11)) <= 48_600
+    assert len(compress(data, quality=10)) <= 48_200
+    assert len(compress(data, quality=11)) <= 47_300
