@@ -224,8 +224,29 @@ def collect_dict_matches(data: np.ndarray, dict_len: int,
     candidates for the optimal parser: (pos, out_len, pseudo_dist,
     wire), pos relative to the region start.  The DP prices each
     against window matches and literals (reference hq.rs:707 feeds
-    dictionary matches to Zopfli the same way)."""
+    dictionary matches to Zopfli the same way).  Dispatches to the
+    native probe (collect_dict_native); this Python path is the tested
+    oracle."""
+    from .. import native_bridge as nb
     entry_bytes, e_out, e_wire, e_wid, table = expanded_dict_index()
+    if nb.available():
+        data = np.ascontiguousarray(data, dtype=np.uint8)
+        n = len(data)
+        span = 1 << 20
+        outs = []
+        for a in range(dict_len, max(n, dict_len + 1), span):
+            b = min(a + span + 40, n)
+            p, l, d, w = nb.collect_dict(
+                data[:b], a, window_size, entry_bytes, e_out, e_wire,
+                e_wid, table, EXT_HASH_BITS)
+            # only keep matches starting inside [a, a+span)
+            keep = p < span
+            outs.append((p[keep] + (a - dict_len), l[keep], d[keep],
+                         w[keep]))
+        if not outs:
+            return (np.zeros(0, np.int64),) * 4
+        return tuple(np.concatenate([o[i] for o in outs])
+                     for i in range(4))
     d = get_dictionary()
     n = len(data)
     out_p, out_l, out_d, out_w = [], [], [], []

@@ -239,6 +239,22 @@ def _prepare_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
     keep[1:] = (pp[1:] != pp[:-1]) | (D[1:] != D[:-1])
     pp, L, D, ISD, W = pp[keep], L[keep], D[keep], ISD[keep], W[keep]
 
+    # cap candidates per position (longest first; window and dictionary
+    # budgeted separately) — bounds edge count on repetitive input
+    # where the collector emits its full per-position quota everywhere
+    ordc = np.lexsort((-L, ISD, pp))
+    pp, L, D, ISD, W = (pp[ordc], L[ordc], D[ordc], ISD[ordc], W[ordc])
+    key = pp * 2 + ISD
+    rank = np.arange(len(key)) - np.searchsorted(key, key, side="left")
+    keepc = rank < np.where(ISD, 4, 12)
+    pp, L, D, ISD, W, rank = (pp[keepc], L[keepc], D[keepc], ISD[keepc],
+                              W[keepc], rank[keepc])
+    # only the 4 longest window candidates per position get the full
+    # sub-length ladder; shorter runners-up contribute their exact
+    # length only (their sub-lengths are dominated by the longer
+    # candidates' ladders at nearly identical cost)
+    laddered = ~ISD & (rank < 4)
+
     # distance symbol / extra-bit split (cost-independent)
     sym_a = np.zeros(len(pp), np.int64)
     nbits_a = np.zeros(len(pp), np.int64)
@@ -259,19 +275,26 @@ def _prepare_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
     # position, so no final sort is needed.
     subs = np.array((4, 5, 6, 8, 10, 13, 16, 22, 32, 48, 64, 96, 128,
                      192), dtype=np.int32)
-    m = len(pp)
-    M = np.zeros((m, 3 + len(subs)), np.int32)
-    notd = ~ISD
-    L32 = L.astype(np.int32)
-    M[:, 0] = L32
-    M[:, 1] = np.where((L32 > 4) & notd, L32 - 1, 0)
-    M[:, 2] = np.where((L32 > 5) & notd, L32 - 2, 0)
-    M[:, 3:] = np.where((L32[:, None] > subs[None, :]) & notd[:, None],
-                        subs[None, :], 0)
-    ci, ri = np.nonzero(M >= 2)
-    e_len = M[ci, ri].astype(np.int64)
-    e_wire = np.where(ri == 0, W[ci], e_len)
+    ai = np.nonzero(laddered)[0]
+    LA = L[ai].astype(np.int32)
+    MA = np.zeros((len(ai), 2 + len(subs)), np.int32)
+    MA[:, 0] = np.where(LA > 4, LA - 1, 0)
+    MA[:, 1] = np.where(LA > 5, LA - 2, 0)
+    MA[:, 2:] = np.where(LA[:, None] > subs[None, :], subs[None, :], 0)
+    ciA, _ = np.nonzero(MA >= 2)
+    lenA = MA[MA >= 2].astype(np.int64)
+    ciA = ai[ciA]
+    # exact-length edges for every candidate + sub-length edges for the
+    # laddered subset
+    ci = np.concatenate([np.arange(len(pp)), ciA])
+    e_len = np.concatenate([L, lenA])
+    e_wire = np.concatenate([W, lenA])
     src = pp[ci]
+    order = np.argsort(src, kind="stable")
+    src = src[order]
+    ci = ci[order]
+    e_len = e_len[order]
+    e_wire = e_wire[order]
     e_dist = D[ci]
     e_ccode = _COPY_CODE[np.minimum(e_wire, (1 << 16) - 1)]
     e_sym = sym_a[ci]
@@ -316,23 +339,8 @@ def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
                 _INS_CODE, C.INSERT_EXTRA, _CMD_SYM.reshape(-1),
                 _CMD_SYM_LAST.reshape(-1), data, dict_len, window_size,
                 initial_cache)
-        cost = cost.tolist()
-        prev_start = prev_start.tolist()
-        prev_len = prev_len.tolist()
-        prev_wire = prev_wire.tolist()
-        prev_dist = prev_dist.tolist()
-        best_adj = INF
-        best_u = 0
-        lcp_l = lcp.tolist()
-        for p in range(n):
-            c = cost[p]
-            if c < 1e29:
-                adj = c - lcp_l[p]
-                if adj < best_adj:
-                    best_adj = adj
-                    best_u = p
-        return _backtrack(n, lcp_l, cost, prev_start, prev_len,
-                          prev_wire, prev_dist, best_adj, best_u)
+        return _finish_parse(n, lcp, cost, prev_start, prev_len,
+                             prev_wire, prev_dist)
 
     cost = [INF] * (n + 1)
     cost[0] = 0.0
@@ -396,6 +404,29 @@ def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
 
     return _backtrack(n, lcp_l, cost, prev_start, prev_len, prev_wire,
                       prev_dist, best_adj, best_u)
+
+
+def _finish_parse(n, lcp, cost, prev_start, prev_len, prev_wire,
+                  prev_dist):
+    """Scan for the cheapest stream close and backtrack (shared by the
+    edge-list and candidate-list native DPs)."""
+    cost = cost.tolist()
+    prev_start = prev_start.tolist()
+    prev_len = prev_len.tolist()
+    prev_wire = prev_wire.tolist()
+    prev_dist = prev_dist.tolist()
+    best_adj = INF
+    best_u = 0
+    lcp_l = lcp.tolist()
+    for p in range(n):
+        c = cost[p]
+        if c < 1e29:
+            adj = c - lcp_l[p]
+            if adj < best_adj:
+                best_adj = adj
+                best_u = p
+    return _backtrack(n, lcp_l, cost, prev_start, prev_len,
+                      prev_wire, prev_dist, best_adj, best_u)
 
 
 def _backtrack(n, lcp_l, cost, prev_start, prev_len, prev_wire,
@@ -469,51 +500,66 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     window_size = params.window_size
     dist_alpha = params.dist.alphabet_size
 
-    # find_best_matches already returns region-relative arrays
-    # (index 0 == absolute position dict_len)
-    cand_lens, cand_dists, cand_isdict, cand_wire = _collect_candidates(
-        full, window_size, dict_len, params.literal_byte_score,
-        not params.catable)
-    cand_lens = cand_lens.copy()
-    cand_wire = cand_wire.copy()
-    # exact lengths for cap-hit matches, with amortized skipping: inside
-    # a span already covered by a longer extended match, the capped edge
-    # is kept as-is (the long edge from the span start dominates), which
-    # bounds total extension work to O(n) on runs like 'aaaa...'
-    hits = np.argwhere((cand_lens >= MATCH_CAP) & ~cand_isdict)
-    hits = hits[np.argsort(hits[:, 1], kind="stable")]
-    last_end = -1
-    for ci, p in hits:
-        if p < last_end - 32:
-            continue
-        d = int(cand_dists[ci, p])
-        ext = extend_match(full, dict_len + p - d, dict_len + p,
-                           int(cand_lens[ci, p]), n - p)
-        cand_lens[ci, p] = ext
-        cand_wire[ci, p] = ext
-        last_end = max(last_end, int(p) + ext)
-
-    # greedy pre-pass for the iteration-0 cost model
-    flat = np.argmax(cand_lens, axis=0)
-    ar = np.arange(n)
-    bl = cand_lens[flat, ar]
-    bd = cand_dists[flat, ar]
-    bs = np.where(bl >= 4, 135 * bl - 30 * np.log2(
-        np.maximum(bd, 2)).astype(np.int64), 0)
-    bwire = cand_wire[flat, ar]
-    bisd = cand_isdict[flat, ar]
-    pre = greedy_parse(full, bl, bd, bs, [n], dict_len=dict_len, pos0=0,
-                       initial_cache=initial_cache,
-                       window_size=window_size, best_isdict=bisd,
-                       best_wire=bwire)
-    p_ins, p_cps, p_dst, p_adv = pre[0]
-    pre_cmds, _ = resolve_commands(p_ins, p_cps, p_dst, params.dist,
-                                   advance=p_adv,
-                                   initial_cache=list(initial_cache),
-                                   pos_offset=dict_len,
-                                   window_size=window_size)
-
     from .. import native_bridge as nb
+    # the sorted-space top-K rows stay even at q11: the ring-table
+    # collector only sees the 48 most recent positions per bucket, so
+    # long-range matches come from the rows (the greedy pre-pass, by
+    # contrast, is q10-only — q11 iteration 0 uses the reference prior)
+    need_rows = True
+    if need_rows:
+        # find_best_matches already returns region-relative arrays
+        # (index 0 == absolute position dict_len)
+        (cand_lens, cand_dists, cand_isdict,
+         cand_wire) = _collect_candidates(
+            full, window_size, dict_len, params.literal_byte_score,
+            not params.catable)
+        cand_lens = cand_lens.copy()
+        cand_wire = cand_wire.copy()
+        # exact lengths for cap-hit matches, with amortized skipping:
+        # inside a span already covered by a longer extended match, the
+        # capped edge is kept as-is (the long edge from the span start
+        # dominates), which bounds total extension work to O(n) on runs
+        # like 'aaaa...'
+        hits = np.argwhere((cand_lens >= MATCH_CAP) & ~cand_isdict)
+        hits = hits[np.argsort(hits[:, 1], kind="stable")]
+        last_end = -1
+        for ci, p in hits:
+            if p < last_end - 32:
+                continue
+            d = int(cand_dists[ci, p])
+            ext = extend_match(full, dict_len + p - d, dict_len + p,
+                               int(cand_lens[ci, p]), n - p)
+            cand_lens[ci, p] = ext
+            cand_wire[ci, p] = ext
+            last_end = max(last_end, int(p) + ext)
+    else:
+        cand_lens = np.zeros((0, n), dtype=np.int64)
+        cand_dists = np.zeros((0, n), dtype=np.int64)
+        cand_isdict = np.zeros((0, n), dtype=bool)
+        cand_wire = np.zeros((0, n), dtype=np.int64)
+
+    lh = ch = dh = None
+    if params.quality < 11:
+        # greedy pre-pass for the iteration-0 cost model (q11 uses the
+        # reference prior instead)
+        flat = np.argmax(cand_lens, axis=0)
+        ar = np.arange(n)
+        bl = cand_lens[flat, ar]
+        bd = cand_dists[flat, ar]
+        bs = np.where(bl >= 4, 135 * bl - 30 * np.log2(
+            np.maximum(bd, 2)).astype(np.int64), 0)
+        bwire = cand_wire[flat, ar]
+        bisd = cand_isdict[flat, ar]
+        pre = greedy_parse(full, bl, bd, bs, [n], dict_len=dict_len,
+                           pos0=0, initial_cache=initial_cache,
+                           window_size=window_size, best_isdict=bisd,
+                           best_wire=bwire)
+        p_ins, p_cps, p_dst, p_adv = pre[0]
+        pre_cmds, _ = resolve_commands(p_ins, p_cps, p_dst, params.dist,
+                                       advance=p_adv,
+                                       initial_cache=list(initial_cache),
+                                       pos_offset=dict_len,
+                                       window_size=window_size)
     extra = None
     if params.quality >= 11:
         xs = []
@@ -534,8 +580,9 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     lit_costs = estimate_literal_costs(data_region)
     lcp = np.concatenate([[0.0], np.cumsum(lit_costs)])
 
-    lh, ch, dh = _histograms_from_commands(data_region, pre_cmds,
-                                           dist_alpha)
+    if params.quality < 11:
+        lh, ch, dh = _histograms_from_commands(data_region, pre_cmds,
+                                               dist_alpha)
     iters = Q11_ITERS if params.quality >= 11 else 2
     result = None
     prepared = None
@@ -563,16 +610,48 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                                                     dist_alpha)
         cds = (cost_dist[3, :16] if cost_dist.ndim == 2
                else cost_dist[:16]).copy()
-        if prepared is None:
-            prepared = _prepare_edges(cand_lens, cand_dists,
-                                      cand_isdict, cand_wire,
-                                      params.dist, n, extra=extra)
-        edges = _price_edges(prepared, cost_dist)
-        edges = edges + (cds, full, dict_len,
-                         window_size, np.asarray(initial_cache,
-                                                 dtype=np.int64))
         prev = result
-        result = zopfli_parse(n, lcp, cost_cmd, edges)
+        if nb.available():
+            # native candidate path: one counting-sort/dedupe/cap pass,
+            # then per-iteration DP with inline sub-length ladder — no
+            # edge list is materialized or re-priced
+            if prepared is None:
+                ci, ppr = np.nonzero(cand_lens >= 2)
+                rp = [ppr]
+                rl = [cand_lens[ci, ppr]]
+                rd = [cand_dists[ci, ppr]]
+                risd = [cand_isdict[ci, ppr]]
+                rw = [cand_wire[ci, ppr]]
+                if extra is not None:
+                    xp, xl, xd, xisd, xw = extra
+                    rp.append(xp)
+                    rl.append(xl)
+                    rd.append(xd)
+                    risd.append(xisd)
+                    rw.append(xw)
+                prepared = nb.zopfli_cands(
+                    np.concatenate(rp), np.concatenate(rl),
+                    np.concatenate(rd), np.concatenate(risd),
+                    np.concatenate(rw), n, params.dist.npostfix,
+                    params.dist.ndirect)
+            cd4 = (cost_dist if cost_dist.ndim == 2
+                   else np.tile(cost_dist, (4, 1)))
+            cost, ps, pl, pw, pd = nb.zopfli_dp_cands(
+                n, lcp, cost_cmd, cds, cd4, prepared, _INS_CODE,
+                C.INSERT_EXTRA, _CMD_SYM.reshape(-1),
+                _CMD_SYM_LAST.reshape(-1), full, dict_len, window_size,
+                np.asarray(initial_cache, dtype=np.int64))
+            result = _finish_parse(n, lcp, cost, ps, pl, pw, pd)
+        else:
+            if prepared is None:
+                prepared = _prepare_edges(cand_lens, cand_dists,
+                                          cand_isdict, cand_wire,
+                                          params.dist, n, extra=extra)
+            edges = _price_edges(prepared, cost_dist)
+            edges = edges + (cds, full, dict_len,
+                             window_size, np.asarray(initial_cache,
+                                                     dtype=np.int64))
+            result = zopfli_parse(n, lcp, cost_cmd, edges)
         if result == prev:
             break
         if it + 1 < iters:

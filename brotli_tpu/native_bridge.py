@@ -59,6 +59,9 @@ def get_lib():
         _lib.zopfli_dp_cache_native.restype = None
         _lib.pack_bits_native.restype = ctypes.c_int64
         _lib.collect_matches_native.restype = ctypes.c_int64
+        _lib.collect_dict_native.restype = ctypes.c_int64
+        _lib.zopfli_cands_native.restype = ctypes.c_int64
+        _lib.zopfli_dp_cands_native.restype = None
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)
     except Exception:
@@ -242,6 +245,101 @@ def collect_matches(data, window_size, dict_len=0, k=48,
         _ptr(out_pos), _ptr(out_len), _ptr(out_dist),
         ctypes.c_int64(cap))
     return out_pos[:m], out_len[:m], out_dist[:m]
+
+
+def zopfli_cands(pos, lens, dists, isdict, wire, n, npostfix, ndirect,
+                 k_win=12, k_dict=4, ladder_top=4):
+    """Counting-sort + dedupe + cap the concatenated match sources into
+    per-position Zopfli candidates (native zopfli_cands_native)."""
+    lib = get_lib()
+    m = len(pos)
+    pos = np.ascontiguousarray(pos, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    dists = np.ascontiguousarray(dists, np.int64)
+    isdict = np.ascontiguousarray(isdict, np.uint8)
+    wire = np.ascontiguousarray(wire, np.int64)
+    cand_off = np.zeros(n + 1, np.int64)
+    c_len = np.empty(m, np.int64)
+    c_wire = np.empty(m, np.int64)
+    c_dist = np.empty(m, np.int64)
+    c_sym = np.empty(m, np.int64)
+    c_nbits = np.empty(m, np.int64)
+    c_flags = np.empty(m, np.uint8)
+    lib.zopfli_cands_native(
+        _ptr(pos), _ptr(lens), _ptr(dists), _ptr(isdict, U8),
+        _ptr(wire), ctypes.c_int64(m), ctypes.c_int64(n),
+        ctypes.c_int64(npostfix), ctypes.c_int64(ndirect),
+        ctypes.c_int64(k_win), ctypes.c_int64(k_dict),
+        ctypes.c_int64(ladder_top),
+        _ptr(cand_off), _ptr(c_len), _ptr(c_wire), _ptr(c_dist),
+        _ptr(c_sym), _ptr(c_nbits), _ptr(c_flags, U8))
+    return cand_off, c_len, c_wire, c_dist, c_sym, c_nbits, c_flags
+
+
+def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
+                    cands, ins_code, ins_extra, cmd_sym, cmd_sym_last,
+                    data, dict_len, window_size, initial_cache):
+    """Cache-aware DP over prepared candidates with inline sub-length
+    ladder (native zopfli_dp_cands_native)."""
+    lib = get_lib()
+    cand_off, c_len, c_wire, c_dist, c_sym, c_nbits, c_flags = cands
+    lcp = np.ascontiguousarray(lcp, np.float64)
+    cost_cmd = np.ascontiguousarray(cost_cmd, np.float64)
+    cds = np.ascontiguousarray(cost_dist_short, np.float64)
+    cd4 = np.ascontiguousarray(cost_dist4, np.float64)
+    dist_alpha = cd4.shape[1]
+    data = np.ascontiguousarray(data, np.uint8)
+    cache0 = np.ascontiguousarray(initial_cache, np.int64)
+    cost = np.empty(n + 1, np.float64)
+    prev_start = np.empty(n + 1, np.int64)
+    prev_len = np.empty(n + 1, np.int64)
+    prev_wire = np.empty(n + 1, np.int64)
+    prev_dist = np.empty(n + 1, np.int64)
+    node_cache = np.empty(4 * (n + 1), np.int64)
+    F64 = ctypes.POINTER(ctypes.c_double)
+    lib.zopfli_dp_cands_native(
+        ctypes.c_int64(n), lcp.ctypes.data_as(F64),
+        cost_cmd.ctypes.data_as(F64), cds.ctypes.data_as(F64),
+        cd4.ctypes.data_as(F64), ctypes.c_int64(dist_alpha),
+        _ptr(cand_off), _ptr(c_len), _ptr(c_wire), _ptr(c_dist),
+        _ptr(c_sym), _ptr(c_nbits), _ptr(c_flags, U8),
+        _ptr(np.ascontiguousarray(ins_code, np.int64)),
+        _ptr(np.ascontiguousarray(ins_extra, np.int64)),
+        _ptr(np.ascontiguousarray(cmd_sym, np.int64)),
+        _ptr(np.ascontiguousarray(cmd_sym_last, np.int64)),
+        _ptr(data, U8), ctypes.c_int64(len(data)),
+        ctypes.c_int64(dict_len), ctypes.c_int64(window_size),
+        _ptr(cache0),
+        cost.ctypes.data_as(F64), _ptr(prev_start), _ptr(prev_len),
+        _ptr(prev_wire), _ptr(prev_dist), _ptr(node_cache))
+    return cost, prev_start, prev_len, prev_wire, prev_dist
+
+
+def collect_dict(data, dict_len, window_size, entry_bytes, e_out,
+                 e_wire, e_wid, table, hash_bits):
+    """Transform-aware dictionary matches via the native probe over the
+    expanded index (same contract as static_dict.collect_dict_matches)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(data)
+    table2 = np.ascontiguousarray(table, dtype=np.int32)
+    slots = table.shape[1]
+    cap = max(16, (n - dict_len) * 6)
+    out_p = np.empty(cap, dtype=np.int64)
+    out_l = np.empty(cap, dtype=np.int64)
+    out_d = np.empty(cap, dtype=np.int64)
+    out_w = np.empty(cap, dtype=np.int64)
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    m = lib.collect_dict_native(
+        _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(dict_len),
+        ctypes.c_int64(window_size),
+        _ptr(entry_bytes, U8), ctypes.c_int64(entry_bytes.shape[1]),
+        _ptr(e_out), _ptr(e_wire), _ptr(e_wid),
+        table2.ctypes.data_as(I32), ctypes.c_int64(hash_bits),
+        ctypes.c_int64(slots),
+        _ptr(out_p), _ptr(out_l), _ptr(out_d), _ptr(out_w),
+        ctypes.c_int64(cap))
+    return out_p[:m], out_l[:m], out_d[:m], out_w[:m]
 
 
 def pack_bits(bits, nbits):

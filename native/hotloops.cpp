@@ -441,6 +441,142 @@ int64_t collect_matches_native(
 }
 
 // ---------------------------------------------------------------------------
+// Zopfli candidate preparation: counting-sort the concatenated match
+// sources by position, dedupe per (position, distance) keeping the
+// longest, cap per position (window / dictionary budgeted separately),
+// precompute distance symbol + extra bits (mirrors the numpy pipeline
+// in zopfli._prepare_edges — that path is the oracle)
+// ---------------------------------------------------------------------------
+
+static inline void prefix_encode_dist(int64_t dist, int64_t npostfix,
+                                      int64_t ndirect, int64_t* sym,
+                                      int64_t* nbits) {
+    if (dist <= ndirect) {
+        *sym = 15 + dist;
+        *nbits = 0;
+        return;
+    }
+    int64_t d = dist - ndirect - 1;
+    int64_t lcode = d & ((1 << npostfix) - 1);
+    int64_t dp = d >> npostfix;
+    int64_t nb = log2floor(dp + 4) - 1;
+    int64_t prefix = ((dp + 4) >> nb) & 1;
+    int64_t hcode = 2 * (nb - 1) + prefix;
+    *sym = 16 + ndirect + ((hcode << npostfix) | lcode);
+    *nbits = nb;
+}
+
+int64_t zopfli_cands_native(
+    const int64_t* pos, const int64_t* len, const int64_t* dist,
+    const uint8_t* isdict, const int64_t* wire, int64_t m, int64_t n,
+    int64_t npostfix, int64_t ndirect, int64_t k_win, int64_t k_dict,
+    int64_t ladder_top,
+    int64_t* cand_off /* [n+1] */, int64_t* c_len, int64_t* c_wire,
+    int64_t* c_dist, int64_t* c_sym, int64_t* c_nbits,
+    uint8_t* c_flags /* bit0 isdict, bit1 laddered */)
+{
+    // counting sort indices by position (stable)
+    int64_t* cnt = new int64_t[n + 1]();
+    for (int64_t i = 0; i < m; i++) cnt[pos[i] + 1]++;
+    for (int64_t i = 0; i < n; i++) cnt[i + 1] += cnt[i];
+    int32_t* order = new int32_t[m];
+    {
+        int64_t* fill = new int64_t[n];
+        std::memcpy(fill, cnt, n * sizeof(int64_t));
+        for (int64_t i = 0; i < m; i++)
+            order[fill[pos[i]]++] = (int32_t)i;
+        delete[] fill;
+    }
+    int64_t out = 0;
+    int idx[160];
+    for (int64_t p = 0; p < n; p++) {
+        cand_off[p] = out;
+        int64_t g0 = cnt[p], g1 = cnt[p + 1];
+        int k = (int)std::min<int64_t>(g1 - g0, 160);
+        if (k == 0) continue;
+        for (int j = 0; j < k; j++) idx[j] = order[g0 + j];
+        // insertion sort by (isdict asc, len desc)
+        for (int j = 1; j < k; j++) {
+            int v = idx[j];
+            int64_t kv = ((int64_t)isdict[v] << 32) - len[v];
+            int t = j - 1;
+            while (t >= 0 &&
+                   (((int64_t)isdict[idx[t]] << 32) - len[idx[t]]) > kv) {
+                idx[t + 1] = idx[t];
+                t--;
+            }
+            idx[t + 1] = v;
+        }
+        int nw = 0, nd = 0;
+        for (int j = 0; j < k; j++) {
+            int v = idx[j];
+            bool dic = isdict[v] != 0;
+            if (dic ? nd >= k_dict : nw >= k_win) continue;
+            bool dup = false;
+            for (int64_t t = cand_off[p]; t < out; t++)
+                if (c_dist[t] == dist[v]) { dup = true; break; }
+            if (dup) continue;
+            c_len[out] = len[v];
+            c_wire[out] = wire[v];
+            c_dist[out] = dist[v];
+            prefix_encode_dist(dist[v], npostfix, ndirect,
+                               &c_sym[out], &c_nbits[out]);
+            c_flags[out] = (dic ? 1 : 0) |
+                           ((!dic && nw < ladder_top) ? 2 : 0);
+            out++;
+            if (dic) nd++; else nw++;
+        }
+    }
+    cand_off[n] = out;
+    delete[] cnt;
+    delete[] order;
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// transform-aware static-dictionary matching against the prebuilt
+// expanded (word x transform) index (mirrors
+// static_dict.collect_dict_matches — that Python path is the oracle)
+// ---------------------------------------------------------------------------
+
+int64_t collect_dict_native(
+    const uint8_t* data, int64_t n, int64_t dict_len,
+    int64_t window_size,
+    const uint8_t* entry_bytes, int64_t entry_stride,
+    const int64_t* e_out, const int64_t* e_wire, const int64_t* e_wid,
+    const int32_t* table, int64_t hash_bits, int64_t slots,
+    int64_t* out_pos, int64_t* out_len, int64_t* out_dist,
+    int64_t* out_wire, int64_t cap)
+{
+    uint32_t shift = (uint32_t)(32 - hash_bits);
+    int64_t m = 0;
+    for (int64_t i = dict_len; i + 4 <= n; i++) {
+        uint32_t v = load32(data + i);
+        uint32_t h = (v * 0x1E35A7BDu) >> shift;
+        const int32_t* bucket = table + (int64_t)h * slots;
+        for (int64_t s = 0; s < slots; s++) {
+            int32_t e = bucket[s];
+            if (e < 0) break;
+            int64_t lo = e_out[e];
+            if (i + lo > n) continue;
+            const uint8_t* w = entry_bytes + (int64_t)e * entry_stride;
+            if (load32(w) != v) continue;
+            int64_t l = 4;
+            while (l < lo && data[i + l] == w[l]) l++;
+            if (l < lo) continue;
+            if (m >= cap) return m;
+            int64_t max_dist = i < window_size ? i : window_size;
+            out_pos[m] = i - dict_len;
+            out_len[m] = lo;
+            out_dist[m] = max_dist + 1 + e_wid[e];
+            out_wire[m] = e_wire[e];
+            m++;
+        }
+    }
+    return m;
+}
+
+// ---------------------------------------------------------------------------
 // bit packing: (bits, nbits) items -> LSB-first u64 words
 // (the serialization hot loop; mirrors bitstream.pack_bits)
 // ---------------------------------------------------------------------------
@@ -624,6 +760,172 @@ void zopfli_dp_cache_native(
                 }
                 relax(p, st.u, st.base_noins, p + ll, ll, e_wire[e], d,
                       edge, dcode);
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// candidate-based cache-aware Zopfli DP: like zopfli_dp_cache_native
+// but expands the sub-length ladder inline from per-position
+// candidates, so no edge list is materialized and re-priced per
+// cost-model iteration.  cost_dist is [4][alpha] conditioned on the
+// copy-length distance context.
+// ---------------------------------------------------------------------------
+
+void zopfli_dp_cands_native(
+    int64_t n, const double* lcp, const double* cost_cmd,
+    const double* cost_dist_short /* [16] */,
+    const double* cost_dist /* [4*alpha] */, int64_t dist_alpha,
+    const int64_t* cand_off, const int64_t* c_len,
+    const int64_t* c_wire, const int64_t* c_dist,
+    const int64_t* c_sym, const int64_t* c_nbits,
+    const uint8_t* c_flags,
+    const int64_t* ins_code_tab, const int64_t* ins_extra_tab,
+    const int64_t* cmd_sym_tab, const int64_t* cmd_sym_last_tab,
+    const uint8_t* data, int64_t total_len, int64_t dict_len,
+    int64_t window_size, const int64_t* initial_cache,
+    double* cost, int64_t* prev_start, int64_t* prev_len,
+    int64_t* prev_wire, int64_t* prev_dist, int64_t* node_cache)
+{
+    const double INF = 1e30;
+    for (int64_t i = 0; i <= n; i++) {
+        cost[i] = INF; prev_start[i] = 0; prev_len[i] = 0;
+        prev_wire[i] = 0; prev_dist[i] = 0;
+    }
+    cost[0] = 0.0;
+    for (int c4 = 0; c4 < 4; c4++)
+        node_cache[c4] = initial_cache[c4];
+
+    double best_adj = INF;
+    int64_t best_u = 0;
+
+    auto copy_code_of = [&](int64_t l) -> int {
+        static const int64_t base[24] = {2,3,4,5,6,7,8,9,10,12,14,18,22,
+                                         30,38,54,70,102,134,198,326,
+                                         582,1094,2118};
+        int lo = 0, hi = 23;
+        while (lo < hi) {
+            int mid = (lo + hi + 1) >> 1;
+            if (base[mid] <= l) lo = mid; else hi = mid - 1;
+        }
+        return lo;
+    };
+    static const int copy_extra_tab[24] = {0,0,0,0,0,0,0,0,1,1,2,2,3,3,
+                                           4,4,5,5,6,7,8,9,10,24};
+    static const int64_t subs[14] = {4,5,6,8,10,13,16,22,32,48,64,96,
+                                     128,192};
+
+    auto relax = [&](int64_t p, int64_t u, double start_cost,
+                     int64_t tgt, int64_t adv, int64_t wire, int64_t d,
+                     double edge_cost, int dcode) {
+        if (tgt > n) return;
+        double t = start_cost + edge_cost;
+        if (t >= cost[tgt]) return;
+        cost[tgt] = t;
+        prev_start[tgt] = u;
+        prev_len[tgt] = adv;
+        prev_wire[tgt] = wire;
+        prev_dist[tgt] = d;
+        const int64_t* cs = node_cache + 4 * u;
+        int64_t* ct = node_cache + 4 * tgt;
+        int64_t max_distance = std::min(dict_len + p, window_size);
+        if (dcode != 0 && d <= max_distance) {
+            ct[0] = d; ct[1] = cs[0]; ct[2] = cs[1]; ct[3] = cs[2];
+        } else {
+            ct[0] = cs[0]; ct[1] = cs[1]; ct[2] = cs[2]; ct[3] = cs[3];
+        }
+    };
+
+    for (int64_t p = 0; p < n; p++) {
+        double c = cost[p];
+        if (c < INF) {
+            double adj = c - lcp[p];
+            if (adj < best_adj) { best_adj = adj; best_u = p; }
+        }
+        struct Start { int64_t u; double base_noins; int64_t il; };
+        Start starts[2];
+        int ns = 0;
+        if (best_adj < INF)
+            starts[ns++] = Start{best_u, best_adj + lcp[p],
+                                 p - best_u};
+        if (c < INF && p != best_u)
+            starts[ns++] = Start{p, c, 0};
+
+        for (int si = 0; si < ns; si++) {
+            const Start& st = starts[si];
+            const int64_t* cs = node_cache + 4 * st.u;
+            int ic = st.il < 65536 ? (int)ins_code_tab[st.il] : 23;
+            double ins_cost = (double)ins_extra_tab[ic];
+            int64_t max_distance = std::min(dict_len + p, window_size);
+
+            for (int ci = 0; ci < 4; ci++) {
+                int64_t d = cs[ci];
+                if (d <= 0 || d > max_distance) continue;
+                int64_t ml = probe_len(data, dict_len + p - d,
+                                       dict_len + p,
+                                       std::min<int64_t>(n - p, 512));
+                if (ml < 2) continue;
+                int cc = copy_code_of(ml);
+                int sc = short_code_of(d, cs);
+                double edge;
+                int dcode;
+                if (sc == 0 && ic < 8 && cc < 16) {
+                    edge = ins_cost + copy_extra_tab[cc] +
+                           cost_cmd[cmd_sym_last_tab[ic * 24 + cc]];
+                    dcode = 0;
+                } else {
+                    int use = sc >= 0 ? sc : 0;
+                    edge = ins_cost + copy_extra_tab[cc] +
+                           cost_cmd[cmd_sym_tab[ic * 24 + cc]] +
+                           cost_dist_short[use];
+                    dcode = use;
+                }
+                relax(p, st.u, st.base_noins, p + ml, ml, ml, d, edge,
+                      dcode);
+            }
+
+            int64_t e0 = cand_off[p], e1 = cand_off[p + 1];
+            for (int64_t e = e0; e < e1; e++) {
+                int64_t L = c_len[e];
+                int64_t d = c_dist[e];
+                int64_t sym = c_sym[e];
+                int64_t nb = c_nbits[e];
+                uint8_t fl = c_flags[e];
+                int sc = d <= max_distance ? short_code_of(d, cs) : -1;
+
+                auto try_len = [&](int64_t adv, int64_t wirev) {
+                    int cc = copy_code_of(wirev);
+                    int dctx = (int)(wirev < 5 ? wirev - 2 : 3);
+                    double dcost =
+                        cost_dist[dctx * dist_alpha + sym] + nb;
+                    double edge;
+                    int dcode;
+                    if (sc == 0 && ic < 8 && cc < 16) {
+                        edge = ins_cost + copy_extra_tab[cc] +
+                               cost_cmd[cmd_sym_last_tab[ic * 24 + cc]];
+                        dcode = 0;
+                    } else if (sc > 0) {
+                        edge = ins_cost + copy_extra_tab[cc] +
+                               cost_dist_short[sc] +
+                               cost_cmd[cmd_sym_tab[ic * 24 + cc]];
+                        dcode = sc;
+                    } else {
+                        edge = ins_cost + dcost + copy_extra_tab[cc] +
+                               cost_cmd[cmd_sym_tab[ic * 24 + cc]];
+                        dcode = 16;
+                    }
+                    relax(p, st.u, st.base_noins, p + adv, adv, wirev,
+                          d, edge, dcode);
+                };
+
+                try_len(L, c_wire[e]);
+                if (fl & 2) {  // laddered window candidate
+                    if (L > 4) try_len(L - 1, L - 1);
+                    if (L > 5) try_len(L - 2, L - 2);
+                    for (int si2 = 0; si2 < 14 && subs[si2] < L; si2++)
+                        try_len(subs[si2], subs[si2]);
+                }
             }
         }
     }

@@ -136,3 +136,69 @@ def test_native_decoder_fuzz_equivalence():
         assert rn[0] == rp[0], (trial, rn[0], rp[0])
         if rn[0] == "ok":
             assert rn[1] == rp[1]
+
+
+def test_collect_dict_matches_python_oracle():
+    """Native transform-aware dictionary probe vs the numpy oracle
+    (static_dict.collect_dict_matches's chunked path)."""
+    from brotli_tpu.encode import static_dict as sd
+    data = np.frombuffer(load("alice29.txt")[:40000], np.uint8)
+    native = sd.collect_dict_matches(data, 0, (1 << 22) - 16)
+    # force the numpy path by calling the chunk loop directly
+    import unittest.mock as mock
+    with mock.patch.object(nb, "available", return_value=False):
+        py = sd.collect_dict_matches(data, 0, (1 << 22) - 16)
+    sn = set(zip(*[a.tolist() for a in native]))
+    sp = set(zip(*[a.tolist() for a in py]))
+    assert sn == sp
+
+
+def test_collect_matches_validity():
+    """Every (pos, len, dist) from the all-matches collector is a real
+    match in the data."""
+    data = np.frombuffer(load("asyoulik.txt")[:60000], np.uint8)
+    pos, lens, dists = nb.collect_matches(data, (1 << 22) - 16)
+    assert len(pos) > 0
+    rng = np.random.default_rng(7)
+    for i in rng.integers(0, len(pos), 200):
+        p, l, d = int(pos[i]), int(lens[i]), int(dists[i])
+        assert d <= p
+        assert bytes(data[p:p + l]) == bytes(data[p - d:p - d + l])
+
+
+def test_zopfli_cands_caps_and_dedup():
+    """zopfli_cands_native groups by position, dedupes distances, caps
+    per-position counts, and its distance symbols match
+    constants.encode_distance."""
+    from brotli_tpu.core import constants as C
+    rng = np.random.default_rng(11)
+    m, n = 5000, 300
+    pos = rng.integers(0, n, m)
+    lens = rng.integers(2, 200, m)
+    dists = rng.integers(1, 1 << 20, m)
+    isdict = rng.random(m) < 0.2
+    wire = lens.copy()
+    off, c_len, c_wire, c_dist, c_sym, c_nbits, c_flags = \
+        nb.zopfli_cands(pos, lens, dists, isdict, wire, n, 0, 0)
+    total = off[n]
+    assert total > 0
+    for p in range(n):
+        a, b = int(off[p]), int(off[p + 1])
+        ds = c_dist[a:b].tolist()
+        assert len(ds) == len(set(ds))          # deduped
+        dic = (c_flags[a:b] & 1) > 0
+        assert dic.sum() <= 4 and (~dic).sum() <= 12  # capped
+    far = c_dist[:total] > 0
+    sym, extra, nbits = C.encode_distance(c_dist[:total], 0, 0)
+    assert (c_sym[:total] == sym).all()
+    assert (c_nbits[:total] == nbits).all()
+
+
+def test_q11_native_roundtrip_and_band():
+    """q11 through the native candidate DP round-trips and stays within
+    the expected size band."""
+    from brotli_tpu import decompress
+    data = load("asyoulik.txt")[:50000]
+    out = compress(data, quality=11)
+    assert decompress(out) == data
+    assert len(out) < 20000
