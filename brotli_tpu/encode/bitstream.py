@@ -401,6 +401,38 @@ def store_meta_block(writer: BitWriter, plan, is_last: bool):
                         cmd_block=plan.cmd_tree, switches=switches)
 
 
+def store_meta_block_auto(writer: BitWriter, full, start: int, mlen: int,
+                          cmds: CommandArrays, dist_params, quality: int,
+                          size_hint: int, mode: int, is_last: bool,
+                          enable_splits: bool = True):
+    """Plan + serialize one optimized metablock, dispatching to the
+    native backend (store_metablock_native) when available; the Python
+    build_meta_block/store_meta_block pair is the tested oracle."""
+    from .. import native_bridge as nb
+    from .metablock import (build_meta_block, choose_context_mode,
+                            choose_literal_context_map)
+    if nb.available():
+        region = full[start:start + mlen]
+        ctx_mode = choose_context_mode(region, quality, mode)
+        if ctx_mode == C.CONTEXT_UTF8:
+            nlc, smap = choose_literal_context_map(full, start, mlen,
+                                                   quality, size_hint)
+        else:
+            nlc, smap = 1, np.zeros(64, dtype=np.int64)
+        res = nb.store_metablock(
+            full, start, mlen, is_last, cmds, dist_params.npostfix,
+            dist_params.ndirect, dist_params.alphabet_size, quality,
+            ctx_mode, nlc, smap, C.CONTEXT_LUT0[ctx_mode],
+            C.CONTEXT_LUT1[ctx_mode], enable_splits)
+        if res is not None:
+            writer.append_packed(*res)
+            return
+    plan = build_meta_block(full, start, mlen, cmds, dist_params,
+                            quality, size_hint, mode=mode,
+                            enable_splits=enable_splits)
+    store_meta_block(writer, plan, is_last)
+
+
 def _build_switch_items(plan, switch_headers):
     """Per-category block-switch wire items: (at_symbol_index,
     3 x (bits, nbits)) keyed by category."""

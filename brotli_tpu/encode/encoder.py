@@ -201,10 +201,9 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         state = w.save_state()
         before = w.bit_length()
         if params.quality >= 4:
-            plan = build_meta_block(
-                full, dlen + seg_start, mlen, cmds, dist_params,
-                params.quality, params.size_hint, mode=params.mode)
-            bs.store_meta_block(w, plan, is_last)
+            bs.store_meta_block_auto(
+                w, full, dlen + seg_start, mlen, cmds, dist_params,
+                params.quality, params.size_hint, params.mode, is_last)
         else:
             bs.store_meta_block_trivial(w, full, dlen + seg_start, mlen,
                                         is_last, cmds, dist_params)

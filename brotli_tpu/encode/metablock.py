@@ -80,12 +80,13 @@ def choose_context_mode(data: np.ndarray, quality: int, mode: int) -> int:
 
 
 def _sampled_strides(data: np.ndarray, start: int, length: int):
-    """64-byte strides every 4 KiB (the reference's sampling pattern)."""
-    pos = start
+    """64-byte strides every 4 KiB (the reference's sampling pattern),
+    gathered as one [nsamp, 64] matrix."""
     end = start + length
-    while pos + 64 <= end:
-        yield data[pos:pos + 64]
-        pos += 4096
+    pos = np.arange(start, end - 63, 4096, dtype=np.int64)
+    if len(pos) == 0:
+        return np.zeros((0, 64), dtype=data.dtype)
+    return data[pos[:, None] + np.arange(64)[None, :]]
 
 
 def choose_literal_context_map(data: np.ndarray, start: int, length: int,
@@ -107,11 +108,10 @@ def choose_literal_context_map(data: np.ndarray, start: int, length: int,
     # Bigram prefix histogram over 3 classes of the top-2 bits
     # (reference ChooseContextMap, encode.rs:1717).
     lut = np.array([0, 0, 1, 2], dtype=np.int64)
-    bigram = np.zeros(9, dtype=np.int64)
-    for stride in _sampled_strides(data, start, length):
-        cls = lut[stride >> 6]
-        idx = cls[:-1] * 3 + cls[1:]
-        bigram += np.bincount(idx, minlength=9)
+    S = _sampled_strides(data, start, length)
+    cls = lut[S >> 6]
+    idx = cls[:, :-1] * 3 + cls[:, 1:]
+    bigram = np.bincount(idx.ravel(), minlength=9)
 
     mono = np.zeros(3, dtype=np.int64)
     two_prefix = np.zeros(6, dtype=np.int64)
@@ -139,20 +139,18 @@ def _should_use_complex_map(data: np.ndarray, start: int, length: int):
     """Reference ShouldUseComplexStaticContextMap (encode.rs:1802-1871)."""
     lut0 = C.CONTEXT_LUT0[C.CONTEXT_UTF8]
     lut1 = C.CONTEXT_LUT1[C.CONTEXT_UTF8]
-    combined = np.zeros(32, dtype=np.int64)
-    context_histo = np.zeros((13, 32), dtype=np.int64)
-    total = 0
-    for stride in _sampled_strides(data, start, length):
-        p2 = stride[:-2]
-        p1 = stride[1:-1]
-        lit = stride[2:]
-        ctx = STATIC_CONTEXT_MAP_COMPLEX_UTF8[lut0[p1] | lut1[p2]]
-        top5 = (lit >> 3).astype(np.int64)
-        total += len(lit)
-        combined += np.bincount(top5, minlength=32)
-        np.add.at(context_histo, (ctx, top5), 1)
+    S = _sampled_strides(data, start, length)
+    p2 = S[:, :-2]
+    p1 = S[:, 1:-1]
+    lit = S[:, 2:]
+    ctx = STATIC_CONTEXT_MAP_COMPLEX_UTF8[lut0[p1] | lut1[p2]]
+    top5 = (lit >> 3).astype(np.int64)
+    total = lit.size
     if total == 0:
         return None
+    combined = np.bincount(top5.ravel(), minlength=32)
+    context_histo = np.bincount((ctx * 32 + top5).ravel(),
+                                minlength=13 * 32).reshape(13, 32)
     e1 = shannon_entropy(combined) / total
     e2 = sum(shannon_entropy(context_histo[i]) for i in range(13)) / total
     if e2 > 3.0 or e1 - e2 < 0.2:
@@ -198,31 +196,39 @@ def _entropy_cost(hist: np.ndarray) -> float:
     return shannon_entropy(hist)
 
 
+def _entropy_rows(M: np.ndarray) -> np.ndarray:
+    """Shannon bits per row of a histogram matrix (vectorized)."""
+    s = M.sum(axis=-1)
+    t = np.where(M > 0, M * np.log2(np.maximum(M, 1)), 0.0).sum(axis=-1)
+    return np.where(s > 0, s * np.log2(np.maximum(s, 1)) - t, 0.0)
+
+
 def _merge_types(assign: np.ndarray, hist: np.ndarray, k: int,
                  switch_cost: float, header_cost: float):
     """Greedy pairwise cluster merge while it reduces total cost
     (entropy + per-type header estimate), the analog of
-    BrotliHistogramCombine (reference src/enc/cluster.rs:123)."""
+    BrotliHistogramCombine (reference src/enc/cluster.rs:123).  The
+    all-pairs merged entropies are computed as one [m, m, alpha]
+    broadcast per round instead of a python pair loop."""
     cent = np.zeros((k, hist.shape[1]))
     np.add.at(cent, assign, hist)
-    alive = [int(t) for t in np.unique(assign)]
-    cost = {t: _entropy_cost(cent[t]) for t in alive}
-    while len(alive) > 1:
-        best_delta, best_pair = 0.0, None
-        for ii in range(len(alive)):
-            for jj in range(ii + 1, len(alive)):
-                a, b = alive[ii], alive[jj]
-                merged = _entropy_cost(cent[a] + cent[b])
-                delta = merged - cost[a] - cost[b] - header_cost
-                if delta < best_delta:
-                    best_delta, best_pair = delta, (a, b)
-        if best_pair is None:
+    ids = np.unique(assign)
+    C_ = cent[ids]
+    while len(ids) > 1:
+        m = len(ids)
+        e = _entropy_rows(C_)
+        pair = _entropy_rows(C_[:, None, :] + C_[None, :, :])
+        delta = pair - e[:, None] - e[None, :] - header_cost
+        iu = np.triu_indices(m, 1)
+        flat = delta[iu]
+        j = int(np.argmin(flat))
+        if flat[j] >= 0.0:
             break
-        a, b = best_pair
-        cent[a] += cent[b]
-        cost[a] = _entropy_cost(cent[a])
-        alive.remove(b)
-        assign = np.where(assign == b, a, assign)
+        a, b = int(iu[0][j]), int(iu[1][j])
+        C_[a] += C_[b]
+        assign = np.where(assign == ids[b], ids[a], assign)
+        C_ = np.delete(C_, b, axis=0)
+        ids = np.delete(ids, b)
     return assign
 
 

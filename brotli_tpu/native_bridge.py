@@ -18,7 +18,8 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRCS = [os.path.join(_NATIVE_DIR, "hotloops.cpp"),
-         os.path.join(_NATIVE_DIR, "decoder.cpp")]
+         os.path.join(_NATIVE_DIR, "decoder.cpp"),
+         os.path.join(_NATIVE_DIR, "storeblock.cpp")]
 _SRC = _SRCS[0]
 _LIB = os.path.join(_NATIVE_DIR, "libbrotli_tpu_native.so")
 
@@ -62,6 +63,7 @@ def get_lib():
         _lib.collect_dict_native.restype = ctypes.c_int64
         _lib.zopfli_cands_native.restype = ctypes.c_int64
         _lib.zopfli_dp_cands_native.restype = None
+        _lib.store_metablock_native.restype = ctypes.c_int64
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)
     except Exception:
@@ -245,6 +247,42 @@ def collect_matches(data, window_size, dict_len=0, k=48,
         _ptr(out_pos), _ptr(out_len), _ptr(out_dist),
         ctypes.c_int64(cap))
     return out_pos[:m], out_len[:m], out_dist[:m]
+
+
+def store_metablock(data, start, mlen, is_last, cmds, npostfix, ndirect,
+                    dist_alpha, quality, context_mode, num_lit_ctx,
+                    lit_static_map, lut0, lut1, enable_splits=True):
+    """Native metablock plan + serialize (store_metablock_native).
+    Returns (words uint64[], nbits) or None if the output overflowed
+    the worst-case buffer (caller falls back to the Python path)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    # a compressed metablock larger than 8*mlen+40 bits is replaced by
+    # an uncompressed block by the caller, so the worst useful size is
+    # bounded; overflow returns None -> Python fallback
+    cap_bits = 9 * int(mlen) + (1 << 17)
+    words = np.zeros(cap_bits // 64 + 2, dtype=np.uint64)
+    U64 = ctypes.POINTER(ctypes.c_uint64)
+    smap = np.ascontiguousarray(lit_static_map, np.int64)
+    lut0 = np.ascontiguousarray(lut0, np.uint8)
+    lut1 = np.ascontiguousarray(lut1, np.uint8)
+    r = lib.store_metablock_native(
+        _ptr(data, U8), ctypes.c_int64(start), ctypes.c_int64(mlen),
+        ctypes.c_int64(int(is_last)),
+        ctypes.c_int64(len(cmds.insert_len)),
+        _ptr(cmds.insert_len), _ptr(cmds.copy_len),
+        _ptr(cmds.dist_code), _ptr(cmds.dist_extra),
+        _ptr(cmds.dist_extra_bits), _ptr(cmds.cmd_sym),
+        _ptr(cmds.copy_advance),
+        ctypes.c_int64(npostfix), ctypes.c_int64(ndirect),
+        ctypes.c_int64(dist_alpha), ctypes.c_int64(quality),
+        ctypes.c_int64(context_mode), ctypes.c_int64(num_lit_ctx),
+        _ptr(smap), _ptr(lut0, U8), _ptr(lut1, U8),
+        ctypes.c_int64(int(enable_splits)),
+        words.ctypes.data_as(U64), ctypes.c_int64(cap_bits))
+    if r < 0:
+        return None
+    return words, int(r)
 
 
 def zopfli_cands(pos, lens, dists, isdict, wire, n, npostfix, ndirect,

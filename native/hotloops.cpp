@@ -1082,6 +1082,7 @@ struct CombinedCtx {
     int64_t dict_len;
     int64_t window;
     int64_t k, k8;
+    int64_t cap4, mask4, cap8, mask8;  // pow2 ring geometry
     int64_t lbs;
     uint32_t shift4, shift8;
     int32_t* ring4; int32_t* cnt4;
@@ -1101,13 +1102,13 @@ struct CombinedCtx {
             if (i + 4 <= n) {
                 uint32_t v4 = load32(data + i);
                 uint32_t h4 = (v4 * 0x1E35A7BDu) >> shift4;
-                ring4[h4 * k + (cnt4[h4] % k)] = (int32_t)i;
+                ring4[h4 * cap4 + (cnt4[h4] & mask4)] = (int32_t)i;
                 cnt4[h4]++;
                 if (k8 && i + 8 <= n) {
                     uint64_t v8 = load64(data + i);
                     uint32_t h8 = (uint32_t)(
                         (v8 * 0x1FE35A7BD3579BD3ull) >> shift8);
-                    ring8[h8 * k8 + (cnt8[h8] % k8)] = (int32_t)i;
+                    ring8[h8 * cap8 + (cnt8[h8] & mask8)] = (int32_t)i;
                     cnt8[h8]++;
                 }
             }
@@ -1141,7 +1142,7 @@ struct CombinedCtx {
             int32_t c = cnt4[h4];
             int32_t m = (int32_t)std::min<int64_t>(c, k);
             for (int32_t j = 0; j < m; j++) {
-                int64_t cand = ring4[h4 * k + ((c - 1 - j) % k + k) % k];
+                int64_t cand = ring4[h4 * cap4 + ((c - 1 - j) & mask4)];
                 int64_t dist = i - cand;
                 if (dist > window) break;
                 // a candidate can only beat the best if it matches at
@@ -1165,8 +1166,8 @@ struct CombinedCtx {
             int32_t c = cnt8[h8];
             int32_t m = (int32_t)std::min<int64_t>(c, k8);
             for (int32_t j = 0; j < m; j++) {
-                int64_t cand = ring8[h8 * k8 + ((c - 1 - j) % k8 + k8)
-                                     % k8];
+                int64_t cand = ring8[h8 * cap8 + ((c - 1 - j)
+                                                   & mask8)];
                 int64_t dist = i - cand;
                 if (dist > window) break;
                 if (sr.len > 0 && (sr.len >= limit ||
@@ -1181,7 +1182,11 @@ struct CombinedCtx {
                 }
             }
         }
-        if (dict_table && i >= dict_len) {
+        // dictionary probe only when no good window match exists (the
+        // reference gates SearchInStaticDictionary the same way,
+        // mod.rs:1979: dict words are <= 24 bytes, so a solid window
+        // match always wins)
+        if (dict_table && i >= dict_len && sr.len < 10) {
             uint32_t hd = (v4 * 0x1E35A7BDu) >> (32 - dict_hash_bits);
             for (int64_t s = 0; s < dict_slots; s++) {
                 int64_t e = dict_table[hd * dict_slots + s];
@@ -1234,11 +1239,20 @@ int64_t combined_parse_native(
     cx.window = window_size; cx.k = k; cx.k8 = k8; cx.lbs = lbs;
     cx.shift4 = (uint32_t)(32 - bucket_bits);
     cx.shift8 = (uint32_t)(64 - bucket_bits8);
+    auto pow2 = [](int64_t v) {
+        int64_t p = 1;
+        while (p < v) p <<= 1;
+        return p;
+    };
+    cx.cap4 = pow2(k);
+    cx.mask4 = cx.cap4 - 1;
+    cx.cap8 = k8 ? pow2(k8) : 1;
+    cx.mask8 = cx.cap8 - 1;
     int64_t nb4 = int64_t(1) << bucket_bits;
     int64_t nb8 = int64_t(1) << bucket_bits8;
-    cx.ring4 = new int32_t[nb4 * k];
+    cx.ring4 = new int32_t[nb4 * cx.cap4];
     cx.cnt4 = new int32_t[nb4]();
-    cx.ring8 = k8 ? new int32_t[nb8 * k8] : nullptr;
+    cx.ring8 = k8 ? new int32_t[nb8 * cx.cap8] : nullptr;
     cx.cnt8 = k8 ? new int32_t[nb8]() : nullptr;
     cx.dict_table = dict_table;
     cx.dict_hash_bits = dict_hash_bits;

@@ -1,0 +1,1214 @@
+// Native metablock planner + serializer: the encoder's entropy-coding
+// backend (block splitting, context clustering, depth-limited Huffman,
+// prefix-code / context-map / command-stream serialization).
+//
+// Port of the Python pipeline in brotli_tpu/encode/metablock.py +
+// bitstream.py + core/huffman.py + core/prefix.py — those modules are
+// the tested oracle; this path must produce a stream the same decoders
+// accept with near-identical size (bit-exactness is not required by the
+// format and float tie-breaks may differ).  Reference analogs:
+// BrotliBuildMetaBlock (src/enc/metablock.rs:133), store_meta_block
+// (src/enc/brotli_bit_stream.rs:2035), BrotliCreateHuffmanTree
+// (src/enc/entropy_encode.rs:133).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <vector>
+#include <queue>
+
+namespace sb {
+
+// ---------------------------------------------------------------------------
+// bit writer
+// ---------------------------------------------------------------------------
+
+struct BW {
+    uint64_t* w;
+    int64_t cap_bits;
+    int64_t pos = 0;
+    bool overflow = false;
+    void put(uint64_t bits, int nb) {
+        if (nb == 0) return;
+        if (pos + nb > cap_bits) { overflow = true; return; }
+        bits &= (nb >= 64) ? ~0ull : ((1ull << nb) - 1);
+        int64_t word = pos >> 6, off = pos & 63;
+        w[word] |= bits << off;
+        if (off + nb > 64) w[word + 1] |= bits >> (64 - off);
+        pos += nb;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// static tables (same formulas as core/constants.py)
+// ---------------------------------------------------------------------------
+
+struct Tables {
+    int64_t ins_extra[24], ins_base[24];
+    int64_t copy_extra[24], copy_base[24];
+    int64_t blk_extra[26], blk_base[26];
+    int16_t cmd_ins_code[704], cmd_copy_code[704];
+    uint8_t cmd_implicit[704];
+    uint8_t clcode_bits[8];
+    int8_t clcode_nbits[8];
+    int8_t cl_order[18];
+    bool ready = false;
+};
+static Tables T;
+
+static void init_tables() {
+    if (T.ready) return;
+    static const int64_t ie[24] = {0,0,0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,7,
+                                   8,9,10,12,14,24};
+    static const int64_t ce[24] = {0,0,0,0,0,0,0,0,1,1,2,2,3,3,4,4,5,5,
+                                   6,7,8,9,10,24};
+    static const int64_t be[26] = {2,2,2,2,3,3,3,3,4,4,4,4,5,5,5,5,6,6,
+                                   7,8,9,10,11,12,13,24};
+    int64_t acc = 0;
+    for (int i = 0; i < 24; i++) {
+        T.ins_extra[i] = ie[i];
+        T.ins_base[i] = acc;
+        acc += int64_t(1) << ie[i];
+    }
+    acc = 2;
+    for (int i = 0; i < 24; i++) {
+        T.copy_extra[i] = ce[i];
+        T.copy_base[i] = acc;
+        acc += int64_t(1) << ce[i];
+    }
+    acc = 1;
+    for (int i = 0; i < 26; i++) {
+        T.blk_extra[i] = be[i];
+        T.blk_base[i] = acc;
+        acc += int64_t(1) << be[i];
+    }
+    // command symbol layout (RFC 5; constants.py _CELLS): 11 cells of
+    // 64; cells 0-1 imply distance code 0
+    static const int cell_ins[11] = {0, 0, 0, 0, 8, 8, 0, 16, 8, 16, 16};
+    static const int cell_copy[11] = {0, 8, 0, 8, 0, 8, 16, 0, 16, 8, 16};
+    for (int cell = 0; cell < 11; cell++) {
+        for (int i = 0; i < 64; i++) {
+            int idx = cell * 64 + i;
+            T.cmd_ins_code[idx] = (int16_t)(cell_ins[cell] + ((i >> 3) & 7));
+            T.cmd_copy_code[idx] = (int16_t)(cell_copy[cell] + (i & 7));
+            T.cmd_implicit[idx] = (cell < 2) ? 1 : 0;
+        }
+    }
+    static const uint8_t clb[8] = {0b00, 0b0111, 0b011, 0b10, 0b01,
+                                   0b1111, 0, 0};
+    static const int8_t cln[8] = {2, 4, 3, 2, 2, 4, 0, 0};
+    static const int8_t ord[18] = {1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9,
+                                   10, 11, 12, 13, 14, 15};
+    std::memcpy(T.clcode_bits, clb, 8);
+    std::memcpy(T.clcode_nbits, cln, 8);
+    std::memcpy(T.cl_order, ord, 18);
+    T.ready = true;
+}
+
+static inline int ins_code_of(int64_t il) {
+    int lo = 0, hi = 23;
+    while (lo < hi) {
+        int mid = (lo + hi + 1) >> 1;
+        if (T.ins_base[mid] <= il) lo = mid; else hi = mid - 1;
+    }
+    return lo;
+}
+static inline int copy_code_of(int64_t cl) {
+    int lo = 0, hi = 23;
+    while (lo < hi) {
+        int mid = (lo + hi + 1) >> 1;
+        if (T.copy_base[mid] <= cl) lo = mid; else hi = mid - 1;
+    }
+    return lo;
+}
+static inline int blk_code_of(int64_t bl) {
+    int lo = 0, hi = 25;
+    while (lo < hi) {
+        int mid = (lo + hi + 1) >> 1;
+        if (T.blk_base[mid] <= bl) lo = mid; else hi = mid - 1;
+    }
+    return lo;
+}
+
+// ---------------------------------------------------------------------------
+// huffman: depth-limited lengths + canonical codes
+// (core/huffman.py / core/prefix.py port)
+// ---------------------------------------------------------------------------
+
+static void huffman_depths(const int64_t* counts, int n, uint8_t* depths) {
+    // min-heap of (count, id); internal nodes get ids >= n (same
+    // tie-break shape as the python heap of tuples)
+    using P = std::pair<int64_t, int64_t>;
+    std::priority_queue<P, std::vector<P>, std::greater<P>> heap;
+    std::vector<int64_t> parent(2 * n + 2, -1);
+    for (int s = 0; s < n; s++)
+        if (counts[s] > 0) heap.push({counts[s], s});
+    int64_t next_id = n;
+    while (heap.size() > 1) {
+        P a = heap.top(); heap.pop();
+        P b = heap.top(); heap.pop();
+        parent[a.second] = next_id;
+        parent[b.second] = next_id;
+        if (next_id + 1 >= (int64_t)parent.size())
+            parent.resize(parent.size() * 2, -1);
+        heap.push({a.first + b.first, next_id});
+        next_id++;
+    }
+    std::vector<int> depth_memo(next_id + 1, -1);
+    int64_t root = heap.top().second;
+    depth_memo[root] = 0;
+    for (int s = 0; s < n; s++) {
+        depths[s] = 0;
+        if (counts[s] <= 0) continue;
+        int64_t node = s;
+        int hops = 0;
+        while (depth_memo[node] < 0) { node = parent[node]; hops++; }
+        int d = depth_memo[node] + hops;
+        depths[s] = (uint8_t)d;
+        // memoize path
+        node = s;
+        int dd = d;
+        while (depth_memo[node] < 0) {
+            depth_memo[node] = dd;
+            node = parent[node];
+            dd--;
+        }
+    }
+}
+
+static void huffman_lengths(const int64_t* hist, int n, int max_bits,
+                            uint8_t* lengths) {
+    int nz = 0, last = -1;
+    for (int i = 0; i < n; i++) if (hist[i] > 0) { nz++; last = i; }
+    std::memset(lengths, 0, n);
+    if (nz == 0) return;            // caller guards (safe-hist)
+    if (nz == 1) { lengths[last] = 1; return; }
+    std::vector<int64_t> counts(n);
+    int64_t limit = 1;
+    for (;;) {
+        for (int i = 0; i < n; i++)
+            counts[i] = hist[i] > 0 ? std::max(hist[i], limit) : 0;
+        huffman_depths(counts.data(), n, lengths);
+        int mx = 0;
+        for (int i = 0; i < n; i++) mx = std::max(mx, (int)lengths[i]);
+        if (mx <= max_bits) return;
+        limit *= 2;
+    }
+}
+
+static void lengths_to_codes(const uint8_t* lengths, int n,
+                             uint16_t* codes) {
+    int count[17] = {0};
+    for (int i = 0; i < n; i++) count[lengths[i]]++;
+    count[0] = 0;
+    int next_code[17] = {0};
+    int code = 0;
+    for (int l = 1; l <= 16; l++) {
+        code = (code + count[l - 1]) << 1;
+        next_code[l] = code;
+    }
+    for (int i = 0; i < n; i++) {
+        int l = lengths[i];
+        if (!l) { codes[i] = 0; continue; }
+        uint32_t v = next_code[l]++;
+        // bit-reverse low l bits
+        uint32_t x = v;
+        x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555);
+        x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333);
+        x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F);
+        x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF);
+        codes[i] = (uint16_t)(x >> (16 - l));
+    }
+}
+
+// RLE-friendly histogram flattening (core/huffman.py:83 port)
+static void optimize_rle(int64_t* counts, int n) {
+    int nonzero = 0;
+    for (int i = 0; i < n; i++) if (counts[i] != 0) nonzero++;
+    if (nonzero < 16) return;
+    int length = n;
+    while (length && counts[length - 1] == 0) length--;
+    if (length == 0) return;
+    std::vector<int64_t> nzv;
+    for (int i = 0; i < length; i++)
+        if (counts[i] != 0) nzv.push_back(counts[i]);
+    if ((int)nzv.size() < 5) return;
+    int64_t mn = nzv[0];
+    for (int64_t v : nzv) mn = std::min(mn, v);
+    if (mn < 4) {
+        int zeros = length - (int)nzv.size();
+        if (zeros < 6) {
+            for (int i = 1; i + 1 < length; i++)
+                if (counts[i - 1] != 0 && counts[i] == 0 &&
+                    counts[i + 1] != 0)
+                    counts[i] = 1;
+        }
+    }
+    if ((int)nzv.size() < 28) return;
+
+    std::vector<uint8_t> good(length + 1, 0);
+    {
+        int i = 0;
+        while (i < length) {
+            int j = i;
+            while (j < length && counts[j] == counts[i]) j++;
+            int step = j - i;
+            if ((counts[i] == 0 && step >= 5) ||
+                (counts[i] != 0 && step >= 7))
+                for (int t = i; t < j; t++) good[t] = 1;
+            i = j;
+        }
+    }
+    const int64_t streak_limit = 1240;
+    int64_t stride = 0, sum = 0;
+    int64_t limit = 256 * (counts[0] + counts[1] + counts[2]) / 3 + 420;
+    for (int i = 0; i <= length; i++) {
+        bool boundary;
+        if (i == length) {
+            boundary = true;
+        } else {
+            boundary = good[i] || (i != 0 && good[i - 1]) ||
+                       std::llabs(256 * counts[i] - limit) >= streak_limit;
+        }
+        if (i == length || boundary) {
+            if (stride >= 4 || (stride >= 3 && sum == 0)) {
+                int64_t count = std::max<int64_t>(
+                    1, (sum + stride / 2) / stride);
+                if (sum == 0) count = 0;
+                for (int t = i - (int)stride; t < i; t++)
+                    counts[t] = count;
+            }
+            stride = 0;
+            sum = 0;
+            if (i < length - 2) {
+                limit = 256 * (counts[i] + counts[i + 1] +
+                               counts[i + 2]) / 3 + 420;
+            } else if (i < length) {
+                limit = 256 * counts[i];
+            } else {
+                limit = 0;
+            }
+        }
+        stride += 1;
+        if (i != length) {
+            sum += counts[i];
+            if (stride >= 4) limit = (256 * sum + stride / 2) / stride;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// prefix-code serialization (core/prefix.py:238 port)
+// ---------------------------------------------------------------------------
+
+static int alphabet_bits(int alphabet) {
+    int b = 0, v = alphabet - 1;
+    while (v) { b++; v >>= 1; }
+    return std::max(1, b);
+}
+
+struct Tok { uint8_t sym; uint8_t extra; uint8_t nbits; };
+
+static void rle_encode_lengths(const uint8_t* lengths, int n,
+                               std::vector<Tok>& out) {
+    int prev_nonzero = 8;
+    int i = 0;
+    while (i < n) {
+        int v = lengths[i];
+        int j = i;
+        while (j < n && lengths[j] == v) j++;
+        int run = j - i;
+        if (v == 0) {
+            if (j == n) break;  // trailing zeros implicit
+            if (run < 3) {
+                for (int t = 0; t < run; t++) out.push_back({0, 0, 0});
+            } else {
+                int reps = run - 3;
+                Tok chain[16];
+                int nc = 0;
+                for (;;) {
+                    chain[nc++] = {17, (uint8_t)(reps & 7), 3};
+                    reps >>= 3;
+                    if (reps == 0) break;
+                    reps -= 1;
+                }
+                for (int t = nc - 1; t >= 0; t--) out.push_back(chain[t]);
+            }
+        } else {
+            int reps = run;
+            if (v != prev_nonzero) {
+                out.push_back({(uint8_t)v, 0, 0});
+                reps -= 1;
+            }
+            if (reps < 3) {
+                for (int t = 0; t < reps; t++)
+                    out.push_back({(uint8_t)v, 0, 0});
+            } else {
+                reps -= 3;
+                Tok chain[16];
+                int nc = 0;
+                for (;;) {
+                    chain[nc++] = {16, (uint8_t)(reps & 3), 2};
+                    reps >>= 2;
+                    if (reps == 0) break;
+                    reps -= 1;
+                }
+                for (int t = nc - 1; t >= 0; t--) out.push_back(chain[t]);
+            }
+            prev_nonzero = v;
+        }
+        i = j;
+    }
+}
+
+static void write_prefix_code(BW& bw, const uint8_t* lengths, int n) {
+    int syms[5], nsym = 0;
+    for (int i = 0; i < n && nsym <= 4; i++)
+        if (lengths[i] > 0) { if (nsym < 5) syms[nsym] = i; nsym++; }
+    bool simple = false;
+    if (nsym >= 1 && nsym <= 4) {
+        int ls[4];
+        for (int i = 0; i < nsym; i++) ls[i] = lengths[syms[i]];
+        std::sort(ls, ls + nsym);
+        simple = (nsym == 1) ||
+                 (nsym == 2 && ls[0] == 1 && ls[1] == 1) ||
+                 (nsym == 3 && ls[0] == 1 && ls[1] == 2 && ls[2] == 2) ||
+                 (nsym == 4 && ((ls[0] == 2 && ls[1] == 2 && ls[2] == 2 &&
+                                 ls[3] == 2) ||
+                                (ls[0] == 1 && ls[1] == 2 && ls[2] == 3 &&
+                                 ls[3] == 3)));
+    }
+    if (simple) {
+        bw.put(1, 2);
+        bw.put(nsym - 1, 2);
+        int bits = alphabet_bits(n);
+        // order by (length, symbol)
+        int ord[4];
+        for (int i = 0; i < nsym; i++) ord[i] = syms[i];
+        std::sort(ord, ord + nsym, [&](int a, int b) {
+            if (lengths[a] != lengths[b]) return lengths[a] < lengths[b];
+            return a < b;
+        });
+        for (int i = 0; i < nsym; i++) bw.put(ord[i], bits);
+        if (nsym == 4) {
+            int ls[4];
+            for (int i = 0; i < 4; i++) ls[i] = lengths[syms[i]];
+            std::sort(ls, ls + 4);
+            bw.put((ls[0] == 1 && ls[1] == 2 && ls[2] == 3 &&
+                    ls[3] == 3) ? 1 : 0, 1);
+        }
+        return;
+    }
+    // complex
+    std::vector<Tok> tokens;
+    rle_encode_lengths(lengths, n, tokens);
+    int64_t hist[18] = {0};
+    for (const Tok& t : tokens) hist[t.sym]++;
+    uint8_t cl_lengths[18];
+    huffman_lengths(hist, 18, 5, cl_lengths);
+    int nzc = 0, nzs = -1;
+    for (int i = 0; i < 18; i++)
+        if (cl_lengths[i]) { nzc++; nzs = i; }
+    if (nzc == 1) {
+        cl_lengths[nzs] = 1;
+        cl_lengths[nzs != 0 ? 0 : 1] = 1;
+    }
+    uint16_t cl_codes[18];
+    lengths_to_codes(cl_lengths, 18, cl_codes);
+    int hskip = 0;
+    while (hskip < 3 && cl_lengths[T.cl_order[hskip]] == 0) hskip++;
+    if (hskip == 1) hskip = 0;
+    bw.put(hskip, 2);
+    int space = 0;
+    for (int k = hskip; k < 18; k++) {
+        int l = cl_lengths[T.cl_order[k]];
+        bw.put(T.clcode_bits[l], T.clcode_nbits[l]);
+        if (l) {
+            space += 32 >> l;
+            if (space >= 32) break;
+        }
+    }
+    for (const Tok& t : tokens) {
+        bw.put(cl_codes[t.sym], cl_lengths[t.sym]);
+        if (t.nbits) bw.put(t.extra, t.nbits);
+    }
+}
+
+// encoding table semantics: single-symbol code emits 0 bits per symbol
+struct Enc {
+    std::vector<uint16_t> codes;
+    std::vector<uint8_t> lens;
+    void build(const uint8_t* lengths, int n) {
+        codes.assign(n, 0);
+        lens.assign(n, 0);
+        int nz = 0;
+        for (int i = 0; i < n; i++) if (lengths[i]) nz++;
+        if (nz <= 1) return;  // zero bits per symbol
+        lengths_to_codes(lengths, n, codes.data());
+        for (int i = 0; i < n; i++) lens[i] = lengths[i];
+    }
+};
+
+// ---------------------------------------------------------------------------
+// small header helpers
+// ---------------------------------------------------------------------------
+
+static void write_mlen(BW& bw, int64_t mlen) {
+    int lg = 1;
+    if (mlen > 1) {
+        lg = 0;
+        int64_t v = mlen - 1;
+        while (v) { lg++; v >>= 1; }
+    }
+    int mnibbles = std::max(4, (lg + 3) / 4);
+    bw.put(mnibbles - 4, 2);
+    bw.put(mlen - 1, mnibbles * 4);
+}
+
+static void write_count_code(BW& bw, int v) {
+    if (v == 1) { bw.put(0, 1); return; }
+    bw.put(1, 1);
+    int nbits = 0;
+    int x = v - 1;
+    while (x >> (nbits + 1)) nbits++;
+    bw.put(nbits, 3);
+    bw.put(v - 1 - (1 << nbits), nbits);
+}
+
+// ---------------------------------------------------------------------------
+// context-map serialization (bitstream.py:190 port)
+// ---------------------------------------------------------------------------
+
+static void write_context_map(BW& bw, const int64_t* cmap, int n,
+                              int ntrees) {
+    // forward MTF
+    uint8_t mtf[256];
+    for (int i = 0; i < 256; i++) mtf[i] = (uint8_t)i;
+    std::vector<int> vals(n);
+    for (int i = 0; i < n; i++) {
+        uint8_t v = (uint8_t)cmap[i];
+        int j = 0;
+        while (mtf[j] != v) j++;
+        vals[i] = j;
+        if (j) {
+            std::memmove(mtf + 1, mtf, j);
+            mtf[0] = v;
+        }
+    }
+    // runs
+    int max_run_bits = 0;
+    {
+        int i = 0;
+        while (i < n) {
+            if (vals[i] == 0) {
+                int j = i;
+                while (j < n && vals[j] == 0) j++;
+                int r = j - i;
+                if (r >= 2) {
+                    int lb = 0;
+                    while ((1 << (lb + 1)) <= r) lb++;
+                    max_run_bits = std::max(max_run_bits, lb);
+                }
+                i = j;
+            } else {
+                i++;
+            }
+        }
+    }
+    int rlemax = std::min(16, max_run_bits);
+    struct CTok { int sym; int extra; int nbits; };
+    std::vector<CTok> tokens;
+    {
+        int i = 0;
+        while (i < n) {
+            if (vals[i] != 0) {
+                tokens.push_back({rlemax + vals[i], 0, 0});
+                i++;
+                continue;
+            }
+            int j = i;
+            while (j < n && vals[j] == 0) j++;
+            int r = j - i;
+            while (r > 0) {
+                if (r == 1) {
+                    tokens.push_back({0, 0, 0});
+                    r = 0;
+                } else {
+                    int s = 0;
+                    while ((1 << (s + 1)) <= r) s++;
+                    s = std::min(rlemax, s);
+                    if (s == 0) {
+                        tokens.push_back({0, 0, 0});
+                        r -= 1;
+                        continue;
+                    }
+                    int take = std::min(r, (1 << s) + ((1 << s) - 1));
+                    tokens.push_back({s, take - (1 << s), s});
+                    r -= take;
+                }
+            }
+            i = j;
+        }
+    }
+    int alpha = ntrees + rlemax;
+    std::vector<int64_t> hist(alpha, 0);
+    for (const CTok& t : tokens) hist[t.sym]++;
+    std::vector<uint8_t> lengths(alpha);
+    huffman_lengths(hist.data(), alpha, 15, lengths.data());
+    if (rlemax) {
+        bw.put(1, 1);
+        bw.put(rlemax - 1, 4);
+    } else {
+        bw.put(0, 1);
+    }
+    write_prefix_code(bw, lengths.data(), alpha);
+    Enc enc;
+    enc.build(lengths.data(), alpha);
+    for (const CTok& t : tokens) {
+        bw.put(enc.codes[t.sym], enc.lens[t.sym]);
+        if (t.nbits) bw.put(t.extra, t.nbits);
+    }
+    bw.put(1, 1);  // IMTF
+}
+
+// ---------------------------------------------------------------------------
+// block splitting (metablock.py:237 port: chunked entropy k-means with
+// hysteresis + agglomerative merge)
+// ---------------------------------------------------------------------------
+
+struct SplitParams {
+    int chunk;
+    int max_types;
+    double switch_cost;
+    int min_run;
+    double header_cost;
+};
+static const SplitParams SP_LIT = {256, 32, 28.1, 3, 320.0};
+static const SplitParams SP_CMD = {128, 16, 13.5, 3, 500.0};
+static const SplitParams SP_DIST = {128, 8, 14.6, 3, 600.0};
+
+struct Split {
+    int num_types = 1;
+    std::vector<int> types;                  // per symbol
+    std::vector<std::pair<int, int>> blocks; // (type, length)
+};
+
+static double entropy_of(const double* h, int alpha) {
+    double s = 0, t = 0;
+    for (int i = 0; i < alpha; i++) {
+        double v = h[i];
+        if (v > 0) { s += v; t += v * std::log2(v); }
+    }
+    return s > 0 ? s * std::log2(s) - t : 0.0;
+}
+
+static Split split_symbols(const int64_t* syms, int64_t n, int alpha,
+                           const SplitParams& p) {
+    Split out;
+    out.types.assign(n, 0);
+    out.blocks = {{0, (int)n}};
+    if (n < 128) return out;
+    int chunk = p.chunk;
+    int nch = (int)((n + chunk - 1) / chunk);
+    std::vector<double> hist((size_t)nch * alpha, 0.0);
+    for (int64_t i = 0; i < n; i++)
+        hist[(size_t)(i / chunk) * alpha + syms[i]] += 1.0;
+    // sparse per-chunk entries for the assignment cost loop
+    std::vector<int32_t> nz_sym;
+    std::vector<double> nz_cnt;
+    std::vector<int64_t> nz_off(nch + 1, 0);
+    for (int c = 0; c < nch; c++) {
+        const double* h = &hist[(size_t)c * alpha];
+        for (int s = 0; s < alpha; s++)
+            if (h[s] > 0) { nz_sym.push_back(s); nz_cnt.push_back(h[s]); }
+        nz_off[c + 1] = (int64_t)nz_sym.size();
+    }
+    int k = std::min({p.max_types, std::max(1, nch / 3), 256});
+    if (k <= 1) return out;
+
+    std::vector<double> cent((size_t)k * alpha, 0.0);
+    // seeds: evenly spaced chunk groups
+    for (int j = 0; j < k; j++) {
+        int a = (int)((int64_t)j * nch / k);
+        int b = (int)((int64_t)(j + 1) * nch / k);
+        b = std::max(b, a + 1);
+        for (int c = a; c < b && c < nch; c++)
+            for (int s = 0; s < alpha; s++)
+                cent[(size_t)j * alpha + s] += hist[(size_t)c * alpha + s];
+    }
+    std::vector<int> assign(nch, -1);
+    std::vector<double> cost((size_t)nch * k);
+    std::vector<double> logp((size_t)k * alpha);
+    double switch_pen = p.switch_cost / std::max(1, chunk / 16);
+    for (int iter = 0; iter < 3; iter++) {
+        for (int j = 0; j < k; j++) {
+            double tot = 0;
+            for (int s = 0; s < alpha; s++)
+                tot += cent[(size_t)j * alpha + s];
+            tot += alpha * 0.25;
+            for (int s = 0; s < alpha; s++)
+                logp[(size_t)j * alpha + s] =
+                    std::log2((cent[(size_t)j * alpha + s] + 0.25) / tot);
+        }
+        std::vector<int> na(nch);
+        for (int c = 0; c < nch; c++) {
+            double best = 1e300;
+            int bj = 0;
+            int64_t a = nz_off[c], b = nz_off[c + 1];
+            for (int j = 0; j < k; j++) {
+                double acc = 0;
+                const double* lp = &logp[(size_t)j * alpha];
+                for (int64_t e = a; e < b; e++)
+                    acc -= nz_cnt[e] * lp[nz_sym[e]];
+                acc += switch_pen;
+                cost[(size_t)c * k + j] = acc;
+                if (acc < best) { best = acc; bj = j; }
+            }
+            na[c] = bj;
+        }
+        // hysteresis: absorb short runs into the cheaper neighbor
+        for (int pass = 0; pass < 4; pass++) {
+            bool changed = false;
+            int i = 0;
+            while (i < nch) {
+                int j = i;
+                while (j < nch && na[j] == na[i]) j++;
+                int run = j - i;
+                bool has_prev = i > 0, has_next = j < nch;
+                if (run < p.min_run && (has_prev || has_next)) {
+                    int t = na[i], new_t;
+                    if (!has_prev) new_t = na[j];
+                    else if (!has_next) new_t = na[i - 1];
+                    else {
+                        double cp = 0, cn = 0;
+                        for (int c = i; c < j; c++) {
+                            cp += cost[(size_t)c * k + na[i - 1]];
+                            cn += cost[(size_t)c * k + na[j]];
+                        }
+                        new_t = cp <= cn ? na[i - 1] : na[j];
+                    }
+                    if (new_t != t) {
+                        for (int c = i; c < j; c++) na[c] = new_t;
+                        changed = true;
+                    }
+                }
+                i = j;
+            }
+            if (!changed) break;
+        }
+        if (na == assign) break;
+        assign = na;
+        std::fill(cent.begin(), cent.end(), 0.0);
+        for (int c = 0; c < nch; c++)
+            for (int s = 0; s < alpha; s++)
+                cent[(size_t)assign[c] * alpha + s] +=
+                    hist[(size_t)c * alpha + s];
+    }
+
+    // agglomerative merge while it pays for the header
+    {
+        std::vector<double> cc((size_t)k * alpha, 0.0);
+        for (int c = 0; c < nch; c++)
+            for (int s = 0; s < alpha; s++)
+                cc[(size_t)assign[c] * alpha + s] +=
+                    hist[(size_t)c * alpha + s];
+        std::vector<int> ids;
+        std::vector<uint8_t> seen(k, 0);
+        for (int c = 0; c < nch; c++)
+            if (!seen[assign[c]]) { seen[assign[c]] = 1;
+                                    ids.push_back(assign[c]); }
+        std::sort(ids.begin(), ids.end());
+        std::vector<double> ent(k);
+        for (int id : ids) ent[id] = entropy_of(&cc[(size_t)id * alpha],
+                                                alpha);
+        std::vector<double> merged(alpha);
+        while ((int)ids.size() > 1) {
+            double best_delta = 0.0;
+            int ba = -1, bb = -1;
+            for (size_t ii = 0; ii < ids.size(); ii++)
+                for (size_t jj = ii + 1; jj < ids.size(); jj++) {
+                    int a = ids[ii], b = ids[jj];
+                    for (int s = 0; s < alpha; s++)
+                        merged[s] = cc[(size_t)a * alpha + s] +
+                                    cc[(size_t)b * alpha + s];
+                    double d = entropy_of(merged.data(), alpha) -
+                               ent[a] - ent[b] - p.header_cost;
+                    if (d < best_delta) { best_delta = d; ba = a; bb = b; }
+                }
+            if (ba < 0) break;
+            for (int s = 0; s < alpha; s++)
+                cc[(size_t)ba * alpha + s] += cc[(size_t)bb * alpha + s];
+            ent[ba] = entropy_of(&cc[(size_t)ba * alpha], alpha);
+            ids.erase(std::find(ids.begin(), ids.end(), bb));
+            for (int c = 0; c < nch; c++)
+                if (assign[c] == bb) assign[c] = ba;
+        }
+    }
+
+    // compress ids, first-appearance order
+    std::vector<int> remap(k, -1);
+    int num = 0;
+    for (int c = 0; c < nch; c++)
+        if (remap[assign[c]] < 0) remap[assign[c]] = num++;
+    if (num == 1) return out;
+    out.num_types = num;
+    for (int64_t i = 0; i < n; i++)
+        out.types[i] = remap[assign[(int)(i / chunk)]];
+    out.blocks.clear();
+    int64_t i = 0;
+    while (i < n) {
+        int64_t j = i;
+        while (j < n && out.types[j] == out.types[i]) j++;
+        out.blocks.push_back({out.types[i], (int)(j - i)});
+        i = j;
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// context-histogram clustering (metablock.py:351 port)
+// ---------------------------------------------------------------------------
+
+static void cluster_histograms(const int64_t* bucket_hist, int nb,
+                               int alpha, int max_trees,
+                               double header_cost,
+                               std::vector<int>& out_assign,
+                               std::vector<int64_t>& tree_hists,
+                               int& ntrees) {
+    out_assign.assign(nb, 0);
+    std::vector<int> used;
+    std::vector<int64_t> totals(nb, 0);
+    for (int b = 0; b < nb; b++) {
+        for (int s = 0; s < alpha; s++)
+            totals[b] += bucket_hist[(size_t)b * alpha + s];
+        if (totals[b] > 0) used.push_back(b);
+    }
+    if (used.empty()) {
+        ntrees = 1;
+        tree_hists.assign(alpha, 0);
+        return;
+    }
+    int m = (int)used.size();
+    int k = std::min(max_trees, m);
+    // seeds: largest buckets
+    std::vector<int> order(m);
+    for (int i = 0; i < m; i++) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int a, int b) {
+        if (totals[used[a]] != totals[used[b]])
+            return totals[used[a]] > totals[used[b]];
+        return a < b;
+    });
+    std::vector<double> cent((size_t)k * alpha, 0.0);
+    for (int j = 0; j < k; j++)
+        for (int s = 0; s < alpha; s++)
+            cent[(size_t)j * alpha + s] =
+                (double)bucket_hist[(size_t)used[order[j]] * alpha + s];
+    std::vector<int> assign(m, -1);
+    std::vector<double> logp((size_t)k * alpha);
+    for (int iter = 0; iter < 6; iter++) {
+        for (int j = 0; j < k; j++) {
+            double tot = alpha * 0.25;
+            for (int s = 0; s < alpha; s++)
+                tot += cent[(size_t)j * alpha + s];
+            for (int s = 0; s < alpha; s++)
+                logp[(size_t)j * alpha + s] =
+                    std::log2((cent[(size_t)j * alpha + s] + 0.25) / tot);
+        }
+        std::vector<int> na(m);
+        bool same = true;
+        for (int i = 0; i < m; i++) {
+            const int64_t* h = &bucket_hist[(size_t)used[i] * alpha];
+            double best = 1e300;
+            int bj = 0;
+            for (int j = 0; j < k; j++) {
+                double acc = 0;
+                const double* lp = &logp[(size_t)j * alpha];
+                for (int s = 0; s < alpha; s++) acc -= h[s] * lp[s];
+                if (acc < best) { best = acc; bj = j; }
+            }
+            na[i] = bj;
+            if (na[i] != assign[i]) same = false;
+        }
+        if (same) break;
+        assign = na;
+        std::fill(cent.begin(), cent.end(), 0.0);
+        for (int i = 0; i < m; i++)
+            for (int s = 0; s < alpha; s++)
+                cent[(size_t)assign[i] * alpha + s] +=
+                    (double)bucket_hist[(size_t)used[i] * alpha + s];
+    }
+    // greedy merge
+    {
+        std::vector<int> ids;
+        std::vector<uint8_t> seen(k, 0);
+        for (int i = 0; i < m; i++)
+            if (!seen[assign[i]]) { seen[assign[i]] = 1;
+                                    ids.push_back(assign[i]); }
+        std::sort(ids.begin(), ids.end());
+        std::vector<double> ent(k, 0.0);
+        for (int id : ids)
+            ent[id] = entropy_of(&cent[(size_t)id * alpha], alpha);
+        std::vector<double> merged(alpha);
+        while ((int)ids.size() > 1) {
+            double best_delta = 0.0;
+            int ba = -1, bb = -1;
+            for (size_t ii = 0; ii < ids.size(); ii++)
+                for (size_t jj = ii + 1; jj < ids.size(); jj++) {
+                    int a = ids[ii], b = ids[jj];
+                    for (int s = 0; s < alpha; s++)
+                        merged[s] = cent[(size_t)a * alpha + s] +
+                                    cent[(size_t)b * alpha + s];
+                    double d = entropy_of(merged.data(), alpha) -
+                               ent[a] - ent[b] - header_cost;
+                    if (d < best_delta) { best_delta = d; ba = a; bb = b; }
+                }
+            if (ba < 0) break;
+            for (int s = 0; s < alpha; s++)
+                cent[(size_t)ba * alpha + s] +=
+                    cent[(size_t)bb * alpha + s];
+            ent[ba] = entropy_of(&cent[(size_t)ba * alpha], alpha);
+            ids.erase(std::find(ids.begin(), ids.end(), bb));
+            for (int i = 0; i < m; i++)
+                if (assign[i] == bb) assign[i] = ba;
+        }
+        // remap sorted
+        std::vector<int> remap(k, -1);
+        int num = 0;
+        for (int id : ids) remap[id] = num++;
+        ntrees = num;
+        tree_hists.assign((size_t)ntrees * alpha, 0);
+        for (int i = 0; i < m; i++) {
+            int t = remap[assign[i]];
+            out_assign[used[i]] = t;
+            for (int s = 0; s < alpha; s++)
+                tree_hists[(size_t)t * alpha + s] +=
+                    bucket_hist[(size_t)used[i] * alpha + s];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// block-switch wire planning (metablock.py:632 port)
+// ---------------------------------------------------------------------------
+
+struct SwitchPlan {
+    bool active = false;
+    int64_t first_len = 0;
+    int first_len_code = 0;
+    std::vector<int> type_syms, len_codes;
+    std::vector<std::pair<int64_t, int>> len_extra; // (value, bits)
+    std::vector<int64_t> switch_at;
+    std::vector<int64_t> type_hist, len_hist;
+    uint8_t type_lengths[258], len_lengths[26];
+    Enc type_enc, len_enc;
+};
+
+static void plan_switches(const Split& sp, SwitchPlan& out) {
+    if (sp.num_types < 2) return;
+    out.active = true;
+    out.first_len = sp.blocks[0].second;
+    out.first_len_code = blk_code_of(out.first_len);
+    int ntypes = sp.num_types;
+    int cur = 0, prev = 1;
+    int64_t at = 0;
+    for (size_t bi = 1; bi < sp.blocks.size(); bi++) {
+        at += sp.blocks[bi - 1].second;
+        int t = sp.blocks[bi].first;
+        int64_t ln = sp.blocks[bi].second;
+        int s;
+        if (t == prev) s = 0;
+        else if (t == (cur + 1) % ntypes) s = 1;
+        else s = t + 2;
+        out.type_syms.push_back(s);
+        int lc = blk_code_of(ln);
+        out.len_codes.push_back(lc);
+        out.len_extra.push_back({ln - T.blk_base[lc],
+                                 (int)T.blk_extra[lc]});
+        out.switch_at.push_back(at);
+        prev = cur;
+        cur = t;
+    }
+    out.type_hist.assign(ntypes + 2, 0);
+    for (int s : out.type_syms) out.type_hist[s]++;
+    out.len_hist.assign(26, 0);
+    out.len_hist[out.first_len_code]++;
+    for (int lc : out.len_codes) out.len_hist[lc]++;
+    // safe hist
+    int64_t th = 0, lh = 0;
+    for (int64_t v : out.type_hist) th += v;
+    for (int64_t v : out.len_hist) lh += v;
+    if (th == 0) out.type_hist[0] = 1;
+    if (lh == 0) out.len_hist[0] = 1;
+    huffman_lengths(out.type_hist.data(), ntypes + 2, 15,
+                    out.type_lengths);
+    huffman_lengths(out.len_hist.data(), 26, 15, out.len_lengths);
+    out.type_enc.build(out.type_lengths, ntypes + 2);
+    out.len_enc.build(out.len_lengths, 26);
+}
+
+}  // namespace sb
+
+// ---------------------------------------------------------------------------
+// entry point
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t store_metablock_native(
+    const uint8_t* data, int64_t start, int64_t mlen, int64_t is_last,
+    int64_t n_cmds, const int64_t* insert_len, const int64_t* copy_len,
+    const int64_t* dist_code, const int64_t* dist_extra,
+    const int64_t* dist_extra_bits, const int64_t* cmd_sym,
+    const int64_t* copy_advance,
+    int64_t npostfix, int64_t ndirect, int64_t dist_alpha,
+    int64_t quality, int64_t context_mode,
+    int64_t num_lit_ctx, const int64_t* lit_static_map /* [64] */,
+    const uint8_t* lut0 /* [256] */, const uint8_t* lut1 /* [256] */,
+    int64_t enable_splits,
+    uint64_t* out_words, int64_t cap_bits)
+{
+    using namespace sb;
+    init_tables();
+    BW bw{out_words, cap_bits};
+
+    // ---- gather literals + their contexts ----
+    std::vector<uint8_t> literals;
+    std::vector<uint8_t> lit_ctx;
+    {
+        int64_t pos = start;
+        for (int64_t c = 0; c < n_cmds; c++) {
+            int64_t il = insert_len[c];
+            for (int64_t j = 0; j < il; j++) {
+                int64_t p = pos + j;
+                uint8_t p1 = p >= 1 ? data[p - 1] : 0;
+                uint8_t p2 = p >= 2 ? data[p - 2] : 0;
+                literals.push_back(data[p]);
+                lit_ctx.push_back((uint8_t)(lut0[p1] | lut1[p2]));
+            }
+            pos += il + copy_advance[c];
+        }
+    }
+    int64_t n_lit = (int64_t)literals.size();
+
+    // ---- distance symbol stream ----
+    std::vector<int64_t> dist_syms;
+    std::vector<int64_t> dist_cmd_idx;
+    for (int64_t c = 0; c < n_cmds; c++) {
+        if (copy_len[c] > 0 && !T.cmd_implicit[cmd_sym[c]]) {
+            dist_syms.push_back(dist_code[c]);
+            dist_cmd_idx.push_back(c);
+        }
+    }
+
+    // ---- block splits ----
+    std::vector<int64_t> lit64(literals.begin(), literals.end());
+    Split lit_split, cmd_split, dist_split;
+    if (enable_splits) {
+        lit_split = split_symbols(lit64.data(), n_lit, 256, SP_LIT);
+        cmd_split = split_symbols(cmd_sym, n_cmds, 704, SP_CMD);
+        dist_split = split_symbols(dist_syms.data(),
+                                   (int64_t)dist_syms.size(),
+                                   (int)dist_alpha, SP_DIST);
+    } else {
+        lit_split.types.assign(n_lit, 0);
+        lit_split.blocks = {{0, (int)n_lit}};
+        cmd_split.types.assign(n_cmds, 0);
+        cmd_split.blocks = {{0, (int)n_cmds}};
+        dist_split.types.assign(dist_syms.size(), 0);
+        dist_split.blocks = {{0, (int)dist_syms.size()}};
+    }
+    while ((int64_t)lit_split.num_types * num_lit_ctx > 256)
+        num_lit_ctx = 1;
+
+    // ---- context maps + per-tree histograms ----
+    bool dynamic_ctx = quality >= 10 && n_lit > 512;
+    int ntrees_l, ntrees_d;
+    std::vector<int64_t> cmap_l((size_t)lit_split.num_types * 64, 0);
+    std::vector<int64_t> cmap_d((size_t)dist_split.num_types * 4, 0);
+    std::vector<int> lit_tree(n_lit, 0);
+    std::vector<int> dist_tree(dist_syms.size(), 0);
+    std::vector<int64_t> lit_h, dist_h;
+
+    if (dynamic_ctx) {
+        int nbuck_l = lit_split.num_types * 64;
+        std::vector<int64_t> bh((size_t)nbuck_l * 256, 0);
+        for (int64_t i = 0; i < n_lit; i++)
+            bh[(size_t)(lit_split.types[i] * 64 + lit_ctx[i]) * 256 +
+               literals[i]]++;
+        std::vector<int> assign_l;
+        cluster_histograms(bh.data(), nbuck_l, 256, 48, 300.0, assign_l,
+                           lit_h, ntrees_l);
+        for (int b = 0; b < nbuck_l; b++) cmap_l[b] = assign_l[b];
+        for (int64_t i = 0; i < n_lit; i++)
+            lit_tree[i] = assign_l[lit_split.types[i] * 64 + lit_ctx[i]];
+
+        int nbuck_d = dist_split.num_types * 4;
+        std::vector<int64_t> bhd((size_t)nbuck_d * dist_alpha, 0);
+        for (size_t i = 0; i < dist_syms.size(); i++) {
+            int64_t c = dist_cmd_idx[i];
+            int64_t cl = copy_len[c];
+            int dctx = (int)(cl < 5 ? (cl < 2 ? 0 : cl - 2) : 3);
+            bhd[(size_t)(dist_split.types[i] * 4 + dctx) * dist_alpha +
+                dist_syms[i]]++;
+        }
+        std::vector<int> assign_d;
+        cluster_histograms(bhd.data(), nbuck_d, (int)dist_alpha, 8,
+                           500.0, assign_d, dist_h, ntrees_d);
+        for (int b = 0; b < nbuck_d; b++) cmap_d[b] = assign_d[b];
+        for (size_t i = 0; i < dist_syms.size(); i++) {
+            int64_t c = dist_cmd_idx[i];
+            int64_t cl = copy_len[c];
+            int dctx = (int)(cl < 5 ? (cl < 2 ? 0 : cl - 2) : 3);
+            dist_tree[i] = assign_d[dist_split.types[i] * 4 + dctx];
+        }
+    } else {
+        ntrees_l = lit_split.num_types * (int)num_lit_ctx;
+        for (int t = 0; t < lit_split.num_types; t++)
+            for (int c = 0; c < 64; c++)
+                cmap_l[(size_t)t * 64 + c] =
+                    t * num_lit_ctx + lit_static_map[c];
+        lit_h.assign((size_t)ntrees_l * 256, 0);
+        for (int64_t i = 0; i < n_lit; i++) {
+            int tr = (int)(lit_split.types[i] * num_lit_ctx +
+                           lit_static_map[lit_ctx[i]]);
+            lit_tree[i] = tr;
+            lit_h[(size_t)tr * 256 + literals[i]]++;
+        }
+        ntrees_d = dist_split.num_types;
+        for (int t = 0; t < ntrees_d; t++)
+            for (int c = 0; c < 4; c++) cmap_d[(size_t)t * 4 + c] = t;
+        dist_h.assign((size_t)ntrees_d * dist_alpha, 0);
+        for (size_t i = 0; i < dist_syms.size(); i++) {
+            dist_tree[i] = dist_split.types[i];
+            dist_h[(size_t)dist_split.types[i] * dist_alpha +
+                   dist_syms[i]]++;
+        }
+    }
+
+    int nct = cmd_split.num_types;
+    std::vector<int64_t> cmd_h((size_t)nct * 704, 0);
+    for (int64_t c = 0; c < n_cmds; c++)
+        cmd_h[(size_t)cmd_split.types[c] * 704 + cmd_sym[c]]++;
+
+    // ---- per-tree code lengths (safe-hist + RLE optimize) ----
+    auto tree_lengths = [&](std::vector<int64_t>& hists, int ntrees,
+                            int alpha, std::vector<uint8_t>& lengths) {
+        lengths.assign((size_t)ntrees * alpha, 0);
+        std::vector<int64_t> tmp(alpha);
+        for (int t = 0; t < ntrees; t++) {
+            int64_t* h = &hists[(size_t)t * alpha];
+            int64_t s = 0;
+            for (int i = 0; i < alpha; i++) s += h[i];
+            std::memcpy(tmp.data(), h, alpha * sizeof(int64_t));
+            if (s == 0) tmp[0] = 1;
+            optimize_rle(tmp.data(), alpha);
+            huffman_lengths(tmp.data(), alpha, 15,
+                            &lengths[(size_t)t * alpha]);
+        }
+    };
+    std::vector<uint8_t> lit_lengths, cmd_lengths, dist_lengths;
+    tree_lengths(lit_h, ntrees_l, 256, lit_lengths);
+    tree_lengths(cmd_h, nct, 704, cmd_lengths);
+    tree_lengths(dist_h, ntrees_d, (int)dist_alpha, dist_lengths);
+
+    // ---- header ----
+    bw.put(is_last ? 1 : 0, 1);
+    if (is_last) bw.put(0, 1);
+    write_mlen(bw, mlen);
+    if (!is_last) bw.put(0, 1);  // ISUNCOMPRESSED
+
+    SwitchPlan sw_l, sw_c, sw_d;
+    plan_switches(lit_split, sw_l);
+    plan_switches(cmd_split, sw_c);
+    plan_switches(dist_split, sw_d);
+    const Split* splits[3] = {&lit_split, &cmd_split, &dist_split};
+    SwitchPlan* sws[3] = {&sw_l, &sw_c, &sw_d};
+    for (int cat = 0; cat < 3; cat++) {
+        write_count_code(bw, splits[cat]->num_types);
+        if (splits[cat]->num_types >= 2) {
+            SwitchPlan& sp = *sws[cat];
+            write_prefix_code(bw, sp.type_lengths,
+                              splits[cat]->num_types + 2);
+            write_prefix_code(bw, sp.len_lengths, 26);
+            bw.put(sp.len_enc.codes[sp.first_len_code],
+                   sp.len_enc.lens[sp.first_len_code]);
+            bw.put(sp.first_len - T.blk_base[sp.first_len_code],
+                   (int)T.blk_extra[sp.first_len_code]);
+        }
+    }
+
+    bw.put(npostfix, 2);
+    bw.put(ndirect >> npostfix, 4);
+    for (int t = 0; t < lit_split.num_types; t++)
+        bw.put(context_mode, 2);
+
+    write_count_code(bw, ntrees_l);
+    if (ntrees_l >= 2)
+        write_context_map(bw, cmap_l.data(),
+                          lit_split.num_types * 64, ntrees_l);
+    write_count_code(bw, ntrees_d);
+    if (ntrees_d >= 2)
+        write_context_map(bw, cmap_d.data(),
+                          dist_split.num_types * 4, ntrees_d);
+
+    std::vector<Enc> lit_enc(ntrees_l), cmd_enc(nct), dist_enc(ntrees_d);
+    for (int t = 0; t < ntrees_l; t++) {
+        write_prefix_code(bw, &lit_lengths[(size_t)t * 256], 256);
+        lit_enc[t].build(&lit_lengths[(size_t)t * 256], 256);
+    }
+    for (int t = 0; t < nct; t++) {
+        write_prefix_code(bw, &cmd_lengths[(size_t)t * 704], 704);
+        cmd_enc[t].build(&cmd_lengths[(size_t)t * 704], 704);
+    }
+    for (int t = 0; t < ntrees_d; t++) {
+        write_prefix_code(bw, &dist_lengths[(size_t)t * dist_alpha],
+                          (int)dist_alpha);
+        dist_enc[t].build(&dist_lengths[(size_t)t * dist_alpha],
+                          (int)dist_alpha);
+    }
+
+    // ---- command stream ----
+    auto emit_switch = [&](SwitchPlan& sp, size_t si) {
+        int ts = sp.type_syms[si];
+        int lc = sp.len_codes[si];
+        bw.put(sp.type_enc.codes[ts], sp.type_enc.lens[ts]);
+        bw.put(sp.len_enc.codes[lc], sp.len_enc.lens[lc]);
+        bw.put(sp.len_extra[si].first, sp.len_extra[si].second);
+    };
+    size_t sw_li = 0, sw_ci = 0, sw_di = 0;
+    int64_t lit_i = 0, dist_i = 0;
+    for (int64_t c = 0; c < n_cmds; c++) {
+        if (sw_c.active && sw_ci < sw_c.switch_at.size() &&
+            sw_c.switch_at[sw_ci] == c)
+            emit_switch(sw_c, sw_ci++);
+        int sym = (int)cmd_sym[c];
+        int tr = cmd_split.types[c];
+        bw.put(cmd_enc[tr].codes[sym], cmd_enc[tr].lens[sym]);
+        int icode = T.cmd_ins_code[sym];
+        int ccode = T.cmd_copy_code[sym];
+        int64_t wire_copy = copy_len[c] == 0 ? 4 : copy_len[c];
+        bw.put(insert_len[c] - T.ins_base[icode],
+               (int)T.ins_extra[icode]);
+        bw.put(wire_copy - T.copy_base[ccode],
+               (int)T.copy_extra[ccode]);
+        for (int64_t j = 0; j < insert_len[c]; j++) {
+            if (sw_l.active && sw_li < sw_l.switch_at.size() &&
+                sw_l.switch_at[sw_li] == lit_i)
+                emit_switch(sw_l, sw_li++);
+            int t = lit_tree[lit_i];
+            uint8_t b = literals[lit_i];
+            bw.put(lit_enc[t].codes[b], lit_enc[t].lens[b]);
+            lit_i++;
+        }
+        if (copy_len[c] > 0 && !T.cmd_implicit[sym]) {
+            if (sw_d.active && sw_di < sw_d.switch_at.size() &&
+                sw_d.switch_at[sw_di] == dist_i)
+                emit_switch(sw_d, sw_di++);
+            int t = dist_tree[dist_i];
+            int ds = (int)dist_syms[dist_i];
+            bw.put(dist_enc[t].codes[ds], dist_enc[t].lens[ds]);
+            bw.put(dist_extra[c], (int)dist_extra_bits[c]);
+            dist_i++;
+        }
+    }
+    return bw.overflow ? -1 : bw.pos;
+}

@@ -202,3 +202,29 @@ def test_q11_native_roundtrip_and_band():
     out = compress(data, quality=11)
     assert decompress(out) == data
     assert len(out) < 20000
+
+
+def test_native_store_vs_python_store():
+    """The native metablock backend (store_metablock_native) must
+    produce streams both decoders accept, with size close to the
+    Python build_meta_block/store_meta_block oracle."""
+    import os
+    from brotli_tpu import decompress
+    for name in ("alice29.txt", "random_then_unicode"):
+        data = load(name)
+        native_out = compress(data, quality=9)
+        assert decompress(native_out) == data
+        env = os.environ.copy()
+        # python oracle path in a subprocess (env flag is read at import)
+        import subprocess, sys
+        code = (
+            "import brotli_tpu,sys;"
+            f"d=open('{TESTDATA}/{name}','rb').read();"
+            "sys.stdout.write(str(len(brotli_tpu.compress(d, quality=9))))"
+        )
+        env["BROTLI_TPU_NO_NATIVE"] = "1"
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=600)
+        py_size = int(r.stdout.strip())
+        assert abs(len(native_out) - py_size) < 0.02 * py_size + 64, \
+            (len(native_out), py_size)
