@@ -13,6 +13,7 @@
 #include <cstring>
 #include <algorithm>
 #include <cstdio>
+#include <vector>
 #include <cstdlib>
 // env-gated trace for decoder debugging (BROTLI_DBG=1)
 static inline bool dbg_enabled() {
@@ -68,16 +69,25 @@ struct BitReader {
     }
 };
 
-// flat prefix decode table: 2^max_len entries of (sym << 4 | len)
+// two-level prefix decode table: a 512-entry root (9-bit peek) plus
+// per-prefix subtables for codes longer than 9 bits.  Root entries are
+// (sym << 4 | len) for direct codes; for long prefixes len holds
+// 9 + sub_bits and sym holds the subtable base.  Keeps every hot tree
+// within ~2KB (the flat 2^15 layout thrashed L1 on literal-heavy data).
 struct PrefixTable {
     int32_t* tab = nullptr;
     int max_len = 0;
-    int single = -1;  // kept for introspection; decode is branch-free
+    int single = -1;  // kept for introspection
 
     inline int decode(BitReader& br) {
-        uint64_t bits = br.peek(max_len);
-        int32_t e = tab[bits];
-        br.skip(e & 15);
+        uint64_t bits = br.peek(15);
+        int32_t e = tab[bits & 511];
+        int l = e & 15;
+        if (__builtin_expect(l > 9, 0)) {
+            e = tab[(e >> 4) + ((bits >> 9) & ((1u << (l - 9)) - 1))];
+            l = e & 15;
+        }
+        br.skip(l);
         return e >> 4;
     }
 };
@@ -156,19 +166,19 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
     }
     if (nz == 0) return false;
     if (nz == 1) {
-        // 0-bit code: one-entry table keeps decode branch-free
+        // 0-bit code: constant root (decode skips 0 bits)
         pt.single = single;
         pt.max_len = 0;
-        pt.tab = arena.alloc(1);
+        pt.tab = arena.alloc(512);
         if (!pt.tab) return false;
-        pt.tab[0] = (int32_t)(single << 4);
+        for (int i = 0; i < 512; i++)
+            pt.tab[i] = (int32_t)(single << 4);
         return true;
     }
     if (space != (1ll << 15)) return false;  // not Kraft-complete
     pt.single = -1;
     pt.max_len = maxlen;
-    int64_t tsize = 1ll << maxlen;
-    pt.tab = arena.alloc(tsize);
+    pt.tab = arena.alloc(512);
     if (!pt.tab) return false;
     // canonical code assignment, LSB-first
     int count[16] = {0};
@@ -180,16 +190,48 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
         code = (code + count[l - 1]) << 1;
         next_code[l] = code;
     }
+    // per-prefix subtable depth for codes longer than ROOT_BITS
+    int sub_bits[512];
+    bool any_long = maxlen > 9;
+    if (any_long) std::memset(sub_bits, 0, sizeof(sub_bits));
+    std::vector<std::pair<int32_t, int32_t>> longs;  // (rev_code, sym)
     for (int i = 0; i < n; i++) {
         int l = lengths[i];
         if (!l) continue;
         int64_t c = next_code[l]++;
-        // bit-reverse l bits
         int64_t r = 0;
         for (int b = 0; b < l; b++) r |= ((c >> b) & 1) << (l - 1 - b);
-        int64_t step = 1ll << l;
-        for (int64_t idx = r; idx < tsize; idx += step)
-            pt.tab[idx] = (int32_t)((i << 4) | l);
+        if (l <= 9) {
+            int64_t step = 1ll << l;
+            for (int64_t idx = r; idx < 512; idx += step)
+                pt.tab[idx] = (int32_t)((i << 4) | l);
+        } else {
+            int p = (int)(r & 511);
+            sub_bits[p] = std::max(sub_bits[p], l - 9);
+            longs.push_back({(int32_t)r, (int32_t)i});
+        }
+    }
+    if (any_long) {
+        int32_t sub_base[512];
+        for (int p = 0; p < 512; p++) {
+            if (!sub_bits[p]) continue;
+            int32_t* sub = arena.alloc(1ll << sub_bits[p]);
+            if (!sub) return false;
+            sub_base[p] = (int32_t)(sub - pt.tab);
+            pt.tab[p] = (sub_base[p] << 4) | (9 + sub_bits[p]);
+        }
+        for (auto& [r, sym] : longs) {
+            int l = 0;
+            // recover length: stored below; recompute from lengths[]
+            l = lengths[sym];
+            int p = r & 511;
+            int sb = sub_bits[p];
+            int32_t* sub = pt.tab + sub_base[p];
+            int64_t hi = (r >> 9) & ((1 << sb) - 1);
+            int64_t step = 1ll << (l - 9);
+            for (int64_t idx = hi; idx < (1ll << sb); idx += step)
+                sub[idx] = (int32_t)((sym << 4) | l);
+        }
     }
     return true;
 }
@@ -247,8 +289,8 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
     }
     if (num_codes != 1 && space != 32) return br.overflow ? -1 : -2;
     PrefixTable cl;
-    int32_t clmem[1 << 5];
-    TableArena cl_arena{clmem, 1 << 5, 0};
+    int32_t clmem[512];
+    TableArena cl_arena{clmem, 512, 0};
     if (!build_table(cl, cl_len, 18, cl_arena)) return br.overflow ? -1 : -2;
 
     int64_t sym_space = 0;

@@ -1156,10 +1156,11 @@ struct CombinedCtx {
                 if (sc > sr.score) {
                     sr.score = sc; sr.len = ml; sr.dist = dist;
                     sr.wire = ml; sr.isdict = false;
+                    if (ml >= 72) break;  // good enough; stop probing
                 }
             }
         }
-        if (k8 && i + 8 <= n) {
+        if (k8 && i + 8 <= n && sr.len < 72) {
             uint64_t v8 = load64(data + i);
             uint32_t h8 = (uint32_t)((v8 * 0x1FE35A7BD3579BD3ull)
                                      >> shift8);
