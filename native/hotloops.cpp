@@ -1097,23 +1097,35 @@ struct CombinedCtx {
     const int64_t* dict_sbits;
     const int64_t* omit_ids;
 
-    inline void insert_upto(int64_t stop) {
-        for (int64_t i = ins_pos; i < stop; i++) {
-            if (i + 4 <= n) {
-                uint32_t v4 = load32(data + i);
-                uint32_t h4 = (v4 * 0x1E35A7BDu) >> shift4;
-                ring4[h4 * cap4 + (cnt4[h4] & mask4)] = (int32_t)i;
-                cnt4[h4]++;
-                if (k8 && i + 8 <= n) {
-                    uint64_t v8 = load64(data + i);
-                    uint32_t h8 = (uint32_t)(
-                        (v8 * 0x1FE35A7BD3579BD3ull) >> shift8);
-                    ring8[h8 * cap8 + (cnt8[h8] & mask8)] = (int32_t)i;
-                    cnt8[h8]++;
-                }
-            }
+    inline void insert_one(int64_t i) {
+        if (i + 4 > n) return;
+        uint32_t v4 = load32(data + i);
+        uint32_t h4 = (v4 * 0x1E35A7BDu) >> shift4;
+        ring4[h4 * cap4 + (cnt4[h4] & mask4)] = (int32_t)i;
+        cnt4[h4]++;
+        if (k8 && i + 8 <= n) {
+            uint64_t v8 = load64(data + i);
+            uint32_t h8 = (uint32_t)(
+                (v8 * 0x1FE35A7BD3579BD3ull) >> shift8);
+            ring8[h8 * cap8 + (cnt8[h8] & mask8)] = (int32_t)i;
+            cnt8[h8]++;
         }
+    }
+
+    inline void insert_upto(int64_t stop) {
+        for (int64_t i = ins_pos; i < stop; i++) insert_one(i);
         if (stop > ins_pos) ins_pos = stop;
+    }
+
+    // insert a copied span: long matches hash only the edges plus a
+    // strided interior (the reference skips interior positions of long
+    // copies the same way)
+    inline void insert_span(int64_t start, int64_t stop) {
+        if (stop - ins_pos <= 48) { insert_upto(stop); return; }
+        insert_upto(std::min(start + 16, stop));
+        for (int64_t i = ins_pos; i < stop - 16; i += 4) insert_one(i);
+        ins_pos = std::max(ins_pos, stop - 16);
+        insert_upto(stop);
     }
 
     // search at absolute position i (candidates strictly before i)
@@ -1122,10 +1134,13 @@ struct CombinedCtx {
         insert_upto(i);
         if (i + 4 > n) return sr;
         int64_t limit = n - i;
-        // distance-cache candidates (flat bonus scoring)
+        // distance-cache candidates (flat bonus scoring); a candidate
+        // can only win if it matches one byte past the current best
         for (int c = 0; c < 4; c++) {
             int64_t d = cache[c];
             if (d <= 0 || d > i) continue;
+            if (sr.len > 0 && (sr.len >= limit ||
+                data[i - d + sr.len] != data[i + sr.len])) continue;
             int64_t ml = probe_len(data, i - d, i, limit);
             if (ml >= 4) {
                 int64_t sc = lbs * ml + 15;
@@ -1314,7 +1329,7 @@ int64_t combined_parse_native(
                 cache[3] = cache[2]; cache[2] = cache[1];
                 cache[1] = cache[0]; cache[0] = sr.dist;
             }
-            cx.insert_upto(std::min(pos + l, cx.n));
+            cx.insert_span(pos, std::min(pos + l, cx.n));
             pos += l;
             insert_start = pos;
         }
