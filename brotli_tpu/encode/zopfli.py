@@ -408,25 +408,37 @@ def zopfli_parse(n: int, lcp: np.ndarray, cost_cmd, edges):
 
 def _finish_parse(n, lcp, cost, prev_start, prev_len, prev_wire,
                   prev_dist):
-    """Scan for the cheapest stream close and backtrack (shared by the
-    edge-list and candidate-list native DPs)."""
-    cost = cost.tolist()
-    prev_start = prev_start.tolist()
-    prev_len = prev_len.tolist()
-    prev_wire = prev_wire.tolist()
-    prev_dist = prev_dist.tolist()
-    best_adj = INF
-    best_u = 0
-    lcp_l = lcp.tolist()
-    for p in range(n):
-        c = cost[p]
-        if c < 1e29:
-            adj = c - lcp_l[p]
-            if adj < best_adj:
-                best_adj = adj
-                best_u = p
-    return _backtrack(n, lcp_l, cost, prev_start, prev_len,
-                      prev_wire, prev_dist, best_adj, best_u)
+    """Scan for the cheapest stream close (vectorized) and backtrack
+    (shared by the edge-list and candidate-list native DPs)."""
+    cost = np.asarray(cost)
+    lcp = np.asarray(lcp)
+    adj = np.where(cost[:n] < 1e29, cost[:n] - lcp[:n], np.inf)
+    best_u = int(np.argmin(adj)) if n else 0
+    best_adj = float(adj[best_u]) if n else INF
+    # backtrack walks the path only (command count, not n) so direct
+    # array indexing is fine
+    end_from_u = best_adj + float(lcp[n])
+    ins, cps, dst, adv = [], [], [], []
+    pos = n
+    if cost[n] >= 1e29 or end_from_u < cost[n]:
+        ins.append(n - best_u)
+        cps.append(0)
+        dst.append(0)
+        adv.append(0)
+        pos = best_u
+    while pos > 0:
+        u = int(prev_start[pos])
+        l = int(prev_len[pos])
+        ins.append(pos - l - u)
+        cps.append(int(prev_wire[pos]))
+        dst.append(int(prev_dist[pos]))
+        adv.append(l)
+        pos = u
+    ins.reverse()
+    cps.reverse()
+    dst.reverse()
+    adv.reverse()
+    return ins, cps, dst, adv
 
 
 def _backtrack(n, lcp_l, cost, prev_start, prev_len, prev_wire,
@@ -522,16 +534,23 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
         # like 'aaaa...'
         hits = np.argwhere((cand_lens >= MATCH_CAP) & ~cand_isdict)
         hits = hits[np.argsort(hits[:, 1], kind="stable")]
-        last_end = -1
-        for ci, p in hits:
-            if p < last_end - 32:
-                continue
-            d = int(cand_dists[ci, p])
-            ext = extend_match(full, dict_len + p - d, dict_len + p,
-                               int(cand_lens[ci, p]), n - p)
-            cand_lens[ci, p] = ext
-            cand_wire[ci, p] = ext
-            last_end = max(last_end, int(p) + ext)
+        if len(hits) and nb.available():
+            hc, hp = hits[:, 0], hits[:, 1]
+            ext = nb.extend_caps(full, dict_len, hp,
+                                 cand_dists[hc, hp], cand_lens[hc, hp])
+            cand_lens[hc, hp] = ext
+            cand_wire[hc, hp] = ext
+        else:
+            last_end = -1
+            for ci, p in hits:
+                if p < last_end - 32:
+                    continue
+                d = int(cand_dists[ci, p])
+                ext = extend_match(full, dict_len + p - d, dict_len + p,
+                                   int(cand_lens[ci, p]), n - p)
+                cand_lens[ci, p] = ext
+                cand_wire[ci, p] = ext
+                last_end = max(last_end, int(p) + ext)
     else:
         cand_lens = np.zeros((0, n), dtype=np.int64)
         cand_dists = np.zeros((0, n), dtype=np.int64)

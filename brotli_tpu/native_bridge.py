@@ -64,6 +64,7 @@ def get_lib():
         _lib.zopfli_cands_native.restype = ctypes.c_int64
         _lib.zopfli_dp_cands_native.restype = None
         _lib.store_metablock_native.restype = ctypes.c_int64
+        _lib.extend_caps_native.restype = None
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)
     except Exception:
@@ -247,6 +248,22 @@ def collect_matches(data, window_size, dict_len=0, k=48,
         _ptr(out_pos), _ptr(out_len), _ptr(out_dist),
         ctypes.c_int64(cap))
     return out_pos[:m], out_len[:m], out_dist[:m]
+
+
+def extend_caps(data, dict_len, pos, dist, lens):
+    """Amortized exact-length extension of cap-hit matches (native
+    extend_caps_native; same contract as the zopfli_segment loop)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    pos = np.ascontiguousarray(pos, np.int64)
+    dist = np.ascontiguousarray(dist, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out = np.empty(len(pos), np.int64)
+    lib.extend_caps_native(_ptr(data, U8), ctypes.c_int64(len(data)),
+                           ctypes.c_int64(dict_len), _ptr(pos),
+                           _ptr(dist), _ptr(lens),
+                           ctypes.c_int64(len(pos)), _ptr(out))
+    return out
 
 
 def store_metablock(data, start, mlen, is_last, cmds, npostfix, ndirect,

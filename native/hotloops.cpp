@@ -441,6 +441,30 @@ int64_t collect_matches_native(
 }
 
 // ---------------------------------------------------------------------------
+// amortized exact-length extension for cap-hit matches (mirrors the
+// numpy loop in zopfli_segment: inside a span already covered by a
+// longer extended match the capped length is kept, bounding total
+// probe work to O(n) on runs)
+// ---------------------------------------------------------------------------
+
+void extend_caps_native(
+    const uint8_t* data, int64_t total_len, int64_t dict_len,
+    const int64_t* pos, const int64_t* dist, const int64_t* len,
+    int64_t nhits, int64_t* out_len)
+{
+    int64_t n = total_len - dict_len;
+    int64_t last_end = -1;
+    for (int64_t h = 0; h < nhits; h++) {
+        int64_t p = pos[h], d = dist[h], l = len[h];
+        if (p < last_end - 32) { out_len[h] = l; continue; }
+        int64_t ext = l + probe_len(data, dict_len + p - d + l,
+                                    dict_len + p + l, n - p - l);
+        out_len[h] = ext;
+        if (p + ext > last_end) last_end = p + ext;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Zopfli candidate preparation: counting-sort the concatenated match
 // sources by position, dedupe per (position, distance) keeping the
 // longest, cap per position (window / dictionary budgeted separately),
