@@ -141,3 +141,24 @@ def test_compress_mesh_end_to_end():
     assert decompress(out) == data
     out1 = compress_mesh(data, mesh=make_mesh(1))
     assert decompress(out1) == data
+
+
+def test_pallas_match_kernel_matches_jax():
+    """Pallas round-chain kernel (interpreter mode on CPU) agrees with
+    the pure-jax match_lengths_capped reference."""
+    import jax.numpy as jnp
+    import numpy as np
+    from brotli_tpu.ops.pallas_match import match_lengths_blocked
+    from brotli_tpu.ops.matching import match_lengths_capped, u32_values
+    with open(f"{TESTDATA}/asyoulik.txt", "rb") as f:
+        data = np.frombuffer(f.read()[:30000], np.uint8)
+    v4 = u32_values(jnp.asarray(data))
+    rng = np.random.default_rng(3)
+    m = 2000
+    b = rng.integers(100, len(data) - 200, m).astype(np.int32)
+    a = (b - rng.integers(1, 90, m)).astype(np.int32)
+    limit = jnp.full(m, 32, jnp.int32)
+    ref = match_lengths_capped(v4, jnp.asarray(a), jnp.asarray(b), limit)
+    got = match_lengths_blocked(v4, jnp.asarray(a), jnp.asarray(b),
+                                limit, interpret=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
