@@ -118,9 +118,9 @@ class Compressor:
         state = self._w.save_state()
         before = self._w.bit_length()
         if p.quality >= 4:
-            plan = build_meta_block(full, dlen, n, cmds, p.dist,
-                                    p.quality, n, mode=p.mode)
-            bs.store_meta_block(self._w, plan, mark_last)
+            bs.store_meta_block_auto(self._w, full, dlen, n, cmds,
+                                     p.dist, p.quality, n, p.mode,
+                                     mark_last)
         else:
             bs.store_meta_block_trivial(self._w, full, dlen, n,
                                         mark_last, cmds, p.dist)

@@ -96,9 +96,9 @@ def _compress_part_shared(raw, i, n_parts, params, best):
         state = w.save_state()
         before = w.bit_length()
         if p.quality >= 4:
-            plan = build_meta_block(region, start, mlen, cmds, p.dist,
-                                    p.quality, mlen, mode=p.mode)
-            bs.store_meta_block(w, plan, False)
+            bs.store_meta_block_auto(w, region, start, mlen, cmds,
+                                     p.dist, p.quality, mlen, p.mode,
+                                     False)
         else:
             bs.store_meta_block_trivial(w, region, start, mlen, False,
                                         cmds, p.dist)
