@@ -15,8 +15,10 @@ what it fuses well; write kernels for what it cannot).
 Reference analog: FindMatchLengthWithLimit
 (reference src/enc/backward_references/mod.rs, 8-byte XOR + ctz loop).
 
-Falls back transparently to the pure-jax path when Pallas is
-unavailable on the current backend (tests run it in interpreter mode).
+Validated bit-exact against the jax reference both in interpreter
+mode (CPU tests) and compiled on a real TPU v5e chip (the tunneled
+axon chip takes ~10 minutes for the first pallas compile — run with a
+generous timeout).
 """
 
 from __future__ import annotations

@@ -669,6 +669,18 @@ int64_t decode_native(
                 } else {
                     p1 = prev_byte(1); p2 = prev_byte(2);
                 }
+            } else if (!L.has) {
+                // one literal block type, context-mapped trees: LUT
+                // rows and the context-map row are loop-invariant
+                const uint8_t* l0 = g_dict.ctx_lut0 + modes[0] * 256;
+                const uint8_t* l1 = g_dict.ctx_lut1 + modes[0] * 256;
+                for (int64_t j = 0; j < ins_len; j++) {
+                    int lit = lit_pt[cmap_l[l0[p1] | l1[p2]]].decode(br);
+                    out[out_len++] = (uint8_t)lit;
+                    p2 = p1;
+                    p1 = (uint8_t)lit;
+                }
+                if (br.overflow) return -1;
             } else {
                 for (int64_t j = 0; j < ins_len; j++) {
                     if ((r = tick(br, L))) return r;
@@ -754,9 +766,23 @@ int64_t decode_native(
                 if (distance >= remaining) {
                     std::memcpy(out + out_len, out + src,
                                 (size_t)remaining);
-                } else {
+                } else if (remaining <= 16) {
                     for (int64_t j = 0; j < remaining; j++)
                         out[out_len + j] = out[src + j];
+                } else {
+                    // overlapping long copy: period-doubling memcpys
+                    // (span stays a multiple of the distance, so each
+                    // chunk is a non-overlapping copy)
+                    int64_t span = distance;
+                    int64_t done = 0;
+                    while (done < remaining) {
+                        int64_t chunk = std::min(span, remaining - done);
+                        std::memcpy(out + out_len + done,
+                                    out + out_len + done - span,
+                                    (size_t)chunk);
+                        done += chunk;
+                        span <<= 1;
+                    }
                 }
                 out_len += remaining;
                 mlen -= copy_len;
