@@ -90,9 +90,11 @@ def _quality_knobs(params: EncoderParams):
     if q <= 3:
         return dict(k=2, bucket_bits=16, k8=1)
     if q <= 6:
-        return dict(k=4, bucket_bits=17, k8=2)
+        # deeper buckets in smaller (L2-resident) tables beat shallow
+        # buckets in big ones: the ring stores are cache-miss bound
+        return dict(k=8, bucket_bits=15, k8=4, bucket_bits8=15)
     if q <= 9:
-        return dict(k=12, bucket_bits=17, k8=6)
+        return dict(k=16, bucket_bits=16, k8=8, bucket_bits8=16)
     return dict(k=24, bucket_bits=18, k8=12)
 
 

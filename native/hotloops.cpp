@@ -1111,6 +1111,8 @@ struct CombinedCtx {
     uint32_t shift4, shift8;
     int32_t* ring4; int32_t* cnt4;
     int32_t* ring8; int32_t* cnt8;
+    const uint32_t* H4 = nullptr;  // precomputed bucket ids (SIMD pass)
+    const uint32_t* H8 = nullptr;
     int64_t ins_pos = 0;      // next absolute position to insert
     // dictionary index
     const int64_t* dict_table;
@@ -1123,14 +1125,11 @@ struct CombinedCtx {
 
     inline void insert_one(int64_t i) {
         if (i + 4 > n) return;
-        uint32_t v4 = load32(data + i);
-        uint32_t h4 = (v4 * 0x1E35A7BDu) >> shift4;
+        uint32_t h4 = H4[i];
         ring4[h4 * cap4 + (cnt4[h4] & mask4)] = (int32_t)i;
         cnt4[h4]++;
         if (k8 && i + 8 <= n) {
-            uint64_t v8 = load64(data + i);
-            uint32_t h8 = (uint32_t)(
-                (v8 * 0x1FE35A7BD3579BD3ull) >> shift8);
+            uint32_t h8 = H8[i];
             ring8[h8 * cap8 + (cnt8[h8] & mask8)] = (int32_t)i;
             cnt8[h8]++;
         }
@@ -1177,7 +1176,7 @@ struct CombinedCtx {
         }
         uint32_t v4 = load32(data + i);
         {
-            uint32_t h4 = (v4 * 0x1E35A7BDu) >> shift4;
+            uint32_t h4 = H4[i];
             int32_t c = cnt4[h4];
             int32_t m = (int32_t)std::min<int64_t>(c, k);
             for (int32_t j = 0; j < m; j++) {
@@ -1200,9 +1199,7 @@ struct CombinedCtx {
             }
         }
         if (k8 && i + 8 <= n && sr.len < 72) {
-            uint64_t v8 = load64(data + i);
-            uint32_t h8 = (uint32_t)((v8 * 0x1FE35A7BD3579BD3ull)
-                                     >> shift8);
+            uint32_t h8 = H8[i];
             int32_t c = cnt8[h8];
             int32_t m = (int32_t)std::min<int64_t>(c, k8);
             for (int32_t j = 0; j < m; j++) {
@@ -1294,6 +1291,28 @@ int64_t combined_parse_native(
     cx.cnt4 = new int32_t[nb4]();
     cx.ring8 = k8 ? new int32_t[nb8 * cx.cap8] : nullptr;
     cx.cnt8 = k8 ? new int32_t[nb8]() : nullptr;
+    // precompute bucket ids in straight vectorizable passes, keeping
+    // the hash math off the serial insert/search chain
+    uint32_t* h4buf = new uint32_t[total_len > 4 ? total_len : 4];
+    {
+        int64_t m4 = total_len - 4;
+        for (int64_t i = 0; i <= m4; i++)
+            h4buf[i] = (load32(data + i) * 0x1E35A7BDu) >> cx.shift4;
+        for (int64_t i = m4 > 0 ? m4 + 1 : 0; i < total_len; i++)
+            h4buf[i] = 0;
+    }
+    uint32_t* h8buf = nullptr;
+    if (k8) {
+        h8buf = new uint32_t[total_len > 8 ? total_len : 8];
+        int64_t m8 = total_len - 8;
+        for (int64_t i = 0; i <= m8; i++)
+            h8buf[i] = (uint32_t)((load64(data + i) *
+                                   0x1FE35A7BD3579BD3ull) >> cx.shift8);
+        for (int64_t i = m8 > 0 ? m8 + 1 : 0; i < total_len; i++)
+            h8buf[i] = 0;
+    }
+    cx.H4 = h4buf;
+    cx.H8 = h8buf;
     cx.dict_table = dict_table;
     cx.dict_hash_bits = dict_hash_bits;
     cx.dict_slots = dict_slots;
@@ -1372,6 +1391,7 @@ int64_t combined_parse_native(
     }
     delete[] cx.ring4; delete[] cx.cnt4;
     delete[] cx.ring8; delete[] cx.cnt8;
+    delete[] h4buf; delete[] h8buf;
     return n_out;
 }
 
