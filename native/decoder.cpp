@@ -50,16 +50,17 @@ struct BitReader {
         if (__builtin_expect(pos + nbits > cache_bit0 + 64, 0)) refill();
         return (cache >> (pos - cache_bit0)) & ((1ull << nbits) - 1);
     }
+    // reads/skips advance unconditionally (peek zero-pads past the
+    // end); truncation is detected by the monotone `over()` check at
+    // command/header granularity, keeping bounds tests off the
+    // per-symbol path
     inline uint64_t read(int nbits) {
-        if (pos + nbits > size * 8) { overflow = true; return 0; }
         uint64_t v = peek(nbits);
         pos += nbits;
         return v;
     }
-    inline void skip(int nbits) {
-        if (pos + nbits > size * 8) { overflow = true; return; }
-        pos += nbits;
-    }
+    inline void skip(int nbits) { pos += nbits; }
+    inline bool over() const { return pos > size * 8; }
     inline bool align_ok() {   // align to byte; padding must be zero
         int n = (int)((-pos) & 7);
         return read(n) == 0;
@@ -241,7 +242,7 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
                             PrefixTable& pt, TableArena& arena) {
     std::memset(lengths, 0, n);
     int hskip = (int)br.read(2);
-    if (br.overflow) return -1;
+    if (br.over()) return -1;
     if (hskip == 1) {
         int nsym = (int)br.read(2) + 1;
         int bits = 1;
@@ -249,12 +250,12 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
         int syms[4];
         for (int i = 0; i < nsym; i++) {
             int s = (int)br.read(bits);
-            if (s >= n) return br.overflow ? -1 : -2;
+            if (s >= n) return br.over() ? -1 : -2;
             for (int j = 0; j < i; j++)
-                if (syms[j] == s) return br.overflow ? -1 : -2;
+                if (syms[j] == s) return br.over() ? -1 : -2;
             syms[i] = s;
         }
-        if (br.overflow) return -1;
+        if (br.over()) return -1;
         if (nsym == 1) lengths[syms[0]] = 1;
         else if (nsym == 2) {
             lengths[syms[0]] = lengths[syms[1]] = 1;
@@ -270,7 +271,7 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
                 for (int i = 0; i < 4; i++) lengths[syms[i]] = 2;
             }
         }
-        if (!build_table(pt, lengths, n, arena)) return br.overflow ? -1 : -2;
+        if (!build_table(pt, lengths, n, arena)) return br.over() ? -1 : -2;
         return 0;
     }
     // complex
@@ -279,7 +280,7 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
     int num_codes = 0;
     for (int i = hskip; i < 18; i++) {
         int l = read_clcode_len(br);
-        if (br.overflow) return -1;
+        if (br.over()) return -1;
         cl_len[kClOrder[i]] = (uint8_t)l;
         if (l) {
             num_codes++;
@@ -287,11 +288,11 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
             if (space >= 32) break;
         }
     }
-    if (num_codes != 1 && space != 32) return br.overflow ? -1 : -2;
+    if (num_codes != 1 && space != 32) return br.over() ? -1 : -2;
     PrefixTable cl;
     int32_t clmem[512];
     TableArena cl_arena{clmem, 512, 0};
-    if (!build_table(cl, cl_len, 18, cl_arena)) return br.overflow ? -1 : -2;
+    if (!build_table(cl, cl_len, 18, cl_arena)) return br.over() ? -1 : -2;
 
     int64_t sym_space = 0;
     int i = 0;
@@ -300,7 +301,7 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
     int64_t repeat = 0;
     while (i < n && sym_space < 32768) {
         int sym = cl.decode(br);
-        if (br.overflow) return -1;
+        if (br.over()) return -1;
         if (sym < 16) {
             lengths[i++] = (uint8_t)sym;
             prev_repeat_sym = -1;
@@ -311,7 +312,7 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
         } else {
             int eb = sym == 16 ? 2 : 3;
             int64_t extra = (int64_t)br.read(eb);
-            if (br.overflow) return -1;
+            if (br.over()) return -1;
             int64_t new_repeat;
             if (prev_repeat_sym == sym)
                 new_repeat = ((repeat - 2) << eb) + 3 + extra;
@@ -322,14 +323,14 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
             repeat = new_repeat;
             prev_repeat_sym = sym;
             int val = sym == 16 ? prev_nonzero : 0;
-            if (i + delta > n) return br.overflow ? -1 : -2;
+            if (i + delta > n) return br.over() ? -1 : -2;
             for (int64_t j = 0; j < delta; j++)
                 lengths[i++] = (uint8_t)val;
             if (val) sym_space += delta * (32768 >> val);
         }
     }
-    if (sym_space != 32768) return br.overflow ? -1 : -2;
-    if (!build_table(pt, lengths, n, arena)) return br.overflow ? -1 : -2;
+    if (sym_space != 32768) return br.over() ? -1 : -2;
+    if (!build_table(pt, lengths, n, arena)) return br.over() ? -1 : -2;
     return 0;
 }
 
@@ -356,7 +357,7 @@ static int read_block_len(BitReader& br, PrefixTable& pt) {
 static int read_block_header(BitReader& br, BlockCat& bc,
                              TableArena& arena, uint8_t* scratch) {
     bc.num_types = read_count_code(br);
-    if (br.overflow) return -1;
+    if (br.over()) return -1;
     bc.cur = 0; bc.prev = 1;
     if (bc.num_types >= 2) {
         bc.has = true;
@@ -366,7 +367,7 @@ static int read_block_header(BitReader& br, BlockCat& bc,
         r = read_prefix_code(br, scratch, 26, bc.len_pt, arena);
         if (r) return r;
         int bl = read_block_len(br, bc.len_pt);
-        if (bl < 0 || br.overflow) return br.overflow ? -1 : -2;
+        if (bl < 0 || br.over()) return br.over() ? -1 : -2;
         bc.remaining = bl;
     } else {
         bc.remaining = 1ll << 60;
@@ -381,10 +382,10 @@ static inline int tick(BitReader& br, BlockCat& bc) {
         if (s == 0) next = bc.prev;
         else if (s == 1) next = (bc.cur + 1) % bc.num_types;
         else next = s - 2;
-        if (next >= bc.num_types) return br.overflow ? -1 : -2;
+        if (next >= bc.num_types) return br.over() ? -1 : -2;
         bc.prev = bc.cur; bc.cur = next;
         int bl = read_block_len(br, bc.len_pt);
-        if (bl < 0) return br.overflow ? -1 : -2;
+        if (bl < 0) return br.over() ? -1 : -2;
         bc.remaining = bl;
     }
     bc.remaining--;
@@ -403,12 +404,12 @@ static int read_context_map(BitReader& br, int num_ctx, int ntrees,
     int i = 0;
     while (i < num_ctx) {
         int sym = pt.decode(br);
-        if (br.overflow) return -1;
+        if (br.over()) return -1;
         if (sym == 0) {
             cmap[i++] = 0;
         } else if (sym <= rlemax) {
             int64_t reps = (1ll << sym) + (int64_t)br.read(sym);
-            if (i + reps > num_ctx) return br.overflow ? -1 : -2;
+            if (i + reps > num_ctx) return br.over() ? -1 : -2;
             i += (int)reps;
         } else {
             cmap[i++] = (uint8_t)(sym - rlemax);
@@ -428,7 +429,7 @@ static int read_context_map(BitReader& br, int num_ctx, int ntrees,
         }
     }
     for (int j = 0; j < num_ctx; j++)
-        if (cmap[j] >= ntrees) return br.overflow ? -1 : -2;
+        if (cmap[j] >= ntrees) return br.over() ? -1 : -2;
     return 0;
 }
 
@@ -516,14 +517,14 @@ int64_t decode_native(
             int m = (int)br.read(3);
             if (m == 0) wbits = 17;
             else if (m == 1) {
-                if (!large_window) return br.overflow ? -1 : -2;
-                if (br.read(1)) return br.overflow ? -1 : -2;
+                if (!large_window) return br.over() ? -1 : -2;
+                if (br.read(1)) return br.over() ? -1 : -2;
                 wbits = (int)br.read(6);
-                if (wbits < 10 || wbits > 30) return br.overflow ? -1 : -2;
+                if (wbits < 10 || wbits > 30) return br.over() ? -1 : -2;
             } else wbits = 8 + m;
         }
     }
-    if (br.overflow) return -1;
+    if (br.over()) return -1;
     int64_t window_size = (1ll << wbits) - 16;
     int64_t dist_cache[4] = {4, 11, 15, 16};
     int max_distbits = large_window ? 62 : 24;
@@ -533,30 +534,30 @@ int64_t decode_native(
 
     for (;;) {
         int64_t islast = br.read(1);
-        if (br.overflow) return -1;
+        if (br.over()) return -1;
         if (islast && br.read(1)) break;  // ISLASTEMPTY
-        if (br.overflow) return -1;
+        if (br.over()) return -1;
         int64_t mnibbles = br.read(2);
         if (mnibbles == 3) {  // metadata
-            if (br.read(1)) return br.overflow ? -1 : -2;
+            if (br.read(1)) return br.over() ? -1 : -2;
             int64_t mskip = br.read(2);
             int64_t skip = 0;
             if (mskip) {
                 int64_t val = br.read((int)(8 * mskip));
                 if (mskip > 1 && (val >> (8 * (mskip - 1))) == 0)
-                    return br.overflow ? -1 : -2;
+                    return br.over() ? -1 : -2;
                 skip = val + 1;
             }
-            if (!br.align_ok()) return br.overflow ? -1 : -2;
+            if (!br.align_ok()) return br.over() ? -1 : -2;
             if (!br.at_least(8 * skip)) return -1;
             br.skip((int)(8 * skip));
             if (islast) break;
             continue;
         }
         int64_t mlen = br.read((int)(16 + 4 * mnibbles)) + 1;
-        if (br.overflow) return -1;
+        if (br.over()) return -1;
         if (mnibbles > 0 && ((mlen - 1) >> (16 + 4 * (mnibbles - 1))) == 0)
-            return br.overflow ? -1 : -2;
+            return br.over() ? -1 : -2;
         if (!islast && br.read(1)) {  // ISUNCOMPRESSED
             int n = (int)((-br.pos) & 7);
             if (br.read(n) != 0) { /* tolerated padding */ }
@@ -582,7 +583,7 @@ int64_t decode_native(
         uint8_t modes[256];
         for (int t = 0; t < L.num_types; t++)
             modes[t] = (uint8_t)br.read(2);
-        if (br.overflow) return -1;
+        if (br.over()) return -1;
 
         int ntrees_l = read_count_code(br);
         uint8_t cmap_l[256 * 64];
@@ -631,9 +632,9 @@ int64_t decode_native(
             if ((r = tick(br, I))) return r;
             int cmd = cmd_pt[I.cur].decode(br);
             DBG("cmd=%d pos=%ld mlen=%ld out=%ld ovf=%d\n", cmd,
-                br.pos, mlen, out_len, (int)br.overflow);
-            if (br.overflow) return -1;
-            if (cmd >= 704) return br.overflow ? -1 : -2;
+                br.pos, mlen, out_len, (int)br.over());
+            if (br.over()) return -1;
+            if (cmd >= 704) return br.over() ? -1 : -2;
             // decompose command symbol
             int cell = cmd >> 6;
             int low = cmd & 63;
@@ -651,9 +652,9 @@ int64_t decode_native(
                 (int64_t)br.read(kInsertExtra[ins_code]);
             int64_t copy_len = kCopyBase[copy_code] +
                 (int64_t)br.read(kCopyExtra[copy_code]);
-            if (br.overflow) return -1;
+            if (br.over()) return -1;
 
-            if (ins_len > mlen) return br.overflow ? -1 : -2;
+            if (ins_len > mlen) return br.over() ? -1 : -2;
             if (out_len + ins_len > out_cap) return -3;
             if (!L.has && ntrees_l == 1) {
                 // common fast path: one literal block type, one tree
@@ -662,7 +663,7 @@ int64_t decode_native(
                     int lit = pt.decode(br);
                     out[out_len++] = (uint8_t)lit;
                 }
-                if (br.overflow) return -1;
+                if (br.over()) return -1;
                 if (out_len >= 2) {
                     p1 = out[out_len - 1];
                     p2 = out[out_len - 2];
@@ -680,7 +681,7 @@ int64_t decode_native(
                     p2 = p1;
                     p1 = (uint8_t)lit;
                 }
-                if (br.overflow) return -1;
+                if (br.over()) return -1;
             } else {
                 for (int64_t j = 0; j < ins_len; j++) {
                     if ((r = tick(br, L))) return r;
@@ -689,7 +690,7 @@ int64_t decode_native(
                               g_dict.ctx_lut1[mode * 256 + p2];
                     int tree = cmap_l[(L.cur << 6) | ctx];
                     int lit = lit_pt[tree].decode(br);
-                    if (br.overflow) return -1;
+                    if (br.over()) return -1;
                     out[out_len++] = (uint8_t)lit;
                     p2 = p1;
                     p1 = (uint8_t)lit;
@@ -710,11 +711,11 @@ int64_t decode_native(
                     std::max<int64_t>(copy_len, 2), 5) - 2;
                 int tree = cmap_d[(D.cur << 2) | dctx];
                 dcode = dist_pt[tree].decode(br);
-                if (br.overflow) return -1;
+                if (br.over()) return -1;
                 if (dcode < 16) {
                     distance = dist_cache[kDistShortIdx[dcode]] +
                                kDistShortDelta[dcode];
-                    if (distance <= 0) return br.overflow ? -1 : -2;
+                    if (distance <= 0) return br.over() ? -1 : -2;
                 } else if (dcode < 16 + ndirect) {
                     distance = dcode - 16 + 1;
                 } else {
@@ -724,7 +725,7 @@ int64_t decode_native(
                     int nbits = (int)(1 + (hcode >> 1));
                     int64_t offset = ((2 + (hcode & 1)) << nbits) - 4;
                     int64_t extra = (int64_t)br.read(nbits);
-                    if (br.overflow) return -1;
+                    if (br.over()) return -1;
                     distance = ((offset + extra) << npostfix) + lcode +
                                ndirect + 1;
                 }
@@ -732,30 +733,30 @@ int64_t decode_native(
 
             DBG("ins=%ld copy=%ld dist=%ld dcode=%d maxd=%ld pos=%ld ovf=%d\n",
                 ins_len, copy_len, distance, dcode, max_distance,
-                br.pos, (int)br.overflow);
+                br.pos, (int)br.over());
             if (distance > max_distance) {
                 // static dictionary reference
-                if (copy_len < 4 || copy_len > 24) return br.overflow ? -1 : -2;
+                if (copy_len < 4 || copy_len > 24) return br.over() ? -1 : -2;
                 int64_t word_id = distance - max_distance - 1;
                 int64_t sb = g_dict.size_bits_by_length[copy_len];
                 int64_t idx = word_id & ((1ll << sb) - 1);
                 int64_t transform = word_id >> sb;
                 int64_t wl = transform_word(copy_len, idx, transform,
                                             word_buf);
-                if (wl < 0) return br.overflow ? -1 : -2;
-                if (wl > mlen) return br.overflow ? -1 : -2;
+                if (wl < 0) return br.over() ? -1 : -2;
+                if (wl > mlen) return br.over() ? -1 : -2;
                 if (out_len + wl > out_cap) return -3;
                 std::memcpy(out + out_len, word_buf, (size_t)wl);
                 out_len += wl;
                 mlen -= wl;
             } else {
-                if (copy_len > mlen) return br.overflow ? -1 : -2;
+                if (copy_len > mlen) return br.over() ? -1 : -2;
                 if (out_len + copy_len > out_cap) return -3;
                 int64_t remaining = copy_len;
                 int64_t src = out_len - distance;
                 if (src < 0) {
                     int64_t dstart = custom_dict_len + src;
-                    if (dstart < 0) return br.overflow ? -1 : -2;
+                    if (dstart < 0) return br.over() ? -1 : -2;
                     int64_t take = std::min(remaining, -src);
                     std::memcpy(out + out_len, custom_dict + dstart,
                                 (size_t)take);
