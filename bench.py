@@ -91,6 +91,20 @@ def main():
             size_vs_c=round(size_vs, 4),
         )
 
+    # ---- CompressMulti (reference threading/mod.rs parity) ----
+    try:
+        from brotli_tpu import compress_multi
+        compress_multi(sl[: 1 << 18], 4, quality=9)  # warm
+        mt = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mout = compress_multi(sl, 4, quality=9)
+            mt = min(mt, time.perf_counter() - t0)
+        assert decompress(mout) == sl
+        multi_mbps = round(len(sl) / mt / 1e6, 1)
+    except Exception:
+        multi_mbps = 0.0
+
     # ---- TPU fast path (q1 tier) on one chip ----
     try:
         from brotli_tpu.encode.fast import compress_fast
@@ -113,6 +127,7 @@ def main():
         "detail": {
             "q9": q9,
             "q5": results[5],
+            "compress_multi4_enc_MBps": multi_mbps,
             "tpu_fast_path_MBps": fast_mbps,
         },
     }))

@@ -162,11 +162,24 @@ def compress_multi(data, num_parts: int, quality: int = 9,
                        for i in range(num_parts)]
         return _merge(results)
 
-    if backend == "thread":
-        with ThreadPoolExecutor(max_workers=num_parts) as pool:
-            futures = [pool.submit(compress_part, raw, i, num_parts,
-                                   params)
-                       for i in range(num_parts)]
+    if backend in ("thread", "process"):
+        # "process" sidesteps GIL-serialized glue between the native
+        # calls (the MultiThreadedSpawner analog with real parallelism;
+        # shards and their prefixes are shipped as bytes)
+        pool_cls = ThreadPoolExecutor
+        if backend == "process":
+            from concurrent.futures import ProcessPoolExecutor
+            pool_cls = ProcessPoolExecutor
+        with pool_cls(max_workers=num_parts) as pool:
+            if backend == "process":
+                futures = [pool.submit(_compress_part_bytes,
+                                       raw.tobytes(), i, num_parts,
+                                       quality, lgwin, mode)
+                           for i in range(num_parts)]
+            else:
+                futures = [pool.submit(compress_part, raw, i, num_parts,
+                                       params)
+                           for i in range(num_parts)]
             # join ALL workers even if one fails (reference drains every
             # handle and reports the first error, threading/mod.rs:506)
             results, first_err = [], None
@@ -183,6 +196,15 @@ def compress_multi(data, num_parts: int, quality: int = 9,
         results = [compress_part(raw, i, num_parts, params)
                    for i in range(num_parts)]
     return _merge(results)
+
+
+def _compress_part_bytes(data: bytes, i: int, n_parts: int,
+                         quality: int, lgwin: int, mode: int) -> bytes:
+    """Picklable worker for the process backend."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    params = EncoderParams(quality=quality, lgwin=lgwin,
+                           mode=mode).sanitize(None)
+    return compress_part(raw, i, n_parts, params)
 
 
 def _merge(results) -> bytes:

@@ -1322,6 +1322,17 @@ int64_t combined_parse_native(
     cx.dict_sbits = dict_size_bits;
     cx.omit_ids = omit_ids;
 
+    // sparse prefix hashing (shared-shard compression installs the
+    // whole preceding input as an LZ77 dictionary): full density for
+    // the last 256KB, every 3rd position farther back — long-range
+    // matches are long, so a strided table still finds them via
+    // extension while prefix hashing stops dominating shard wall-time
+    if (dict_len > (256 << 10)) {
+        int64_t dense_from = dict_len - (256 << 10);
+        for (int64_t i = 0; i < dense_from; i += 3) cx.insert_one(i);
+        cx.ins_pos = dense_from;
+    }
+
     int64_t cache[4] = {initial_cache[0], initial_cache[1],
                         initial_cache[2], initial_cache[3]};
     int64_t n_out = 0;
