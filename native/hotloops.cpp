@@ -883,15 +883,21 @@ void zopfli_dp_cands_native(
             double ins_cost = (double)ins_extra_tab[ic];
             int64_t max_distance = std::min(dict_len + p, window_size);
 
-            for (int ci = 0; ci < 4; ci++) {
-                int64_t d = cs[ci];
+            // all 16 short-code variants: the 4 cached distances plus
+            // the +-1/2/3 offsets of the last two (RFC 4; the reference
+            // DP probes the same 16, hq.rs kDistanceCacheIndex/Offset)
+            static const int sc_idx[16] = {0, 1, 2, 3, 0, 0, 0, 0, 0, 0,
+                                           1, 1, 1, 1, 1, 1};
+            static const int sc_delta[16] = {0, 0, 0, 0, -1, 1, -2, 2,
+                                             -3, 3, -1, 1, -2, 2, -3, 3};
+            for (int sc = 0; sc < 16; sc++) {
+                int64_t d = cs[sc_idx[sc]] + sc_delta[sc];
                 if (d <= 0 || d > max_distance) continue;
                 int64_t ml = probe_len(data, dict_len + p - d,
                                        dict_len + p,
                                        std::min<int64_t>(n - p, 512));
                 if (ml < 2) continue;
                 int cc = copy_code_of(ml);
-                int sc = short_code_of(d, cs);
                 double edge;
                 int dcode;
                 if (sc == 0 && ic < 8 && cc < 16) {
@@ -899,11 +905,10 @@ void zopfli_dp_cands_native(
                            cost_cmd[cmd_sym_last_tab[ic * 24 + cc]];
                     dcode = 0;
                 } else {
-                    int use = sc >= 0 ? sc : 0;
                     edge = ins_cost + copy_extra_tab[cc] +
                            cost_cmd[cmd_sym_tab[ic * 24 + cc]] +
-                           cost_dist_short[use];
-                    dcode = use;
+                           cost_dist_short[sc];
+                    dcode = sc;
                 }
                 relax(p, st.u, st.base_noins, p + ml, ml, ml, d, edge,
                       dcode);
