@@ -478,7 +478,7 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
         bl, bd, bs, isd, bw, b2l, b2d = nb.find_best_matches(
             full, window_size, dict_len=dict_len,
             literal_byte_score=literal_byte_score,
-            k=48, bucket_bits=17, k8=0, use_dictionary=False,
+            k=64, bucket_bits=15, k8=0, use_dictionary=False,
             want_top2=True)
         outs.append((bl, bd, isd, bw))
         outs.append((b2l, b2d, np.zeros(len(b2l), bool), b2l))
@@ -486,7 +486,7 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
         bl, bd, bs, isd, bw = find_best_matches(
             full, window_size, dict_len=dict_len,
             literal_byte_score=literal_byte_score,
-            k=48, bucket_bits=17, k8=0, use_dictionary=False)
+            k=64, bucket_bits=15, k8=0, use_dictionary=False)
         outs.append((bl, bd, isd, bw))
     for kw in (dict(k=12, bucket_bits=14, k8=0, use_dictionary=False),
                dict(k=1, bucket_bits=17, k8=24,
