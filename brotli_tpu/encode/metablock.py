@@ -48,11 +48,18 @@ def shannon_entropy(counts: np.ndarray) -> float:
 
 def is_mostly_utf8(data: np.ndarray, min_fraction: float = 0.75) -> bool:
     """Fraction of bytes covered by valid UTF-8 sequences (reference
-    BrotliIsMostlyUTF8, src/enc/utf8_util.rs)."""
+    BrotliIsMostlyUTF8, src/enc/utf8_util.rs).  Inputs over 64KB are
+    sampled with contiguous 4KB blocks every 64KB (the decision is a
+    coarse 0.75 threshold; full scans of multi-MB metablocks are
+    measurable encode overhead)."""
     n = len(data)
     if n == 0:
         return True
     d = data
+    if n > (1 << 16):
+        pos = np.arange(0, n - 4095, 1 << 16, dtype=np.int64)
+        d = d[pos[:, None] + np.arange(4096)[None, :]].ravel()
+        n = len(d)
     size_utf8 = 0
     i = 0
     # Vectorized approximation of the sequential scan: classify each byte

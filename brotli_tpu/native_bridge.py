@@ -191,10 +191,10 @@ def greedy_parse(data, best_len, best_dist, best_score, boundaries,
     segments = []
     off = 0
     for cnt in seg_counts.tolist():
-        segments.append((out_i[off:off + cnt].tolist(),
-                         out_c[off:off + cnt].tolist(),
-                         out_d[off:off + cnt].tolist(),
-                         out_a[off:off + cnt].tolist()))
+        segments.append((out_i[off:off + cnt].copy(),
+                         out_c[off:off + cnt].copy(),
+                         out_d[off:off + cnt].copy(),
+                         out_a[off:off + cnt].copy()))
         off += cnt
     assert off == n_out
     return segments
@@ -528,10 +528,10 @@ def combined_parse(data, window_size, boundaries, dict_len=0, pos0=0,
     segments = []
     off = 0
     for cnt in seg_counts.tolist():
-        segments.append((out_i[off:off + cnt].tolist(),
-                         out_c[off:off + cnt].tolist(),
-                         out_d[off:off + cnt].tolist(),
-                         out_a[off:off + cnt].tolist()))
+        segments.append((out_i[off:off + cnt].copy(),
+                         out_c[off:off + cnt].copy(),
+                         out_d[off:off + cnt].copy(),
+                         out_a[off:off + cnt].copy()))
         off += cnt
     assert off == n_out
     return segments
