@@ -147,3 +147,27 @@ def test_compress_multi_error_propagation():
                            quality=5)
     finally:
         multi.compress_part = original
+
+
+def test_concat_mixed_quality_streams():
+    """Streams produced at different quality tiers concatenate
+    losslessly (reference BroCatli is quality-agnostic)."""
+    from brotli_tpu import compress, concatenate, decompress
+    parts = [load("quickfox") * 20, load("ukkonooa") * 10,
+             load("asyoulik.txt")[:30000]]
+    streams = [compress(p, quality=q, catable=True)
+               for p, q in zip(parts, (1, 5, 11))]
+    merged = concatenate(streams)
+    assert decompress(merged) == b"".join(parts)
+    if oracle.available():
+        assert oracle.decompress(
+            merged, max_size_hint=sum(map(len, parts))) == b"".join(parts)
+
+
+def test_compress_multi_process_backend():
+    from brotli_tpu import compress_multi, decompress
+    data = load("asyoulik.txt")
+    out = compress_multi(data, 3, quality=7, backend="process")
+    assert decompress(out) == data
+    if oracle.available():
+        assert oracle.decompress(out, max_size_hint=len(data)) == data
