@@ -621,6 +621,15 @@ int64_t decode_native(
         const uint8_t* lut0 = nullptr;
         const uint8_t* lut1 = nullptr;
 
+        // single-literal-block-type fast path: context -> root-table
+        // pointer resolved once per metablock (removes a struct chase
+        // per literal)
+        int32_t* lit_ctab[64];
+        if (!L.has) {
+            for (int c = 0; c < 64; c++)
+                lit_ctab[c] = lit_pt[cmap_l[c]].tab;
+        }
+
         auto prev_byte = [&](int k) -> uint8_t {
             if (out_len >= k) return out[out_len - k];
             int64_t i = custom_dict_len - (k - out_len);
@@ -672,14 +681,23 @@ int64_t decode_native(
                 }
             } else if (!L.has) {
                 // one literal block type, context-mapped trees: LUT
-                // rows and the context-map row are loop-invariant
+                // rows and the context->table map are loop-invariant
                 const uint8_t* l0 = g_dict.ctx_lut0 + modes[0] * 256;
                 const uint8_t* l1 = g_dict.ctx_lut1 + modes[0] * 256;
                 for (int64_t j = 0; j < ins_len; j++) {
-                    int lit = lit_pt[cmap_l[l0[p1] | l1[p2]]].decode(br);
-                    out[out_len++] = (uint8_t)lit;
+                    const int32_t* tab = lit_ctab[l0[p1] | l1[p2]];
+                    uint64_t bits = br.peek(15);
+                    int32_t e = tab[bits & 511];
+                    int l = e & 15;
+                    if (__builtin_expect(l > 9, 0)) {
+                        e = tab[(e >> 4) +
+                                ((bits >> 9) & ((1u << (l - 9)) - 1))];
+                        l = e & 15;
+                    }
+                    br.skip(l);
+                    out[out_len++] = (uint8_t)(e >> 4);
                     p2 = p1;
-                    p1 = (uint8_t)lit;
+                    p1 = (uint8_t)(e >> 4);
                 }
                 if (br.over()) return -1;
             } else {
