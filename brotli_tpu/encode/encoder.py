@@ -131,10 +131,11 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
 
     boundaries = list(range(start + METABLOCK_SIZE, n, METABLOCK_SIZE)) + [n]
     # Quality dispatch (reference WriteMetaBlockInternal tiers,
-    # encode.rs:2026-2111): q10/q11 run the Zopfli optimal parse; the
-    # "9.5" family keeps greedy matching with full metablock
-    # optimization.
-    use_zopfli = params.quality >= 10 and not params.q9_5
+    # encode.rs:2026-2111): the whole 9.5/10/11 family runs the optimal
+    # parser with full metablock optimization — 9.5 with a single
+    # cost-model iteration (the fast tier), q10 with 2, q11 with the
+    # refinement loop.
+    use_zopfli = params.quality >= 10
     if not use_zopfli:
         from .. import native_bridge as nb
         knobs = _quality_knobs(params)
@@ -170,7 +171,8 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
             from .zopfli import zopfli_segment
             seg = zopfli_segment(full[:dlen + boundary], params,
                                  dict_len=dlen + seg_start,
-                                 initial_cache=tuple(cache))
+                                 initial_cache=tuple(cache),
+                                 iters=1 if params.q9_5 else None)
         ins, cps, dst, adv = seg
         mlen = boundary - seg_start
         is_final = i == len(segments) - 1

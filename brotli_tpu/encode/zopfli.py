@@ -503,9 +503,10 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
 
 
 def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
-                   initial_cache=(4, 11, 15, 16)):
-    """q10/q11 command generation for one region with cost-model
-    refinement.  Returns (ins[], cps[], dst[])."""
+                   initial_cache=(4, 11, 15, 16), iters=None):
+    """q9.5/q10/q11 command generation for one region with cost-model
+    refinement (iters: 1 for the 9.5 tier, 2 for q10, Q11_ITERS with a
+    convergence stop for q11).  Returns (ins[], cps[], dst[])."""
     from .command import resolve_commands
 
     n = len(full) - dict_len
@@ -602,7 +603,8 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     if params.quality < 11:
         lh, ch, dh = _histograms_from_commands(data_region, pre_cmds,
                                                dist_alpha)
-    iters = Q11_ITERS if params.quality >= 11 else 2
+    if iters is None:
+        iters = Q11_ITERS if params.quality >= 11 else 2
     result = None
     prepared = None
     for it in range(iters):
