@@ -512,6 +512,11 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     n = len(full) - dict_len
     window_size = params.window_size
     dist_alpha = params.dist.alphabet_size
+    if iters is None:
+        iters = Q11_ITERS if params.quality >= 11 else 2
+    # a single-iteration run (the 9.5 tier) needs the histogram seed:
+    # the gentle prior is only right when refinement follows
+    use_prior = params.quality >= 11 and iters > 1
 
     from .. import native_bridge as nb
     # the sorted-space top-K rows stay even at q11: the ring-table
@@ -559,7 +564,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
         cand_wire = np.zeros((0, n), dtype=np.int64)
 
     lh = ch = dh = None
-    if params.quality < 11:
+    if not use_prior:
         # greedy pre-pass for the iteration-0 cost model (q11 uses the
         # reference prior instead)
         flat = np.argmax(cand_lens, axis=0)
@@ -600,15 +605,13 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     lit_costs = estimate_literal_costs(data_region)
     lcp = np.concatenate([[0.0], np.cumsum(lit_costs)])
 
-    if params.quality < 11:
+    if not use_prior:
         lh, ch, dh = _histograms_from_commands(data_region, pre_cmds,
                                                dist_alpha)
-    if iters is None:
-        iters = Q11_ITERS if params.quality >= 11 else 2
     result = None
     prepared = None
     for it in range(iters):
-        if it == 0 and params.quality >= 11:
+        if it == 0 and use_prior:
             # iteration-0 prior (reference set_from_literal_costs,
             # hq.rs:222): gentle index-graded costs — small command /
             # distance symbols cheap, large ones dear — with literal
