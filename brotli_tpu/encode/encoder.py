@@ -29,8 +29,10 @@ from .params import EncoderParams, max_compressed_size
 # stream is appended after another (reference encode.rs:693-703).
 POISONED_DISTANCE = 0x7FFFFFF0
 
-# Metablock span for the greedy path: large enough to amortize header
-# cost, small enough for histogram locality before block splitting cuts in.
+# Default metablock span (1 << default auto lgblock): large enough to
+# amortize header cost, small enough for histogram locality before block
+# splitting cuts in.  The live span comes from params.lgblock
+# (compute_lg_block honors an explicit -l, reference encode.rs:570-589).
 METABLOCK_SIZE = 1 << 22
 
 
@@ -129,7 +131,8 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     dlen = len(dict_arr)
     full = np.concatenate([dict_arr, data]) if dlen else data
 
-    boundaries = list(range(start + METABLOCK_SIZE, n, METABLOCK_SIZE)) + [n]
+    span = 1 << params.lgblock
+    boundaries = list(range(start + span, n, span)) + [n]
     # Quality dispatch (reference WriteMetaBlockInternal tiers,
     # encode.rs:2026-2111): the whole 9.5/10/11 family runs the optimal
     # parser with full metablock optimization — 9.5 with a single

@@ -109,17 +109,17 @@ class EncoderParams:
 
 
 def compute_lg_block(p: EncoderParams) -> int:
-    """Reference ComputeLgBlock (src/enc/encode.rs:570-589)."""
+    """Metablock input span (reference ComputeLgBlock,
+    src/enc/encode.rs:570-589, bounds each metablock's input by
+    1<<lgblock).  An explicit `-l` is honored, clamped to [16, 24] as in
+    the reference.  The auto default diverges deliberately: the
+    reference picks 16-18 to bound its ring buffer; our batched
+    pipeline has no ring buffer, and 4 MiB spans amortize header cost
+    with block splitting providing histogram locality, so auto = 22."""
     lgblock = p.lgblock
-    if p.quality in (0, 1):
-        lgblock = p.lgwin
-    elif lgblock == 0:
-        lgblock = 16
-        if p.quality >= 9 and p.lgwin > lgblock:
-            lgblock = min(18, p.lgwin)
-    else:
-        lgblock = max(MIN_INPUT_BLOCK_BITS, min(MAX_INPUT_BLOCK_BITS, lgblock))
-    return lgblock
+    if lgblock == 0:
+        lgblock = p.lgwin if p.quality <= 1 else 22
+    return max(MIN_INPUT_BLOCK_BITS, min(MAX_INPUT_BLOCK_BITS, lgblock))
 
 
 def max_compressed_size(input_size: int) -> int:

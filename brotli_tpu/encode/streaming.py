@@ -34,15 +34,19 @@ class Compressor:
     """Incremental encoder with bounded memory."""
 
     def __init__(self, quality: int = 9, lgwin: int = 22, mode: int = 0,
-                 chunk_size: int = 1 << 20,
+                 chunk_size: int | None = None, lgblock: int = 0,
                  custom_dictionary: bytes = b"", catable: bool = False,
                  appendable: bool = False, byte_align: bool = False,
                  magic_number: bool = False):
         self.params = EncoderParams(
-            quality=quality, lgwin=lgwin, mode=mode, catable=catable,
+            quality=quality, lgwin=lgwin, mode=mode, lgblock=lgblock,
+            catable=catable,
             appendable=appendable, byte_align=byte_align,
             magic_number=magic_number).sanitize(None)
-        self.chunk_size = chunk_size
+        if chunk_size is None:
+            chunk_size = min(1 << self.params.lgblock, 1 << 20)
+        # one metablock per chunk: RFC 7932 bounds MLEN at 1<<24
+        self.chunk_size = max(1, min(chunk_size, 1 << 24))
         self._w = BitWriter()
         self._pending = bytearray()
         self._context = np.frombuffer(
@@ -89,25 +93,36 @@ class Compressor:
             return
         full = np.concatenate([self._context, chunk])
         dlen = len(self._context)
-        knobs = _quality_knobs(p)
-        from .. import native_bridge as nb
-        if nb.available():
-            segs = nb.combined_parse(
-                full, p.window_size, [n], dict_len=dlen, pos0=0,
-                initial_cache=tuple(self._cache),
-                literal_byte_score=p.literal_byte_score,
-                use_dictionary=not p.catable, **knobs)
+        if p.quality >= 10:
+            # Streaming runs the same quality tier as one-shot
+            # (reference WriteMetaBlockInternal applies the full q10/11
+            # path when streaming, encode.rs:2026-2111): optimal parse
+            # per chunk against the carried window context.
+            from .zopfli import zopfli_segment
+            seg = zopfli_segment(full, p, dict_len=dlen,
+                                 initial_cache=tuple(self._cache),
+                                 iters=1 if p.q9_5 else None)
+            segs = [seg]
         else:
-            bl, bd, bsc, isd, bw = find_best_matches(
-                full, p.window_size, dict_len=dlen,
-                literal_byte_score=p.literal_byte_score,
-                use_dictionary=not p.catable, **knobs)
-            segs = greedy_parse(full, bl, bd, bsc, [n], dict_len=dlen,
-                                pos0=0,
-                                initial_cache=tuple(self._cache),
-                                best_isdict=isd,
-                                window_size=p.window_size,
-                                best_wire=bw)
+            knobs = _quality_knobs(p)
+            from .. import native_bridge as nb
+            if nb.available():
+                segs = nb.combined_parse(
+                    full, p.window_size, [n], dict_len=dlen, pos0=0,
+                    initial_cache=tuple(self._cache),
+                    literal_byte_score=p.literal_byte_score,
+                    use_dictionary=not p.catable, **knobs)
+            else:
+                bl, bd, bsc, isd, bw = find_best_matches(
+                    full, p.window_size, dict_len=dlen,
+                    literal_byte_score=p.literal_byte_score,
+                    use_dictionary=not p.catable, **knobs)
+                segs = greedy_parse(full, bl, bd, bsc, [n], dict_len=dlen,
+                                    pos0=0,
+                                    initial_cache=tuple(self._cache),
+                                    best_isdict=isd,
+                                    window_size=p.window_size,
+                                    best_wire=bw)
         ins, cps, dst, adv = segs[0]
         cmds, new_cache = resolve_commands(
             ins, cps, dst, p.dist, advance=adv,

@@ -10,8 +10,10 @@ to force the Python paths.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import warnings
 
 import numpy as np
 
@@ -35,6 +37,14 @@ def _ptr(a, t=I64):
     return a.ctypes.data_as(t)
 
 
+def _src_hash() -> str:
+    h = hashlib.sha256()
+    for s in _SRCS:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
 def get_lib():
     global _lib, _tried
     if _lib is not None or _tried:
@@ -43,14 +53,23 @@ def get_lib():
     if os.environ.get("BROTLI_TPU_NO_NATIVE"):
         return None
     try:
-        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < src_mtime):
-            subprocess.run(
+        # Rebuild keyed on a content hash of the sources (not mtimes:
+        # a fresh checkout sets all mtimes at clone time, and a stale
+        # foreign-ISA .so would SIGILL at first call).
+        stamp = _LIB + ".hash"
+        want = _src_hash()
+        have = None
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                have = f.read().strip()
+        if not os.path.exists(_LIB) or have != want:
+            r = subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                  *_SRCS, "-o", _LIB + ".tmp"],
-                check=True, capture_output=True, timeout=120)
+                check=True, capture_output=True, timeout=300)
             os.replace(_LIB + ".tmp", _LIB)
+            with open(stamp, "w") as f:
+                f.write(want)
         _lib = ctypes.CDLL(_LIB)
         _lib.greedy_parse_native.restype = ctypes.c_int64
         _lib.resolve_commands_native.restype = None
@@ -67,7 +86,14 @@ def get_lib():
         _lib.extend_caps_native.restype = None
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)
-    except Exception:
+    except Exception as e:
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = ": " + e.stderr.decode("utf-8", "replace")[:500]
+        warnings.warn(
+            "brotli_tpu native runtime unavailable (falling back to "
+            f"the 10-100x slower pure-Python paths) — {e!r}{detail}",
+            RuntimeWarning)
         _lib = None
     return _lib
 
@@ -135,8 +161,9 @@ def decode(data: bytes, custom_dictionary: bytes = b"",
             ctypes.c_int64(len(cd)), ctypes.c_int64(int(large_window)),
             _ptr(_table_mem), ctypes.c_int64(len(_table_mem)))
         if r == -3:
-            if cap >= 1 << 31:
-                raise ValueError(-3)
+            if cap >= 1 << 40:
+                raise MemoryError(
+                    "brotli_tpu: decoded output exceeds 1 TiB cap")
             cap *= 8
             continue
         if r < 0:

@@ -210,3 +210,17 @@ def test_golden_sizes():
     assert len(compress(data, quality=9)) <= 51_600
     assert len(compress(data, quality=10)) <= 48_200
     assert len(compress(data, quality=11)) <= 47_300
+
+
+def test_lgblock_changes_metablock_spans():
+    """-l / lgblock bounds each metablock's input (reference
+    ComputeLgBlock, encode.rs:570-589): an explicit small lgblock must
+    change the emitted stream and still round-trip."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    # compressible text-ish data large enough for >1 metablock at lgblock=16
+    data = bytes(rng.integers(97, 110, 1 << 17, dtype=np.uint8))
+    default = compress(data, quality=9)
+    small = compress(data, quality=9, lgblock=16)
+    assert decompress(small) == data
+    assert small != default  # two metablocks vs one

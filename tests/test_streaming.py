@@ -162,3 +162,25 @@ def test_decompress_batch():
     from brotli_tpu.core.bitio import NeedsMoreInput
     with _pytest.raises(Exception):
         decompress_batch(bad, threads=4)
+
+
+def test_stream_q11_matches_oneshot_grade():
+    """Streaming at q11 must run the optimal parser per chunk
+    (reference applies the full quality tier when streaming,
+    encode.rs:2026-2111): size within 2% of one-shot q11."""
+    data = load("alice29.txt")
+    one_shot = compress(data, quality=11)
+    c = Compressor(quality=11, chunk_size=1 << 18)
+    out = b"".join([c.process(data), c.finish()])
+    assert decompress(out) == data
+    assert len(out) <= int(len(one_shot) * 1.02)
+
+
+def test_stream_chunk_size_clamped_to_mlen_limit():
+    """chunk_size beyond the RFC 7932 MLEN cap (1<<24) must not emit
+    an invalid metablock."""
+    c = Compressor(quality=1, chunk_size=1 << 26)
+    assert c.chunk_size == 1 << 24
+    data = bytes(range(256)) * 64
+    out = c.process(data) + c.finish()
+    assert decompress(out) == data
