@@ -15,58 +15,78 @@
 #include <cstdio>
 #include <vector>
 #include <cstdlib>
-// env-gated trace for decoder debugging (BROTLI_DBG=1)
-static inline bool dbg_enabled() {
-    static const bool on = std::getenv("BROTLI_DBG") != nullptr;
-    return on;
-}
-#define DBG(...) do { if (dbg_enabled()) \
-    std::fprintf(stderr, __VA_ARGS__); } while (0)
+// compile-gated trace for decoder debugging (-DBROTLI_DEC_DBG):
+// a runtime env check costs a guarded static + branch per command in
+// the hot loop, so the trace is opt-in at build time
+#ifdef BROTLI_DEC_DBG
+#define DBG(...) std::fprintf(stderr, __VA_ARGS__)
+#else
+#define DBG(...) do {} while (0)
+#endif
 
 namespace {
 
+// Shift-register bit reader: the next bits sit at the LSB of `bits`,
+// so a prefix-table index is ready one shift after the previous symbol
+// resolves (no pos-relative shift on the critical path).  Reads
+// zero-pad past the end; truncation is detected by the monotone
+// `over()` check at command/header granularity, keeping bounds tests
+// off the per-symbol path.
 struct BitReader {
     const uint8_t* data;
     int64_t size;       // bytes
-    int64_t pos;        // bit position
-    bool overflow = false;
-    uint64_t cache = 0;
-    int64_t cache_bit0 = -1000;  // bit index of cache bit 0
+    int64_t pos;        // absolute bit position (consumed bits)
+    uint64_t bits = 0;  // upcoming bits, LSB-first
+    int64_t avail = 0;  // valid bit count in `bits`
 
     inline void refill() {
         int64_t b = pos >> 3;
         uint64_t v = 0;
-        int64_t avail = size - b;
-        if (avail >= 8) {
+        int64_t rem = size - b;
+        if (__builtin_expect(rem >= 8, 1)) {
             std::memcpy(&v, data + b, 8);
-        } else if (avail > 0) {
-            std::memcpy(&v, data + b, (size_t)avail);
+        } else if (rem > 0) {
+            std::memcpy(&v, data + b, (size_t)rem);
         }
-        cache = v;
-        cache_bit0 = b << 3;
+        int sh = (int)(pos & 7);
+        bits = v >> sh;
+        avail = 64 - sh;    // >= 57
     }
 
     inline uint64_t peek(int nbits) {
-        if (__builtin_expect(pos + nbits > cache_bit0 + 64, 0)) refill();
-        return (cache >> (pos - cache_bit0)) & ((1ull << nbits) - 1);
+        if (__builtin_expect(avail < nbits, 0)) refill();
+        return bits & ((1ull << nbits) - 1);
     }
-    // reads/skips advance unconditionally (peek zero-pads past the
-    // end); truncation is detected by the monotone `over()` check at
-    // command/header granularity, keeping bounds tests off the
-    // per-symbol path
+    // skip of <= 57 bits already peeked (shift amount must stay < 64)
+    inline void skip(int nbits) {
+        bits >>= nbits;
+        avail -= nbits;
+        pos += nbits;
+    }
+    // arbitrary-length skip (uncompressed/metadata payloads)
+    inline void skip_bulk(int64_t nbits) {
+        pos += nbits;
+        avail = 0;
+    }
     inline uint64_t read(int nbits) {
         uint64_t v = peek(nbits);
-        pos += nbits;
+        skip(nbits);
         return v;
     }
-    inline void skip(int nbits) { pos += nbits; }
+    // a refill delivers at most 57 valid bits; large-window distance
+    // codes can carry up to 62 extra bits — split across two windows
+    inline uint64_t read_long(int nbits) {
+        if (__builtin_expect(nbits <= 57, 1)) return read(nbits);
+        uint64_t lo = read(32);
+        return lo | (read(nbits - 32) << 32);
+    }
     inline bool over() const { return pos > size * 8; }
     inline bool align_ok() {   // align to byte; padding must be zero
         int n = (int)((-pos) & 7);
         return read(n) == 0;
     }
-    inline bool at_least(int64_t bits) {
-        return pos + bits <= size * 8;
+    inline bool at_least(int64_t nbits) {
+        return pos + nbits <= size * 8;
     }
 };
 
@@ -92,6 +112,20 @@ struct PrefixTable {
         return e >> 4;
     }
 };
+
+// decode against a raw root-table pointer (the hot loops hoist the
+// per-segment table out of the PrefixTable struct)
+static inline int decode_tab(BitReader& br, const int32_t* tab) {
+    uint64_t bits = br.peek(15);
+    int32_t e = tab[bits & 511];
+    int l = e & 15;
+    if (__builtin_expect(l > 9, 0)) {
+        e = tab[(e >> 4) + ((bits >> 9) & ((1u << (l - 9)) - 1))];
+        l = e & 15;
+    }
+    br.skip(l);
+    return e >> 4;
+}
 
 struct TableArena {
     int32_t* mem;
@@ -129,6 +163,25 @@ static const int kDistShortDelta[16] = {0, 0, 0, 0, -1, 1, -2, 2, -3, 3,
                                         -1, 1, -2, 2, -3, 3};
 static const int kClOrder[18] = {1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9,
                                  10, 11, 12, 13, 14, 15};
+
+// per-command-symbol decode table: packed (ins_code | copy_code<<8 |
+// implicit0<<16), one load instead of the cell decompose arithmetic
+// (RFC 7932 5, command code layout)
+static uint32_t kCmdLut[704];
+static bool init_cmd_lut() {
+    static const int ib_tab[11] = {0, 0, 0, 0, 8, 8, 0, 16, 8, 16, 16};
+    static const int cb_tab[11] = {0, 8, 0, 8, 0, 8, 16, 0, 16, 8, 16};
+    for (int cmd = 0; cmd < 704; cmd++) {
+        int cell = cmd >> 6;
+        int low = cmd & 63;
+        uint32_t ic = (uint32_t)(ib_tab[cell] + ((low >> 3) & 7));
+        uint32_t cc = (uint32_t)(cb_tab[cell] + (low & 7));
+        uint32_t imp = cell < 2 ? 1u : 0u;
+        kCmdLut[cmd] = ic | (cc << 8) | (imp << 16);
+    }
+    return true;
+}
+static const bool g_cmd_lut_ready = init_cmd_lut();
 
 // dictionary transform data (set once from Python)
 struct DictData {
@@ -375,18 +428,25 @@ static int read_block_header(BitReader& br, BlockCat& bc,
     return 0;
 }
 
+// block-type switch when a category's count runs out (RFC 7932 6)
+static int switch_block(BitReader& br, BlockCat& bc) {
+    int s = bc.type_pt.decode(br);
+    int next;
+    if (s == 0) next = bc.prev;
+    else if (s == 1) next = (bc.cur + 1) % bc.num_types;
+    else next = s - 2;
+    if (next >= bc.num_types) return br.over() ? -1 : -2;
+    bc.prev = bc.cur; bc.cur = next;
+    int bl = read_block_len(br, bc.len_pt);
+    if (bl < 0) return br.over() ? -1 : -2;
+    bc.remaining = bl;
+    return 0;
+}
+
 static inline int tick(BitReader& br, BlockCat& bc) {
     if (bc.remaining == 0) {
-        int s = bc.type_pt.decode(br);
-        int next;
-        if (s == 0) next = bc.prev;
-        else if (s == 1) next = (bc.cur + 1) % bc.num_types;
-        else next = s - 2;
-        if (next >= bc.num_types) return br.over() ? -1 : -2;
-        bc.prev = bc.cur; bc.cur = next;
-        int bl = read_block_len(br, bc.len_pt);
-        if (bl < 0) return br.over() ? -1 : -2;
-        bc.remaining = bl;
+        int r = switch_block(br, bc);
+        if (r) return r;
     }
     bc.remaining--;
     return 0;
@@ -550,7 +610,7 @@ int64_t decode_native(
             }
             if (!br.align_ok()) return br.over() ? -1 : -2;
             if (!br.at_least(8 * skip)) return -1;
-            br.skip((int)(8 * skip));
+            br.skip_bulk(8 * skip);
             if (islast) break;
             continue;
         }
@@ -565,7 +625,7 @@ int64_t decode_native(
             if (out_len + mlen > out_cap) return -3;
             std::memcpy(out + out_len, in + (br.pos >> 3),
                         (size_t)mlen);
-            br.skip((int)(8 * mlen));
+            br.skip_bulk(8 * mlen);
             out_len += mlen;
             continue;
         }
@@ -621,14 +681,19 @@ int64_t decode_native(
         const uint8_t* lut0 = nullptr;
         const uint8_t* lut1 = nullptr;
 
-        // single-literal-block-type fast path: context -> root-table
-        // pointer resolved once per metablock (removes a struct chase
-        // per literal)
-        int32_t* lit_ctab[64];
-        if (!L.has) {
-            for (int c = 0; c < 64; c++)
-                lit_ctab[c] = lit_pt[cmap_l[c]].tab;
-        }
+        // Per-segment invariants hoisted out of the symbol loops: root
+        // table pointers per tree, and the current block type's LUT
+        // rows / context-map rows, refreshed only on block switches.
+        int32_t* lit_roots[256];
+        int32_t* dist_roots[256];
+        for (int t = 0; t < ntrees_l; t++) lit_roots[t] = lit_pt[t].tab;
+        for (int t = 0; t < ntrees_d; t++) dist_roots[t] = dist_pt[t].tab;
+        const int32_t* cmd_tab = cmd_pt[I.cur].tab;
+        const uint8_t* lrow = cmap_l + ((int64_t)L.cur << 6);
+        const uint8_t* l0 = g_dict.ctx_lut0 + modes[L.cur] * 256;
+        const uint8_t* l1 = g_dict.ctx_lut1 + modes[L.cur] * 256;
+        const uint8_t* drow = cmap_d + ((int64_t)D.cur << 2);
+        const bool lit_trivial = !L.has && ntrees_l == 1;
 
         auto prev_byte = [&](int k) -> uint8_t {
             if (out_len >= k) return out[out_len - k];
@@ -638,38 +703,55 @@ int64_t decode_native(
         uint8_t p1 = prev_byte(1), p2 = prev_byte(2);
 
         while (mlen > 0) {
-            if ((r = tick(br, I))) return r;
-            int cmd = cmd_pt[I.cur].decode(br);
+            if (__builtin_expect(I.remaining == 0, 0)) {
+                if ((r = switch_block(br, I))) return r;
+                cmd_tab = cmd_pt[I.cur].tab;
+            }
+            I.remaining--;
+            // fused decode: one 57-bit window covers the command
+            // symbol plus both length extras in all but pathological
+            // cases (one refill check, one dependent shift chain)
+            uint64_t w = br.peek(57);
+            int32_t e = cmd_tab[w & 511];
+            int cl = e & 15;
+            if (__builtin_expect(cl > 9, 0)) {
+                e = cmd_tab[(e >> 4) + ((w >> 9) & ((1u << (cl - 9)) - 1))];
+                cl = e & 15;
+            }
+            int cmd = e >> 4;
             DBG("cmd=%d pos=%ld mlen=%ld out=%ld ovf=%d\n", cmd,
                 br.pos, mlen, out_len, (int)br.over());
-            if (br.over()) return -1;
             if (cmd >= 704) return br.over() ? -1 : -2;
-            // decompose command symbol
-            int cell = cmd >> 6;
-            int low = cmd & 63;
-            static const int ib_tab[11] = {0, 0, 0, 0, 8, 8, 0, 16, 8,
-                                           16, 16};
-            static const int cb_tab[11] = {0, 8, 0, 8, 0, 8, 16, 0, 16,
-                                           8, 16};
-            static const bool imp_tab[11] = {true, true, false, false,
-                                             false, false, false, false,
-                                             false, false, false};
-            int ins_code = ib_tab[cell] + ((low >> 3) & 7);
-            int copy_code = cb_tab[cell] + (low & 7);
-            bool implicit0 = imp_tab[cell];
-            int64_t ins_len = kInsertBase[ins_code] +
-                (int64_t)br.read(kInsertExtra[ins_code]);
-            int64_t copy_len = kCopyBase[copy_code] +
-                (int64_t)br.read(kCopyExtra[copy_code]);
+            uint32_t cd = kCmdLut[cmd];
+            int ins_code = (int)(cd & 255);
+            int copy_code = (int)((cd >> 8) & 255);
+            bool implicit0 = (cd >> 16) != 0;
+            int ieb = kInsertExtra[ins_code];
+            int ceb = kCopyExtra[copy_code];
+            int64_t ins_len, copy_len;
+            if (__builtin_expect(cl + ieb + ceb <= 57, 1)) {
+                uint64_t rest = w >> cl;
+                ins_len = kInsertBase[ins_code] +
+                    (int64_t)(rest & ((1ull << ieb) - 1));
+                copy_len = kCopyBase[copy_code] +
+                    (int64_t)((rest >> ieb) & ((1ull << ceb) - 1));
+                br.skip(cl + ieb + ceb);
+            } else {
+                br.skip(cl);
+                ins_len = kInsertBase[ins_code] +
+                    (int64_t)br.read(ieb);
+                copy_len = kCopyBase[copy_code] +
+                    (int64_t)br.read(ceb);
+            }
             if (br.over()) return -1;
 
             if (ins_len > mlen) return br.over() ? -1 : -2;
             if (out_len + ins_len > out_cap) return -3;
-            if (!L.has && ntrees_l == 1) {
+            if (lit_trivial) {
                 // common fast path: one literal block type, one tree
-                PrefixTable& pt = lit_pt[0];
+                const int32_t* tab = lit_roots[0];
                 for (int64_t j = 0; j < ins_len; j++) {
-                    int lit = pt.decode(br);
+                    int lit = decode_tab(br, tab);
                     out[out_len++] = (uint8_t)lit;
                 }
                 if (br.over()) return -1;
@@ -679,39 +761,29 @@ int64_t decode_native(
                 } else {
                     p1 = prev_byte(1); p2 = prev_byte(2);
                 }
-            } else if (!L.has) {
-                // one literal block type, context-mapped trees: LUT
-                // rows and the context->table map are loop-invariant
-                const uint8_t* l0 = g_dict.ctx_lut0 + modes[0] * 256;
-                const uint8_t* l1 = g_dict.ctx_lut1 + modes[0] * 256;
-                for (int64_t j = 0; j < ins_len; j++) {
-                    const int32_t* tab = lit_ctab[l0[p1] | l1[p2]];
-                    uint64_t bits = br.peek(15);
-                    int32_t e = tab[bits & 511];
-                    int l = e & 15;
-                    if (__builtin_expect(l > 9, 0)) {
-                        e = tab[(e >> 4) +
-                                ((bits >> 9) & ((1u << (l - 9)) - 1))];
-                        l = e & 15;
-                    }
-                    br.skip(l);
-                    out[out_len++] = (uint8_t)(e >> 4);
-                    p2 = p1;
-                    p1 = (uint8_t)(e >> 4);
-                }
-                if (br.over()) return -1;
             } else {
-                for (int64_t j = 0; j < ins_len; j++) {
-                    if ((r = tick(br, L))) return r;
-                    int mode = modes[L.cur];
-                    int ctx = g_dict.ctx_lut0[mode * 256 + p1] |
-                              g_dict.ctx_lut1[mode * 256 + p2];
-                    int tree = cmap_l[(L.cur << 6) | ctx];
-                    int lit = lit_pt[tree].decode(br);
+                // general path in runs bounded by the literal block
+                // count: mode LUTs and the context-map row stay in
+                // registers between switches
+                int64_t j = 0;
+                while (j < ins_len) {
+                    if (__builtin_expect(L.remaining == 0, 0)) {
+                        if ((r = switch_block(br, L))) return r;
+                        lrow = cmap_l + ((int64_t)L.cur << 6);
+                        l0 = g_dict.ctx_lut0 + modes[L.cur] * 256;
+                        l1 = g_dict.ctx_lut1 + modes[L.cur] * 256;
+                    }
+                    int64_t take = std::min(ins_len - j, L.remaining);
+                    L.remaining -= take;
+                    j += take;
+                    for (; take > 0; take--) {
+                        int ctx = l0[p1] | l1[p2];
+                        int lit = decode_tab(br, lit_roots[lrow[ctx]]);
+                        out[out_len++] = (uint8_t)lit;
+                        p2 = p1;
+                        p1 = (uint8_t)lit;
+                    }
                     if (br.over()) return -1;
-                    out[out_len++] = (uint8_t)lit;
-                    p2 = p1;
-                    p1 = (uint8_t)lit;
                 }
             }
             mlen -= ins_len;
@@ -724,17 +796,37 @@ int64_t decode_native(
             if (implicit0) {
                 distance = dist_cache[0];
             } else {
-                if ((r = tick(br, D))) return r;
+                if (__builtin_expect(D.remaining == 0, 0)) {
+                    if ((r = switch_block(br, D))) return r;
+                    drow = cmap_d + ((int64_t)D.cur << 2);
+                }
+                D.remaining--;
                 int dctx = (int)std::min<int64_t>(
                     std::max<int64_t>(copy_len, 2), 5) - 2;
-                int tree = cmap_d[(D.cur << 2) | dctx];
-                dcode = dist_pt[tree].decode(br);
+                // fused distance decode: symbol + extra bits from one
+                // 57-bit window in the common case
+                const int32_t* dtab = dist_roots[drow[dctx]];
+                uint64_t wd = br.peek(57);
+                int32_t de = dtab[wd & 511];
+                int dl = de & 15;
+                if (__builtin_expect(dl > 9, 0)) {
+                    de = dtab[(de >> 4) +
+                              ((wd >> 9) & ((1u << (dl - 9)) - 1))];
+                    dl = de & 15;
+                }
+                dcode = de >> 4;
                 if (br.over()) return -1;
-                if (dcode < 16) {
+                if (dcode == 0) {
+                    // most common distance symbol: exact last distance
+                    br.skip(dl);
+                    distance = dist_cache[0];
+                } else if (dcode < 16) {
+                    br.skip(dl);
                     distance = dist_cache[kDistShortIdx[dcode]] +
                                kDistShortDelta[dcode];
                     if (distance <= 0) return br.over() ? -1 : -2;
                 } else if (dcode < 16 + ndirect) {
+                    br.skip(dl);
                     distance = dcode - 16 + 1;
                 } else {
                     int64_t h = dcode - ndirect - 16;
@@ -742,7 +834,15 @@ int64_t decode_native(
                     int64_t lcode = h & ((1 << npostfix) - 1);
                     int nbits = (int)(1 + (hcode >> 1));
                     int64_t offset = ((2 + (hcode & 1)) << nbits) - 4;
-                    int64_t extra = (int64_t)br.read(nbits);
+                    int64_t extra;
+                    if (__builtin_expect(dl + nbits <= 57, 1)) {
+                        extra = (int64_t)((wd >> dl) &
+                                          ((1ull << nbits) - 1));
+                        br.skip(dl + nbits);
+                    } else {
+                        br.skip(dl);
+                        extra = (int64_t)br.read_long(nbits);
+                    }
                     if (br.over()) return -1;
                     distance = ((offset + extra) << npostfix) + lcode +
                                ndirect + 1;
@@ -772,7 +872,7 @@ int64_t decode_native(
                 if (out_len + copy_len > out_cap) return -3;
                 int64_t remaining = copy_len;
                 int64_t src = out_len - distance;
-                if (src < 0) {
+                if (__builtin_expect(src < 0, 0)) {
                     int64_t dstart = custom_dict_len + src;
                     if (dstart < 0) return br.over() ? -1 : -2;
                     int64_t take = std::min(remaining, -src);
@@ -782,9 +882,22 @@ int64_t decode_native(
                     remaining -= take;
                     src = out_len - distance;
                 }
-                if (distance >= remaining) {
-                    std::memcpy(out + out_len, out + src,
-                                (size_t)remaining);
+                if (__builtin_expect(distance >= remaining, 1)) {
+                    // non-overlapping: 16-byte rounds with overcopy
+                    // (bytes past `remaining` are rewritten by later
+                    // output; glibc memcpy dispatch costs more than
+                    // the whole copy at typical 8-16 byte lengths)
+                    uint8_t* dst = out + out_len;
+                    const uint8_t* sp = out + src;
+                    if (out_len + ((remaining + 15) & ~15ll) <= out_cap) {
+                        int64_t k = 0;
+                        do {
+                            std::memcpy(dst + k, sp + k, 16);
+                            k += 16;
+                        } while (k < remaining);
+                    } else {
+                        std::memcpy(dst, sp, (size_t)remaining);
+                    }
                 } else if (remaining <= 16) {
                     for (int64_t j = 0; j < remaining; j++)
                         out[out_len + j] = out[src + j];
