@@ -100,18 +100,16 @@ def resolve_commands(insert_len, copy_len, distance, dist_params,
 
     from .. import native_bridge as nb
     if nb.available():
-        # position stepping uses the ADVANCE (output) lengths
-        code, extra, bits, use_last_n, cache = nb.resolve_distance_codes(
-            insert_len, advance, distance, npostfix, ndirect,
-            list(initial_cache if initial_cache is not None
-                 else C.INITIAL_DISTANCE_CACHE),
-            pos_offset,
-            window_size if window_size is not None else 1 << 62)
-        wire_copy = np.where(copy_len == 0, 4, copy_len)
-        ins_code = C.get_insert_length_code(insert_len)
-        copy_code = C.get_copy_length_code(wire_copy)
-        use_last_n &= (ins_code < 8) & (copy_code < 16)
-        cmd_sym = C.combine_length_codes(ins_code, copy_code, use_last_n)
+        # position stepping uses the ADVANCE (output) lengths; the
+        # command symbol is computed natively from the wire lengths
+        code, extra, bits, use_last_n, cmd_sym, cache = \
+            nb.resolve_distance_codes(
+                insert_len, advance, distance, npostfix, ndirect,
+                list(initial_cache if initial_cache is not None
+                     else C.INITIAL_DISTANCE_CACHE),
+                pos_offset,
+                window_size if window_size is not None else 1 << 62,
+                wire_copy=copy_len)
         return CommandArrays(insert_len, copy_len, distance, code,
                              extra, bits, cmd_sym, advance), cache
 

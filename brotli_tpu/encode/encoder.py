@@ -93,10 +93,15 @@ def _quality_knobs(params: EncoderParams):
         return dict(k=2, bucket_bits=16, k8=1)
     if q <= 6:
         # deeper buckets in smaller (L2-resident) tables beat shallow
-        # buckets in big ones: the ring stores are cache-miss bound
-        return dict(k=8, bucket_bits=15, k8=4, bucket_bits8=15)
+        # buckets in big ones (the ring stores are cache-miss bound);
+        # the 5-byte primary hash (reference AdvHasher hash_len=5)
+        # gives more selective buckets, with the 8-byte table and the
+        # distance cache covering long/short matches
+        return dict(k=8, bucket_bits=15, k8=4, bucket_bits8=15,
+                    hash_len=5)
     if q <= 9:
-        return dict(k=16, bucket_bits=16, k8=8, bucket_bits8=16)
+        return dict(k=24, bucket_bits=16, k8=8, bucket_bits8=16,
+                    hash_len=5)
     return dict(k=24, bucket_bits=18, k8=12)
 
 

@@ -53,6 +53,15 @@ def hash_positions(data: np.ndarray, bucket_bits: int) -> np.ndarray:
     return ((v * np.uint32(HASH_MUL32)) >> np.uint32(32 - bucket_bits))
 
 
+def hash_positions5(data: np.ndarray, bucket_bits: int) -> np.ndarray:
+    """5-byte hash (reference AdvHasher hash_len=5, mod.rs:932): more
+    selective buckets than the 4-byte hash on text; misses length-4
+    table candidates (the distance cache still finds those)."""
+    with np.errstate(over="ignore"):
+        v = (_u64_values(data) << np.uint64(24)) * np.uint64(HASH_MUL64)
+    return (v >> np.uint64(64 - bucket_bits)).astype(np.int64)
+
+
 def hash_positions_u64(data: np.ndarray, bucket_bits: int) -> np.ndarray:
     """8-byte hash (reference H6's 64-bit hash, mod.rs H6Sub:1097):
     catches long matches that 4-byte buckets bury under short ones."""
@@ -128,7 +137,7 @@ def extend_match(data: np.ndarray, cand: int, pos: int, cur_len: int,
 def find_best_matches(data: np.ndarray, window_size: int,
                       k: int = 8, bucket_bits: int = 17,
                       k8: int = 4, bucket_bits8: int = 18,
-                      min_length: int = 4,
+                      hash_len: int = 4, min_length: int = 4,
                       literal_byte_score: int = LITERAL_BYTE_SCORE,
                       dict_len: int = 0, use_dictionary: bool = True):
     """Best (length, distance, score) per position, vectorized.
@@ -155,7 +164,8 @@ def find_best_matches(data: np.ndarray, window_size: int,
     if nb.available():
         return nb.find_best_matches(
             data, window_size, k=k, bucket_bits=bucket_bits, k8=k8,
-            bucket_bits8=bucket_bits8, min_length=min_length,
+            bucket_bits8=bucket_bits8, hash_len=hash_len,
+            min_length=min_length,
             literal_byte_score=literal_byte_score, dict_len=dict_len,
             use_dictionary=use_dictionary, match_cap=MATCH_CAP)
 
@@ -195,7 +205,9 @@ def find_best_matches(data: np.ndarray, window_size: int,
             best_wire[u] = ml[upd]
 
     v = _u32_values(data)
-    fold(topk_candidates(hash_positions(data, bucket_bits), k), k, v)
+    h = (hash_positions5(data, bucket_bits) if hash_len == 5
+         else hash_positions(data, bucket_bits))
+    fold(topk_candidates(h, k), k, v)
     if k8 > 0 and n >= 8:
         fold(topk_candidates(hash_positions_u64(data, bucket_bits8), k8),
              k8, v)

@@ -229,28 +229,33 @@ def greedy_parse(data, best_len, best_dist, best_score, boundaries,
 
 def resolve_distance_codes(insert_len, copy_len, distance, npostfix,
                            ndirect, initial_cache, pos_offset,
-                           window_size):
-    """Native distance-code resolution; returns
-    (code, extra, extra_bits, use_last, final_cache)."""
+                           window_size, wire_copy=None):
+    """Native distance-code + command-symbol resolution; returns
+    (code, extra, extra_bits, use_last, cmd_sym, final_cache).
+    copy_len is the ADVANCE (position-stepping) length; wire_copy the
+    wire copy length (defaults to copy_len)."""
     lib = get_lib()
     il = np.ascontiguousarray(insert_len, dtype=np.int64)
     cl = np.ascontiguousarray(copy_len, dtype=np.int64)
     dl = np.ascontiguousarray(distance, dtype=np.int64)
+    wc = cl if wire_copy is None else np.ascontiguousarray(
+        wire_copy, dtype=np.int64)
     n = len(il)
     cache = np.asarray(initial_cache, dtype=np.int64).copy()
     out_code = np.empty(n, dtype=np.int64)
     out_extra = np.empty(n, dtype=np.int64)
     out_bits = np.empty(n, dtype=np.int64)
     out_ul = np.empty(n, dtype=np.uint8)
+    out_sym = np.empty(n, dtype=np.int64)
     lib.resolve_commands_native(
-        _ptr(il), _ptr(cl), _ptr(dl), ctypes.c_int64(n),
+        _ptr(il), _ptr(cl), _ptr(dl), _ptr(wc), ctypes.c_int64(n),
         ctypes.c_int64(npostfix), ctypes.c_int64(ndirect),
         _ptr(cache), ctypes.c_int64(pos_offset),
         ctypes.c_int64(window_size),
         _ptr(out_code), _ptr(out_extra), _ptr(out_bits),
-        _ptr(out_ul, U8))
+        _ptr(out_ul, U8), _ptr(out_sym))
     return out_code, out_extra, out_bits, out_ul.astype(bool), \
-        cache.tolist()
+        out_sym, cache.tolist()
 
 
 def collect_matches(data, window_size, dict_len=0, k=48,
@@ -441,7 +446,7 @@ def pack_bits(bits, nbits):
 
 
 def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
-                      bucket_bits8=18, min_length=4,
+                      bucket_bits8=18, hash_len=4, min_length=4,
                       literal_byte_score=540, dict_len=0,
                       use_dictionary=True, match_cap=320,
                       want_top2=False):
@@ -482,7 +487,7 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
         _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(dict_len),
         ctypes.c_int64(window_size), ctypes.c_int64(k),
         ctypes.c_int64(bucket_bits), ctypes.c_int64(k8),
-        ctypes.c_int64(bucket_bits8),
+        ctypes.c_int64(bucket_bits8), ctypes.c_int64(hash_len),
         ctypes.c_int64(literal_byte_score // 4),
         ctypes.c_int64(match_cap),
         *dict_args,
@@ -524,8 +529,8 @@ def _dict_index_args(use_dictionary):
 
 def combined_parse(data, window_size, boundaries, dict_len=0, pos0=0,
                    initial_cache=(4, 11, 15, 16), k=8, bucket_bits=17,
-                   k8=4, bucket_bits8=18, literal_byte_score=540,
-                   use_dictionary=True):
+                   k8=4, bucket_bits8=18, hash_len=4,
+                   literal_byte_score=540, use_dictionary=True):
     """One-pass native search+parse (the reference's
     CreateBackwardReferences shape).  Returns segments like
     match.greedy_parse: (insert[], wire[], dist[], advance[])."""
@@ -546,6 +551,7 @@ def combined_parse(data, window_size, boundaries, dict_len=0, pos0=0,
         ctypes.c_int64(dict_len), ctypes.c_int64(window_size),
         ctypes.c_int64(k), ctypes.c_int64(bucket_bits),
         ctypes.c_int64(k8), ctypes.c_int64(bucket_bits8),
+        ctypes.c_int64(hash_len),
         ctypes.c_int64(literal_byte_score // 4),
         *dict_args,
         _ptr(bnd), ctypes.c_int64(len(bnd)), ctypes.c_int64(pos0),

@@ -41,6 +41,24 @@ static inline uint32_t load32(const uint8_t* p) {
     uint32_t v; std::memcpy(&v, p, 4); return v;
 }
 
+// bucket id for the primary table: 4-byte hash (hash_len 4) or the
+// reference AdvHasher's 5-byte hash (hash_len 5, H5/H6 hash_len=5,
+// mod.rs:932) — more selective buckets on text, at the cost of
+// missing length-4 table candidates (the distance cache still finds
+// short continuation matches)
+static inline uint32_t bucket_hash(const uint8_t* p, int64_t hash_len,
+                                   uint32_t shift) {
+    if (hash_len == 5) {
+        uint64_t v;
+        std::memcpy(&v, p, 8);
+        return (uint32_t)(((v << 24) * 0x1FE35A7BD3579BD3ull)
+                          >> (32 + shift));
+    }
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return (v * 0x1E35A7BDu) >> shift;
+}
+
 static inline uint64_t load64(const uint8_t* p) {
     uint64_t v; std::memcpy(&v, p, 8); return v;
 }
@@ -206,13 +224,40 @@ int64_t greedy_parse_native(
 // distance-cache resolution (reference ComputeDistanceCode)
 // ---------------------------------------------------------------------------
 
+// insert/copy length code bases (RFC 7932 5; reference command.rs:71-133)
+static const int64_t kInsBaseT[24] = {
+    0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26, 34, 50, 66, 98, 130, 194,
+    322, 578, 1090, 2114, 6210, 22594};
+static const int64_t kCpyBaseT[24] = {
+    2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 22, 30, 38, 54, 70, 102,
+    134, 198, 326, 582, 1094, 2118};
+
+static inline int64_t len_code_of(const int64_t* base, int64_t v) {
+    int64_t c = 23;
+    while (c > 0 && base[c] > v) c--;
+    return c;
+}
+
+// (insert code, copy code, dist0?) -> 704-symbol command alphabet
+// (inverse of the RFC command-code cell layout; mirrors
+// constants.combine_length_codes)
+static inline int64_t combine_codes(int64_t ic, int64_t cc,
+                                    bool use_last) {
+    int64_t bits64 = (cc & 7) | ((ic & 7) << 3);
+    if (use_last && ic < 8 && cc < 16)
+        return bits64 + (cc < 8 ? 0 : 64);
+    int64_t sub = 2 * ((cc >> 3) + 3 * (ic >> 3));
+    int64_t offset = (sub << 5) + 0x40 + ((0x520D40 >> sub) & 0xC0);
+    return offset | bits64;
+}
+
 void resolve_commands_native(
     const int64_t* insert_len, const int64_t* copy_len,
-    const int64_t* distance, int64_t n,
+    const int64_t* distance, const int64_t* wire_copy, int64_t n,
     int64_t npostfix, int64_t ndirect,
     int64_t* cache_io, int64_t pos_offset, int64_t window_size,
     int64_t* out_code, int64_t* out_extra, int64_t* out_extra_bits,
-    uint8_t* out_use_last)
+    uint8_t* out_use_last, int64_t* out_cmd_sym)
 {
     int64_t cache[4] = {cache_io[0], cache_io[1], cache_io[2],
                         cache_io[3]};
@@ -269,6 +314,16 @@ void resolve_commands_native(
             cache[1] = cache[0]; cache[0] = d;
         }
         pos += c;
+    }
+    // command alphabet symbols (wire copy length selects the copy code;
+    // a trailing insert-only command encodes wire copy 4 + dist0)
+    for (int64_t i = 0; i < n; i++) {
+        int64_t wc = wire_copy[i] == 0 ? 4 : wire_copy[i];
+        int64_t ic = len_code_of(kInsBaseT, insert_len[i]);
+        int64_t cc = len_code_of(kCpyBaseT, wc);
+        bool ul = out_use_last[i] && ic < 8 && cc < 16;
+        out_use_last[i] = ul ? 1 : 0;
+        out_cmd_sym[i] = combine_codes(ic, cc, ul);
     }
     cache_io[0] = cache[0]; cache_io[1] = cache[1];
     cache_io[2] = cache[2]; cache_io[3] = cache[3];
@@ -970,7 +1025,8 @@ void zopfli_dp_cands_native(
 void find_matches_native(
     const uint8_t* data, int64_t n, int64_t dict_len,
     int64_t window_size, int64_t k, int64_t bucket_bits,
-    int64_t k8, int64_t bucket_bits8, int64_t lbs, int64_t match_cap,
+    int64_t k8, int64_t bucket_bits8, int64_t hash_len,
+    int64_t lbs, int64_t match_cap,
     // static dictionary index (may be null): hash table of word ids
     const int64_t* dict_table, int64_t dict_hash_bits,
     int64_t dict_slots, const uint8_t* dict_words_flat,
@@ -997,9 +1053,10 @@ void find_matches_native(
     for (int64_t i = 0; i < n; i++) {
         best_len[i] = 0; best_dist[i] = 0; best_score[i] = 0;
         best_isdict[i] = 0; best_wire[i] = 0;
-        if (i + 4 > n) continue;
+        if (i + (hash_len == 5 ? 8 : 4) > n) continue;
         uint32_t v4 = load32(data + i);
-        uint32_t h4 = (v4 * HASH_MUL32) >> (32 - bucket_bits);
+        uint32_t h4 = bucket_hash(data + i, hash_len,
+                                  (uint32_t)(32 - bucket_bits));
         int64_t limit = std::min(n - i, match_cap);
 
         int64_t bl = 0, bd = 0, bs = 0;
@@ -1114,11 +1171,17 @@ struct CombinedCtx {
     int64_t cap4, mask4, cap8, mask8;  // pow2 ring geometry
     int64_t lbs;
     uint32_t shift4, shift8;
-    int32_t* ring4; int32_t* cnt4;
-    int32_t* ring8; int32_t* cnt8;
+    // u16 bucket counters (half the counter footprint; the recency
+    // walk is modular so wraparound is harmless)
+    int32_t* ring4; uint16_t* cnt4;
+    int32_t* ring8; uint16_t* cnt8;
     const uint32_t* H4 = nullptr;  // precomputed bucket ids (SIMD pass)
     const uint32_t* H8 = nullptr;
     int64_t ins_pos = 0;      // next absolute position to insert
+    // adaptive dictionary gating (reference SearchInStaticDictionary,
+    // mod.rs:1942: stop paying for dictionary probes on data where
+    // they never hit — probe only while lookups/128 <= matches)
+    int64_t dict_lookups = 0, dict_matches = 0;
     // dictionary index
     const int64_t* dict_table;
     int64_t dict_hash_bits, dict_slots;
@@ -1133,7 +1196,11 @@ struct CombinedCtx {
         uint32_t h4 = H4[i];
         ring4[h4 * cap4 + (cnt4[h4] & mask4)] = (int32_t)i;
         cnt4[h4]++;
-        if (k8 && i + 8 <= n) {
+        if (k8 && i + 8 <= n && (k8 > 4 || !(i & 1))) {
+            // speed tiers (k8 <= 4) stride the 8-byte inserts: a long
+            // match missed at an odd start is found one position
+            // later, and the insert traffic halves; quality tiers
+            // (k8 > 4) insert densely
             uint32_t h8 = H8[i];
             ring8[h8 * cap8 + (cnt8[h8] & mask8)] = (int32_t)i;
             cnt8[h8]++;
@@ -1228,7 +1295,9 @@ struct CombinedCtx {
         // reference gates SearchInStaticDictionary the same way,
         // mod.rs:1979: dict words are <= 24 bytes, so a solid window
         // match always wins)
-        if (dict_table && i >= dict_len && sr.len < 10) {
+        if (dict_table && i >= dict_len && sr.len < 10 &&
+            (dict_lookups >> 7) <= dict_matches) {
+            dict_lookups++;
             uint32_t hd = (v4 * 0x1E35A7BDu) >> (32 - dict_hash_bits);
             for (int64_t s = 0; s < dict_slots; s++) {
                 int64_t e = dict_table[hd * dict_slots + s];
@@ -1252,6 +1321,7 @@ struct CombinedCtx {
                 if (sc > sr.score) {
                     sr.score = sc; sr.len = m; sr.dist = dist;
                     sr.wire = L; sr.isdict = true;
+                    dict_matches++;
                 }
             }
         }
@@ -1266,7 +1336,7 @@ extern "C" {
 int64_t combined_parse_native(
     const uint8_t* data, int64_t total_len, int64_t dict_len,
     int64_t window_size, int64_t k, int64_t bucket_bits,
-    int64_t k8, int64_t bucket_bits8, int64_t lbs,
+    int64_t k8, int64_t bucket_bits8, int64_t hash_len, int64_t lbs,
     const int64_t* dict_table, int64_t dict_hash_bits,
     int64_t dict_slots, const uint8_t* dict_words_flat,
     const int64_t* dict_word_len, const int64_t* dict_word_idx,
@@ -1293,16 +1363,18 @@ int64_t combined_parse_native(
     int64_t nb4 = int64_t(1) << bucket_bits;
     int64_t nb8 = int64_t(1) << bucket_bits8;
     cx.ring4 = new int32_t[nb4 * cx.cap4];
-    cx.cnt4 = new int32_t[nb4]();
+    cx.cnt4 = new uint16_t[nb4]();
     cx.ring8 = k8 ? new int32_t[nb8 * cx.cap8] : nullptr;
-    cx.cnt8 = k8 ? new int32_t[nb8]() : nullptr;
+    cx.cnt8 = k8 ? new uint16_t[nb8]() : nullptr;
     // precompute bucket ids in straight vectorizable passes, keeping
     // the hash math off the serial insert/search chain
-    uint32_t* h4buf = new uint32_t[total_len > 4 ? total_len : 4];
+    uint32_t* h4buf = new uint32_t[total_len > 8 ? total_len : 8];
     {
-        int64_t m4 = total_len - 4;
+        int64_t m4 = total_len - (hash_len == 5 ? 8 : 4);
         for (int64_t i = 0; i <= m4; i++)
-            h4buf[i] = (load32(data + i) * 0x1E35A7BDu) >> cx.shift4;
+            h4buf[i] = bucket_hash(data + i, hash_len, cx.shift4);
+        // tail positions hash into bucket 0 of an empty-by-then table;
+        // min match length 4 makes them harmless
         for (int64_t i = m4 > 0 ? m4 + 1 : 0; i < total_len; i++)
             h4buf[i] = 0;
     }
