@@ -173,6 +173,50 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     else:
         segments = [None] * len(boundaries)
 
+    # q4-q9 production path: one fused native call per metablock
+    # (resolve + plan + serialize, no per-metablock Python glue)
+    from .. import native_bridge as nb
+    fused = (not use_zopfli and 4 <= params.quality and nb.available())
+    if fused:
+        from .metablock import (choose_context_mode,
+                                choose_literal_context_map)
+        seg_start = start
+        for i, (seg, boundary) in enumerate(zip(segments, boundaries)):
+            ins, cps, dst, adv = seg
+            mlen = boundary - seg_start
+            is_final = i == len(segments) - 1
+            suppress = params.appendable or params.byte_align
+            is_last = is_final and not suppress
+            abs_start = dlen + seg_start
+            region = full[abs_start:abs_start + mlen]
+            ctx_mode = choose_context_mode(region, params.quality,
+                                           params.mode)
+            if ctx_mode == C.CONTEXT_UTF8:
+                nlc, smap = choose_literal_context_map(
+                    full, abs_start, mlen, params.quality,
+                    params.size_hint)
+            else:
+                nlc, smap = 1, np.zeros(64, dtype=np.int64)
+            res = nb.encode_metablock(
+                full, abs_start, mlen, is_last, ins, cps, dst, adv,
+                cache, params.window_size, params.dist.npostfix,
+                params.dist.ndirect, params.dist.alphabet_size,
+                params.quality, ctx_mode, nlc, smap,
+                C.CONTEXT_LUT0[ctx_mode], C.CONTEXT_LUT1[ctx_mode])
+            # Per-metablock expansion fallback (encode.rs:2141-2163).
+            if res is None or res[1] > 8 * mlen + 40:
+                bs.store_uncompressed_meta_block(
+                    w, data[seg_start:boundary].tobytes())
+                if is_last:
+                    bs.write_empty_last_meta_block(w)
+            else:
+                words, nbits, cache = res
+                w.append_packed(words, nbits)
+            seg_start = boundary
+        if params.appendable or params.byte_align:
+            _write_trailer(w, params)
+        return w.getvalue()
+
     seg_start = start
     for i, (seg, boundary) in enumerate(zip(segments, boundaries)):
         if use_zopfli:

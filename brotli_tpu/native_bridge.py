@@ -83,6 +83,7 @@ def get_lib():
         _lib.zopfli_cands_native.restype = ctypes.c_int64
         _lib.zopfli_dp_cands_native.restype = None
         _lib.store_metablock_native.restype = ctypes.c_int64
+        _lib.encode_metablock_native.restype = ctypes.c_int64
         _lib.extend_caps_native.restype = None
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)
@@ -332,6 +333,44 @@ def store_metablock(data, start, mlen, is_last, cmds, npostfix, ndirect,
     if r < 0:
         return None
     return words, int(r)
+
+
+def encode_metablock(data, start, mlen, is_last, ins, wire, dist, adv,
+                     cache, window_size, npostfix, ndirect, dist_alpha,
+                     quality, context_mode, num_lit_ctx, lit_static_map,
+                     lut0, lut1, enable_splits=True):
+    """Fused per-metablock resolve + plan + serialize
+    (encode_metablock_native).  Returns (words, nbits, new_cache) or
+    None on overflow (caller falls back to an uncompressed block;
+    cache is unchanged in that case)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(ins)
+    ins = np.ascontiguousarray(ins, np.int64)
+    wire = np.ascontiguousarray(wire, np.int64)
+    dist = np.ascontiguousarray(dist, np.int64)
+    adv = np.ascontiguousarray(adv, np.int64)
+    cache_io = np.asarray(cache, dtype=np.int64).copy()
+    cap_bits = 9 * int(mlen) + (1 << 17)
+    words = np.zeros(cap_bits // 64 + 2, dtype=np.uint64)
+    U64 = ctypes.POINTER(ctypes.c_uint64)
+    smap = np.ascontiguousarray(lit_static_map, np.int64)
+    lut0 = np.ascontiguousarray(lut0, np.uint8)
+    lut1 = np.ascontiguousarray(lut1, np.uint8)
+    r = lib.encode_metablock_native(
+        _ptr(data, U8), ctypes.c_int64(start), ctypes.c_int64(mlen),
+        ctypes.c_int64(int(is_last)), ctypes.c_int64(n),
+        _ptr(ins), _ptr(wire), _ptr(dist), _ptr(adv),
+        _ptr(cache_io), ctypes.c_int64(window_size),
+        ctypes.c_int64(npostfix), ctypes.c_int64(ndirect),
+        ctypes.c_int64(dist_alpha), ctypes.c_int64(quality),
+        ctypes.c_int64(context_mode), ctypes.c_int64(num_lit_ctx),
+        _ptr(smap), _ptr(lut0, U8), _ptr(lut1, U8),
+        ctypes.c_int64(int(enable_splits)),
+        words.ctypes.data_as(U64), ctypes.c_int64(cap_bits))
+    if r < 0:
+        return None
+    return words, int(r), cache_io.tolist()
 
 
 def zopfli_cands(pos, lens, dists, isdict, wire, n, npostfix, ndirect,

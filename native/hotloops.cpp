@@ -14,6 +14,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -1250,9 +1251,19 @@ struct CombinedCtx {
         {
             uint32_t h4 = H4[i];
             int32_t c = cnt4[h4];
-            int32_t m = (int32_t)std::min<int64_t>(c, k);
+            int32_t m = (int32_t)std::min<int64_t>(
+                std::min<int64_t>(c, k), 64);
+            // gather the candidate positions first and prefetch their
+            // data: the gating loads below would otherwise be serial
+            // cache misses
+            int64_t cands[64];
             for (int32_t j = 0; j < m; j++) {
                 int64_t cand = ring4[h4 * cap4 + ((c - 1 - j) & mask4)];
+                cands[j] = cand;
+                __builtin_prefetch(data + cand, 0, 1);
+            }
+            for (int32_t j = 0; j < m; j++) {
+                int64_t cand = cands[j];
                 int64_t dist = i - cand;
                 if (dist > window) break;
                 // a candidate can only beat the best if it matches at
@@ -1273,10 +1284,16 @@ struct CombinedCtx {
         if (k8 && i + 8 <= n && sr.len < 72) {
             uint32_t h8 = H8[i];
             int32_t c = cnt8[h8];
-            int32_t m = (int32_t)std::min<int64_t>(c, k8);
+            int32_t m = (int32_t)std::min<int64_t>(
+                std::min<int64_t>(c, k8), 64);
+            int64_t cands[64];
             for (int32_t j = 0; j < m; j++) {
-                int64_t cand = ring8[h8 * cap8 + ((c - 1 - j)
-                                                   & mask8)];
+                int64_t cand = ring8[h8 * cap8 + ((c - 1 - j) & mask8)];
+                cands[j] = cand;
+                __builtin_prefetch(data + cand, 0, 1);
+            }
+            for (int32_t j = 0; j < m; j++) {
+                int64_t cand = cands[j];
                 int64_t dist = i - cand;
                 if (dist > window) break;
                 if (sr.len > 0 && (sr.len >= limit ||
@@ -1362,13 +1379,25 @@ int64_t combined_parse_native(
     cx.mask8 = cx.cap8 - 1;
     int64_t nb4 = int64_t(1) << bucket_bits;
     int64_t nb8 = int64_t(1) << bucket_bits8;
-    cx.ring4 = new int32_t[nb4 * cx.cap4];
-    cx.cnt4 = new uint16_t[nb4]();
-    cx.ring8 = k8 ? new int32_t[nb8 * cx.cap8] : nullptr;
-    cx.cnt8 = k8 ? new uint16_t[nb8]() : nullptr;
+    // persistent per-thread scratch: reallocating ~17MB of tables and
+    // hash buffers per call costs more in page faults than the parse
+    // saves in cache warmth
+    static thread_local std::vector<int32_t> s_ring4, s_ring8;
+    static thread_local std::vector<uint16_t> s_cnt4, s_cnt8;
+    static thread_local std::vector<uint32_t> s_h4, s_h8;
+    auto fit = [](auto& v, int64_t need) {
+        if ((int64_t)v.size() < need) v.resize(need);
+        return v.data();
+    };
+    cx.ring4 = fit(s_ring4, nb4 * cx.cap4);
+    cx.cnt4 = fit(s_cnt4, nb4);
+    std::memset(cx.cnt4, 0, nb4 * sizeof(uint16_t));
+    cx.ring8 = k8 ? fit(s_ring8, nb8 * cx.cap8) : nullptr;
+    cx.cnt8 = k8 ? fit(s_cnt8, nb8) : nullptr;
+    if (k8) std::memset(cx.cnt8, 0, nb8 * sizeof(uint16_t));
     // precompute bucket ids in straight vectorizable passes, keeping
     // the hash math off the serial insert/search chain
-    uint32_t* h4buf = new uint32_t[total_len > 8 ? total_len : 8];
+    uint32_t* h4buf = fit(s_h4, total_len > 8 ? total_len : 8);
     {
         int64_t m4 = total_len - (hash_len == 5 ? 8 : 4);
         for (int64_t i = 0; i <= m4; i++)
@@ -1380,7 +1409,7 @@ int64_t combined_parse_native(
     }
     uint32_t* h8buf = nullptr;
     if (k8) {
-        h8buf = new uint32_t[total_len > 8 ? total_len : 8];
+        h8buf = fit(s_h8, total_len > 8 ? total_len : 8);
         int64_t m8 = total_len - 8;
         for (int64_t i = 0; i <= m8; i++)
             h8buf[i] = (uint32_t)((load64(data + i) *
@@ -1477,9 +1506,6 @@ int64_t combined_parse_native(
         if (pos < boundary) pos = boundary;
         out_seg_counts[bi] = n_out - seg_start_count;
     }
-    delete[] cx.ring4; delete[] cx.cnt4;
-    delete[] cx.ring8; delete[] cx.cnt8;
-    delete[] h4buf; delete[] h8buf;
     return n_out;
 }
 

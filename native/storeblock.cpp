@@ -587,6 +587,12 @@ struct SplitParams {
 static const SplitParams SP_LIT = {256, 32, 28.1, 3, 320.0};
 static const SplitParams SP_CMD = {128, 16, 13.5, 3, 500.0};
 static const SplitParams SP_DIST = {128, 8, 14.6, 3, 600.0};
+// speed-tier (q < 7) variants: coarser chunks, fewer clusters — the
+// reference's q<10 greedy splitter is similarly cheaper than its q11
+// iterative one (block_splitter.rs:797)
+static const SplitParams SP_LIT_FAST = {512, 16, 28.1, 2, 320.0};
+static const SplitParams SP_CMD_FAST = {256, 8, 13.5, 2, 500.0};
+static const SplitParams SP_DIST_FAST = {256, 6, 14.6, 2, 600.0};
 
 struct Split {
     int num_types = 1;
@@ -639,7 +645,10 @@ static Split split_symbols(const int64_t* syms, int64_t n, int alpha,
     }
     std::vector<int> assign(nch, -1);
     std::vector<double> cost((size_t)nch * k);
-    std::vector<double> logp((size_t)k * alpha);
+    // transposed negated log-probs [alpha][k] in float: the assignment
+    // inner loop becomes a unit-stride FMA over k and vectorizes
+    std::vector<float> logp_t((size_t)alpha * k);
+    std::vector<float> accf(k);
     double switch_pen = p.switch_cost / std::max(1, chunk / 16);
     for (int iter = 0; iter < 3; iter++) {
         for (int j = 0; j < k; j++) {
@@ -648,20 +657,22 @@ static Split split_symbols(const int64_t* syms, int64_t n, int alpha,
                 tot += cent[(size_t)j * alpha + s];
             tot += alpha * 0.25;
             for (int s = 0; s < alpha; s++)
-                logp[(size_t)j * alpha + s] =
-                    std::log2((cent[(size_t)j * alpha + s] + 0.25) / tot);
+                logp_t[(size_t)s * k + j] = (float)-std::log2(
+                    (cent[(size_t)j * alpha + s] + 0.25) / tot);
         }
         std::vector<int> na(nch);
         for (int c = 0; c < nch; c++) {
+            int64_t a = nz_off[c], b = nz_off[c + 1];
+            for (int j = 0; j < k; j++) accf[j] = 0.0f;
+            for (int64_t e = a; e < b; e++) {
+                float cnt = (float)nz_cnt[e];
+                const float* lp = &logp_t[(size_t)nz_sym[e] * k];
+                for (int j = 0; j < k; j++) accf[j] += cnt * lp[j];
+            }
             double best = 1e300;
             int bj = 0;
-            int64_t a = nz_off[c], b = nz_off[c + 1];
             for (int j = 0; j < k; j++) {
-                double acc = 0;
-                const double* lp = &logp[(size_t)j * alpha];
-                for (int64_t e = a; e < b; e++)
-                    acc -= nz_cnt[e] * lp[nz_sym[e]];
-                acc += switch_pen;
+                double acc = (double)accf[j] + switch_pen;
                 cost[(size_t)c * k + j] = acc;
                 if (acc < best) { best = acc; bj = j; }
             }
@@ -971,10 +982,18 @@ extern "C" int64_t store_metablock_native(
     BW bw{out_words, cap_bits};
 
     // ---- gather literals + their contexts ----
-    std::vector<uint8_t> literals;
-    std::vector<uint8_t> lit_ctx;
+    // persistent per-thread scratch (multi-MB reallocation per
+    // metablock costs more in page faults than it saves)
+    static thread_local std::vector<uint8_t> literals;
+    static thread_local std::vector<uint8_t> lit_ctx;
+    literals.clear();
+    lit_ctx.clear();
     {
         int64_t pos = start;
+        int64_t tot = 0;
+        for (int64_t c = 0; c < n_cmds; c++) tot += insert_len[c];
+        literals.reserve(tot);
+        lit_ctx.reserve(tot);
         for (int64_t c = 0; c < n_cmds; c++) {
             int64_t il = insert_len[c];
             for (int64_t j = 0; j < il; j++) {
@@ -1000,14 +1019,19 @@ extern "C" int64_t store_metablock_native(
     }
 
     // ---- block splits ----
-    std::vector<int64_t> lit64(literals.begin(), literals.end());
+    static thread_local std::vector<int64_t> lit64;
+    lit64.assign(literals.begin(), literals.end());
     Split lit_split, cmd_split, dist_split;
     if (enable_splits) {
-        lit_split = split_symbols(lit64.data(), n_lit, 256, SP_LIT);
-        cmd_split = split_symbols(cmd_sym, n_cmds, 704, SP_CMD);
+        bool fast_split = quality < 7;
+        lit_split = split_symbols(lit64.data(), n_lit, 256,
+                                  fast_split ? SP_LIT_FAST : SP_LIT);
+        cmd_split = split_symbols(cmd_sym, n_cmds, 704,
+                                  fast_split ? SP_CMD_FAST : SP_CMD);
         dist_split = split_symbols(dist_syms.data(),
                                    (int64_t)dist_syms.size(),
-                                   (int)dist_alpha, SP_DIST);
+                                   (int)dist_alpha,
+                                   fast_split ? SP_DIST_FAST : SP_DIST);
     } else {
         lit_split.types.assign(n_lit, 0);
         lit_split.blocks = {{0, (int)n_lit}};
@@ -1211,4 +1235,53 @@ extern "C" int64_t store_metablock_native(
         }
     }
     return bw.overflow ? -1 : bw.pos;
+}
+
+// ---------------------------------------------------------------------------
+// fused resolve + store: one native call per metablock for the q4-q9
+// production path (distance-cache resolution from hotloops.cpp feeds
+// store_metablock_native directly, removing the per-metablock Python
+// glue between them)
+// ---------------------------------------------------------------------------
+
+extern "C" void resolve_commands_native(
+    const int64_t*, const int64_t*, const int64_t*, const int64_t*,
+    int64_t, int64_t, int64_t, int64_t*, int64_t, int64_t,
+    int64_t*, int64_t*, int64_t*, uint8_t*, int64_t*);
+
+extern "C" int64_t encode_metablock_native(
+    const uint8_t* data, int64_t start, int64_t mlen, int64_t is_last,
+    int64_t n_cmds, const int64_t* insert_len, const int64_t* wire_copy,
+    const int64_t* distance, const int64_t* advance,
+    int64_t* cache_io, int64_t window_size,
+    int64_t npostfix, int64_t ndirect, int64_t dist_alpha,
+    int64_t quality, int64_t context_mode,
+    int64_t num_lit_ctx, const int64_t* lit_static_map,
+    const uint8_t* lut0, const uint8_t* lut1,
+    int64_t enable_splits,
+    uint64_t* out_words, int64_t cap_bits)
+{
+    std::vector<int64_t> code(n_cmds), extra(n_cmds), bits(n_cmds),
+        sym(n_cmds);
+    std::vector<uint8_t> ul(n_cmds);
+    int64_t cache[4] = {cache_io[0], cache_io[1], cache_io[2],
+                        cache_io[3]};
+    resolve_commands_native(insert_len, advance, distance, wire_copy,
+                            n_cmds, npostfix, ndirect, cache, start,
+                            window_size, code.data(), extra.data(),
+                            bits.data(), ul.data(), sym.data());
+    int64_t r = store_metablock_native(
+        data, start, mlen, is_last, n_cmds, insert_len, wire_copy,
+        code.data(), extra.data(), bits.data(), sym.data(), advance,
+        npostfix, ndirect, dist_alpha, quality, context_mode,
+        num_lit_ctx, lit_static_map, lut0, lut1, enable_splits,
+        out_words, cap_bits);
+    if (r >= 0) {
+        // commit the rolled-forward distance cache only when the
+        // compressed form is used (an uncompressed fallback leaves the
+        // decoder's cache untouched)
+        cache_io[0] = cache[0]; cache_io[1] = cache[1];
+        cache_io[2] = cache[2]; cache_io[3] = cache[3];
+    }
+    return r;
 }
