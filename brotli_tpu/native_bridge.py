@@ -21,7 +21,9 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRCS = [os.path.join(_NATIVE_DIR, "hotloops.cpp"),
          os.path.join(_NATIVE_DIR, "decoder.cpp"),
-         os.path.join(_NATIVE_DIR, "storeblock.cpp")]
+         os.path.join(_NATIVE_DIR, "storeblock.cpp"),
+         os.path.join(_NATIVE_DIR, "capi.cpp"),
+         os.path.join(_NATIVE_DIR, "workpool.cpp")]
 _SRC = _SRCS[0]
 _LIB = os.path.join(_NATIVE_DIR, "libbrotli_tpu_native.so")
 
@@ -65,7 +67,7 @@ def get_lib():
         if not os.path.exists(_LIB) or have != want:
             r = subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 *_SRCS, "-o", _LIB + ".tmp"],
+                 "-pthread", *_SRCS, "-o", _LIB + ".tmp"],
                 check=True, capture_output=True, timeout=300)
             os.replace(_LIB + ".tmp", _LIB)
             with open(stamp, "w") as f:
@@ -84,6 +86,17 @@ def get_lib():
         _lib.zopfli_dp_cands_native.restype = None
         _lib.store_metablock_native.restype = ctypes.c_int64
         _lib.encode_metablock_native.restype = ctypes.c_int64
+        # public C ABI (capi.cpp / workpool.cpp)
+        _lib.BrotliEncoderMaxCompressedSize.restype = ctypes.c_size_t
+        _lib.BrotliEncoderMaxCompressedSize.argtypes = [ctypes.c_size_t]
+        _lib.BrotliEncoderCreateWorkPool.restype = ctypes.c_void_p
+        _lib.BrotliEncoderDestroyWorkPool.argtypes = [ctypes.c_void_p]
+        _lib.BrotliEncoderCompressWorkPool.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_char_p, ctypes.c_size_t]
         _lib.extend_caps_native.restype = None
         _lib.decoder_set_dictionary.restype = None
         _install_decoder_dictionary(_lib)

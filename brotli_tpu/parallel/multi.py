@@ -132,6 +132,10 @@ def compress_multi(data, num_parts: int, quality: int = 9,
                           mode=mode).sanitize(len(raw))
         return compress_with_params(raw, p)
 
+    if backend == "workpool":
+        return _compress_multi_workpool(raw, num_parts, quality, lgwin,
+                                        mode)
+
     if favor_cpu_efficiency and 2 <= params.quality <= 9:
         from ..encode.encoder import _quality_knobs
         from ..encode.match import find_best_matches
@@ -196,6 +200,42 @@ def compress_multi(data, num_parts: int, quality: int = 9,
         results = [compress_part(raw, i, num_parts, params)
                    for i in range(num_parts)]
     return _merge(results)
+
+
+_workpool = None
+
+
+def _compress_multi_workpool(raw: np.ndarray, num_parts: int,
+                             quality: int, lgwin: int,
+                             mode: int) -> bytes:
+    """Native persistent WorkerPool backend (reference worker_pool.rs:
+    75-300 via ffi/multicompress): GIL-free pthread shards, byte-aligned
+    catable parts, concatenation merge.  The pool persists across calls
+    (new_work_pool parity) — no per-call thread spawn cost."""
+    import ctypes
+
+    from .. import native_bridge as nb
+    global _workpool
+    lib = nb.get_lib()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    if _workpool is None:
+        _workpool = lib.BrotliEncoderCreateWorkPool(
+            ctypes.c_size_t(MAX_THREADS - 1), None, None, None)
+    keys = (ctypes.c_uint32 * 3)(1, 2, 3)   # MODE, QUALITY, LGWIN
+    vals = (ctypes.c_uint32 * 3)(mode, quality, lgwin)
+    data = raw.tobytes()
+    cap = int(lib.BrotliEncoderMaxCompressedSize(
+        ctypes.c_size_t(len(data)))) + 64
+    enc = ctypes.create_string_buffer(cap)
+    esz = ctypes.c_size_t(cap)
+    ok = lib.BrotliEncoderCompressWorkPool(
+        _workpool, ctypes.c_size_t(3), keys, vals,
+        ctypes.c_size_t(len(data)), data, ctypes.byref(esz), enc,
+        ctypes.c_size_t(num_parts))
+    if not ok:
+        raise RuntimeError("workpool compression failed")
+    return enc.raw[:esz.value]
 
 
 def _compress_part_bytes(data: bytes, i: int, n_parts: int,

@@ -1,0 +1,120 @@
+/* brotli_tpu C API — google/brotli-compatible surface exported by
+ * libbrotli_tpu_native.so.
+ *
+ * Mirrors the reference's public C headers
+ * (/root/reference/c/brotli/encode.h:256-457, decode.h:146-330); decls
+ * written against that documented surface, not copied.
+ *
+ * Documented divergences: qualities 10/11 run the greedy q9 tier (the
+ * optimal-parse tier lives host-side); BrotliDecoderDecompressStream
+ * buffers input and is byte-accurate at the API level rather than
+ * constant-memory mid-metablock.
+ */
+#ifndef BROTLI_TPU_H_
+#define BROTLI_TPU_H_
+
+#include <stddef.h>
+#include <stdint.h>
+
+#if defined(__cplusplus)
+extern "C" {
+#endif
+
+#define BROTLI_BOOL int
+#define BROTLI_TRUE 1
+#define BROTLI_FALSE 0
+
+/* ---- decoder ---- */
+
+typedef enum {
+    BROTLI_DECODER_RESULT_ERROR = 0,
+    BROTLI_DECODER_RESULT_SUCCESS = 1,
+    BROTLI_DECODER_RESULT_NEEDS_MORE_INPUT = 2,
+    BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT = 3
+} BrotliDecoderResult;
+
+typedef struct BrotliDecoderStateStruct BrotliDecoderState;
+
+typedef void* (*brotli_alloc_func)(void* opaque, size_t size);
+typedef void (*brotli_free_func)(void* opaque, void* address);
+
+uint32_t BrotliDecoderVersion(void);
+BrotliDecoderState* BrotliDecoderCreateInstance(
+    void* alloc_func, void* free_func, void* opaque);
+void BrotliDecoderDestroyInstance(BrotliDecoderState* state);
+BROTLI_BOOL BrotliDecoderSetParameter(
+    BrotliDecoderState* state, uint32_t param, uint32_t value);
+BrotliDecoderResult BrotliDecoderDecompress(
+    size_t encoded_size, const uint8_t* encoded_buffer,
+    size_t* decoded_size, uint8_t* decoded_buffer);
+BrotliDecoderResult BrotliDecoderDecompressStream(
+    BrotliDecoderState* state, size_t* available_in,
+    const uint8_t** next_in, size_t* available_out, uint8_t** next_out,
+    size_t* total_out);
+BROTLI_BOOL BrotliDecoderIsUsed(const BrotliDecoderState* state);
+BROTLI_BOOL BrotliDecoderIsFinished(const BrotliDecoderState* state);
+BROTLI_BOOL BrotliDecoderHasMoreOutput(const BrotliDecoderState* state);
+const uint8_t* BrotliDecoderTakeOutput(BrotliDecoderState* state,
+                                       size_t* size);
+int32_t BrotliDecoderGetErrorCode(const BrotliDecoderState* state);
+const char* BrotliDecoderErrorString(int32_t code);
+
+/* ---- encoder ---- */
+
+typedef enum {
+    BROTLI_OPERATION_PROCESS = 0,
+    BROTLI_OPERATION_FLUSH = 1,
+    BROTLI_OPERATION_FINISH = 2,
+    BROTLI_OPERATION_EMIT_METADATA = 3
+} BrotliEncoderOperation;
+
+/* parameter ids (reference src/enc/parameters.rs) */
+typedef enum {
+    BROTLI_PARAM_MODE = 1,
+    BROTLI_PARAM_QUALITY = 2,
+    BROTLI_PARAM_LGWIN = 3,
+    BROTLI_PARAM_LGBLOCK = 4,
+    BROTLI_PARAM_CATABLE = 167,
+    BROTLI_PARAM_APPENDABLE = 168,
+    BROTLI_PARAM_BARE_STREAM = 169,
+    BROTLI_PARAM_BYTE_ALIGN = 170
+} BrotliEncoderParameter;
+
+typedef struct BrotliEncoderStateStruct BrotliEncoderState;
+
+uint32_t BrotliEncoderVersion(void);
+BrotliEncoderState* BrotliEncoderCreateInstance(
+    void* alloc_func, void* free_func, void* opaque);
+void BrotliEncoderDestroyInstance(BrotliEncoderState* state);
+BROTLI_BOOL BrotliEncoderSetParameter(
+    BrotliEncoderState* state, uint32_t param, uint32_t value);
+BROTLI_BOOL BrotliEncoderSetCustomDictionary(
+    BrotliEncoderState* state, size_t size, const uint8_t* dict);
+size_t BrotliEncoderMaxCompressedSize(size_t input_size);
+BROTLI_BOOL BrotliEncoderCompress(
+    int quality, int lgwin, int mode, size_t input_size,
+    const uint8_t* input_buffer, size_t* encoded_size,
+    uint8_t* encoded_buffer);
+BROTLI_BOOL BrotliEncoderCompressStream(
+    BrotliEncoderState* state, BrotliEncoderOperation op,
+    size_t* available_in, const uint8_t** next_in,
+    size_t* available_out, uint8_t** next_out, size_t* total_out);
+BROTLI_BOOL BrotliEncoderIsFinished(const BrotliEncoderState* state);
+BROTLI_BOOL BrotliEncoderHasMoreOutput(const BrotliEncoderState* state);
+const uint8_t* BrotliEncoderTakeOutput(BrotliEncoderState* state,
+                                       size_t* size);
+
+/* ---- extensions ---- */
+
+/* one-shot encode with stream-shaping flags + LZ77 custom dictionary */
+BROTLI_BOOL BrotliTpuEncodeOneshot(
+    int quality, int lgwin, int mode, int catable, int appendable,
+    int bare, int byte_align, const uint8_t* dict, size_t dict_size,
+    size_t input_size, const uint8_t* input, size_t* encoded_size,
+    uint8_t* encoded_buffer);
+
+#if defined(__cplusplus)
+}
+#endif
+
+#endif /* BROTLI_TPU_H_ */

@@ -1,0 +1,690 @@
+// Drop-in google/brotli-compatible C ABI over the native runtime.
+//
+// A C/Go caller links against libbrotli_tpu_native.so and gets the
+// reference's public surface (reference headers:
+// /root/reference/c/brotli/encode.h:256-457, decode.h:146-330;
+// impl /root/reference/src/ffi/compressor.rs, decompressor.rs) without
+// ever touching Python: the static dictionary/transform tables are
+// embedded (dict_embed.inc), the encode pipeline is the same native
+// combined_parse + encode_metablock chain the Python package uses, and
+// the decoder is decode_native.
+//
+// Scope notes (documented divergences, not silent ones):
+//  - qualities 10/11 run the q9 pipeline (the optimal-parse tier is
+//    host-Python; the C ABI caps at the greedy tier).  Streams are
+//    valid brotli either way.
+//  - the encoder-side static dictionary index is not embedded; C-path
+//    streams simply contain no dictionary references.
+//  - BrotliDecoderDecompressStream buffers input and retries whole
+//    stream decode when input grows 2x or the caller signals input
+//    exhaustion (avail_in == 0); output then drains in chunks.  The
+//    state machine is byte-accurate at the API level, not
+//    constant-memory mid-metablock.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <vector>
+
+#include "dict_embed.inc"
+
+extern "C" {
+int64_t combined_parse_native(
+    const uint8_t*, int64_t, int64_t, int64_t, int64_t, int64_t,
+    int64_t, int64_t, int64_t, int64_t,
+    const int64_t*, int64_t, int64_t, const uint8_t*, const int64_t*,
+    const int64_t*, const int64_t*, const int64_t*,
+    const int64_t*, int64_t, int64_t, const int64_t*,
+    int64_t*, int64_t*, int64_t*, int64_t*, int64_t*, int64_t);
+int64_t encode_metablock_native(
+    const uint8_t*, int64_t, int64_t, int64_t,
+    int64_t, const int64_t*, const int64_t*, const int64_t*,
+    const int64_t*, int64_t*, int64_t, int64_t, int64_t, int64_t,
+    int64_t, int64_t, int64_t, const int64_t*, const uint8_t*,
+    const uint8_t*, int64_t, uint64_t*, int64_t);
+int64_t decode_native(
+    const uint8_t*, int64_t, uint8_t*, int64_t, const uint8_t*,
+    int64_t, int64_t, int32_t*, int64_t);
+void decoder_set_dictionary(
+    const uint8_t*, const int64_t*, const int64_t*, const uint8_t*,
+    const int64_t*, const uint8_t*, const int64_t*, const int64_t*,
+    const uint8_t*, const uint8_t*);
+}
+
+namespace capi {
+
+static void ensure_decoder_dict() {
+    static bool done = false;
+    if (done) return;
+    decoder_set_dictionary(kDictData, kDictOffsets, kDictSizeBits,
+                           kDictTPrefix, kDictTPrefixLen, kDictTSuffix,
+                           kDictTSuffixLen, kDictTType, kCtxLut0,
+                           kCtxLut1);
+    done = true;
+}
+
+// ---------------------------------------------------------------------------
+// byte-granular bit writer
+// ---------------------------------------------------------------------------
+
+struct ByteBW {
+    std::vector<uint8_t> buf;
+    int64_t bitpos = 0;
+
+    void put(uint64_t bits, int nb) {
+        if (nb <= 0) return;
+        int64_t need = (bitpos + nb + 7) >> 3;
+        if ((int64_t)buf.size() < need) buf.resize(need, 0);
+        bits &= nb >= 64 ? ~0ull : ((1ull << nb) - 1);
+        int64_t byte = bitpos >> 3, off = bitpos & 7;
+        // write into up to 9 bytes
+        buf[byte] |= (uint8_t)(bits << off);
+        uint64_t rest = bits >> (8 - off);
+        int written = 8 - (int)off;
+        int64_t b = byte + 1;
+        while (written < nb) {
+            if ((int64_t)buf.size() <= b) buf.resize(b + 1, 0);
+            buf[b] |= (uint8_t)rest;
+            rest >>= 8;
+            written += 8;
+            b++;
+        }
+        bitpos += nb;
+    }
+    void align() {
+        bitpos = (bitpos + 7) & ~7ll;
+        if ((int64_t)buf.size() < (bitpos >> 3)) buf.resize(bitpos >> 3, 0);
+    }
+    void put_bytes(const uint8_t* p, int64_t n) {
+        align();
+        buf.resize((bitpos >> 3) + n);
+        std::memcpy(buf.data() + (bitpos >> 3), p, (size_t)n);
+        bitpos += n * 8;
+    }
+    void append_words(const uint64_t* words, int64_t nbits) {
+        int64_t full = nbits / 64;
+        for (int64_t i = 0; i < full; i++) {
+            put((uint32_t)words[i], 32);
+            put((uint32_t)(words[i] >> 32), 32);
+        }
+        int rem = (int)(nbits & 63);
+        if (rem) {
+            uint64_t w = words[full];
+            if (rem > 32) { put((uint32_t)w, 32); w >>= 32; rem -= 32; }
+            put(w, rem);
+        }
+    }
+};
+
+// ---------------------------------------------------------------------------
+// stream shaping primitives (port of encode/bitstream.py)
+// ---------------------------------------------------------------------------
+
+static void write_stream_header(ByteBW& w, int lgwin) {
+    if (lgwin == 16) { w.put(0, 1); return; }
+    if (lgwin == 17) { w.put(1, 7); return; }
+    if (lgwin > 17 && lgwin <= 24) { w.put(((lgwin - 17) << 1) | 1, 4); return; }
+    w.put(((lgwin - 8) << 4) | 1, 7);  // 10..15
+}
+
+static void write_mlen(ByteBW& w, int64_t mlen) {
+    int lg = 1;
+    while ((int64_t(1) << lg) < mlen) lg++;
+    int mnibbles = std::max(4, (lg + 3) / 4);
+    w.put(mnibbles - 4, 2);
+    w.put((uint64_t)(mlen - 1), mnibbles * 4);
+}
+
+static void write_empty_last(ByteBW& w) { w.put(3, 2); }
+
+static void write_padding_block(ByteBW& w) {
+    w.put(0, 1); w.put(3, 2); w.put(0, 1); w.put(0, 2);
+    w.align();
+}
+
+static void store_uncompressed(ByteBW& w, const uint8_t* p, int64_t n) {
+    while (n > 0) {
+        int64_t chunk = std::min<int64_t>(n, int64_t(1) << 24);
+        w.put(0, 1);
+        write_mlen(w, chunk);
+        w.put(1, 1);  // ISUNCOMPRESSED
+        w.put_bytes(p, chunk);
+        p += chunk;
+        n -= chunk;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// context-mode / static-context-map decisions (port of metablock.py,
+// reference ChooseContextMode encode.rs:1357 and
+// DecideOverLiteralContextModeling :1873)
+// ---------------------------------------------------------------------------
+
+static const int64_t kMapSimple[64] = {
+    0,0,1,1, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+    0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+    0,0,0,0, 0,0,0,0};
+static const int64_t kMapContinuation[64] = {
+    1,1,2,2, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+    0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0, 0,0,0,0,
+    0,0,0,0, 0,0,0,0};
+static const int64_t kMapComplex[64] = {
+    11, 11, 12, 12, 0, 0, 0, 0, 1, 1, 9, 9, 2, 2, 2, 2,
+    1, 1, 1, 1, 8, 3, 3, 3, 1, 1, 1, 1, 2, 2, 2, 2,
+    8, 4, 4, 4, 8, 7, 4, 4, 8, 0, 0, 0, 3, 3, 3, 3,
+    5, 5, 10, 5, 5, 5, 10, 5, 6, 6, 6, 6, 6, 6, 6, 6};
+static const int64_t kMapZero[64] = {0};
+
+static bool is_mostly_utf8(const uint8_t* d, int64_t n) {
+    if (n == 0) return true;
+    int64_t size_utf8 = 0, total = 0;
+    // sample 4KB blocks every 64KB on large inputs
+    int64_t step = n > (1 << 16) ? (1 << 16) : n;
+    for (int64_t s = 0; s + 4096 <= n || s == 0; s += step) {
+        int64_t e = std::min(n, s + (n > (1 << 16) ? 4096 : n));
+        for (int64_t i = s; i < e; i++) {
+            uint8_t c = d[i];
+            total++;
+            if (c < 0x80) size_utf8++;
+            else if (c >= 0xC2 && c < 0xE0 && i + 1 < e &&
+                     d[i + 1] >= 0x80 && d[i + 1] < 0xC0)
+                size_utf8 += 2;
+            else if (c >= 0xE0 && c < 0xF0 && i + 2 < e &&
+                     d[i + 1] >= 0x80 && d[i + 1] < 0xC0 &&
+                     d[i + 2] >= 0x80 && d[i + 2] < 0xC0)
+                size_utf8 += 3;
+        }
+        if (n <= (1 << 16)) break;
+    }
+    return size_utf8 * 4 > total * 3;
+}
+
+static double shannon(const int64_t* h, int n) {
+    double total = 0, acc = 0;
+    for (int i = 0; i < n; i++) total += (double)h[i];
+    if (total <= 0) return 0.0;
+    for (int i = 0; i < n; i++)
+        if (h[i] > 0) acc += (double)h[i] * std::log2((double)h[i]);
+    return total * std::log2(total) - acc;
+}
+
+// returns num_lit_ctx and sets *map_out
+static int choose_literal_map(const uint8_t* data, int64_t start,
+                              int64_t length, int quality,
+                              int64_t size_hint, const int64_t** map_out) {
+    *map_out = kMapZero;
+    if (quality < 5 || length < 64) return 1;
+    // complex-map check (ShouldUseComplexStaticContextMap)
+    if (size_hint >= (1 << 20)) {
+        const uint8_t* l0 = kCtxLut0 + 2 * 256;   // UTF8 mode rows
+        const uint8_t* l1 = kCtxLut1 + 2 * 256;
+        int64_t combined[32] = {0};
+        int64_t ctxh[13 * 32] = {0};
+        int64_t total = 0;
+        for (int64_t s = start; s + 64 <= start + length; s += 4096) {
+            for (int64_t i = s + 2; i < s + 64; i++) {
+                int ctx = (int)kMapComplex[l0[data[i - 1]] | l1[data[i - 2]]];
+                int t5 = data[i] >> 3;
+                combined[t5]++;
+                ctxh[ctx * 32 + t5]++;
+                total++;
+            }
+        }
+        if (total > 0) {
+            double e1 = shannon(combined, 32) / (double)total;
+            double e2 = 0;
+            for (int i = 0; i < 13; i++) e2 += shannon(ctxh + i * 32, 32);
+            e2 /= (double)total;
+            if (e2 <= 3.0 && e1 - e2 >= 0.2) {
+                *map_out = kMapComplex;
+                return 13;
+            }
+        }
+    }
+    // bigram prefix decision (ChooseContextMap)
+    static const int clut[4] = {0, 0, 1, 2};
+    int64_t bigram[9] = {0};
+    for (int64_t s = start; s + 64 <= start + length; s += 4096) {
+        for (int64_t i = s + 1; i < s + 64; i++) {
+            int a = clut[data[i - 1] >> 6], b = clut[data[i] >> 6];
+            bigram[a * 3 + b]++;
+        }
+    }
+    int64_t mono[3] = {0}, twop[6] = {0};
+    for (int i = 0; i < 9; i++) { mono[i % 3] += bigram[i]; twop[i % 6] += bigram[i]; }
+    int64_t total = mono[0] + mono[1] + mono[2];
+    if (total == 0) return 1;
+    double e1 = shannon(mono, 3) / (double)total;
+    double e2 = (shannon(twop, 3) + shannon(twop + 3, 3)) / (double)total;
+    double e3 = 0;
+    for (int i = 0; i < 3; i++) e3 += shannon(bigram + 3 * i, 3);
+    e3 /= (double)total;
+    if (quality < 7) e3 = e1 * 10.0;
+    if (e1 - e2 < 0.2 && e1 - e3 < 0.2) return 1;
+    if (e2 - e3 < 0.02) { *map_out = kMapSimple; return 2; }
+    *map_out = kMapContinuation;
+    return 3;
+}
+
+// ---------------------------------------------------------------------------
+// one-shot encode core (port of encoder.compress_with_params, q<=9 tier)
+// ---------------------------------------------------------------------------
+
+struct Knobs { int64_t k, bb, k8, bb8, hl; };
+
+static Knobs quality_knobs(int q) {
+    if (q <= 1) return {1, 15, 0, 15, 4};
+    if (q <= 3) return {2, 16, 1, 16, 4};
+    if (q <= 6) return {8, 15, 4, 15, 5};
+    return {24, 16, 8, 16, 5};
+}
+
+static const int64_t kPoisonedDistance = 0x7FFFFFF0;
+
+static bool c_encode(const uint8_t* input, int64_t n, int quality,
+                     int lgwin, int mode, bool catable, bool appendable,
+                     bool bare, bool byte_align,
+                     const uint8_t* custom_dict, int64_t dict_len,
+                     std::vector<uint8_t>& out) {
+    ensure_decoder_dict();
+    if (quality < 0) quality = 0;
+    if (quality > 9) quality = 9;  // optimal-parse tier is host-side
+    // catable implies appendable (SanitizeParams, encode.rs:546); a
+    // custom dictionary stays allowed here because CompressMulti
+    // installs the shard prefix as one (threading/mod.rs:354-366) —
+    // after concatenation those prefix bytes precede the shard, so
+    // back-references into them are position-correct
+    if (catable) appendable = true;
+    if (bare) byte_align = true;
+    if (lgwin < 10) lgwin = 10;
+    if (lgwin > 24) lgwin = 24;
+    if (n > 0 && quality >= 2 && !catable && !appendable) {
+        while (lgwin > 10 && (int64_t(1) << (lgwin - 1)) - 16 >= n)
+            lgwin--;
+    }
+    int64_t window = (int64_t(1) << lgwin) - 16;
+    int lgblock = quality <= 1 ? lgwin : 22;
+    lgblock = std::max(16, std::min(24, lgblock));
+    int64_t span = int64_t(1) << lgblock;
+
+    ByteBW w;
+    if (!(bare && catable)) write_stream_header(w, lgwin);
+
+    int64_t cache[4] = {4, 11, 15, 16};
+    int64_t start = 0;
+    if (catable && n > 0) {
+        for (int i = 0; i < 4; i++) cache[i] = kPoisonedDistance;
+        int64_t k = std::min<int64_t>(2, n);
+        store_uncompressed(w, input, k);
+        start = k;
+    }
+    if (start >= n) {
+        if (appendable || byte_align) {
+            if (byte_align) write_padding_block(w);
+            if (!bare) write_empty_last(w);
+        } else {
+            write_empty_last(w);
+        }
+        out = std::move(w.buf);
+        return true;
+    }
+
+    // concatenated dict + data region
+    std::vector<uint8_t> full;
+    const uint8_t* base = input;
+    int64_t total_len = n;
+    if (dict_len > 0) {
+        full.resize(dict_len + n);
+        std::memcpy(full.data(), custom_dict, (size_t)dict_len);
+        std::memcpy(full.data() + dict_len, input, (size_t)n);
+        base = full.data();
+        total_len = dict_len + n;
+    }
+
+    std::vector<int64_t> bounds;
+    for (int64_t b = start + span; b < n; b += span) bounds.push_back(b);
+    bounds.push_back(n);
+
+    Knobs kn = quality_knobs(quality);
+    int64_t max_cmds = n / 2 + (int64_t)bounds.size() + 2;
+    std::vector<int64_t> oi(max_cmds), oc(max_cmds), od(max_cmds),
+        oa(max_cmds), segc(bounds.size());
+    int64_t ncmd = combined_parse_native(
+        base, total_len, dict_len, window, kn.k, kn.bb, kn.k8, kn.bb8,
+        kn.hl, 135,
+        nullptr, 0, 0, nullptr, nullptr, nullptr, nullptr, nullptr,
+        bounds.data(), (int64_t)bounds.size(), start, cache,
+        oi.data(), oc.data(), od.data(), oa.data(), segc.data(),
+        max_cmds);
+    (void)ncmd;
+
+    bool suppress = appendable || byte_align;
+    int64_t off = 0;
+    int64_t seg_start = start;
+    int64_t dist_alpha = 16 + 0 + (24 << 1);
+    std::vector<uint64_t> words;
+    for (size_t bi = 0; bi < bounds.size(); bi++) {
+        int64_t boundary = bounds[bi];
+        int64_t cnt = segc[bi];
+        int64_t mlen = boundary - seg_start;
+        bool is_final = bi + 1 == bounds.size();
+        bool is_last = is_final && !suppress;
+        int64_t abs_start = dict_len + seg_start;
+        int ctx_mode = 3;  // SIGNED
+        if (mode != 2 && quality >= 4 &&
+            is_mostly_utf8(base + abs_start, mlen))
+            ctx_mode = 2;  // UTF8
+        const int64_t* smap = kMapZero;
+        int nlc = 1;
+        if (ctx_mode == 2)
+            nlc = choose_literal_map(base, abs_start, mlen, quality, n,
+                                     &smap);
+        int64_t cap_bits = 9 * mlen + (1 << 17);
+        words.assign((size_t)(cap_bits / 64 + 2), 0);
+        int64_t nbits = encode_metablock_native(
+            base, abs_start, mlen, is_last ? 1 : 0, cnt,
+            oi.data() + off, oc.data() + off, od.data() + off,
+            oa.data() + off, cache, window, 0, 0, dist_alpha,
+            std::max(quality, 4), ctx_mode, nlc, smap,
+            kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
+            quality >= 4 ? 1 : 0, words.data(), cap_bits);
+        if (nbits < 0 || nbits > 8 * mlen + 40) {
+            store_uncompressed(w, input + seg_start, mlen);
+            if (is_last) write_empty_last(w);
+        } else {
+            w.append_words(words.data(), nbits);
+        }
+        off += cnt;
+        seg_start = boundary;
+    }
+    if (appendable || byte_align) {
+        if (byte_align) write_padding_block(w);
+        if (!bare) write_empty_last(w);
+    }
+    out = std::move(w.buf);
+    return true;
+}
+
+}  // namespace capi
+
+// ---------------------------------------------------------------------------
+// public C ABI (google/brotli-compatible surface)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+typedef enum {
+    BROTLI_DECODER_RESULT_ERROR = 0,
+    BROTLI_DECODER_RESULT_SUCCESS = 1,
+    BROTLI_DECODER_RESULT_NEEDS_MORE_INPUT = 2,
+    BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT = 3,
+} BrotliDecoderResult;
+
+typedef enum {
+    BROTLI_OPERATION_PROCESS = 0,
+    BROTLI_OPERATION_FLUSH = 1,
+    BROTLI_OPERATION_FINISH = 2,
+    BROTLI_OPERATION_EMIT_METADATA = 3,
+} BrotliEncoderOperation;
+
+uint32_t BrotliEncoderVersion(void) { return 0x1009000; }
+uint32_t BrotliDecoderVersion(void) { return 0x1009000; }
+
+size_t BrotliEncoderMaxCompressedSize(size_t input_size) {
+    size_t num_blocks = (input_size >> 24) + 1;
+    return input_size + 2 + 4 * num_blocks + 3 + 1 + 16;
+}
+
+int BrotliEncoderCompress(int quality, int lgwin, int mode,
+                          size_t input_size, const uint8_t* input_buffer,
+                          size_t* encoded_size, uint8_t* encoded_buffer) {
+    if (!encoded_size || (!input_buffer && input_size) ||
+        !encoded_buffer)
+        return 0;
+    std::vector<uint8_t> out;
+    if (!capi::c_encode(input_buffer, (int64_t)input_size, quality,
+                        lgwin, mode, false, false, false, false,
+                        nullptr, 0, out))
+        return 0;
+    if (out.size() > *encoded_size) return 0;
+    std::memcpy(encoded_buffer, out.data(), out.size());
+    *encoded_size = out.size();
+    return 1;
+}
+
+BrotliDecoderResult BrotliDecoderDecompress(
+    size_t encoded_size, const uint8_t* encoded_buffer,
+    size_t* decoded_size, uint8_t* decoded_buffer) {
+    capi::ensure_decoder_dict();
+    static thread_local std::vector<int32_t> tmem;
+    if (tmem.size() < (1u << 23)) tmem.resize(1u << 23);
+    int64_t r = decode_native(encoded_buffer, (int64_t)encoded_size,
+                              decoded_buffer, (int64_t)*decoded_size,
+                              nullptr, 0, 0, tmem.data(),
+                              (int64_t)tmem.size());
+    if (r >= 0) { *decoded_size = (size_t)r; return BROTLI_DECODER_RESULT_SUCCESS; }
+    if (r == -1) return BROTLI_DECODER_RESULT_NEEDS_MORE_INPUT;
+    if (r == -3) return BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT;
+    return BROTLI_DECODER_RESULT_ERROR;
+}
+
+// ---- streaming decoder instance (buffering facade) ----
+
+struct BrotliDecoderStateStruct {
+    std::vector<uint8_t> in;
+    std::vector<uint8_t> out;
+    size_t out_off = 0;
+    size_t last_attempt = 0;
+    bool done = false;
+    bool error = false;
+    int64_t err_code = 0;
+    std::vector<int32_t> tmem;
+};
+typedef struct BrotliDecoderStateStruct BrotliDecoderState;
+
+BrotliDecoderState* BrotliDecoderCreateInstance(void*, void*, void*) {
+    capi::ensure_decoder_dict();
+    return new BrotliDecoderStateStruct();
+}
+void BrotliDecoderDestroyInstance(BrotliDecoderState* s) { delete s; }
+
+int BrotliDecoderSetParameter(BrotliDecoderState*, uint32_t, uint32_t) {
+    return 1;
+}
+
+int BrotliDecoderIsFinished(const BrotliDecoderState* s) {
+    return (s->done && s->out_off >= s->out.size()) ? 1 : 0;
+}
+int BrotliDecoderIsUsed(const BrotliDecoderState* s) {
+    return (!s->in.empty() || s->done) ? 1 : 0;
+}
+int BrotliDecoderHasMoreOutput(const BrotliDecoderState* s) {
+    return s->out_off < s->out.size() ? 1 : 0;
+}
+int32_t BrotliDecoderGetErrorCode(const BrotliDecoderState* s) {
+    return s->error ? (int32_t)s->err_code : 0;
+}
+const char* BrotliDecoderErrorString(int32_t c) {
+    switch (c) {
+        case -1: return "NEEDS_MORE_INPUT";
+        case -2: return "CORRUPT_INPUT";
+        case -3: return "OUTPUT_TOO_SMALL";
+        default: return "OK";
+    }
+}
+
+BrotliDecoderResult BrotliDecoderDecompressStream(
+    BrotliDecoderState* s, size_t* available_in, const uint8_t** next_in,
+    size_t* available_out, uint8_t** next_out, size_t* total_out) {
+    if (s->error) return BROTLI_DECODER_RESULT_ERROR;
+    bool input_exhausted = !available_in || *available_in == 0;
+    if (available_in && *available_in) {
+        s->in.insert(s->in.end(), *next_in, *next_in + *available_in);
+        *next_in += *available_in;
+        *available_in = 0;
+    }
+    if (!s->done) {
+        // retry whole-stream decode when input grew 2x or the caller
+        // signals it has no more input
+        if (s->in.size() >= std::max<size_t>(1, s->last_attempt * 2) ||
+            input_exhausted) {
+            s->last_attempt = s->in.size();
+            if (s->tmem.size() < (1u << 23)) s->tmem.resize(1u << 23);
+            int64_t cap = 4 * (int64_t)s->in.size() + (1 << 16);
+            for (;;) {
+                s->out.resize((size_t)cap);
+                int64_t r = decode_native(
+                    s->in.data(), (int64_t)s->in.size(), s->out.data(),
+                    cap, nullptr, 0, 0, s->tmem.data(),
+                    (int64_t)s->tmem.size());
+                if (r == -3) { cap *= 8; continue; }
+                if (r >= 0) {
+                    s->out.resize((size_t)r);
+                    s->done = true;
+                } else if (r == -2 || (r == -1 && input_exhausted)) {
+                    s->error = true;
+                    s->err_code = r;
+                    return BROTLI_DECODER_RESULT_ERROR;
+                }
+                break;
+            }
+        }
+        if (!s->done) return BROTLI_DECODER_RESULT_NEEDS_MORE_INPUT;
+    }
+    // drain
+    size_t have = s->out.size() - s->out_off;
+    size_t take = std::min(have, available_out ? *available_out : 0);
+    if (take) {
+        std::memcpy(*next_out, s->out.data() + s->out_off, take);
+        *next_out += take;
+        *available_out -= take;
+        s->out_off += take;
+    }
+    if (total_out) *total_out = s->out_off;
+    if (s->out_off < s->out.size())
+        return BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT;
+    return BROTLI_DECODER_RESULT_SUCCESS;
+}
+
+const uint8_t* BrotliDecoderTakeOutput(BrotliDecoderState* s, size_t* size) {
+    size_t have = s->out.size() - s->out_off;
+    size_t take = (*size == 0 || *size > have) ? have : *size;
+    const uint8_t* p = s->out.data() + s->out_off;
+    s->out_off += take;
+    *size = take;
+    return take ? p : nullptr;
+}
+
+// ---- streaming encoder instance (buffering facade) ----
+
+struct BrotliEncoderStateStruct {
+    int quality = 9;   // C-ABI tier cap (reference default 11 runs the
+                       // host-side optimal parse; here 11 -> q9 tier)
+    int lgwin = 22;
+    int mode = 0;
+    bool catable = false, appendable = false, bare = false,
+         byte_align = false;
+    std::vector<uint8_t> in;
+    std::vector<uint8_t> dict;
+    std::vector<uint8_t> out;
+    size_t out_off = 0;
+    bool finished = false;
+};
+typedef struct BrotliEncoderStateStruct BrotliEncoderState;
+
+BrotliEncoderState* BrotliEncoderCreateInstance(void*, void*, void*) {
+    return new BrotliEncoderStateStruct();
+}
+void BrotliEncoderDestroyInstance(BrotliEncoderState* s) { delete s; }
+
+// parameter ids per reference src/enc/parameters.rs
+int BrotliEncoderSetParameter(BrotliEncoderState* s, uint32_t param,
+                              uint32_t value) {
+    switch (param) {
+        case 1: s->mode = (int)value; return 1;          // MODE
+        case 2: s->quality = (int)value; return 1;       // QUALITY
+        case 3: s->lgwin = (int)value; return 1;         // LGWIN
+        case 4: return 1;                                // LGBLOCK
+        case 167: s->catable = value != 0; return 1;     // CATABLE
+        case 168: s->appendable = value != 0; return 1;  // APPENDABLE
+        case 169: s->bare = value != 0; return 1;        // BARE
+        case 170: s->byte_align = value != 0; return 1;  // BYTE_ALIGN
+        default: return 1;  // accepted, inert
+    }
+}
+
+int BrotliEncoderSetCustomDictionary(BrotliEncoderState* s, size_t size,
+                                     const uint8_t* dict) {
+    s->dict.assign(dict, dict + size);
+    return 1;
+}
+
+int BrotliEncoderIsFinished(const BrotliEncoderState* s) {
+    return (s->finished && s->out_off >= s->out.size()) ? 1 : 0;
+}
+int BrotliEncoderHasMoreOutput(const BrotliEncoderState* s) {
+    return s->out_off < s->out.size() ? 1 : 0;
+}
+
+int BrotliEncoderCompressStream(
+    BrotliEncoderState* s, BrotliEncoderOperation op,
+    size_t* available_in, const uint8_t** next_in,
+    size_t* available_out, uint8_t** next_out, size_t* total_out) {
+    if (available_in && *available_in) {
+        s->in.insert(s->in.end(), *next_in, *next_in + *available_in);
+        *next_in += *available_in;
+        *available_in = 0;
+    }
+    if (op == BROTLI_OPERATION_FINISH && !s->finished) {
+        std::vector<uint8_t> enc;
+        if (!capi::c_encode(s->in.data(), (int64_t)s->in.size(),
+                            s->quality, s->lgwin, s->mode, s->catable,
+                            s->appendable, s->bare, s->byte_align,
+                            s->dict.data(), (int64_t)s->dict.size(),
+                            enc))
+            return 0;
+        s->out = std::move(enc);
+        s->finished = true;
+    }
+    size_t have = s->out.size() - s->out_off;
+    size_t take = std::min(have, available_out ? *available_out : 0);
+    if (take) {
+        std::memcpy(*next_out, s->out.data() + s->out_off, take);
+        *next_out += take;
+        *available_out -= take;
+        s->out_off += take;
+    }
+    if (total_out) *total_out = s->out_off;
+    return 1;
+}
+
+const uint8_t* BrotliEncoderTakeOutput(BrotliEncoderState* s, size_t* size) {
+    size_t have = s->out.size() - s->out_off;
+    size_t take = (*size == 0 || *size > have) ? have : *size;
+    const uint8_t* p = s->out.data() + s->out_off;
+    s->out_off += take;
+    *size = take;
+    return take ? p : nullptr;
+}
+
+// one-shot encode with stream-shaping flags + custom dictionary (used
+// by the workpool/multi path and exposed for completeness)
+int BrotliTpuEncodeOneshot(int quality, int lgwin, int mode,
+                           int catable, int appendable, int bare,
+                           int byte_align,
+                           const uint8_t* dict, size_t dict_size,
+                           size_t input_size, const uint8_t* input,
+                           size_t* encoded_size, uint8_t* encoded_buffer) {
+    std::vector<uint8_t> out;
+    if (!capi::c_encode(input, (int64_t)input_size, quality, lgwin,
+                        mode, catable != 0, appendable != 0, bare != 0,
+                        byte_align != 0, dict, (int64_t)dict_size, out))
+        return 0;
+    if (out.size() > *encoded_size) return 0;
+    std::memcpy(encoded_buffer, out.data(), out.size());
+    *encoded_size = out.size();
+    return 1;
+}
+
+}  // extern "C"

@@ -1430,12 +1430,17 @@ int64_t combined_parse_native(
 
     // sparse prefix hashing (shared-shard compression installs the
     // whole preceding input as an LZ77 dictionary): full density for
-    // the last 256KB, every 3rd position farther back — long-range
-    // matches are long, so a strided table still finds them via
-    // extension while prefix hashing stops dominating shard wall-time
+    // the last 256KB, every 3rd position to 1MB back, every 8th
+    // farther — long-range matches are long, so a strided table still
+    // finds them via extension, and prefix hashing stops being the
+    // critical path of the LAST shard in CompressMulti (its prefix is
+    // the whole preceding input)
     if (dict_len > (256 << 10)) {
         int64_t dense_from = dict_len - (256 << 10);
-        for (int64_t i = 0; i < dense_from; i += 3) cx.insert_one(i);
+        int64_t mid_from = std::max<int64_t>(0, dict_len - (1 << 20));
+        for (int64_t i = 0; i < mid_from; i += 8) cx.insert_one(i);
+        for (int64_t i = mid_from; i < dense_from; i += 3)
+            cx.insert_one(i);
         cx.ins_pos = dense_from;
     }
 

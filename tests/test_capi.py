@@ -1,0 +1,120 @@
+"""C ABI tests: the native .so exports a google/brotli-compatible
+surface a C program can link against (reference surface
+c/brotli/encode.h:256-457, decode.h:146-330; demo drivers c/brotli.c,
+c/multiexample.c).
+
+Covers: ctypes calls into the public ABI, the compiled C demo driver
+(links the .so, round-trips one-shot + streaming + workpool-multi),
+and cross-validation of C-ABI streams against the package decoder and
+the upstream C oracle.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import pytest
+
+from brotli_tpu import decompress, native_bridge as nb
+
+from . import oracle
+from .conftest import TESTDATA
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(not nb.available(),
+                                reason="native runtime unavailable")
+
+
+def load(name):
+    with open(os.path.join(TESTDATA, name), "rb") as f:
+        return f.read()
+
+
+def lib():
+    return nb.get_lib()
+
+
+def test_encoder_compress_abi_roundtrip():
+    L = lib()
+    data = load("alice29.txt")
+    cap = int(L.BrotliEncoderMaxCompressedSize(ctypes.c_size_t(len(data))))
+    assert cap > len(data)
+    enc = ctypes.create_string_buffer(cap)
+    esz = ctypes.c_size_t(cap)
+    ok = L.BrotliEncoderCompress(
+        9, 22, 0, ctypes.c_size_t(len(data)), data,
+        ctypes.byref(esz), enc)
+    assert ok == 1
+    out = enc.raw[:esz.value]
+    assert decompress(out) == data
+    if oracle.available():
+        assert oracle.decompress(out, max_size_hint=len(data)) == data
+
+
+def test_decoder_decompress_abi():
+    L = lib()
+    data = load("alice29.txt")
+    comp = load("alice29.txt.compressed")
+    dec = ctypes.create_string_buffer(len(data) + 16)
+    dsz = ctypes.c_size_t(len(data) + 16)
+    r = L.BrotliDecoderDecompress(ctypes.c_size_t(len(comp)), comp,
+                                  ctypes.byref(dsz), dec)
+    assert r == 1  # SUCCESS
+    assert dec.raw[:dsz.value] == data
+
+
+def test_workpool_compress_multi_abi():
+    L = lib()
+    data = load("asyoulik.txt") * 4
+    pool = L.BrotliEncoderCreateWorkPool(ctypes.c_size_t(3), None, None,
+                                         None)
+    assert pool
+    keys = (ctypes.c_uint32 * 2)(2, 3)    # QUALITY, LGWIN
+    vals = (ctypes.c_uint32 * 2)(9, 22)
+    cap = int(L.BrotliEncoderMaxCompressedSize(ctypes.c_size_t(len(data))))
+    enc = ctypes.create_string_buffer(cap)
+    esz = ctypes.c_size_t(cap)
+    ok = L.BrotliEncoderCompressWorkPool(
+        pool, ctypes.c_size_t(2), keys, vals,
+        ctypes.c_size_t(len(data)), data, ctypes.byref(esz), enc,
+        ctypes.c_size_t(4))
+    assert ok == 1
+    out = enc.raw[:esz.value]
+    assert decompress(out) == data
+    if oracle.available():
+        assert oracle.decompress(out, max_size_hint=len(data)) == data
+    L.BrotliEncoderDestroyWorkPool(pool)
+
+
+def test_c_demo_links_and_roundtrips(tmp_path):
+    """A C program compiles against include/brotli_tpu.h, links the
+    .so, and round-trips (the reference's c/ demo drivers analog)."""
+    so = os.path.join(REPO, "native", "libbrotli_tpu_native.so")
+    assert os.path.exists(so)
+    demo = tmp_path / "c_demo"
+    r = subprocess.run(
+        ["gcc", os.path.join(REPO, "examples", "c_demo.c"),
+         "-I" + os.path.join(REPO, "include"), so, "-o", str(demo)],
+        capture_output=True, timeout=120)
+    assert r.returncode == 0, r.stderr.decode()
+    r = subprocess.run([str(demo),
+                        os.path.join(TESTDATA, "alice29.txt"), "7"],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()
+    assert b"OK" in r.stdout
+
+
+def test_abi_quality_levels_and_small_inputs():
+    L = lib()
+    for data in (b"", b"a", b"abcabcabcabc" * 100, load("monkey")):
+        for q in (1, 5, 9, 11):
+            cap = int(L.BrotliEncoderMaxCompressedSize(
+                ctypes.c_size_t(len(data)))) + 64
+            enc = ctypes.create_string_buffer(cap)
+            esz = ctypes.c_size_t(cap)
+            ok = L.BrotliEncoderCompress(
+                q, 22, 0, ctypes.c_size_t(len(data)), data,
+                ctypes.byref(esz), enc)
+            assert ok == 1, (len(data), q)
+            assert decompress(enc.raw[:esz.value]) == data
