@@ -346,78 +346,54 @@ def greedy_parse_py(data: np.ndarray, best_len, best_dist, best_score,
                 cache.pop()
                 cache.insert(0, d)
 
-        probe_end = pos  # no probing before the first copy
-        while True:
-            # continuation probes at the cached distances across short
-            # literal gaps after a copy (cheap short-code commands)
-            q = max(pos, probe_end - CACHE_PROBE_SPAN)
-            hit = False
-            while q < probe_end:
-                lc, dc, sc = cached_match(q, boundary)
-                if lc >= 2 and sc > MIN_SCORE_DELTA:
-                    # the hash match at this position may be better
-                    hs = hash_score(q)
-                    if hs > sc:
-                        break  # fall through to hash handling below
-                    # lazy check against the next position's hash match
-                    if q + 1 < boundary and hash_score(q + 1) > \
-                            sc + COST_DIFF_LAZY:
-                        q += 1
-                        continue
-                    if q + lc > boundary:
-                        lc = boundary - q
-                        if lc < 2:
-                            q += 1
-                            continue
-                    emit(q, lc, dc)
-                    probe_end = min(pos + CACHE_PROBE_SPAN, boundary)
-                    q = pos
-                    hit = True
-                else:
-                    q += 1
+        # same loop shape as the in-line-search walk
+        # (combined_parse_native): at every position the candidate is
+        # max(precomputed table best, live distance-cache probe) — the
+        # cache is probed everywhere, not just near copies
+        def candidate(q):
+            lc, dc, csc = cached_match(q, boundary)
+            tsc = hash_score(q)
+            if csc >= tsc and csc > 0:
+                return csc, lc, dc, lc, False
+            return (tsc, int(bl[q]), int(bd[q]), int(bw[q]),
+                    bool(isd[q]))
 
-            while mp < nm and mpos[mp] < pos:
-                mp += 1
-            if mp >= nm or mpos[mp] >= boundary:
-                if hit:
-                    continue
-                break
-            p = int(mpos[mp])
-            s = int(bs[p])
-            # lazy matching: defer up to 4 times while the next position
-            # scores substantially better
+        misses = 0
+        while pos + 2 <= boundary:
+            s, l, d, wire, dict_ref = candidate(pos)
+            if s <= MIN_SCORE_DELTA:
+                step = 1
+                if misses > 512:
+                    step = 4
+                elif misses > 64:
+                    step = 2
+                misses += 1
+                pos += step
+                continue
             defers = 0
-            while (defers < 4 and mp + 1 < nm and mpos[mp + 1] == p + 1
-                   and p + 1 < boundary and bs[p + 1] > s + COST_DIFF_LAZY):
-                mp += 1
-                p += 1
-                s = int(bs[p])
-                defers += 1
-            l = int(bl[p])
-            d = int(bd[p])
-            wire = int(bw[p])
-            dict_ref = bool(isd[p])
-            # a cache-hit match at this position may score higher
-            lc, dc, sc = cached_match(p, boundary)
-            if sc > s:
-                l, d = lc, dc
-                dict_ref = False
+            while defers < 4 and pos + 1 + 4 <= boundary:
+                s2, l2, d2, w2, dr2 = candidate(pos + 1)
+                if s2 > s + COST_DIFF_LAZY:
+                    pos += 1
+                    s, l, d, wire, dict_ref = s2, l2, d2, w2, dr2
+                    defers += 1
+                else:
+                    break
+            misses = 0
+            if not dict_ref and l >= MATCH_CAP:
+                l = extend_match(data, dict_len + pos - d, dict_len + pos,
+                                 l, n - pos)
                 wire = l
-            elif l >= MATCH_CAP and not dict_ref:
-                l = extend_match(data, dict_len + p - d, dict_len + p, l,
-                                 n - p)
-                wire = l
-            if p + l > boundary:
+            if pos + l > boundary:
                 if dict_ref:  # dictionary words cannot be truncated
-                    mp += 1
+                    pos += 1
                     continue
-                l = boundary - p
+                l = boundary - pos
                 wire = l
                 if l < 2:
-                    mp += 1
+                    pos += 1
                     continue
-            emit(p, l, d, wire if dict_ref else l)
-            probe_end = min(pos + CACHE_PROBE_SPAN, boundary)
+            emit(pos, l, d, wire if dict_ref else l)
 
         if boundary > insert_start or not ins:
             ins.append(boundary - insert_start)

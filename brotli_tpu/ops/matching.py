@@ -90,7 +90,7 @@ def match_lengths_capped(v4: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
 
 
 def _fold_sorted(h: jnp.ndarray, k: int, vs: list, pos: jnp.ndarray,
-                 window_size: int, lbs: int, best):
+                 window_size: int, lbs: int, best, min_pos=0):
     """Candidate fold entirely in hash-sorted space.
 
     After the stable sort by hash, a position's k most-recent same-hash
@@ -129,7 +129,10 @@ def _fold_sorted(h: jnp.ndarray, k: int, vs: list, pos: jnp.ndarray,
             total = total + jnp.where(alive, m, 0)
             alive = alive & (m == 4)
         ml = jnp.minimum(total, limit_s)
-        valid = same & (dist <= window_size) & (ml >= 4)
+        # min_pos masks candidates in a zero-filled context halo
+        # (sharded pipeline): those positions are not real stream bytes
+        valid = same & (dist <= window_size) & (ml >= 4) \
+            & (cand >= min_pos)
         ml = jnp.where(valid, ml, 0)
         logd = 31 - jax.lax.clz(jnp.maximum(dist, 1))
         sc = jnp.where(ml > 0, lbs * ml - DISTANCE_BIT_PENALTY * logd, 0)
@@ -152,11 +155,13 @@ def _fold_sorted(h: jnp.ndarray, k: int, vs: list, pos: jnp.ndarray,
 def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
                        bucket_bits: int = 17, k8: int = 4,
                        bucket_bits8: int = 18,
-                       literal_byte_score: int = 540):
+                       literal_byte_score: int = 540, min_pos=0):
     """Per-position best (len, dist, score) for one shard, jit-friendly.
 
     Semantics mirror match.find_best_matches (host oracle) up to the
-    LEN_CAP length cap.
+    LEN_CAP length cap.  min_pos (scalar, may be traced) excludes
+    candidates below it — used by the sharded pipeline to mask a
+    zero-filled portion of the cross-shard context halo.
     """
     n = data.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -168,10 +173,12 @@ def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
     best = (jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
             jnp.zeros(n, jnp.int32))
     h4 = v4 * HASH_MUL32 >> np.uint32(32 - bucket_bits)
-    best = _fold_sorted(h4, k, vs, pos, window_size, lbs, best)
+    best = _fold_sorted(h4, k, vs, pos, window_size, lbs, best,
+                        min_pos)
     if k8 > 0:
         # 8-byte hash from two u32 loads (long-match table)
         h8 = ((v4 * HASH_MUL32) ^ (vs[1] * HASH_MUL32B)) \
             >> np.uint32(32 - bucket_bits8)
-        best = _fold_sorted(h8, k8, vs, pos, window_size, lbs, best)
+        best = _fold_sorted(h8, k8, vs, pos, window_size, lbs, best,
+                            min_pos)
     return best

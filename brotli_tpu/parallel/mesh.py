@@ -109,18 +109,67 @@ def match_pipeline(mesh: Mesh, window_size: int, k: int = 4,
     return jax.jit(shmapped)
 
 
+def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
+                  k8: int = 4):
+    """Jitted multi-chip match finding over halo-extended shards.
+
+    Each row is [halo + shard_len] bytes: the shard preceded by the
+    true bytes before it (cross-shard context, the mesh analog of
+    CompressMulti installing the prefix as an LZ77 dictionary,
+    reference threading/mod.rs:354-366).  min_pos masks the zero-filled
+    part of row 0's halo.  Compact candidates for the shard region only
+    cross the link; counts psum over ICI.
+    """
+    from ..ops.matching import MIN_SCORE_DELTA, best_matches_block
+
+    def per_shard(block, min_pos):
+        data = block[0]
+        n = data.shape[0]
+        best_len, best_dist, best_score = best_matches_block(
+            data, window_size, k=k, k8=k8, min_pos=min_pos[0])
+        pos = jnp.arange(n, dtype=jnp.int32)
+        keep = (best_score > MIN_SCORE_DELTA) & (pos >= halo)
+        maxc = n - halo  # every shard position may carry a match
+        idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        tgt = jnp.where(keep, idx, maxc)
+        cpos = jnp.zeros(maxc, jnp.int32).at[tgt].set(pos, mode="drop")
+        clen = jnp.zeros(maxc, jnp.int32).at[tgt].set(best_len,
+                                                      mode="drop")
+        cdist = jnp.zeros(maxc, jnp.int32).at[tgt].set(best_dist,
+                                                       mode="drop")
+        count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), maxc)
+        total = jax.lax.psum(count, "shard")
+        return cpos[None], clen[None], cdist[None], count[None], total
+
+    shmapped = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("shard", None), P("shard")),
+        out_specs=(P("shard", None), P("shard", None),
+                   P("shard", None), P("shard"), P()),
+    )
+    return jax.jit(shmapped)
+
+
 def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
-                  quality: int = 1, lgwin: int = 22) -> bytes:
+                  quality: int = 9, lgwin: int = 22) -> bytes:
     """End-to-end multi-chip compression: shard the input over the
-    device mesh, run batched match finding per chip (shard_map),
-    commit/serialize each shard on host as a catable stream, and merge
-    losslessly with BroCatli — the TPU-native CompressMulti
-    (reference threading/mod.rs:413 semantics with chips as workers)."""
+    device mesh with cross-shard context halos, run batched match
+    finding per chip (shard_map), serialize each shard on host as a
+    catable stream at the full quality tier, and merge losslessly with
+    BroCatli — the TPU-native CompressMulti (reference
+    threading/mod.rs:413 semantics with chips as workers).
+
+    Context parity: shard i's halo holds the min(window, shard_len)
+    bytes preceding it, so every in-window cross-shard match is
+    available when shard_len >= window (CompressMulti gives shards the
+    whole prefix; a mesh replicates only the window-reachable part —
+    distances beyond the window are unencodable anyway).
+    """
     from ..core import constants as C
     from ..core.bitio import BitWriter
     from ..encode import bitstream as bstr
     from ..encode.command import resolve_commands
-    from ..encode.encoder import POISONED_DISTANCE
+    from ..encode.encoder import POISONED_DISTANCE, _quality_knobs
     from ..encode.match import greedy_parse
     from ..encode.params import EncoderParams
     from .multi import _merge
@@ -131,40 +180,84 @@ def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
     n_dev = int(mesh.devices.size)
     if len(raw) < n_dev * SUB_BLOCK:
         from ..encode.encoder import compress
-        return compress(bytes(data), quality=max(quality, 1),
-                        lgwin=lgwin)
+        return compress(bytes(data), quality=quality, lgwin=lgwin)
     params = EncoderParams(quality=quality, lgwin=lgwin).sanitize(None)
 
-    shards = shard_input(raw, n_dev)
-    shard_len = shards.shape[1]
-    from jax.sharding import NamedSharding
-    sharded = jax.device_put(shards, NamedSharding(mesh,
-                                                   P("shard", None)))
-    step = match_pipeline(mesh, params.window_size)
-    cpos, clen, cdist, counts, _total = step(sharded)
+    n = len(raw)
+    shard_len = -(-n // n_dev)
+    shard_len = -(-shard_len // SUB_BLOCK) * SUB_BLOCK
+    # the halo covers the whole window: every cross-shard match
+    # CompressMulti can encode is visible to the chip (distances beyond
+    # the window are unencodable, so this IS full context parity)
+    halo = -(-min(params.window_size, n) // SUB_BLOCK) * SUB_BLOCK
+    rows = np.zeros((n_dev, halo + shard_len), dtype=np.uint8)
+    min_pos = np.zeros(n_dev, dtype=np.int32)
+    for i in range(n_dev):
+        lo = i * shard_len
+        hi = min(n, lo + shard_len)
+        if hi > lo:
+            rows[i, halo:halo + hi - lo] = raw[lo:hi]
+        ctx_lo = max(0, lo - halo)
+        fill = lo - ctx_lo
+        if fill:
+            rows[i, halo - fill:halo] = raw[ctx_lo:lo]
+        min_pos[i] = halo - fill
+
+    sharded = jax.device_put(rows, NamedSharding(mesh, P("shard", None)))
+    mp = jax.device_put(min_pos, NamedSharding(mesh, P("shard")))
+    kdev = dict(k=8, k8=4) if params.quality <= 6 else dict(k=16, k8=8)
+    step = halo_pipeline(mesh, params.window_size, halo, **kdev)
+    cpos, clen, cdist, counts, _total = step(sharded, mp)
     cpos = np.asarray(cpos)
     clen = np.asarray(clen)
     cdist = np.asarray(cdist)
     counts = np.asarray(counts)
 
+    from .. import native_bridge as nb
+    from ..ops.matching import LEN_CAP
+
     pieces = []
-    off = 0
     for i in range(n_dev):
-        real = min(shard_len, len(raw) - off)
+        lo = i * shard_len
+        real = min(shard_len, n - lo)
         if real <= 0:
             break
+        row = rows[i]
         cnt = int(counts[i])
-        pos = cpos[i, :cnt].astype(np.int64)
-        keep = pos < real
+        pos = cpos[i, :cnt].astype(np.int64) - halo  # shard-relative
+        keep = (pos >= 0) & (pos < real)
         pos = pos[keep]
+        lens = clen[i, :cnt][keep].astype(np.int64)
+        dists = cdist[i, :cnt][keep].astype(np.int64)
+        # exact extension of cap-hit matches (device caps at LEN_CAP)
+        if nb.available() and len(pos):
+            capped = lens >= LEN_CAP
+            if capped.any():
+                ext = nb.extend_caps(row[:halo + real], 0,
+                                     pos[capped] + halo, dists[capped],
+                                     lens[capped])
+                lens = lens.copy()
+                lens[capped] = ext
         bl = np.zeros(real, np.int64)
         bd = np.zeros(real, np.int64)
         bsc = np.zeros(real, np.int64)
-        bl[pos] = clen[i, :cnt][keep]
-        bd[pos] = cdist[i, :cnt][keep]
+        bl[pos] = lens
+        bd[pos] = dists
         bsc[pos] = (135 * bl[pos] - 30 * np.floor(
             np.log2(np.maximum(bd[pos], 2))).astype(np.int64))
-        shard = raw[off:off + real]
+        isd = np.zeros(real, bool)
+        bwire = bl.copy()
+        if i == 0:
+            # shard 0 is appendable and may reference the static
+            # dictionary (catable shards must not — SanitizeParams);
+            # union dict candidates on host like compress_part does.
+            # Its halo is zero-fill (no real prefix), so probe the
+            # shard region directly — dict pseudo-distances depend on
+            # the true absolute position.
+            from ..encode.static_dict import add_dictionary_matches
+            add_dictionary_matches(row[halo:halo + real], 0,
+                                   params.window_size, 135, bl, bd,
+                                   bsc, isd, bwire)
 
         w = BitWriter()
         bstr.write_stream_header(w, params.lgwin)
@@ -173,29 +266,44 @@ def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
         if i > 0:
             cache = [POISONED_DISTANCE] * 4
             hk = min(2, real)
-            bstr.store_uncompressed_meta_block(w, shard[:hk].tobytes())
+            bstr.store_uncompressed_meta_block(
+                w, row[halo:halo + hk].tobytes())
             start = hk
-        segs = greedy_parse(shard, bl, bd, bsc, [real], pos0=start,
-                            initial_cache=tuple(cache),
-                            window_size=params.window_size)
-        ins, cps, dst, adv = segs[0]
-        cmds, _ = resolve_commands(ins, cps, dst, params.dist,
-                                   advance=adv, initial_cache=cache,
-                                   pos_offset=start,
-                                   window_size=params.window_size)
         mlen = real - start
         if mlen > 0:
+            # shard 0's halo is zero-fill, not real prefix: parse it
+            # without a dict region so absolute positions (and dict
+            # pseudo-distance eligibility) are exact
+            dlen = halo if i > 0 else 0
+            region = row[:halo + real] if i > 0 \
+                else row[halo:halo + real]
+            segs = greedy_parse(region, bl, bd, bsc, [real],
+                                dict_len=dlen, pos0=start,
+                                initial_cache=tuple(cache),
+                                best_isdict=isd,
+                                window_size=params.window_size,
+                                best_wire=bwire)
+            ins, cps, dst, adv = segs[0]
+            cmds, _ = resolve_commands(
+                ins, cps, dst, params.dist, advance=adv,
+                initial_cache=cache, pos_offset=dlen + start,
+                window_size=params.window_size)
             state = w.save_state()
             before = w.bit_length()
-            bstr.store_meta_block_trivial(w, shard, start, mlen, False,
-                                          cmds, params.dist)
+            if params.quality >= 4:
+                bstr.store_meta_block_auto(
+                    w, region, dlen + start, mlen, cmds, params.dist,
+                    params.quality, mlen, 0, False)
+            else:
+                bstr.store_meta_block_trivial(
+                    w, region, dlen + start, mlen, False, cmds,
+                    params.dist)
             if w.bit_length() - before > 8 * mlen + 40:
                 w.restore_state(state)
                 bstr.store_uncompressed_meta_block(
-                    w, shard[start:].tobytes())
+                    w, row[halo + start:halo + real].tobytes())
         bstr.write_empty_last_meta_block(w)
         pieces.append(w.getvalue())
-        off += real
     return _merge(pieces)
 
 
