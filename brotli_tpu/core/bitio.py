@@ -25,20 +25,35 @@ class NeedsMoreInput(Exception):
 
 
 class BitReader:
-    """LSB-first bit reader over a byte buffer."""
+    """LSB-first bit reader over a byte buffer.
 
-    __slots__ = ("data", "bit_pos", "bit_len")
+    Positions are absolute; `base` counts bits of consumed input that
+    extend() has dropped from memory (streaming decode keeps a slack of
+    recent history for command-granular rollback, so the input buffer
+    stays bounded)."""
+
+    __slots__ = ("data", "bit_pos", "bit_len", "base")
+
+    # consumed history kept for rollback (a command or metablock header
+    # never spans more than ~42KB of input bits)
+    _SLACK_BYTES = 256 << 10
 
     def __init__(self, data):
         self.data = np.frombuffer(bytes(data), dtype=np.uint8)
         self.bit_pos = 0
         self.bit_len = len(self.data) * 8
+        self.base = 0
 
     def extend(self, more: bytes):
-        """Append more input (streaming decode)."""
+        """Append more input (streaming decode); drops consumed bytes
+        beyond the rollback slack."""
+        drop_bytes = ((self.bit_pos - self.base) >> 3) - self._SLACK_BYTES
+        if drop_bytes > 0:
+            self.data = self.data[drop_bytes:]
+            self.base += drop_bytes * 8
         self.data = np.concatenate(
             [self.data, np.frombuffer(bytes(more), dtype=np.uint8)])
-        self.bit_len = len(self.data) * 8
+        self.bit_len = self.base + len(self.data) * 8
 
     def checkpoint(self) -> int:
         return self.bit_pos
@@ -60,8 +75,8 @@ class BitReader:
             raise NeedsMoreInput()
         if nbits == 0:
             return 0
-        byte0 = pos >> 3
-        byte1 = (end + 7) >> 3
+        byte0 = (pos - self.base) >> 3
+        byte1 = (end - self.base + 7) >> 3
         chunk = self.data[byte0:byte1]
         val = 0
         for i, b in enumerate(chunk.tolist()):
@@ -73,8 +88,8 @@ class BitReader:
     def peek(self, nbits: int) -> int:
         """Peek up to nbits; missing tail bits are zero-filled."""
         pos = self.bit_pos
-        byte0 = pos >> 3
-        byte1 = min((pos + nbits + 7) >> 3, len(self.data))
+        byte0 = (pos - self.base) >> 3
+        byte1 = min((pos - self.base + nbits + 7) >> 3, len(self.data))
         val = 0
         for i, b in enumerate(self.data[byte0:byte1].tolist()):
             val |= b << (8 * i)
@@ -82,6 +97,9 @@ class BitReader:
 
     def available(self) -> int:
         return self.bit_len - self.bit_pos
+
+    def bytes_available(self) -> int:
+        return (self.bit_len - self.bit_pos) >> 3
 
     def skip(self, nbits: int):
         if self.bit_pos + nbits > self.bit_len:
@@ -97,9 +115,9 @@ class BitReader:
     def read_bytes(self, n: int) -> bytes:
         """Read n whole bytes (reader must be byte-aligned)."""
         assert self.bit_pos & 7 == 0
-        byte0 = self.bit_pos >> 3
-        if (byte0 + n) * 8 > self.bit_len:
+        if self.bit_pos + 8 * n > self.bit_len:
             raise NeedsMoreInput()
+        byte0 = (self.bit_pos - self.base) >> 3
         out = self.data[byte0:byte0 + n].tobytes()
         self.bit_pos += 8 * n
         return out

@@ -206,8 +206,10 @@ class Decoder:
                 break
         return bytes(out)
 
-    def _decode_compressed_metablock(self, reader, out, mlen, window_size,
-                                     dist_cache, dict_bytes, static_dict):
+    def _parse_metablock_header(self, reader, mlen):
+        """Parse a compressed metablock's header into a resumable state
+        object (tables and context maps are immutable once parsed; the
+        command loop can then suspend/resume at command granularity)."""
         blocks = {c: _BlockCategory() for c in "LID"}
         for c in "LID":
             blocks[c].read_header(reader)
@@ -234,6 +236,33 @@ class Decoder:
                     for _ in range(blocks["I"].num_types)]
         dist_decs = [PrefixDecoder(read_prefix_code(reader, dist_alphabet))
                      for _ in range(ntrees_d)]
+        return _MetablockState(
+            blocks=blocks, npostfix=npostfix, ndirect=ndirect,
+            context_modes=context_modes, cmap_l=cmap_l, cmap_d=cmap_d,
+            lit_decs=lit_decs, cmd_decs=cmd_decs, dist_decs=dist_decs,
+            mlen=mlen)
+
+    def _decode_compressed_metablock(self, reader, out, mlen, window_size,
+                                     dist_cache, dict_bytes, static_dict):
+        st = self._parse_metablock_header(reader, mlen)
+        self._run_commands(reader, out, st, window_size, dist_cache,
+                           dict_bytes, static_dict)
+
+    def _run_commands(self, reader, out, st, window_size, dist_cache,
+                      dict_bytes, static_dict, resumable=False,
+                      out_limit=None):
+        """Decode commands of one metablock.  With resumable=True, the
+        loop checkpoints before every command: on input exhaustion it
+        rolls back at most one command (into st) and raises
+        NeedsMoreInput; with out_limit set it suspends (without error)
+        once total output reaches the limit, leaving st mid-block."""
+        blocks = st.blocks
+        npostfix, ndirect = st.npostfix, st.ndirect
+        context_modes = st.context_modes
+        cmap_l, cmap_d = st.cmap_l, st.cmap_d
+        lit_decs, cmd_decs, dist_decs = (st.lit_decs, st.cmd_decs,
+                                         st.dist_decs)
+        mlen = st.mlen
 
         L, I, D = blocks["L"], blocks["I"], blocks["D"]
         lut0, lut1 = C.CONTEXT_LUT0, C.CONTEXT_LUT1
@@ -250,6 +279,44 @@ class Decoder:
         p1, p2 = prev_byte(1), prev_byte(2)
 
         while mlen > 0:
+            if resumable:
+                if out_limit is not None and len(out) >= out_limit:
+                    st.mlen = mlen
+                    raise NeedsMoreOutput()
+                ckpt = (reader.checkpoint(), len(out), list(dist_cache),
+                        mlen, (L.cur, L.prev, L.remaining),
+                        (I.cur, I.prev, I.remaining),
+                        (D.cur, D.prev, D.remaining))
+            try:
+                mlen = self._one_command(
+                    reader, out, mlen, window_size, dist_cache,
+                    dict_bytes, static_dict, st, p1, p2, prev_byte)
+                p1, p2 = prev_byte(1), prev_byte(2)
+            except NeedsMoreInput:
+                if not resumable:
+                    raise
+                reader.restore(ckpt[0])
+                del out[ckpt[1]:]
+                dist_cache[:] = ckpt[2]
+                st.mlen = ckpt[3]
+                (L.cur, L.prev, L.remaining) = ckpt[4]
+                (I.cur, I.prev, I.remaining) = ckpt[5]
+                (D.cur, D.prev, D.remaining) = ckpt[6]
+                raise
+        st.mlen = 0
+
+    def _one_command(self, reader, out, mlen, window_size, dist_cache,
+                     dict_bytes, static_dict, st, p1, p2, prev_byte):
+        blocks = st.blocks
+        npostfix, ndirect = st.npostfix, st.ndirect
+        context_modes = st.context_modes
+        cmap_l, cmap_d = st.cmap_l, st.cmap_d
+        lit_decs, cmd_decs, dist_decs = (st.lit_decs, st.cmd_decs,
+                                         st.dist_decs)
+        L, I, D = blocks["L"], blocks["I"], blocks["D"]
+        lut0, lut1 = C.CONTEXT_LUT0, C.CONTEXT_LUT1
+        dlen = len(dict_bytes)
+        if True:
             I.tick(reader)
             cmd_sym = cmd_decs[I.cur].decode(reader)
             ins_code = int(C.CMD_TO_INSERT_CODE[cmd_sym])
@@ -271,7 +338,7 @@ class Decoder:
                 p2, p1 = p1, lit
             mlen -= ins_len
             if mlen == 0:
-                break  # copy part of the final command is ignored
+                return 0  # copy part of the final command is ignored
 
             pos_total = len(out) + dlen
             max_distance = min(pos_total, window_size)
@@ -326,7 +393,28 @@ class Decoder:
                 if dcode != 0:
                     dist_cache.pop()
                     dist_cache.insert(0, distance)
-        return
+        return mlen
+
+
+class NeedsMoreOutput(Exception):
+    """Raised by the resumable command loop when the output limit is
+    reached mid-metablock (reference BrotliResult::NeedsMoreOutput)."""
+
+
+@dataclass
+class _MetablockState:
+    """Resumable per-metablock decode state: immutable tables plus the
+    rolling counters the command loop checkpoints."""
+    blocks: dict
+    npostfix: int
+    ndirect: int
+    context_modes: list
+    cmap_l: np.ndarray
+    cmap_d: np.ndarray
+    lit_decs: list
+    cmd_decs: list
+    dist_decs: list
+    mlen: int
 
 
 def _backward_copy(out: bytearray, distance: int, copy_len: int,

@@ -1,0 +1,214 @@
+"""TPU production encode path: device match finding, host serialization.
+
+The q5-q9 pipeline with the heavy pass on the chip: for each metablock
+span, the device runs the batched match kernel (ops.matching
+best_matches_block — hash, top-K candidate fold in sort space, capped
+XOR match lengths, reference scoring) over the span plus a
+window-covering halo of preceding bytes, and returns ONE packed int32
+per position ((len << 26) | dist).  The host decodes the dense array,
+runs the greedy walk with live distance-cache probes (match.greedy_parse
+— the same walk the host path uses), and serializes through the fused
+native metablock encoder.
+
+Pipelining: device dispatches are ASYNC (JAX queues them); the host
+serializes metablock j while the chip computes j+1, so link transfers
+and host entropy coding overlap device compute.  Transfers are compact:
+input bytes up (plus halo), 4 bytes per position down.
+
+Reference functional bar: CreateBackwardReferences
+(src/enc/backward_references/mod.rs:2376-2552) feeding
+WriteMetaBlockInternal (encode.rs:1941).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.bitio import BitWriter
+from . import bitstream as bs
+from .params import EncoderParams
+
+LEN_SHIFT = 26  # dist < 2^26 covers lgwin <= 24 (dist < 2^24 + slack)
+_MAX_INFLIGHT = 3
+
+
+@partial(__import__("jax").jit,
+         static_argnames=("window_size", "halo", "k", "k8"))
+def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
+                 k8: int):
+    """Device kernel: packed (len << 26 | dist) per shard position."""
+    import jax.numpy as jnp
+
+    from ..ops.matching import MIN_SCORE_DELTA, best_matches_block
+    best_len, best_dist, best_score = best_matches_block(
+        row, window_size, k=k, k8=k8, min_pos=min_pos)
+    keep = best_score > MIN_SCORE_DELTA
+    packed = jnp.where(keep,
+                       (best_len << LEN_SHIFT) | best_dist,
+                       0).astype(jnp.int32)
+    return packed[halo:]
+
+
+def _device_knobs(quality: int):
+    return dict(k=8, k8=4) if quality <= 6 else dict(k=16, k8=8)
+
+
+def compress_tpu(data, quality: int = 9, lgwin: int = 22,
+                 mode: int = 0, span: int | None = None) -> bytes:
+    """One-shot TPU-path compress for q2-q9 (q0/1 use the trivial-tier
+    fast path; q10/11's optimal parse stays on host)."""
+    import jax
+
+    from .. import native_bridge as nb
+    from ..encode.match import greedy_parse
+    from ..encode.metablock import (choose_context_mode,
+                                    choose_literal_context_map)
+    from ..ops.matching import LEN_CAP
+
+    raw = np.frombuffer(bytes(data), dtype=np.uint8)
+    params = EncoderParams(quality=quality, lgwin=lgwin,
+                           mode=mode).sanitize(len(raw))
+    n = len(raw)
+    w = BitWriter()
+    bs.write_stream_header(w, params.lgwin, params.large_window)
+    if n == 0:
+        bs.write_empty_last_meta_block(w)
+        return w.getvalue()
+
+    if span is None:
+        span = 1 << params.lgblock
+    # the halo always covers the window, so (a) every in-window match
+    # is visible to the chip and (b) row-local positions p >= halo have
+    # min(p, window) == min(abs_pos, window) — dictionary
+    # pseudo-distances computed row-locally are exact
+    halo = -(-(params.window_size + 16) // 4096) * 4096
+    dev = jax.devices()[0]
+    knobs = _device_knobs(params.quality)
+
+    # fixed-shape rows so every dispatch reuses one executable
+    starts = list(range(0, n, span))
+    rows = np.zeros((len(starts), halo + span), dtype=np.uint8)
+    min_pos = np.zeros(len(starts), np.int32)
+    for j, s0 in enumerate(starts):
+        real = min(span, n - s0)
+        rows[j, halo:halo + real] = raw[s0:s0 + real]
+        ctx_lo = max(0, s0 - halo)
+        fill = s0 - ctx_lo
+        if fill:
+            rows[j, halo - fill:halo] = raw[ctx_lo:s0]
+        min_pos[j] = halo - fill
+
+    # async pipeline: keep a few dispatches in flight
+    inflight = {}
+
+    def dispatch(j):
+        row_d = jax.device_put(rows[j], dev)
+        inflight[j] = _match_dense(row_d, np.int32(min_pos[j]),
+                                   params.window_size, halo, **knobs)
+
+    for j in range(min(_MAX_INFLIGHT, len(starts))):
+        dispatch(j)
+
+    cache = list(C.INITIAL_DISTANCE_CACHE)
+    for j, s0 in enumerate(starts):
+        packed = np.asarray(inflight.pop(j))  # blocks on this shard only
+        if j + _MAX_INFLIGHT < len(starts):
+            dispatch(j + _MAX_INFLIGHT)
+        real = min(span, n - s0)
+        packed = packed[:real].astype(np.int64)
+        bl = packed >> LEN_SHIFT
+        bd = packed & ((1 << LEN_SHIFT) - 1)
+        row = rows[j]
+        # exact extension of device length-capped matches
+        if nb.available():
+            capped = bl >= LEN_CAP
+            if capped.any():
+                pos_c = np.nonzero(capped)[0]
+                ext = nb.extend_caps(row[:halo + real], 0,
+                                     pos_c + halo, bd[pos_c],
+                                     bl[pos_c])
+                bl[pos_c] = ext
+        with np.errstate(divide="ignore"):
+            bsc = np.where(
+                bl > 0,
+                135 * bl - 30 * np.floor(
+                    np.log2(np.maximum(bd, 2))).astype(np.int64),
+                0)
+        # drop the zero-filled part of the halo on host: with
+        # dlen = halo - min_pos (== min(s0, halo)) every row-local
+        # position maps exactly to its absolute stream position (the
+        # halo covers the window, so both clamp to the window beyond
+        # it) — the walk's max_distance tests and dictionary
+        # pseudo-distances are absolute-exact for every shard
+        mp0 = int(min_pos[j])
+        dlen = halo - mp0
+        region = row[mp0:halo + real]
+        # union static-dictionary candidates on host (the device
+        # kernel searches the window only)
+        isd = np.zeros(real, bool)
+        bwire = bl.copy()
+        from .static_dict import add_dictionary_matches
+        fl = np.zeros(dlen + real, np.int64)
+        fd = np.zeros(dlen + real, np.int64)
+        fs = np.zeros(dlen + real, np.int64)
+        fi = np.zeros(dlen + real, bool)
+        fw = np.zeros(dlen + real, np.int64)
+        fl[dlen:] = bl; fd[dlen:] = bd; fs[dlen:] = bsc
+        fw[dlen:] = bwire
+        add_dictionary_matches(region, dlen, params.window_size,
+                               135, fl, fd, fs, fi, fw)
+        bl, bd, bsc = fl[dlen:], fd[dlen:], fs[dlen:]
+        isd, bwire = fi[dlen:], fw[dlen:]
+        segs = greedy_parse(region, bl, bd, bsc, [real], dict_len=dlen,
+                            pos0=0, initial_cache=tuple(cache),
+                            best_isdict=isd,
+                            window_size=params.window_size,
+                            best_wire=bwire)
+        ins, cps, dst, adv = segs[0]
+        is_last = j == len(starts) - 1
+        ctx_mode = choose_context_mode(row[halo:halo + real],
+                                       params.quality, params.mode)
+        if ctx_mode == C.CONTEXT_UTF8:
+            nlc, smap = choose_literal_context_map(
+                region, dlen, real, params.quality, n)
+        else:
+            nlc, smap = 1, np.zeros(64, dtype=np.int64)
+        if nb.available():
+            res = nb.encode_metablock(
+                region, dlen, real, is_last, ins, cps, dst, adv,
+                cache, params.window_size, 0, 0,
+                params.dist.alphabet_size, max(params.quality, 4),
+                ctx_mode, nlc, smap, C.CONTEXT_LUT0[ctx_mode],
+                C.CONTEXT_LUT1[ctx_mode])
+            if res is None or res[1] > 8 * real + 40:
+                bs.store_uncompressed_meta_block(
+                    w, raw[s0:s0 + real].tobytes())
+                if is_last:
+                    bs.write_empty_last_meta_block(w)
+            else:
+                words, nbits, cache = res
+                w.append_packed(words, nbits)
+        else:
+            # pure-Python serializer fallback
+            from .command import resolve_commands
+            cmds, new_cache = resolve_commands(
+                ins, cps, dst, params.dist, advance=adv,
+                initial_cache=cache, pos_offset=dlen,
+                window_size=params.window_size)
+            state = w.save_state()
+            before = w.bit_length()
+            bs.store_meta_block_auto(w, region, dlen, real, cmds,
+                                     params.dist, max(params.quality, 4),
+                                     n, params.mode, is_last)
+            if w.bit_length() - before > 8 * real + 40:
+                w.restore_state(state)
+                bs.store_uncompressed_meta_block(
+                    w, raw[s0:s0 + real].tobytes())
+                if is_last:
+                    bs.write_empty_last_meta_block(w)
+            else:
+                cache = new_cache
+    return w.getvalue()

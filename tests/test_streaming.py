@@ -184,3 +184,60 @@ def test_stream_chunk_size_clamped_to_mlen_limit():
     data = bytes(range(256)) * 64
     out = c.process(data) + c.finish()
     assert decompress(out) == data
+
+
+def test_stream_decoder_max_output_throttling():
+    """NeedsMoreOutput semantics (reference decode.h contract): output
+    beyond max_output stays buffered; memory stays bounded."""
+    data = load("alice29.txt")
+    comp = compress(data, quality=9)
+    sd = StreamDecoder()
+    out = bytearray()
+    out += sd.decompress(comp, max_output=1000)
+    assert len(out) == 1000
+    assert sd.has_more_output
+    while sd.has_more_output or not sd.finished:
+        got = sd.decompress(b"", max_output=1000)
+        assert len(got) <= 1000
+        out += got
+        if not got and sd.finished:
+            break
+    assert bytes(out) == data
+
+
+def test_stream_decoder_byte_at_a_time_large_block_linear():
+    """Command-granular resume: feeding a ~1MiB single-metablock stream
+    byte-at-a-time must be O(n), not O(n^2) block-start replay."""
+    import time
+    rng = __import__("numpy").random.default_rng(3)
+    n = 1 << 20
+    text = (b"incremental resume of large metablocks " * 40000)[:n]
+    comp = compress(text, quality=5)
+    sd = StreamDecoder()
+    out = bytearray()
+    t0 = time.perf_counter()
+    step = 997  # prime-sized chunks, thousands of suspend/resume cycles
+    for i in range(0, len(comp), step):
+        out += sd.decompress(comp[i:i + step])
+    out += sd.finish()
+    dt = time.perf_counter() - t0
+    assert bytes(out) == text
+    # the old block-start rollback replayed ~0.5 * n * n/step command
+    # decodes (minutes); command-granular resume stays in seconds
+    assert dt < 60, f"streaming resume too slow: {dt:.1f}s"
+
+
+def test_stream_decoder_bounded_window_memory():
+    """Only window-size history is retained (plus undrained output)."""
+    rng = __import__("numpy").random.default_rng(4)
+    n = 1 << 20
+    data = bytes(rng.integers(97, 123, n, dtype=__import__("numpy").uint8))
+    comp = compress(data, quality=5, lgwin=16)
+    sd = StreamDecoder()
+    out = bytearray()
+    for i in range(0, len(comp), 4096):
+        out += sd.decompress(comp[i:i + 4096])
+    out += sd.finish()
+    assert bytes(out) == data
+    # retained history is window + slack, not the whole 1MiB output
+    assert len(sd._out._buf) <= (1 << 16) + 4096
