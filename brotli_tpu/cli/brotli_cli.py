@@ -139,26 +139,59 @@ def main(argv=None) -> int:
 def _run_one(data: bytes, opts) -> bytes:
     from .. import compress, compress_multi, decompress
 
-    if opts["findprior"] or opts["findspeed"] or opts["stride_quality"]:
+    speed_info = None
+    if opts["findspeed"]:
+        # derive speeds from the ENCODER'S OWN literal stream: run the
+        # real encode with the live metablock callback and score
+        # adaptation speeds over the literals it actually emitted
+        import numpy as np
+
+        from ..utils.ir import Literal
+        from ..utils.prior import find_speed
+        lits = bytearray()
+        compress(data, quality=min(opts["quality"], 9),
+                 lgwin=opts["lgwin"],
+                 metablock_callback=lambda ir, region: lits.extend(
+                     b"".join(c.data for c in ir
+                              if isinstance(c, Literal))))
+        la = np.frombuffer(bytes(lits), np.uint8).astype(np.int64)
+        ctx = np.concatenate([[0], la[:-1] >> 4]) if len(la) else \
+            np.zeros(0, np.int64)
+        cm_speed, _ = find_speed(la, ctx, 16)
+        speed_info = cm_speed
+        sys.stderr.write(
+            f"cmspeedinc {cm_speed[0]} cmspeedmax {cm_speed[1]}\n")
+    if opts["findprior"]:
+        from ..utils.prior import prior_eval
+        rep = prior_eval(data)
+        speed_info = speed_info or rep.cm_speed
+        sys.stderr.write(
+            f"stride {rep.stride} priors {' '.join(rep.per_context)}\n"
+            f"priormask {rep.bitmask:#06x} mixweight {rep.mix_weight}\n"
+            f"cmspeedinc {rep.cm_speed[0]} cmspeedmax {rep.cm_speed[1]} "
+            f"stspeedinc {rep.stride_speed[0]} "
+            f"stspeedmax {rep.stride_speed[1]}\n"
+            f"costs {rep.costs}\n")
+    if opts["stride_quality"]:
         from ..utils.analysis import analyze
         res = analyze(data,
-                      stride_detection_quality=opts["stride_quality"]
-                      or 1,
-                      prior_bitmask_detection=int(opts["findprior"]))
+                      stride_detection_quality=opts["stride_quality"])
         sys.stderr.write(
-            f"stride {res.best_stride} costs {res.stride_costs}\n"
-            f"cmspeedinc {res.cm_speed[0]} cmspeedmax {res.cm_speed[1]} "
-            f"stspeedinc {res.stride_speed[0]} "
-            f"stspeedmax {res.stride_speed[1]}\n"
-            f"prior {res.prior}\n")
+            f"stride {res.best_stride} costs {res.stride_costs}\n")
 
     if not opts["compress"]:
         return decompress(data, custom_dictionary=opts["dictionary"],
                           large_window=opts["large_window"])
     if opts["ir_dump"]:
         from ..utils.ir import dump_ir
+        kw = {}
+        if opts["speed"]:
+            kw["cm_speed"] = opts["speed"]
+            kw["stride_speed"] = opts["speed"]
+        elif speed_info:
+            kw["cm_speed"] = speed_info
         return dump_ir(data, quality=opts["quality"],
-                       lgwin=opts["lgwin"]).encode()
+                       lgwin=opts["lgwin"], **kw).encode()
     if opts["threads"] > 1 and not opts["dictionary"]:
         out = compress_multi(data, opts["threads"],
                              quality=opts["quality"], lgwin=opts["lgwin"],

@@ -41,8 +41,15 @@ def compress(data, quality: int = 11, lgwin: int = 22, lgblock: int = 0,
              bare: bool = False, byte_align: bool = False,
              magic_number: bool = False, large_window: bool = False,
              custom_dictionary: bytes = b"", q9_5: bool = False,
-             literal_byte_score: int = 540) -> bytes:
-    """One-shot compress (reference BrotliCompress, src/enc/mod.rs:142)."""
+             literal_byte_score: int = 540,
+             metablock_callback=None) -> bytes:
+    """One-shot compress (reference BrotliCompress, src/enc/mod.rs:142).
+
+    metablock_callback: live IR side-channel (reference
+    MetablockCallback threaded through every compress entry point,
+    interface.rs:633): called once per emitted metablock with the list
+    of IR commands (utils.ir vocabulary) for that block.
+    """
     data = np.frombuffer(bytes(data), dtype=np.uint8)
     params = EncoderParams(
         quality=quality, lgwin=lgwin, lgblock=lgblock, mode=mode,
@@ -50,10 +57,12 @@ def compress(data, quality: int = 11, lgwin: int = 22, lgblock: int = 0,
         byte_align=byte_align, magic_number=magic_number,
         large_window=large_window, q9_5=q9_5,
         literal_byte_score=literal_byte_score,
+        log_meta_block=metablock_callback is not None,
     ).sanitize(len(data))
     if params.catable:
         custom_dictionary = b""  # catable forbids dictionaries (SanitizeParams)
-    out = compress_with_params(data, params, custom_dictionary)
+    out = compress_with_params(data, params, custom_dictionary,
+                               metablock_callback=metablock_callback)
     # Whole-stream fallback: never exceed the uncompressed-stream bound
     # (reference encoder_compress, encode.rs:1522-1537).
     plain_flags = not (params.catable or params.appendable or params.bare
@@ -106,7 +115,8 @@ def _quality_knobs(params: EncoderParams):
 
 
 def compress_with_params(data: np.ndarray, params: EncoderParams,
-                         custom_dictionary: bytes = b"") -> bytes:
+                         custom_dictionary: bytes = b"",
+                         metablock_callback=None) -> bytes:
     n = len(data)
     w = BitWriter()
     # only catable+bare streams omit the window header (reference
@@ -174,9 +184,12 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         segments = [None] * len(boundaries)
 
     # q4-q9 production path: one fused native call per metablock
-    # (resolve + plan + serialize, no per-metablock Python glue)
+    # (resolve + plan + serialize, no per-metablock Python glue);
+    # the IR callback needs the Python-side command arrays, so it runs
+    # the unfused flow
     from .. import native_bridge as nb
-    fused = (not use_zopfli and 4 <= params.quality and nb.available())
+    fused = (not use_zopfli and 4 <= params.quality and nb.available()
+             and metablock_callback is None)
     if fused:
         from .metablock import (choose_context_mode,
                                 choose_literal_context_map)
@@ -254,6 +267,17 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
                     pos_offset=dlen + seg_start,
                     window_size=params.window_size)
 
+        if metablock_callback is not None:
+            # live IR side-channel (reference LogMetaBlock,
+            # brotli_bit_stream.rs:420: the callback sees each
+            # metablock's commands as they are emitted)
+            from ..utils.ir import ir_from_commands
+            ir_cmds = ir_from_commands(
+                full, dlen + seg_start, cmds,
+                pos_offset=dlen + seg_start,
+                window_size=params.window_size)
+            metablock_callback(
+                ir_cmds, bytes(full[dlen + seg_start:dlen + boundary]))
         state = w.save_state()
         before = w.bit_length()
         if params.quality >= 4:

@@ -28,9 +28,16 @@ from ..core.dictionary import get_dictionary
 
 @dataclass
 class PredictionMode:
+    """Reference interface.rs PredictionModeContextMap (:109-250): the
+    context maps plus embedded adaptation-speed and mixing metadata
+    (set by -speed= / -findspeed / -findprior; IR-only, not wire)."""
     mode: int = 0
     literal_context_map: list = field(default_factory=list)
     distance_context_map: list = field(default_factory=list)
+    cm_speed: tuple = (16, 8192)        # (inc, max) context-map model
+    stride_speed: tuple = (16, 8192)    # (inc, max) stride model
+    prior_bitmask: int | None = None    # per-context CM-family mask
+    mix_weight: float | None = None     # ADV 2-model blend weight
 
 
 @dataclass
@@ -160,8 +167,15 @@ def format_ir(commands) -> str:
         if isinstance(c, PredictionMode):
             lcm = "".join(f" {v}" for v in c.literal_context_map)
             dcm = "".join(f" {v}" for v in c.distance_context_map)
+            extra = (f" cmspeedinc {c.cm_speed[0]} cmspeedmax "
+                     f"{c.cm_speed[1]} stspeedinc {c.stride_speed[0]} "
+                     f"stspeedmax {c.stride_speed[1]}")
+            if c.prior_bitmask is not None:
+                extra += f" priormask {c.prior_bitmask:#06x}"
+            if c.mix_weight is not None:
+                extra += f" mixweight {c.mix_weight}"
             lines.append(f"prediction {MODE_NAMES.get(c.mode, '?')} "
-                         f"lcontextmap{lcm} dcontextmap{dcm}")
+                         f"lcontextmap{lcm} dcontextmap{dcm}{extra}")
         elif isinstance(c, BlockSwitchLiteral):
             lines.append(f"ltype {c.block_type} {c.stride}")
         elif isinstance(c, BlockSwitchCommand):
@@ -182,25 +196,28 @@ def format_ir(commands) -> str:
     return "\n".join(lines) + "\n"
 
 
-def dump_ir(data: bytes, quality: int = 9, lgwin: int = 22) -> str:
-    """Encode `data` and return the IR dump (CLI -i flag)."""
-    from ..encode.command import resolve_commands
-    from ..encode.encoder import _quality_knobs
-    from ..encode.match import find_best_matches, greedy_parse
-    from ..encode.params import EncoderParams
+def dump_ir(data: bytes, quality: int = 9, lgwin: int = 22,
+            cm_speed=None, stride_speed=None,
+            prior_bitmask=None, mix_weight=None) -> str:
+    """Encode `data` via the LIVE metablock callback and return the IR
+    dump (CLI -i flag).  Speed/prior metadata (-speed= / -findspeed /
+    -findprior results) is applied to the PredictionMode record."""
+    from ..encode.encoder import compress
 
     raw = np.frombuffer(bytes(data), dtype=np.uint8)
-    p = EncoderParams(quality=quality, lgwin=lgwin).sanitize(len(raw))
     if len(raw) == 0:
         return ""
-    knobs = _quality_knobs(p)
-    bl, bd, bs, isd, bw = find_best_matches(
-        raw, p.window_size, literal_byte_score=p.literal_byte_score,
-        **knobs)
-    segs = greedy_parse(raw, bl, bd, bs, [len(raw)], best_isdict=isd,
-                        window_size=p.window_size, best_wire=bw)
-    ins, cps, dst, adv = segs[0]
-    cmds, _ = resolve_commands(ins, cps, dst, p.dist, advance=adv,
-                               window_size=p.window_size)
-    ir = ir_from_commands(raw, 0, cmds, window_size=p.window_size)
-    return format_ir(ir)
+    blocks = []
+    compress(bytes(data), quality=min(quality, 9), lgwin=lgwin,
+             metablock_callback=lambda ir, region: blocks.append(ir))
+    pm = PredictionMode()
+    if cm_speed is not None:
+        pm.cm_speed = tuple(cm_speed)
+    if stride_speed is not None:
+        pm.stride_speed = tuple(stride_speed)
+    pm.prior_bitmask = prior_bitmask
+    pm.mix_weight = mix_weight
+    out = [pm]
+    for ir in blocks:
+        out.extend(ir)
+    return format_ir(out)

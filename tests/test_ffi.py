@@ -81,3 +81,57 @@ def test_encoder_metadata_op():
         st, ffi.BROTLI_OPERATION_FINISH)
     out = ffi.BrotliEncoderTakeOutput(st)
     assert decompress(out) == data
+
+
+def test_live_metablock_callback():
+    """The metablock callback fires per emitted metablock with IR
+    commands that reconstruct the input (reference MetablockCallback,
+    interface.rs:633)."""
+    from brotli_tpu import compress, decompress
+    from brotli_tpu.utils.ir import Copy, Dict, Literal
+    from brotli_tpu.core.dictionary import get_dictionary
+
+    data = open(f"{TESTDATA}/asyoulik.txt", "rb").read()[:50000]
+    blocks = []
+    out = compress(data, quality=9,
+                   metablock_callback=lambda ir, region: blocks.append(
+                       (ir, region)))
+    assert decompress(out) == data
+    assert blocks, "callback never fired"
+    # replay the IR: literals + copies + dict words reproduce the input
+    dic = get_dictionary()
+    rebuilt = bytearray()
+    for ir, region in blocks:
+        for c in ir:
+            if isinstance(c, Literal):
+                rebuilt += c.data
+            elif isinstance(c, Copy):
+                start = len(rebuilt) - c.distance
+                for j in range(c.num_bytes):
+                    rebuilt.append(rebuilt[start + j])
+            elif isinstance(c, Dict):
+                w = dic.transformed(c.word_size, c.word_id, c.transform)
+                rebuilt += w[:c.final_size]
+    assert bytes(rebuilt) == data
+
+
+def test_prior_eval_and_speeds():
+    """Full prior/CM-speed search (prior_eval.rs / context_map_entropy
+    .rs analogs): text prefers the CM family; speeds are from the
+    candidate table."""
+    from brotli_tpu.utils.prior import (CANDIDATE_SPEEDS, Weights,
+                                        prior_eval)
+    data = open(f"{TESTDATA}/alice29.txt", "rb").read()[:200000]
+    rep = prior_eval(data)
+    assert len(rep.per_context) == 16
+    assert rep.cm_speed in CANDIDATE_SPEEDS
+    assert rep.stride_speed in CANDIDATE_SPEEDS
+    assert set(rep.costs) >= {"CM", "SLOW_CM", "FAST_CM", "STRIDE1",
+                              "ADV"}
+    # text: CM-family should beat far strides
+    assert rep.costs["CM"] <= rep.costs["STRIDE4"]
+    # the mixer moves its weight toward the better model
+    m = Weights()
+    for _ in range(200):
+        m.update(0.9, 0.1)
+    assert m.w / 65536.0 > 0.6
