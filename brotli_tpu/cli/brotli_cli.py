@@ -44,7 +44,8 @@ def main(argv=None) -> int:
                 magic=False, dictionary=b"", mode=0, large_window=False,
                 byte_score=540, validate=False, serial=False,
                 ir_dump=False, findprior=False, findspeed=False,
-                stride_quality=0, speed=None)
+                stride_quality=0, speed=None, efficient=False,
+                avoid_dps=False)
     files = []
     for a in args:
         if a in ("-h", "--help"):
@@ -97,6 +98,19 @@ def main(argv=None) -> int:
             opts["validate"] = True
         elif a == "-nothreadpool":
             opts["serial"] = True
+        elif a == "-dump-dictionary":
+            # reference bin/brotli.rs:585: print the RFC static
+            # dictionary and exit
+            from ..core.dictionary import get_dictionary
+            sys.stdout.buffer.write(bytes(get_dictionary().data))
+            return 0
+        elif a == "-efficient":
+            # favor_cpu_efficiency (reference bin/brotli.rs:605)
+            opts["efficient"] = True
+        elif a == "-lowlatency":
+            opts["efficient"] = False
+        elif a == "-avoiddistanceprefixsearch":
+            opts["avoid_dps"] = True
         elif a == "-findprior":
             opts["findprior"] = True
             opts["compress"] = True
@@ -197,7 +211,8 @@ def _run_one(data: bytes, opts) -> bytes:
                              quality=opts["quality"], lgwin=opts["lgwin"],
                              mode=opts["mode"],
                              backend="serial" if opts["serial"]
-                             else "thread")
+                             else "workpool",
+                             favor_cpu_efficiency=opts["efficient"])
     else:
         out = compress(
             data, quality=opts["quality"], lgwin=opts["lgwin"],
@@ -207,7 +222,8 @@ def _run_one(data: bytes, opts) -> bytes:
             magic_number=opts["magic"],
             custom_dictionary=opts["dictionary"],
             large_window=opts["large_window"], q9_5=opts["q9_5"],
-            literal_byte_score=opts["byte_score"])
+            literal_byte_score=opts["byte_score"],
+            avoid_distance_prefix_search=opts["avoid_dps"])
     if opts["validate"]:
         from .. import decompress as dec
         rt = dec(out, custom_dictionary=opts["dictionary"],

@@ -404,7 +404,8 @@ def store_meta_block(writer: BitWriter, plan, is_last: bool):
 def store_meta_block_auto(writer: BitWriter, full, start: int, mlen: int,
                           cmds: CommandArrays, dist_params, quality: int,
                           size_hint: int, mode: int, is_last: bool,
-                          enable_splits: bool = True):
+                          enable_splits: bool = True,
+                          disable_literal_context_modeling: bool = False):
     """Plan + serialize one optimized metablock, dispatching to the
     native backend (store_metablock_native) when available; the Python
     build_meta_block/store_meta_block pair is the tested oracle."""
@@ -414,22 +415,33 @@ def store_meta_block_auto(writer: BitWriter, full, start: int, mlen: int,
     if nb.available():
         region = full[start:start + mlen]
         ctx_mode = choose_context_mode(region, quality, mode)
-        if ctx_mode == C.CONTEXT_UTF8:
+        if disable_literal_context_modeling:
+            # one literal tree per block type (reference param 4):
+            # zero context LUTs collapse every context to 0
+            ctx_mode = 0
+            nlc, smap = 1, np.zeros(64, dtype=np.int64)
+            lut0 = lut1 = np.zeros(256, dtype=np.uint8)
+        elif ctx_mode == C.CONTEXT_UTF8:
             nlc, smap = choose_literal_context_map(full, start, mlen,
                                                    quality, size_hint)
+            lut0, lut1 = C.CONTEXT_LUT0[ctx_mode], C.CONTEXT_LUT1[ctx_mode]
         else:
             nlc, smap = 1, np.zeros(64, dtype=np.int64)
+            lut0, lut1 = C.CONTEXT_LUT0[ctx_mode], C.CONTEXT_LUT1[ctx_mode]
         res = nb.store_metablock(
             full, start, mlen, is_last, cmds, dist_params.npostfix,
             dist_params.ndirect, dist_params.alphabet_size, quality,
-            ctx_mode, nlc, smap, C.CONTEXT_LUT0[ctx_mode],
-            C.CONTEXT_LUT1[ctx_mode], enable_splits)
+            ctx_mode, nlc, smap, lut0, lut1, enable_splits)
         if res is not None:
             writer.append_packed(*res)
             return
     plan = build_meta_block(full, start, mlen, cmds, dist_params,
                             quality, size_hint, mode=mode,
-                            enable_splits=enable_splits)
+                            enable_splits=enable_splits,
+                            num_lit_ctx=1 if
+                            disable_literal_context_modeling else None,
+                            lit_static_map=np.zeros(64, np.int64) if
+                            disable_literal_context_modeling else None)
     store_meta_block(writer, plan, is_last)
 
 

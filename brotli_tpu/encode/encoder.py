@@ -42,7 +42,11 @@ def compress(data, quality: int = 11, lgwin: int = 22, lgblock: int = 0,
              magic_number: bool = False, large_window: bool = False,
              custom_dictionary: bytes = b"", q9_5: bool = False,
              literal_byte_score: int = 540,
-             metablock_callback=None) -> bytes:
+             avoid_distance_prefix_search: bool = False,
+             disable_literal_context_modeling: bool = False,
+             stream_offset: int = 0,
+             metablock_callback=None,
+             literal_probabilities=None) -> bytes:
     """One-shot compress (reference BrotliCompress, src/enc/mod.rs:142).
 
     metablock_callback: live IR side-channel (reference
@@ -57,12 +61,16 @@ def compress(data, quality: int = 11, lgwin: int = 22, lgblock: int = 0,
         byte_align=byte_align, magic_number=magic_number,
         large_window=large_window, q9_5=q9_5,
         literal_byte_score=literal_byte_score,
+        avoid_distance_prefix_search=avoid_distance_prefix_search,
+        disable_literal_context_modeling=disable_literal_context_modeling,
+        stream_offset=stream_offset,
         log_meta_block=metablock_callback is not None,
     ).sanitize(len(data))
     if params.catable:
         custom_dictionary = b""  # catable forbids dictionaries (SanitizeParams)
     out = compress_with_params(data, params, custom_dictionary,
-                               metablock_callback=metablock_callback)
+                               metablock_callback=metablock_callback,
+                               literal_probabilities=literal_probabilities)
     # Whole-stream fallback: never exceed the uncompressed-stream bound
     # (reference encoder_compress, encode.rs:1522-1537).
     plain_flags = not (params.catable or params.appendable or params.bare
@@ -116,7 +124,8 @@ def _quality_knobs(params: EncoderParams):
 
 def compress_with_params(data: np.ndarray, params: EncoderParams,
                          custom_dictionary: bytes = b"",
-                         metablock_callback=None) -> bytes:
+                         metablock_callback=None,
+                         literal_probabilities=None) -> bytes:
     n = len(data)
     w = BitWriter()
     # only catable+bare streams omit the window header (reference
@@ -189,7 +198,8 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     # the unfused flow
     from .. import native_bridge as nb
     fused = (not use_zopfli and 4 <= params.quality and nb.available()
-             and metablock_callback is None)
+             and metablock_callback is None
+             and params.stream_offset == 0)
     if fused:
         from .metablock import (choose_context_mode,
                                 choose_literal_context_map)
@@ -204,18 +214,28 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
             region = full[abs_start:abs_start + mlen]
             ctx_mode = choose_context_mode(region, params.quality,
                                            params.mode)
-            if ctx_mode == C.CONTEXT_UTF8:
+            if params.disable_literal_context_modeling:
+                # one literal tree per block type: zero context LUTs
+                # collapse every context to 0 in both the plan and the
+                # clustering passes (reference param 4)
+                nlc, smap = 1, np.zeros(64, dtype=np.int64)
+                lut0 = lut1 = np.zeros(256, dtype=np.uint8)
+                ctx_mode = 0
+            elif ctx_mode == C.CONTEXT_UTF8:
                 nlc, smap = choose_literal_context_map(
                     full, abs_start, mlen, params.quality,
                     params.size_hint)
+                lut0 = C.CONTEXT_LUT0[ctx_mode]
+                lut1 = C.CONTEXT_LUT1[ctx_mode]
             else:
                 nlc, smap = 1, np.zeros(64, dtype=np.int64)
+                lut0 = C.CONTEXT_LUT0[ctx_mode]
+                lut1 = C.CONTEXT_LUT1[ctx_mode]
             res = nb.encode_metablock(
                 full, abs_start, mlen, is_last, ins, cps, dst, adv,
                 cache, params.window_size, params.dist.npostfix,
                 params.dist.ndirect, params.dist.alphabet_size,
-                params.quality, ctx_mode, nlc, smap,
-                C.CONTEXT_LUT0[ctx_mode], C.CONTEXT_LUT1[ctx_mode])
+                params.quality, ctx_mode, nlc, smap, lut0, lut1)
             # Per-metablock expansion fallback (encode.rs:2141-2163).
             if res is None or res[1] > 8 * mlen + 40:
                 bs.store_uncompressed_meta_block(
@@ -249,7 +269,8 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         dist_params = params.dist
         cmds, new_cache = resolve_commands(
             ins, cps, dst, dist_params, advance=adv, initial_cache=cache,
-            pos_offset=dlen + seg_start, window_size=params.window_size)
+            pos_offset=dlen + seg_start + params.stream_offset,
+            window_size=params.window_size)
         if params.quality >= 10 and not params.avoid_distance_prefix_search:
             # per-metablock NPOSTFIX/NDIRECT search (reference
             # BrotliBuildMetaBlock, metablock.rs:158-208)
@@ -264,7 +285,7 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
                 cmds, new_cache = resolve_commands(
                     ins, cps, dst, dist_params, advance=adv,
                     initial_cache=cache,
-                    pos_offset=dlen + seg_start,
+                    pos_offset=dlen + seg_start + params.stream_offset,
                     window_size=params.window_size)
 
         if metablock_callback is not None:
@@ -272,10 +293,20 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
             # brotli_bit_stream.rs:420: the callback sees each
             # metablock's commands as they are emitted)
             from ..utils.ir import ir_from_commands
+            probs_full = None
+            if literal_probabilities is not None:
+                # external-literal-probability feature (reference
+                # interface.rs:378-420): per-literal probability slices
+                # ride the IR alongside the literal bytes
+                probs_full = np.concatenate([
+                    np.zeros(dlen, np.uint8),
+                    np.frombuffer(bytes(literal_probabilities),
+                                  np.uint8)])
             ir_cmds = ir_from_commands(
                 full, dlen + seg_start, cmds,
-                pos_offset=dlen + seg_start,
-                window_size=params.window_size)
+                pos_offset=dlen + seg_start + params.stream_offset,
+                window_size=params.window_size,
+                lit_probs=probs_full)
             metablock_callback(
                 ir_cmds, bytes(full[dlen + seg_start:dlen + boundary]))
         state = w.save_state()
@@ -283,7 +314,9 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         if params.quality >= 4:
             bs.store_meta_block_auto(
                 w, full, dlen + seg_start, mlen, cmds, dist_params,
-                params.quality, params.size_hint, params.mode, is_last)
+                params.quality, params.size_hint, params.mode, is_last,
+                disable_literal_context_modeling=params.
+                disable_literal_context_modeling)
         else:
             bs.store_meta_block_trivial(w, full, dlen + seg_start, mlen,
                                         is_last, cmds, dist_params)

@@ -63,6 +63,13 @@ class EncoderParams:
     avoid_distance_prefix_search: bool = False
     favor_cpu_efficiency: bool = False
     num_threads: int = 1
+    # BROTLI_PARAM_DISABLE_LITERAL_CONTEXT_MODELING: literals use one
+    # tree per block type (no context map)
+    disable_literal_context_modeling: bool = False
+    # BROTLI_PARAM_STREAM_OFFSET: output will sit at this byte offset
+    # of a larger stream (catable continuation); shifts position-based
+    # distance legality
+    stream_offset: int = 0
 
     # IR / analysis side channel (reference §2.9)
     log_meta_block: bool = False

@@ -37,12 +37,13 @@ class Compressor:
                  chunk_size: int | None = None, lgblock: int = 0,
                  custom_dictionary: bytes = b"", catable: bool = False,
                  appendable: bool = False, byte_align: bool = False,
-                 magic_number: bool = False):
+                 magic_number: bool = False, stream_offset: int = 0):
         self.params = EncoderParams(
             quality=quality, lgwin=lgwin, mode=mode, lgblock=lgblock,
             catable=catable,
             appendable=appendable, byte_align=byte_align,
-            magic_number=magic_number).sanitize(None)
+            magic_number=magic_number,
+            stream_offset=stream_offset).sanitize(None)
         if chunk_size is None:
             chunk_size = min(1 << self.params.lgblock, 1 << 20)
         # one metablock per chunk: RFC 7932 bounds MLEN at 1<<24
@@ -52,7 +53,10 @@ class Compressor:
         self._context = np.frombuffer(
             bytes(custom_dictionary)[-self.params.window_size:],
             dtype=np.uint8)
-        self._abs_pos = len(self._context)
+        # BROTLI_PARAM_STREAM_OFFSET: positions (and so short-code /
+        # dictionary distance legality) start at the stream's byte
+        # offset within the larger concatenated output
+        self._abs_pos = len(self._context) + self.params.stream_offset
         self._cache = list(C.INITIAL_DISTANCE_CACHE)
         self._started = False
         self._finished = False

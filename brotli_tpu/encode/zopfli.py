@@ -410,6 +410,31 @@ def _finish_parse(n, lcp, cost, prev_start, prev_len, prev_wire,
                   prev_dist):
     """Scan for the cheapest stream close (vectorized) and backtrack
     (shared by the edge-list and candidate-list native DPs)."""
+    from .. import native_bridge as nb
+    if nb.available():
+        import ctypes
+        lib = nb.get_lib()
+        lcp_a = np.ascontiguousarray(lcp, np.float64)
+        cost_a = np.ascontiguousarray(cost, np.float64)
+        ps = np.ascontiguousarray(prev_start, np.int64)
+        pl = np.ascontiguousarray(prev_len, np.int64)
+        pw = np.ascontiguousarray(prev_wire, np.int64)
+        pd = np.ascontiguousarray(prev_dist, np.int64)
+        cap = n + 2
+        oi = np.empty(cap, np.int64)
+        oc = np.empty(cap, np.int64)
+        od = np.empty(cap, np.int64)
+        oa = np.empty(cap, np.int64)
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        F64 = ctypes.POINTER(ctypes.c_double)
+        cnt = lib.zopfli_backtrack_native(
+            ctypes.c_int64(n), lcp_a.ctypes.data_as(F64),
+            cost_a.ctypes.data_as(F64), ps.ctypes.data_as(I64),
+            pl.ctypes.data_as(I64), pw.ctypes.data_as(I64),
+            pd.ctypes.data_as(I64), oi.ctypes.data_as(I64),
+            oc.ctypes.data_as(I64), od.ctypes.data_as(I64),
+            oa.ctypes.data_as(I64))
+        return (oi[:cnt], oc[:cnt], od[:cnt], oa[:cnt])
     cost = np.asarray(cost)
     lcp = np.asarray(lcp)
     adj = np.where(cost[:n] < 1e29, cost[:n] - lcp[:n], np.inf)
@@ -676,7 +701,9 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                              window_size, np.asarray(initial_cache,
                                                      dtype=np.int64))
             result = zopfli_parse(n, lcp, cost_cmd, edges)
-        if result == prev:
+        if prev is not None and all(
+                len(a) == len(b) and np.array_equal(a, b)
+                for a, b in zip(result, prev)):
             break
         if it + 1 < iters:
             r_ins, r_cps, r_dst, r_adv = result

@@ -91,6 +91,7 @@ class BrotliEncoderState:
                 appendable=bool(p.get(BROTLI_PARAM_APPENDABLE, 0)),
                 byte_align=bool(p.get(BROTLI_PARAM_BYTE_ALIGN, 0)),
                 magic_number=bool(p.get(BROTLI_PARAM_MAGIC_NUMBER, 0)),
+                stream_offset=p.get(BROTLI_PARAM_STREAM_OFFSET, 0),
                 custom_dictionary=self._dictionary)
         return self._compressor
 

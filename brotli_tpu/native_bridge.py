@@ -84,6 +84,7 @@ def get_lib():
         _lib.collect_dict_native.restype = ctypes.c_int64
         _lib.zopfli_cands_native.restype = ctypes.c_int64
         _lib.zopfli_dp_cands_native.restype = None
+        _lib.zopfli_backtrack_native.restype = ctypes.c_int64
         _lib.store_metablock_native.restype = ctypes.c_int64
         _lib.encode_metablock_native.restype = ctypes.c_int64
         # public C ABI (capi.cpp / workpool.cpp)

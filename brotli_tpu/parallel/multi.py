@@ -132,7 +132,7 @@ def compress_multi(data, num_parts: int, quality: int = 9,
                           mode=mode).sanitize(len(raw))
         return compress_with_params(raw, p)
 
-    if backend == "workpool":
+    if backend == "workpool" and not favor_cpu_efficiency:
         return _compress_multi_workpool(raw, num_parts, quality, lgwin,
                                         mode)
 

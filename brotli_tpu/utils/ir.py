@@ -74,6 +74,10 @@ class Dict:
 class Literal:
     data: bytes = b""
     high_entropy: bool = False
+    # external-literal-probability feature (reference interface.rs
+    # :378-420 FeatureFlagSliceType): caller-provided per-literal
+    # probabilities riding the IR for downstream recompression research
+    probs: bytes | None = None
 
 
 MODE_NAMES = {0: "lsb6", 1: "msb6", 2: "utf8", 3: "sign"}
@@ -96,7 +100,8 @@ def _switch_types(switch_plan, ntypes):
 
 
 def ir_from_commands(data: np.ndarray, start: int, cmds, plan=None,
-                     pos_offset: int = 0, window_size: int = 1 << 62):
+                     pos_offset: int = 0, window_size: int = 1 << 62,
+                     lit_probs=None):
     """Build the IR command list for one metablock from resolved
     commands (the encoder-side channel, reference process_command_queue,
     brotli_bit_stream.rs:220-418).  With a MetaBlockPlan, block-switch
@@ -139,7 +144,10 @@ def ir_from_commands(data: np.ndarray, start: int, cmds, plan=None,
                 out.append(BlockSwitchLiteral(lit_switches[lit_i][1], 0))
                 lit_i += 1
             n_lit_seen += il
-            out.append(Literal(bytes(data[pos:pos + il])))
+            out.append(Literal(
+                bytes(data[pos:pos + il]),
+                probs=bytes(lit_probs[pos:pos + il])
+                if lit_probs is not None else None))
         pos += il
         abs_pos += il
         if cl:

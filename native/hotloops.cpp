@@ -1510,3 +1510,55 @@ int64_t combined_parse_native(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Zopfli backtrack: cheapest stream close + path walk (the native form
+// of encode/zopfli.py _finish_parse; reference
+// ComputeShortestPathFromNodes, hq.rs:840)
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t zopfli_backtrack_native(
+    int64_t n, const double* lcp, const double* cost,
+    const int64_t* prev_start, const int64_t* prev_len,
+    const int64_t* prev_wire, const int64_t* prev_dist,
+    int64_t* out_ins, int64_t* out_cps, int64_t* out_dst,
+    int64_t* out_adv)
+{
+    double best_adj = 1e300;
+    int64_t best_u = 0;
+    for (int64_t u = 0; u < n; u++) {
+        if (cost[u] < 1e29) {
+            double a = cost[u] - lcp[u];
+            if (a < best_adj) { best_adj = a; best_u = u; }
+        }
+    }
+    int64_t cnt = 0;
+    int64_t pos = n;
+    double end_from_u = best_adj + lcp[n];
+    if (cost[n] >= 1e29 || end_from_u < cost[n]) {
+        out_ins[cnt] = n - best_u;
+        out_cps[cnt] = 0;
+        out_dst[cnt] = 0;
+        out_adv[cnt] = 0;
+        cnt++;
+        pos = best_u;
+    }
+    while (pos > 0) {
+        int64_t u = prev_start[pos];
+        int64_t l = prev_len[pos];
+        out_ins[cnt] = pos - l - u;
+        out_cps[cnt] = prev_wire[pos];
+        out_dst[cnt] = prev_dist[pos];
+        out_adv[cnt] = l;
+        cnt++;
+        pos = u;
+    }
+    // reverse in place
+    for (int64_t i = 0, j = cnt - 1; i < j; i++, j--) {
+        std::swap(out_ins[i], out_ins[j]);
+        std::swap(out_cps[i], out_cps[j]);
+        std::swap(out_dst[i], out_dst[j]);
+        std::swap(out_adv[i], out_adv[j]);
+    }
+    return cnt;
+}

@@ -202,14 +202,16 @@ def test_q9_5_family():
 
 
 def test_golden_sizes():
-    """Compression-ratio regression pins (the analog of the reference's
-    alice q10/q11 golden sizes, integration_tests.rs:404-418).  Bands,
-    not exact bytes: the parse is tuning-sensitive, the ceiling is not."""
+    """Compression-ratio regression pins, EXACT like the reference's
+    alice q10/q11 goldens (integration_tests.rs:404-418): the encoder
+    is deterministic, so any byte drift is a real behavior change and
+    must be re-pinned deliberately (reference goldens for comparison:
+    q10 = 47,488; q11 = 46,493)."""
     data = load("alice29.txt")
-    assert len(compress(data, quality=5)) <= 52_500
-    assert len(compress(data, quality=9)) <= 51_600
-    assert len(compress(data, quality=10)) <= 48_200
-    assert len(compress(data, quality=11)) <= 47_300
+    assert len(compress(data, quality=5)) == 51_930
+    assert len(compress(data, quality=9)) == 51_308
+    assert len(compress(data, quality=10)) == 47_689
+    assert len(compress(data, quality=11)) == 46_975
 
 
 def test_lgblock_changes_metablock_spans():

@@ -135,3 +135,53 @@ def test_prior_eval_and_speeds():
     for _ in range(200):
         m.update(0.9, 0.1)
     assert m.w / 65536.0 > 0.6
+
+
+def test_param_parity_flags():
+    """disable_literal_context_modeling, stream_offset, and
+    avoid_distance_prefix_search are live parameters (reference
+    parameters.rs 4/9 + encode.rs distance search gate)."""
+    from brotli_tpu import compress, decompress
+    data = open(f"{TESTDATA}/alice29.txt", "rb").read()[:60000]
+    plain = compress(data, quality=9)
+    noctx = compress(data, quality=9,
+                     disable_literal_context_modeling=True)
+    assert decompress(noctx) == data
+    # UTF8 text benefits from context modeling; disabling must change
+    # (and generally grow) the stream
+    assert noctx != plain
+    # stream_offset (google/brotli BROTLI_PARAM_STREAM_OFFSET): the
+    # part is only decodable at its declared offset of the larger
+    # stream — concatenate after a prefix part and decode the whole
+    prefix, rest = data[:12345], data[12345:]
+    p0 = compress(prefix, quality=9, appendable=True, byte_align=True,
+                  bare=False)
+    # appendable trailer ends with the empty-last block; strip it so
+    # the catable continuation follows (the byte-aligned '11' trailer
+    # is the final 0x03 byte)
+    assert p0.endswith(b"\x03")
+    p1 = compress(rest, quality=9, catable=True, bare=True,
+                  byte_align=True, stream_offset=len(prefix))
+    whole = p0[:-1] + p1 + b"\x03"
+    assert decompress(whole) == data
+    q11 = compress(data, quality=11)
+    q11_nodps = compress(data, quality=11,
+                         avoid_distance_prefix_search=True)
+    assert decompress(q11_nodps) == data
+
+
+def test_external_literal_probability_rides_ir():
+    """external-literal-probability feature (interface.rs:378-420):
+    caller-supplied per-literal probabilities appear on IR Literal
+    records through the live callback."""
+    import numpy as np
+    from brotli_tpu import compress
+    from brotli_tpu.utils.ir import Literal
+    data = open(f"{TESTDATA}/quickfox", "rb").read()
+    probs = np.arange(len(data), dtype=np.uint8)
+    seen = []
+    compress(data, quality=9, literal_probabilities=probs.tobytes(),
+             metablock_callback=lambda ir, region: seen.extend(
+                 c for c in ir if isinstance(c, Literal)))
+    assert seen and all(c.probs is not None and
+                        len(c.probs) == len(c.data) for c in seen)
