@@ -1,13 +1,25 @@
-"""Benchmark: end-to-end encode throughput of the TPU fast path vs the
-system C brotli engine at the same quality tier, plus compression-ratio
-cross-check at q5/q9 against the C engine (which the reference claims
-bit-parity with at q0-q9; /root/reference/README.md).
+"""Benchmark: production encode+decode round-trip vs the system C
+brotli engine, plus the TPU-offload pipeline, CompressMulti scaling,
+and compression-ratio cross-checks.
+
+Corpus: ~8MiB of DISTINCT mixed content (reference testdata once, Rust
+source text, system binaries) — nothing window-reachable repeats, so
+ratios and match-finder throughput are not flattered (round-1 corpus
+self-repeated; flagged and fixed).
+
+The TPU leg runs in a subprocess with a timeout: the tunneled axon
+chip takes ~10-15 min for the first kernel compile and the experimental
+plugin has crashed the host process under repeated large transfers —
+isolation keeps the headline robust.  Set BROTLI_TPU_BENCH_TPU_TIMEOUT
+(seconds, default 1500) or BROTLI_TPU_BENCH_SKIP_TPU=1.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import glob
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -19,34 +31,69 @@ TESTDATA = "/root/reference/testdata"
 
 
 def build_corpus(target=8 << 20) -> bytes:
-    """Silesia stand-in: mixed text/binary from the reference testdata."""
-    names = ["alice29.txt", "asyoulik.txt", "plrabn12.txt", "lcet10.txt",
-             "random_then_unicode", "monkey", "backward65536",
-             "compressed_file", "random_org_10k.bin"]
-    parts = []
-    total = 0
-    while total < target:
-        for n in names:
-            p = os.path.join(TESTDATA, n)
-            if os.path.exists(p):
-                with open(p, "rb") as f:
-                    b = f.read()
-                parts.append(b)
-                total += len(b)
-            if total >= target:
-                break
+    """Silesia stand-in: mixed text/code/binary, no self-repetition."""
+    parts, total = [], 0
+
+    def add(b):
+        nonlocal total
+        parts.append(b)
+        total += len(b)
+
+    for n in ["alice29.txt", "asyoulik.txt", "random_then_unicode",
+              "monkey", "backward65536", "compressed_file",
+              "random_org_10k.bin", "ukkonooa", "quickfox_repeated"]:
+        p = os.path.join(TESTDATA, n)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                add(f.read())
+    for p in sorted(glob.glob("/root/reference/src/**/*.rs",
+                              recursive=True)):
+        if total >= target:
+            break
+        base = os.path.basename(p)
+        if base in ("static_dict_lut.rs", "log_table_16.rs",
+                    "log_table_8.rs", "dictionary_hash.rs"):
+            continue
+        with open(p, "rb") as f:
+            add(f.read())
+    for p in ["/usr/bin/g++", "/lib/x86_64-linux-gnu/libstdc++.so.6",
+              "/usr/bin/python3"]:
+        if total >= target:
+            break
+        rp = os.path.realpath(p)
+        if os.path.exists(rp):
+            with open(rp, "rb") as f:
+                add(f.read(2 << 20))
     return b"".join(parts)[:target]
 
 
-def bench_c_baseline(data: bytes, quality: int) -> float:
-    """C engine single-thread encode throughput (bytes/s)."""
-    from tests import oracle
-    if not oracle.available():
-        return 0.0
-    oracle.compress(data[:1 << 16], quality=quality)  # warm
+def bench_tpu_subprocess(timeout_s: int):
+    """Run the TPU-offload pipeline in an isolated child process."""
+    code = r"""
+import json, sys, time
+sys.path.insert(0, %r)
+from bench import build_corpus
+from brotli_tpu.encode.tpu_path import compress_tpu
+from brotli_tpu import decompress
+sl = build_corpus()[: 4 << 20]
+out = compress_tpu(sl, quality=9, span=1 << 20)   # compile + warm
+assert decompress(out) == sl
+best = 0.0
+for _ in range(2):
     t0 = time.perf_counter()
-    oracle.compress(data, quality=quality)
-    return len(data) / (time.perf_counter() - t0)
+    compress_tpu(sl, quality=9, span=1 << 20)
+    dt = time.perf_counter() - t0
+    best = max(best, len(sl) / dt / 1e6)
+print(json.dumps({"tpu_q9_enc_MBps": round(best, 2),
+                  "tpu_q9_size": len(out)}))
+""" % os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        line = r.stdout.decode().strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        return {"tpu_q9_enc_MBps": 0.0, "tpu_q9_size": 0}
 
 
 def main():
@@ -54,30 +101,35 @@ def main():
     from tests import oracle
 
     corpus = build_corpus()
-
-    # ---- north-star: q5/q9 encode + decode round-trip throughput ----
-    results = {}
     sl = corpus[: 4 << 20]
+
+    results = {}
     for q in (5, 9):
         compress(sl[: 1 << 16], quality=q)  # warm
-        t0 = time.perf_counter()
-        out = compress(sl, quality=q)
-        enc_dt = time.perf_counter() - t0
-        plain = decompress(out)  # warm decode path too
+        enc_dt = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = compress(sl, quality=q)
+            enc_dt = min(enc_dt, time.perf_counter() - t0)
+        plain = decompress(out)
         assert plain == sl, "round-trip failed"
         dec_dt = 1e9
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             decompress(out)
             dec_dt = min(dec_dt, time.perf_counter() - t0)
 
         if oracle.available():
-            t0 = time.perf_counter()
-            cout = oracle.compress(sl, quality=q)
-            c_enc = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            oracle.decompress(cout, max_size_hint=len(sl))
-            c_dec = time.perf_counter() - t0
+            c_enc = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                cout = oracle.compress(sl, quality=q)
+                c_enc = min(c_enc, time.perf_counter() - t0)
+            c_dec = 1e9
+            for _ in range(5):
+                t0 = time.perf_counter()
+                oracle.decompress(cout, max_size_hint=len(sl))
+                c_dec = min(c_dec, time.perf_counter() - t0)
             c_rt = len(sl) / (c_enc + c_dec)
             size_vs = len(out) / len(cout)
         else:
@@ -91,44 +143,50 @@ def main():
             size_vs_c=round(size_vs, 4),
         )
 
-    # ---- CompressMulti (reference threading/mod.rs parity) ----
+    # ---- CompressMulti via the persistent native WorkerPool ----
     try:
         from brotli_tpu import compress_multi
-        compress_multi(sl[: 1 << 18], 4, quality=9)  # warm
+        compress_multi(sl[: 1 << 18], 4, quality=9, backend="workpool")
         mt = 1e9
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
-            mout = compress_multi(sl, 4, quality=9)
+            mout = compress_multi(sl, 4, quality=9, backend="workpool")
             mt = min(mt, time.perf_counter() - t0)
         assert decompress(mout) == sl
         multi_mbps = round(len(sl) / mt / 1e6, 1)
     except Exception:
         multi_mbps = 0.0
 
-    # ---- TPU fast path (q1 tier) on one chip ----
-    try:
-        from brotli_tpu.encode.fast import compress_fast
-        compress_fast(corpus[: 1 << 22])  # compile
-        t0 = time.perf_counter()
-        fout = compress_fast(corpus)
-        fdt = time.perf_counter() - t0
-        assert decompress(fout) == corpus
-        fast_mbps = round(len(corpus) / fdt / 1e6, 2)
-    except Exception:
-        fast_mbps = 0.0
+    # ---- TPU-offload pipeline (device match finding, host
+    # serialization), isolated subprocess ----
+    if os.environ.get("BROTLI_TPU_BENCH_SKIP_TPU"):
+        tpu = {"tpu_q9_enc_MBps": 0.0, "tpu_q9_size": 0}
+    else:
+        timeout_s = int(os.environ.get(
+            "BROTLI_TPU_BENCH_TPU_TIMEOUT", "1500"))
+        tpu = bench_tpu_subprocess(timeout_s)
 
     q9 = results[9]
+    # the production single-stream path: host native runtime or the
+    # TPU offload, whichever is faster in this environment (the
+    # tunneled dev chip is link-bound; co-located PCIe hosts favor the
+    # offload)
+    tpu_enc = tpu.get("tpu_q9_enc_MBps", 0.0)
+    host_enc = q9["enc_MBps"]
+    prod = "tpu-offload" if tpu_enc > host_enc else "host-native"
     print(json.dumps({
         "metric": "q9 encode+decode round-trip throughput, 4MiB mixed "
-                  "corpus, 1 chip host path (native runtime)",
+                  f"non-repeating corpus, 1 chip ({prod} production "
+                  "path; TPU offload pipeline reported in detail)",
         "value": q9["roundtrip_MBps"],
         "unit": "MB/s",
         "vs_baseline": q9["vs_c_roundtrip"],
         "detail": {
             "q9": q9,
             "q5": results[5],
-            "compress_multi4_enc_MBps": multi_mbps,
-            "tpu_fast_path_MBps": fast_mbps,
+            "workpool_multi4_enc_MBps": multi_mbps,
+            "tpu_offload_q9_enc_MBps": tpu_enc,
+            "tpu_offload_q9_size": tpu.get("tpu_q9_size", 0),
         },
     }))
 

@@ -117,8 +117,10 @@ def _quality_knobs(params: EncoderParams):
         return dict(k=8, bucket_bits=15, k8=4, bucket_bits8=15,
                     hash_len=5)
     if q <= 9:
+        # the full 16-candidate short-code probe set (reference H9
+        # kNumLastDistancesToCheck=16, mod.rs:598)
         return dict(k=24, bucket_bits=16, k8=8, bucket_bits8=16,
-                    hash_len=5)
+                    hash_len=5, n_cache=16)
     return dict(k=24, bucket_bits=18, k8=12)
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core import constants as C
+
 HASH_MUL32 = 0x1E35A7BD
 LITERAL_BYTE_SCORE = 540   # param-tunable (BROTLI_PARAM_LITERAL_BYTE_SCORE)
 DISTANCE_BIT_PENALTY = 30
@@ -139,7 +141,8 @@ def find_best_matches(data: np.ndarray, window_size: int,
                       k8: int = 4, bucket_bits8: int = 18,
                       hash_len: int = 4, min_length: int = 4,
                       literal_byte_score: int = LITERAL_BYTE_SCORE,
-                      dict_len: int = 0, use_dictionary: bool = True):
+                      dict_len: int = 0, use_dictionary: bool = True,
+                      n_cache: int = 4):
     """Best (length, distance, score) per position, vectorized.
 
     Two candidate tables, like the reference's tiered hashers: 4-byte
@@ -308,12 +311,18 @@ def greedy_parse_py(data: np.ndarray, best_len, best_dist, best_score,
     lbs = LITERAL_BYTE_SCORE // 4
     cache = list(initial_cache)
 
+    # short-code candidate count (reference H9
+    # kNumLastDistancesToCheck; native greedy_parse carries it in the
+    # cache_probe_span slot, matching CACHE_PROBE_SPAN here)
+    n_cache = max(1, min(CACHE_PROBE_SPAN, 16))
+
     def cached_match(q, boundary):
-        """Best (len, dist, score) at the 4 cached distances."""
+        """Best (len, dist, score) over the short-code distance
+        candidates cache[idx]+delta (RFC 7932 4)."""
         limit = min(boundary, n) - q
         best = (0, 0, 0)
-        for i in range(4):
-            d = cache[i]
+        for i in range(n_cache):
+            d = cache[int(C.DISTANCE_SHORT_CODE_INDEX[i])] +                 int(C.DISTANCE_SHORT_CODE_DELTA[i])
             if d <= 0 or d > dict_len + q:
                 continue
             lc = _probe_len(data, dict_len + q - d, dict_len + q, limit)

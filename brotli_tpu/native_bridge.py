@@ -582,7 +582,7 @@ def _dict_index_args(use_dictionary):
 
 def combined_parse(data, window_size, boundaries, dict_len=0, pos0=0,
                    initial_cache=(4, 11, 15, 16), k=8, bucket_bits=17,
-                   k8=4, bucket_bits8=18, hash_len=4,
+                   k8=4, bucket_bits8=18, hash_len=4, n_cache=4,
                    literal_byte_score=540, use_dictionary=True):
     """One-pass native search+parse (the reference's
     CreateBackwardReferences shape).  Returns segments like
@@ -604,7 +604,7 @@ def combined_parse(data, window_size, boundaries, dict_len=0, pos0=0,
         ctypes.c_int64(dict_len), ctypes.c_int64(window_size),
         ctypes.c_int64(k), ctypes.c_int64(bucket_bits),
         ctypes.c_int64(k8), ctypes.c_int64(bucket_bits8),
-        ctypes.c_int64(hash_len),
+        ctypes.c_int64(hash_len), ctypes.c_int64(n_cache),
         ctypes.c_int64(literal_byte_score // 4),
         *dict_args,
         _ptr(bnd), ctypes.c_int64(len(bnd)), ctypes.c_int64(pos0),

@@ -32,7 +32,7 @@
 extern "C" {
 int64_t combined_parse_native(
     const uint8_t*, int64_t, int64_t, int64_t, int64_t, int64_t,
-    int64_t, int64_t, int64_t, int64_t,
+    int64_t, int64_t, int64_t, int64_t, int64_t,
     const int64_t*, int64_t, int64_t, const uint8_t*, const int64_t*,
     const int64_t*, const int64_t*, const int64_t*,
     const int64_t*, int64_t, int64_t, const int64_t*,
@@ -271,13 +271,13 @@ static int choose_literal_map(const uint8_t* data, int64_t start,
 // one-shot encode core (port of encoder.compress_with_params, q<=9 tier)
 // ---------------------------------------------------------------------------
 
-struct Knobs { int64_t k, bb, k8, bb8, hl; };
+struct Knobs { int64_t k, bb, k8, bb8, hl, nc; };
 
 static Knobs quality_knobs(int q) {
-    if (q <= 1) return {1, 15, 0, 15, 4};
-    if (q <= 3) return {2, 16, 1, 16, 4};
-    if (q <= 6) return {8, 15, 4, 15, 5};
-    return {24, 16, 8, 16, 5};
+    if (q <= 1) return {1, 15, 0, 15, 4, 4};
+    if (q <= 3) return {2, 16, 1, 16, 4, 4};
+    if (q <= 6) return {8, 15, 4, 15, 5, 4};
+    return {24, 16, 8, 16, 5, 16};
 }
 
 static const int64_t kPoisonedDistance = 0x7FFFFFF0;
@@ -352,7 +352,7 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
         oa(max_cmds), segc(bounds.size());
     int64_t ncmd = combined_parse_native(
         base, total_len, dict_len, window, kn.k, kn.bb, kn.k8, kn.bb8,
-        kn.hl, 135,
+        kn.hl, kn.nc, 135,
         nullptr, 0, 0, nullptr, nullptr, nullptr, nullptr, nullptr,
         bounds.data(), (int64_t)bounds.size(), start, cache,
         oi.data(), oc.data(), od.data(), oa.data(), segc.data(),

@@ -64,6 +64,12 @@ static inline uint64_t load64(const uint8_t* p) {
     uint64_t v; std::memcpy(&v, p, 8); return v;
 }
 
+// the 16 short-code distance candidates (RFC 7932 4: cache[idx]+delta)
+static const int kSCIdx[16] = {0, 1, 2, 3, 0, 0, 0, 0, 0, 0, 1, 1, 1,
+                               1, 1, 1};
+static const int kSCDelta[16] = {0, 0, 0, 0, -1, 1, -2, 2, -3, 3, -1,
+                                 1, -2, 2, -3, 3};
+
 static inline int64_t cache_penalty(int64_t i) {
     return 39 + ((0x1CA10u >> (i & 0x0E)) & 0x0E);
 }
@@ -99,13 +105,18 @@ int64_t greedy_parse_native(
     int64_t insert_start = pos0;
     int64_t n_out = 0;
 
+    // cache_probe_span carries the short-code candidate count (4 for
+    // speed tiers, 16 for quality tiers — reference H9
+    // kNumLastDistancesToCheck, mod.rs:598)
+    int n_cache = (int)std::max<int64_t>(
+        1, std::min<int64_t>(cache_probe_span, 16));
     auto cached_match = [&](int64_t q, int64_t boundary,
                             int64_t* lc_out, int64_t* dc_out) -> int64_t {
         int64_t limit = std::min(boundary, n) - q;
         int64_t bl2 = 0, bd2 = 0, bs2 = 0;
-        for (int i = 0; i < 4; i++) {
-            int64_t d = cache[i];
-            if (d <= 0 || d > dict_len + q) continue;
+        for (int i = 0; i < n_cache; i++) {
+            int64_t d = cache[kSCIdx[i]] + kSCDelta[i];
+            if (d <= 0 || d > dict_len + q || d > window_size) continue;
             int64_t lc = probe_len(data, dict_len + q - d, dict_len + q,
                                    limit);
             if (lc >= 4) {
@@ -1160,6 +1171,7 @@ struct SearchResult {
 
 struct CombinedCtx {
     const uint8_t* data;
+    int64_t n_cache = 4;   // short-code candidates probed per search
     int64_t n;                // total incl. dict prefix
     int64_t dict_len;
     int64_t window;
@@ -1225,11 +1237,14 @@ struct CombinedCtx {
         insert_upto(i);
         if (i + 4 > n) return sr;
         int64_t limit = n - i;
-        // distance-cache candidates (flat bonus scoring); a candidate
-        // can only win if it matches one byte past the current best
-        for (int c = 0; c < 4; c++) {
-            int64_t d = cache[c];
-            if (d <= 0 || d > i) continue;
+        // distance-cache candidates: the full short-code set
+        // (reference H9 kNumLastDistancesToCheck=16, mod.rs:598 —
+        // cache[idx]+delta with last-distance penalties); n_cache is
+        // 4 for speed tiers, 16 for quality tiers.  A candidate can
+        // only win if it matches one byte past the current best.
+        for (int c = 0; c < n_cache; c++) {
+            int64_t d = cache[kSCIdx[c]] + kSCDelta[c];
+            if (d <= 0 || d > i || d > window) continue;
             if (sr.len > 0 && (sr.len >= limit ||
                 data[i - d + sr.len] != data[i + sr.len])) continue;
             int64_t ml = probe_len(data, i - d, i, limit);
@@ -1348,7 +1363,8 @@ extern "C" {
 int64_t combined_parse_native(
     const uint8_t* data, int64_t total_len, int64_t dict_len,
     int64_t window_size, int64_t k, int64_t bucket_bits,
-    int64_t k8, int64_t bucket_bits8, int64_t hash_len, int64_t lbs,
+    int64_t k8, int64_t bucket_bits8, int64_t hash_len,
+    int64_t n_cache, int64_t lbs,
     const int64_t* dict_table, int64_t dict_hash_bits,
     int64_t dict_slots, const uint8_t* dict_words_flat,
     const int64_t* dict_word_len, const int64_t* dict_word_idx,
@@ -1361,6 +1377,7 @@ int64_t combined_parse_native(
     CombinedCtx cx;
     cx.data = data; cx.n = total_len; cx.dict_len = dict_len;
     cx.window = window_size; cx.k = k; cx.k8 = k8; cx.lbs = lbs;
+    cx.n_cache = std::max<int64_t>(1, std::min<int64_t>(n_cache, 16));
     cx.shift4 = (uint32_t)(32 - bucket_bits);
     cx.shift8 = (uint32_t)(64 - bucket_bits8);
     auto pow2 = [](int64_t v) {

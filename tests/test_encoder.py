@@ -209,8 +209,8 @@ def test_golden_sizes():
     q10 = 47,488; q11 = 46,493)."""
     data = load("alice29.txt")
     assert len(compress(data, quality=5)) == 51_930
-    assert len(compress(data, quality=9)) == 51_308
-    assert len(compress(data, quality=10)) == 47_689
+    assert len(compress(data, quality=9)) == 51_305
+    assert len(compress(data, quality=10)) == 47_693
     assert len(compress(data, quality=11)) == 46_975
 
 
