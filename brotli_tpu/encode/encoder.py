@@ -108,6 +108,20 @@ def _quality_knobs(params: EncoderParams):
         return dict(k=1, bucket_bits=15, k8=0)
     if q <= 3:
         return dict(k=2, bucket_bits=16, k8=1)
+    if params.lgwin <= 16 and q >= 4:
+        # small-window presets (the H40/H41/H42 'forgetful chain'
+        # selection, reference ChooseHasher encode.rs:855-862): tiny
+        # windows need small bank-sized tables with bounded-depth
+        # chains — the ring table's fixed k IS the forgetting bound;
+        # depth steps up with quality like the 40/41/42 bank counts
+        if q < 7:
+            return dict(k=4, bucket_bits=14, k8=2, bucket_bits8=14,
+                        hash_len=4)
+        if q < 9:
+            return dict(k=8, bucket_bits=14, k8=4, bucket_bits8=14,
+                        hash_len=4, n_cache=10)
+        return dict(k=16, bucket_bits=15, k8=8, bucket_bits8=15,
+                    hash_len=4, n_cache=16)
     if q <= 6:
         # deeper buckets in smaller (L2-resident) tables beat shallow
         # buckets in big ones (the ring stores are cache-miss bound);

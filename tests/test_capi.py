@@ -118,3 +118,18 @@ def test_abi_quality_levels_and_small_inputs():
                 ctypes.byref(esz), enc)
             assert ok == 1, (len(data), q)
             assert decompress(enc.raw[:esz.value]) == data
+
+
+def test_standalone_ctypes_binding():
+    """bindings/py/brotli_ctypes.py (the reference c/py/brotli.py
+    analog) works without importing the brotli_tpu package."""
+    import importlib.util
+    path = os.path.join(REPO, "bindings", "py", "brotli_ctypes.py")
+    spec = importlib.util.spec_from_file_location("brotli_ctypes", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    data = load("asyoulik.txt")
+    one = mod.compress(data, quality=9)
+    assert mod.decompress(one) == data
+    multi = mod.compress(data * 3, quality=9, num_threads=4)
+    assert mod.decompress(multi) == data * 3
