@@ -685,11 +685,15 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                     params.dist.ndirect)
             cd4 = (cost_dist if cost_dist.ndim == 2
                    else np.tile(cost_dist, (4, 1)))
+            # the wide insert-start queue (reference StartPosQueue)
+            # only pays in the final iteration, once the cost model
+            # has converged; earlier iterations run the 2-start DP
             cost, ps, pl, pw, pd = nb.zopfli_dp_cands(
                 n, lcp, cost_cmd, cds, cd4, prepared, _INS_CODE,
                 C.INSERT_EXTRA, _CMD_SYM.reshape(-1),
                 _CMD_SYM_LAST.reshape(-1), full, dict_len, window_size,
-                np.asarray(initial_cache, dtype=np.int64))
+                np.asarray(initial_cache, dtype=np.int64),
+                n_starts=5 if it == iters - 1 else 2)
             result = _finish_parse(n, lcp, cost, ps, pl, pw, pd)
         else:
             if prepared is None:

@@ -418,7 +418,8 @@ def zopfli_cands(pos, lens, dists, isdict, wire, n, npostfix, ndirect,
 
 def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
                     cands, ins_code, ins_extra, cmd_sym, cmd_sym_last,
-                    data, dict_len, window_size, initial_cache):
+                    data, dict_len, window_size, initial_cache,
+                    n_starts=2):
     """Cache-aware DP over prepared candidates with inline sub-length
     ladder (native zopfli_dp_cands_native)."""
     lib = get_lib()
@@ -438,7 +439,8 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
     node_cache = np.empty(4 * (n + 1), np.int64)
     F64 = ctypes.POINTER(ctypes.c_double)
     lib.zopfli_dp_cands_native(
-        ctypes.c_int64(n), lcp.ctypes.data_as(F64),
+        ctypes.c_int64(n), ctypes.c_int64(n_starts),
+        lcp.ctypes.data_as(F64),
         cost_cmd.ctypes.data_as(F64), cds.ctypes.data_as(F64),
         cd4.ctypes.data_as(F64), ctypes.c_int64(dist_alpha),
         _ptr(cand_off), _ptr(c_len), _ptr(c_wire), _ptr(c_dist),

@@ -860,7 +860,8 @@ void zopfli_dp_cache_native(
 // ---------------------------------------------------------------------------
 
 void zopfli_dp_cands_native(
-    int64_t n, const double* lcp, const double* cost_cmd,
+    int64_t n, int64_t n_starts, const double* lcp,
+    const double* cost_cmd,
     const double* cost_dist_short /* [16] */,
     const double* cost_dist /* [4*alpha] */, int64_t dist_alpha,
     const int64_t* cand_off, const int64_t* c_len,
@@ -883,8 +884,17 @@ void zopfli_dp_cands_native(
     for (int c4 = 0; c4 < 4; c4++)
         node_cache[c4] = initial_cache[c4];
 
-    double best_adj = INF;
-    int64_t best_u = 0;
+    // top-J insert-start queue (reference StartPosQueue, hq.rs:185-256:
+    // the DP relaxes inserts from the 8 best recent starts by adjusted
+    // cost, not just the single running min — the cheapest start for a
+    // given edge depends on the insert-length code, so the adj-min
+    // alone misses parses)
+    constexpr int kStarts = 5;
+    int max_starts = (int)std::max<int64_t>(
+        1, std::min<int64_t>(n_starts, kStarts));
+    double q_adj[kStarts];
+    int64_t q_u[kStarts];
+    int q_n = 0;
 
     auto copy_code_of = [&](int64_t l) -> int {
         static const int64_t base[24] = {2,3,4,5,6,7,8,9,10,12,14,18,22,
@@ -927,15 +937,39 @@ void zopfli_dp_cands_native(
         double c = cost[p];
         if (c < INF) {
             double adj = c - lcp[p];
-            if (adj < best_adj) { best_adj = adj; best_u = p; }
+            // insert into the sorted top-J start queue
+            if (q_n < max_starts || adj < q_adj[q_n - 1]) {
+                int pos = q_n < max_starts ? q_n : max_starts - 1;
+                while (pos > 0 && adj < q_adj[pos - 1]) {
+                    q_adj[pos] = q_adj[pos - 1];
+                    q_u[pos] = q_u[pos - 1];
+                    pos--;
+                }
+                q_adj[pos] = adj;
+                q_u[pos] = p;
+                if (q_n < max_starts) q_n++;
+            }
         }
         struct Start { int64_t u; double base_noins; int64_t il; };
-        Start starts[2];
+        Start starts[kStarts + 1];
         int ns = 0;
-        if (best_adj < INF)
-            starts[ns++] = Start{best_u, best_adj + lcp[p],
-                                 p - best_u};
-        if (c < INF && p != best_u)
+        // per-position probe memo: starts mostly share distance-cache
+        // entries, so identical distances repeat across starts
+        int64_t memo_d[32];
+        int64_t memo_l[32];
+        int memo_n = 0;
+        // only starts within a few bits of the best matter; the margin
+        // keeps the common case at 1-2 starts (the queue's value is
+        // the rare position where a dearer start has a cheaper
+        // insert-length code)
+        for (int qi = 0; qi < q_n; qi++) {
+            if (q_adj[qi] > q_adj[0] + 6.0 && qi > 0) break;
+            starts[ns++] = Start{q_u[qi], q_adj[qi] + lcp[p],
+                                 p - q_u[qi]};
+        }
+        bool have_p = false;
+        for (int qi = 0; qi < q_n; qi++) have_p |= q_u[qi] == p;
+        if (c < INF && !have_p)
             starts[ns++] = Start{p, c, 0};
 
         for (int si = 0; si < ns; si++) {
@@ -955,9 +989,19 @@ void zopfli_dp_cands_native(
             for (int sc = 0; sc < 16; sc++) {
                 int64_t d = cs[sc_idx[sc]] + sc_delta[sc];
                 if (d <= 0 || d > max_distance) continue;
-                int64_t ml = probe_len(data, dict_len + p - d,
-                                       dict_len + p,
-                                       std::min<int64_t>(n - p, 512));
+                int64_t ml = -1;
+                for (int mi = 0; mi < memo_n; mi++)
+                    if (memo_d[mi] == d) { ml = memo_l[mi]; break; }
+                if (ml < 0) {
+                    ml = probe_len(data, dict_len + p - d,
+                                   dict_len + p,
+                                   std::min<int64_t>(n - p, 512));
+                    if (memo_n < 32) {
+                        memo_d[memo_n] = d;
+                        memo_l[memo_n] = ml;
+                        memo_n++;
+                    }
+                }
                 if (ml < 2) continue;
                 int cc = copy_code_of(ml);
                 double edge;
