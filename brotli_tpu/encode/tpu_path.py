@@ -39,15 +39,20 @@ _MAX_INFLIGHT = 3
          static_argnames=("window_size", "halo", "k", "k8"))
 def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
                  k8: int):
-    """Device kernel: packed (len << 26 | dist) per shard position."""
+    """Device kernel: packed (len << 26 | dist) per shard position.
+    Uses the semi-packed matcher (4 compare rounds, two scatters per
+    fold) — the gather-bound kernel's cheapest correct form; the host
+    extends length-capped matches exactly."""
     import jax.numpy as jnp
 
-    from ..ops.matching import MIN_SCORE_DELTA, best_matches_block
-    best_len, best_dist, best_score = best_matches_block(
-        row, window_size, k=k, k8=k8, min_pos=min_pos)
-    keep = best_score > MIN_SCORE_DELTA
+    from ..ops.matching import MIN_SCORE_DELTA, best_matches_packed
+    sl, dist = best_matches_packed(row, window_size, k=k, k8=k8,
+                                   rounds=4, min_pos=min_pos)
+    score = sl >> 6
+    best_len = sl & 63
+    keep = score > MIN_SCORE_DELTA
     packed = jnp.where(keep,
-                       (best_len << LEN_SHIFT) | best_dist,
+                       (best_len << LEN_SHIFT) | dist,
                        0).astype(jnp.int32)
     return packed[halo:]
 
@@ -66,7 +71,6 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
     from ..encode.match import greedy_parse
     from ..encode.metablock import (choose_context_mode,
                                     choose_literal_context_map)
-    from ..ops.matching import LEN_CAP
 
     raw = np.frombuffer(bytes(data), dtype=np.uint8)
     params = EncoderParams(quality=quality, lgwin=lgwin,
@@ -122,9 +126,10 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
         bl = packed >> LEN_SHIFT
         bd = packed & ((1 << LEN_SHIFT) - 1)
         row = rows[j]
-        # exact extension of device length-capped matches
+        # exact extension of device length-capped matches (the packed
+        # kernel compares 4 rounds = 16 bytes)
         if nb.available():
-            capped = bl >= LEN_CAP
+            capped = bl >= 16
             if capped.any():
                 pos_c = np.nonzero(capped)[0]
                 ext = nb.extend_caps(row[:halo + real], 0,

@@ -152,6 +152,77 @@ def _fold_sorted(h: jnp.ndarray, k: int, vs: list, pos: jnp.ndarray,
             jnp.where(upd, p_score, best_score))
 
 
+def _fold_sorted_packed(h, k, vs, window_size, lbs, best, min_pos=0):
+    """Like _fold_sorted but carries (score<<6 | len) and dist as TWO
+    int32 arrays: two scatters back to position space per fold instead
+    of three (gathers and scatters are the kernel's real cost; int64
+    is unavailable — jax x64 stays off on this platform)."""
+    n = h.shape[0]
+    order = jnp.argsort(h, stable=True).astype(jnp.int32)
+    h_s = h[order]
+    vs_s = [v[order] for v in vs]
+    limit_s = (n - order).astype(jnp.int32)
+
+    s_sl = jnp.zeros(n, jnp.int32)   # score<<6 | len
+    s_dist = jnp.zeros(n, jnp.int32)
+    for j in range(1, k + 1):
+        same = jnp.concatenate([jnp.zeros(j, bool), h_s[j:] == h_s[:-j]])
+        cand = jnp.concatenate([jnp.zeros(j, jnp.int32), order[:-j]])
+        dist = order - cand
+        total = jnp.zeros(n, jnp.int32)
+        alive = same
+        for v_s in vs_s:
+            shifted = jnp.concatenate([jnp.zeros(j, v_s.dtype),
+                                       v_s[:-j]])
+            x = v_s ^ shifted
+            nz = x != 0
+            low = x & (~x + np.uint32(1))
+            ctz = jax.lax.population_count(low - np.uint32(1))
+            m = jnp.where(nz, (ctz >> np.uint32(3)).astype(jnp.int32), 4)
+            total = total + jnp.where(alive, m, 0)
+            alive = alive & (m == 4)
+        ml = jnp.minimum(total, limit_s)
+        valid = same & (dist <= window_size) & (ml >= 4) \
+            & (cand >= min_pos)
+        ml = jnp.where(valid, ml, 0)
+        logd = 31 - jax.lax.clz(jnp.maximum(dist, 1))
+        sc = jnp.where(ml > 0, lbs * ml - DISTANCE_BIT_PENALTY * logd, 0)
+        sl = jnp.where(valid, (sc << 6) | ml, 0)
+        upd = sl > s_sl
+        s_sl = jnp.where(upd, sl, s_sl)
+        s_dist = jnp.where(upd, dist, s_dist)
+
+    best_sl, best_dist = best
+    p_sl = jnp.zeros(n, jnp.int32).at[order].set(s_sl)
+    p_dist = jnp.zeros(n, jnp.int32).at[order].set(s_dist)
+    upd = p_sl > best_sl
+    return (jnp.where(upd, p_sl, best_sl),
+            jnp.where(upd, p_dist, best_dist))
+
+
+def best_matches_packed(data: jnp.ndarray, window_size: int, k: int = 16,
+                        k8: int = 8, rounds: int = 4,
+                        literal_byte_score: int = 540, min_pos=0):
+    """Device matcher with semi-packed output: int32 (score<<6 | len)
+    plus int32 dist per position; lengths capped at 4*rounds (the host
+    extends cap hits exactly).  Half the compare rounds and one fewer
+    scatter per fold vs best_matches_block."""
+    n = data.shape[0]
+    v4 = u32_values(data)
+    vs = [v4] + [u32_values_at(data, 4 * r) for r in range(1, rounds)]
+    lbs = literal_byte_score // 4
+    best = (jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32))
+    h4 = v4 * HASH_MUL32 >> np.uint32(32 - 17)
+    best = _fold_sorted_packed(h4, k, vs, window_size, lbs, best,
+                               min_pos)
+    if k8 > 0:
+        h8 = ((v4 * HASH_MUL32) ^ (vs[1] * HASH_MUL32B)) \
+            >> np.uint32(32 - 18)
+        best = _fold_sorted_packed(h8, k8, vs, window_size, lbs, best,
+                                   min_pos)
+    return best
+
+
 def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
                        bucket_bits: int = 17, k8: int = 4,
                        bucket_bits8: int = 18,
