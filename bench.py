@@ -157,6 +157,25 @@ def main():
     except Exception:
         multi_mbps = 0.0
 
+    # ---- batched decode (the serving path: independent streams
+    # across host threads; the GIL releases inside decode_native) ----
+    try:
+        from brotli_tpu.decode.batch import decompress_batch
+        streams = [oracle.compress(corpus[i << 20:(i + 1) << 20],
+                                   quality=9) for i in range(8)] \
+            if oracle.available() else []
+        batch_mbps = 0.0
+        if streams:
+            bt = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = decompress_batch(streams, threads=4)
+                bt = min(bt, time.perf_counter() - t0)
+            assert b"".join(outs) == corpus[: 8 << 20]
+            batch_mbps = round((8 << 20) / bt / 1e6, 0)
+    except Exception:
+        batch_mbps = 0.0
+
     # ---- TPU-offload pipeline (device match finding, host
     # serialization), isolated subprocess ----
     if os.environ.get("BROTLI_TPU_BENCH_SKIP_TPU"):
@@ -185,6 +204,7 @@ def main():
             "q9": q9,
             "q5": results[5],
             "workpool_multi4_enc_MBps": multi_mbps,
+            "batch_decode4_MBps": batch_mbps,
             "tpu_offload_q9_enc_MBps": tpu_enc,
             "tpu_offload_q9_size": tpu.get("tpu_q9_size", 0),
         },

@@ -127,6 +127,21 @@ static inline int decode_tab(BitReader& br, const int32_t* tab) {
     return e >> 4;
 }
 
+// 10-bit-root variant for the big alphabets (704-symbol commands,
+// wide distance codes): a 1024-entry root resolves most symbols in
+// one load where the 512-entry root would chase a subtable
+static inline int decode_tab10(BitReader& br, const int32_t* tab) {
+    uint64_t bits = br.peek(15);
+    int32_t e = tab[bits & 1023];
+    int l = e & 15;
+    if (__builtin_expect(l > 10, 0)) {
+        e = tab[(e >> 4) + ((bits >> 10) & ((1u << (l - 10)) - 1))];
+        l = e & 15;
+    }
+    br.skip(l);
+    return e >> 4;
+}
+
 struct TableArena {
     int32_t* mem;
     int64_t cap;
@@ -207,7 +222,8 @@ static int read_clcode_len(BitReader& br) {
 
 // build flat decode table from code lengths; returns false on corrupt
 static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
-                        TableArena& arena) {
+                        TableArena& arena, int root_bits = 9) {
+    const int root_size = 1 << root_bits;
     int nz = 0, single = -1, maxlen = 0;
     int64_t space = 0;
     for (int i = 0; i < n; i++) {
@@ -223,16 +239,16 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
         // 0-bit code: constant root (decode skips 0 bits)
         pt.single = single;
         pt.max_len = 0;
-        pt.tab = arena.alloc(512);
+        pt.tab = arena.alloc(root_size);
         if (!pt.tab) return false;
-        for (int i = 0; i < 512; i++)
+        for (int i = 0; i < root_size; i++)
             pt.tab[i] = (int32_t)(single << 4);
         return true;
     }
     if (space != (1ll << 15)) return false;  // not Kraft-complete
     pt.single = -1;
     pt.max_len = maxlen;
-    pt.tab = arena.alloc(512);
+    pt.tab = arena.alloc(root_size);
     if (!pt.tab) return false;
     // canonical code assignment, LSB-first
     int count[16] = {0};
@@ -244,10 +260,11 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
         code = (code + count[l - 1]) << 1;
         next_code[l] = code;
     }
-    // per-prefix subtable depth for codes longer than ROOT_BITS
-    int sub_bits[512];
-    bool any_long = maxlen > 9;
-    if (any_long) std::memset(sub_bits, 0, sizeof(sub_bits));
+    // per-prefix subtable depth for codes longer than root_bits
+    int sub_bits[1024];
+    bool any_long = maxlen > root_bits;
+    if (any_long)
+        std::memset(sub_bits, 0, root_size * sizeof(int));
     std::vector<std::pair<int32_t, int32_t>> longs;  // (rev_code, sym)
     for (int i = 0; i < n; i++) {
         int l = lengths[i];
@@ -255,34 +272,32 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
         int64_t c = next_code[l]++;
         int64_t r = 0;
         for (int b = 0; b < l; b++) r |= ((c >> b) & 1) << (l - 1 - b);
-        if (l <= 9) {
+        if (l <= root_bits) {
             int64_t step = 1ll << l;
-            for (int64_t idx = r; idx < 512; idx += step)
+            for (int64_t idx = r; idx < root_size; idx += step)
                 pt.tab[idx] = (int32_t)((i << 4) | l);
         } else {
-            int p = (int)(r & 511);
-            sub_bits[p] = std::max(sub_bits[p], l - 9);
+            int p = (int)(r & (root_size - 1));
+            sub_bits[p] = std::max(sub_bits[p], l - root_bits);
             longs.push_back({(int32_t)r, (int32_t)i});
         }
     }
     if (any_long) {
-        int32_t sub_base[512];
-        for (int p = 0; p < 512; p++) {
+        int32_t sub_base[1024];
+        for (int p = 0; p < root_size; p++) {
             if (!sub_bits[p]) continue;
             int32_t* sub = arena.alloc(1ll << sub_bits[p]);
             if (!sub) return false;
             sub_base[p] = (int32_t)(sub - pt.tab);
-            pt.tab[p] = (sub_base[p] << 4) | (9 + sub_bits[p]);
+            pt.tab[p] = (sub_base[p] << 4) | (root_bits + sub_bits[p]);
         }
         for (auto& [r, sym] : longs) {
-            int l = 0;
-            // recover length: stored below; recompute from lengths[]
-            l = lengths[sym];
-            int p = r & 511;
+            int l = lengths[sym];
+            int p = r & (root_size - 1);
             int sb = sub_bits[p];
             int32_t* sub = pt.tab + sub_base[p];
-            int64_t hi = (r >> 9) & ((1 << sb) - 1);
-            int64_t step = 1ll << (l - 9);
+            int64_t hi = (r >> root_bits) & ((1 << sb) - 1);
+            int64_t step = 1ll << (l - root_bits);
             for (int64_t idx = hi; idx < (1ll << sb); idx += step)
                 sub[idx] = (int32_t)((sym << 4) | l);
         }
@@ -292,7 +307,8 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
 
 // read a prefix code description (RFC 3.4/3.5) into lengths[n]
 static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
-                            PrefixTable& pt, TableArena& arena) {
+                            PrefixTable& pt, TableArena& arena,
+                            int root_bits = 9) {
     std::memset(lengths, 0, n);
     int hskip = (int)br.read(2);
     if (br.over()) return -1;
@@ -324,7 +340,8 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
                 for (int i = 0; i < 4; i++) lengths[syms[i]] = 2;
             }
         }
-        if (!build_table(pt, lengths, n, arena)) return br.over() ? -1 : -2;
+        if (!build_table(pt, lengths, n, arena, root_bits))
+            return br.over() ? -1 : -2;
         return 0;
     }
     // complex
@@ -383,7 +400,8 @@ static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
         }
     }
     if (sym_space != 32768) return br.over() ? -1 : -2;
-    if (!build_table(pt, lengths, n, arena)) return br.over() ? -1 : -2;
+    if (!build_table(pt, lengths, n, arena, root_bits))
+        return br.over() ? -1 : -2;
     return 0;
 }
 
@@ -668,13 +686,13 @@ int64_t decode_native(
         for (int t = 0; t < I.num_types; t++) {
             cmd_pt[t] = PrefixTable();
             if ((r = read_prefix_code(br, big_scratch, 704, cmd_pt[t],
-                                      arena)))
+                                      arena, 10)))
                 return r;
         }
         for (int t = 0; t < ntrees_d; t++) {
             dist_pt[t] = PrefixTable();
             if ((r = read_prefix_code(br, big_scratch, dist_alpha,
-                                      dist_pt[t], arena)))
+                                      dist_pt[t], arena, 10)))
                 return r;
         }
 
@@ -712,10 +730,11 @@ int64_t decode_native(
             // symbol plus both length extras in all but pathological
             // cases (one refill check, one dependent shift chain)
             uint64_t w = br.peek(57);
-            int32_t e = cmd_tab[w & 511];
+            int32_t e = cmd_tab[w & 1023];
             int cl = e & 15;
-            if (__builtin_expect(cl > 9, 0)) {
-                e = cmd_tab[(e >> 4) + ((w >> 9) & ((1u << (cl - 9)) - 1))];
+            if (__builtin_expect(cl > 10, 0)) {
+                e = cmd_tab[(e >> 4) +
+                            ((w >> 10) & ((1u << (cl - 10)) - 1))];
                 cl = e & 15;
             }
             int cmd = e >> 4;
@@ -807,11 +826,11 @@ int64_t decode_native(
                 // 57-bit window in the common case
                 const int32_t* dtab = dist_roots[drow[dctx]];
                 uint64_t wd = br.peek(57);
-                int32_t de = dtab[wd & 511];
+                int32_t de = dtab[wd & 1023];
                 int dl = de & 15;
-                if (__builtin_expect(dl > 9, 0)) {
+                if (__builtin_expect(dl > 10, 0)) {
                     de = dtab[(de >> 4) +
-                              ((wd >> 9) & ((1u << (dl - 9)) - 1))];
+                              ((wd >> 10) & ((1u << (dl - 10)) - 1))];
                     dl = de & 15;
                 }
                 dcode = de >> 4;
