@@ -286,6 +286,52 @@ def BrotliDecoderDecompress(data: bytes):
         return None
 
 
+class BrotliDecoderReturnInfo:
+    """Mirror of BrotliDecoderReturnInfoStruct
+    (reference c/brotli/decode.h:128-133)."""
+
+    def __init__(self, decoded_size=0, error="", result=0, code=0):
+        self.decoded_size = decoded_size
+        self.error = error
+        self.result = result
+        self.code = code
+
+
+def BrotliDecoderDecompressWithReturnInfo(data: bytes, decoded_buffer
+                                          ) -> BrotliDecoderReturnInfo:
+    """Decode into a caller-provided writable buffer (bytearray /
+    memoryview / numpy u8), returning size + result + error detail
+    instead of raising (reference decode.h:223-227)."""
+    from . import native_bridge
+    try:
+        if native_bridge.available():
+            n = native_bridge.decode_into(data, decoded_buffer)
+        else:
+            from .decode.decoder import decompress as _py_decompress
+            out = _py_decompress(bytes(data))
+            if len(out) > len(memoryview(decoded_buffer)):
+                raise BufferError("output buffer too small")
+            memoryview(decoded_buffer)[:len(out)] = out
+            n = len(out)
+        return BrotliDecoderReturnInfo(
+            decoded_size=n, result=BROTLI_DECODER_RESULT_SUCCESS)
+    except BufferError as e:
+        return BrotliDecoderReturnInfo(
+            error=str(e), result=BROTLI_DECODER_RESULT_ERROR, code=-1)
+    except Exception as e:
+        return BrotliDecoderReturnInfo(
+            error=str(e)[:255], result=BROTLI_DECODER_RESULT_ERROR,
+            code=-2)
+
+
+def BrotliDecoderDecompressPrealloc(data: bytes, decoded_buffer
+                                    ) -> BrotliDecoderReturnInfo:
+    """Allocation-free decode into a preallocated buffer (reference
+    decode.h:229-237).  The native runtime reuses a shared table arena,
+    so no per-call scratch parameters are needed."""
+    return BrotliDecoderDecompressWithReturnInfo(data, decoded_buffer)
+
+
 def BrotliDecoderDecompressStream(state, data: bytes) -> int:
     return state.decompress_stream(data)
 

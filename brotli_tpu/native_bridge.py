@@ -186,6 +186,33 @@ def decode(data: bytes, custom_dictionary: bytes = b"",
         return out[:r].tobytes()
 
 
+def decode_into(data: bytes, out, custom_dictionary: bytes = b"",
+                large_window: bool = False) -> int:
+    """Preallocated decode (reference BrotliDecoderDecompressPrealloc,
+    decode.h): decode into the caller's buffer, no allocation beyond
+    the shared table arena.  Returns the decoded length; raises
+    BufferError if the buffer is too small, ValueError on corrupt or
+    truncated input."""
+    global _table_mem
+    lib = get_lib()
+    if _table_mem is None:
+        _table_mem = np.zeros(1 << 23, dtype=np.int32)
+    src = np.frombuffer(bytes(data), dtype=np.uint8)
+    cd = np.frombuffer(bytes(custom_dictionary), dtype=np.uint8)
+    out_arr = np.frombuffer(out, dtype=np.uint8)
+    r = lib.decode_native(
+        _ptr(src, U8), ctypes.c_int64(len(src)),
+        out_arr.ctypes.data_as(U8), ctypes.c_int64(len(out_arr)),
+        _ptr(cd, U8) if len(cd) else ctypes.POINTER(ctypes.c_uint8)(),
+        ctypes.c_int64(len(cd)), ctypes.c_int64(int(large_window)),
+        _ptr(_table_mem), ctypes.c_int64(len(_table_mem)))
+    if r == -3:
+        raise BufferError("output buffer too small")
+    if r < 0:
+        raise ValueError(int(r))
+    return int(r)
+
+
 def available() -> bool:
     return get_lib() is not None
 

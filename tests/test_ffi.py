@@ -64,6 +64,26 @@ def test_decoder_error_path():
     assert ffi.BrotliDecoderErrorString(st) != "NO_ERROR"
 
 
+def test_decoder_prealloc_decode():
+    data = load("alice29.txt")
+    comp = load("alice29.txt.compressed")
+    buf = bytearray(len(data))
+    info = ffi.BrotliDecoderDecompressPrealloc(comp, buf)
+    assert info.result == ffi.BROTLI_DECODER_RESULT_SUCCESS
+    assert info.decoded_size == len(data)
+    assert bytes(buf[:info.decoded_size]) == data
+    # too-small buffer reports an error instead of raising
+    small = bytearray(100)
+    info = ffi.BrotliDecoderDecompressWithReturnInfo(comp, small)
+    assert info.result == ffi.BROTLI_DECODER_RESULT_ERROR
+    assert info.error
+    # corrupt input
+    bad = bytearray(comp)
+    bad[40:60] = b"\xff" * 20
+    info = ffi.BrotliDecoderDecompressPrealloc(bytes(bad), bytearray(len(data)))
+    assert info.result == ffi.BROTLI_DECODER_RESULT_ERROR
+
+
 def test_compress_multi_ffi():
     data = load("asyoulik.txt")
     out = ffi.BrotliEncoderCompressMulti(data, 4, quality=7)
