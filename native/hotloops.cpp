@@ -884,60 +884,61 @@ void zopfli_dp_cands_native(
     for (int c4 = 0; c4 < 4; c4++)
         node_cache[c4] = initial_cache[c4];
 
-    // top-J insert-start queue (reference StartPosQueue, hq.rs:185-256:
-    // the DP relaxes inserts from the 8 best recent starts by adjusted
-    // cost, not just the single running min — the cheapest start for a
-    // given edge depends on the insert-length code, so the adj-min
-    // alone misses parses)
+    // top-J insert-start queue (reference StartPosQueue, hq.rs:185-256)
     constexpr int kStarts = 5;
     int max_starts = (int)std::max<int64_t>(
         1, std::min<int64_t>(n_starts, kStarts));
+    // early cost-model iterations probe only the 4 plain cache
+    // distances; the final (wide-queue) iteration probes all 16
+    // short-code variants (reference kNumLastDistancesToCheck)
+    int n_sc = n_starts >= 5 ? 16 : 4;
     double q_adj[kStarts];
     int64_t q_u[kStarts];
     int q_n = 0;
 
-    auto copy_code_of = [&](int64_t l) -> int {
+    // copy-length -> copy code, tabulated (RFC 7932 insert-and-copy
+    // length code bases; lengths >= 2118 are all code 23)
+    struct CCTab { uint8_t v[2118]; };
+    static const CCTab cct = [] {
         static const int64_t base[24] = {2,3,4,5,6,7,8,9,10,12,14,18,22,
                                          30,38,54,70,102,134,198,326,
                                          582,1094,2118};
-        int lo = 0, hi = 23;
-        while (lo < hi) {
-            int mid = (lo + hi + 1) >> 1;
-            if (base[mid] <= l) lo = mid; else hi = mid - 1;
+        CCTab t{};
+        int code = 0;
+        for (int64_t l = 2; l < 2118; l++) {
+            while (code < 23 && base[code + 1] <= l) code++;
+            t.v[l] = (uint8_t)code;
         }
-        return lo;
+        return t;
+    }();
+    auto copy_code_of = [&](int64_t l) -> int {
+        return l < 2118 ? (int)cct.v[l] : 23;
     };
     static const int copy_extra_tab[24] = {0,0,0,0,0,0,0,0,1,1,2,2,3,3,
                                            4,4,5,5,6,7,8,9,10,24};
     static const int64_t subs[14] = {4,5,6,8,10,13,16,22,32,48,64,96,
                                      128,192};
+    // copy codes of the fixed ladder sub-lengths (all < 2118)
+    static const int sub_cc[14] = {2,3,4,6,8,9,10,12,13,14,15,16,17,18};
 
-    auto relax = [&](int64_t p, int64_t u, double start_cost,
-                     int64_t tgt, int64_t adv, int64_t wire, int64_t d,
-                     double edge_cost, int dcode) {
-        if (tgt > n) return;
-        double t = start_cost + edge_cost;
-        if (t >= cost[tgt]) return;
-        cost[tgt] = t;
-        prev_start[tgt] = u;
-        prev_len[tgt] = adv;
-        prev_wire[tgt] = wire;
-        prev_dist[tgt] = d;
-        const int64_t* cs = node_cache + 4 * u;
-        int64_t* ct = node_cache + 4 * tgt;
-        int64_t max_distance = std::min(dict_len + p, window_size);
-        if (dcode != 0 && d <= max_distance) {
-            ct[0] = d; ct[1] = cs[0]; ct[2] = cs[1]; ct[3] = cs[2];
-        } else {
-            ct[0] = cs[0]; ct[1] = cs[1]; ct[2] = cs[2]; ct[3] = cs[3];
-        }
-    };
+    // cross-position probe memo: m(p+1, d) == m(p, d) - 1 exactly
+    // whenever m(p, d) >= 1 and the probe was not truncated by its
+    // cap, so cached lengths carry forward with a decrement (the
+    // reference gets the same effect from ComputeDistanceShortcut,
+    // hq.rs:422)
+    constexpr int kMemo = 24;
+    int64_t memo_d[kMemo];
+    int32_t memo_l[kMemo];
+    uint8_t memo_capped[kMemo];
+    int memo_n = 0;
+    int memo_w = 0;  // ring write index once full
 
     for (int64_t p = 0; p < n; p++) {
+        memo_n = 0;
+        memo_w = 0;
         double c = cost[p];
         if (c < INF) {
             double adj = c - lcp[p];
-            // insert into the sorted top-J start queue
             if (q_n < max_starts || adj < q_adj[q_n - 1]) {
                 int pos = q_n < max_starts ? q_n : max_starts - 1;
                 while (pos > 0 && adj < q_adj[pos - 1]) {
@@ -953,15 +954,7 @@ void zopfli_dp_cands_native(
         struct Start { int64_t u; double base_noins; int64_t il; };
         Start starts[kStarts + 1];
         int ns = 0;
-        // per-position probe memo: starts mostly share distance-cache
-        // entries, so identical distances repeat across starts
-        int64_t memo_d[32];
-        int64_t memo_l[32];
-        int memo_n = 0;
-        // only starts within a few bits of the best matter; the margin
-        // keeps the common case at 1-2 starts (the queue's value is
-        // the rare position where a dearer start has a cheaper
-        // insert-length code)
+        // only starts within a few bits of the best matter
         for (int qi = 0; qi < q_n; qi++) {
             if (q_adj[qi] > q_adj[0] + 6.0 && qi > 0) break;
             starts[ns++] = Start{q_u[qi], q_adj[qi] + lcp[p],
@@ -972,21 +965,44 @@ void zopfli_dp_cands_native(
         if (c < INF && !have_p)
             starts[ns++] = Start{p, c, 0};
 
+        int64_t max_distance = std::min(dict_len + p, window_size);
+        int64_t probe_cap = std::min<int64_t>(n - p, 512);
+        int64_t e0 = cand_off[p], e1 = cand_off[p + 1];
+
         for (int si = 0; si < ns; si++) {
             const Start& st = starts[si];
             const int64_t* cs = node_cache + 4 * st.u;
             int ic = st.il < 65536 ? (int)ins_code_tab[st.il] : 23;
-            double ins_cost = (double)ins_extra_tab[ic];
-            int64_t max_distance = std::min(dict_len + p, window_size);
+            double base_i = st.base_noins + (double)ins_extra_tab[ic];
+            const int64_t* cmd_row = cmd_sym_tab + ic * 24;
+            const int64_t* cmd_row_last = cmd_sym_last_tab + ic * 24;
+            bool ic_last_ok = ic < 8;
 
-            // all 16 short-code variants: the 4 cached distances plus
-            // the +-1/2/3 offsets of the last two (RFC 4; the reference
-            // DP probes the same 16, hq.rs kDistanceCacheIndex/Offset)
+            auto relax = [&](int64_t tgt, double t, int64_t adv,
+                             int64_t wire, int64_t d, bool push) {
+                if (tgt > n || t >= cost[tgt]) return;
+                cost[tgt] = t;
+                prev_start[tgt] = st.u;
+                prev_len[tgt] = adv;
+                prev_wire[tgt] = wire;
+                prev_dist[tgt] = d;
+                int64_t* ct = node_cache + 4 * tgt;
+                if (push) {
+                    ct[0] = d; ct[1] = cs[0]; ct[2] = cs[1];
+                    ct[3] = cs[2];
+                } else {
+                    ct[0] = cs[0]; ct[1] = cs[1]; ct[2] = cs[2];
+                    ct[3] = cs[3];
+                }
+            };
+
+            // all 16 short-code variants (RFC 7932 4; reference
+            // kDistanceCacheIndex/Offset, hq.rs)
             static const int sc_idx[16] = {0, 1, 2, 3, 0, 0, 0, 0, 0, 0,
                                            1, 1, 1, 1, 1, 1};
             static const int sc_delta[16] = {0, 0, 0, 0, -1, 1, -2, 2,
                                              -3, 3, -1, 1, -2, 2, -3, 3};
-            for (int sc = 0; sc < 16; sc++) {
+            for (int sc = 0; sc < n_sc; sc++) {
                 int64_t d = cs[sc_idx[sc]] + sc_delta[sc];
                 if (d <= 0 || d > max_distance) continue;
                 int64_t ml = -1;
@@ -994,72 +1010,107 @@ void zopfli_dp_cands_native(
                     if (memo_d[mi] == d) { ml = memo_l[mi]; break; }
                 if (ml < 0) {
                     ml = probe_len(data, dict_len + p - d,
-                                   dict_len + p,
-                                   std::min<int64_t>(n - p, 512));
-                    if (memo_n < 32) {
-                        memo_d[memo_n] = d;
-                        memo_l[memo_n] = ml;
-                        memo_n++;
-                    }
+                                   dict_len + p, probe_cap);
+                    int slot;
+                    if (memo_n < kMemo) slot = memo_n++;
+                    else { slot = memo_w; memo_w = (memo_w + 1) % kMemo; }
+                    memo_d[slot] = d;
+                    memo_l[slot] = (int32_t)ml;
+                    memo_capped[slot] = ml == probe_cap;
                 }
                 if (ml < 2) continue;
                 int cc = copy_code_of(ml);
-                double edge;
-                int dcode;
-                if (sc == 0 && ic < 8 && cc < 16) {
-                    edge = ins_cost + copy_extra_tab[cc] +
-                           cost_cmd[cmd_sym_last_tab[ic * 24 + cc]];
-                    dcode = 0;
+                if (sc == 0 && ic_last_ok && cc < 16) {
+                    relax(p + ml,
+                          base_i + copy_extra_tab[cc] +
+                              cost_cmd[cmd_row_last[cc]],
+                          ml, ml, d, false);
                 } else {
-                    edge = ins_cost + copy_extra_tab[cc] +
-                           cost_cmd[cmd_sym_tab[ic * 24 + cc]] +
-                           cost_dist_short[sc];
-                    dcode = sc;
+                    relax(p + ml,
+                          base_i + copy_extra_tab[cc] +
+                              cost_cmd[cmd_row[cc]] +
+                              cost_dist_short[sc],
+                          ml, ml, d, sc != 0);
                 }
-                relax(p, st.u, st.base_noins, p + ml, ml, ml, d, edge,
-                      dcode);
             }
 
-            int64_t e0 = cand_off[p], e1 = cand_off[p + 1];
             for (int64_t e = e0; e < e1; e++) {
                 int64_t L = c_len[e];
                 int64_t d = c_dist[e];
                 int64_t sym = c_sym[e];
-                int64_t nb = c_nbits[e];
+                double nb = (double)c_nbits[e];
                 uint8_t fl = c_flags[e];
                 int sc = d <= max_distance ? short_code_of(d, cs) : -1;
+                bool in_window = d <= max_distance;
 
-                auto try_len = [&](int64_t adv, int64_t wirev) {
-                    int cc = copy_code_of(wirev);
-                    int dctx = (int)(wirev < 5 ? wirev - 2 : 3);
-                    double dcost =
-                        cost_dist[dctx * dist_alpha + sym] + nb;
-                    double edge;
-                    int dcode;
-                    if (sc == 0 && ic < 8 && cc < 16) {
-                        edge = ins_cost + copy_extra_tab[cc] +
-                               cost_cmd[cmd_sym_last_tab[ic * 24 + cc]];
-                        dcode = 0;
-                    } else if (sc > 0) {
-                        edge = ins_cost + copy_extra_tab[cc] +
-                               cost_dist_short[sc] +
-                               cost_cmd[cmd_sym_tab[ic * 24 + cc]];
-                        dcode = sc;
-                    } else {
-                        edge = ins_cost + dcost + copy_extra_tab[cc] +
-                               cost_cmd[cmd_sym_tab[ic * 24 + cc]];
-                        dcode = 16;
+                if (sc > 0) {
+                    // all lengths priced through the short code
+                    double base_s = base_i + cost_dist_short[sc];
+                    auto go = [&](int64_t adv, int64_t wirev) {
+                        int cc = copy_code_of(wirev);
+                        relax(p + adv,
+                              base_s + copy_extra_tab[cc] +
+                                  cost_cmd[cmd_row[cc]],
+                              adv, wirev, d, true);
+                    };
+                    go(L, c_wire[e]);
+                    if (fl & 2) {
+                        if (L > 4) go(L - 1, L - 1);
+                        if (L > 5) go(L - 2, L - 2);
+                        for (int s2 = 0; s2 < 14 && subs[s2] < L; s2++)
+                            go(subs[s2], subs[s2]);
                     }
-                    relax(p, st.u, st.base_noins, p + adv, adv, wirev,
-                          d, edge, dcode);
-                };
-
-                try_len(L, c_wire[e]);
-                if (fl & 2) {  // laddered window candidate
-                    if (L > 4) try_len(L - 1, L - 1);
-                    if (L > 5) try_len(L - 2, L - 2);
-                    for (int si2 = 0; si2 < 14 && subs[si2] < L; si2++)
-                        try_len(subs[si2], subs[si2]);
+                } else if (sc == 0 && ic_last_ok) {
+                    // last-distance command symbols for cc<16, full
+                    // pricing beyond
+                    double full3 = base_i + nb +
+                                   cost_dist[3 * dist_alpha + sym];
+                    auto go = [&](int64_t adv, int64_t wirev, int cc) {
+                        if (cc < 16) {
+                            relax(p + adv,
+                                  base_i + copy_extra_tab[cc] +
+                                      cost_cmd[cmd_row_last[cc]],
+                                  adv, wirev, d, false);
+                        } else {
+                            relax(p + adv,
+                                  full3 + copy_extra_tab[cc] +
+                                      cost_cmd[cmd_row[cc]],
+                                  adv, wirev, d, in_window);
+                        }
+                    };
+                    go(L, c_wire[e], copy_code_of(c_wire[e]));
+                    if (fl & 2) {
+                        if (L > 4) go(L - 1, L - 1, copy_code_of(L - 1));
+                        if (L > 5) go(L - 2, L - 2, copy_code_of(L - 2));
+                        for (int s2 = 0; s2 < 14 && subs[s2] < L; s2++)
+                            go(subs[s2], subs[s2], sub_cc[s2]);
+                    }
+                } else {
+                    // full distance pricing, context-conditioned on the
+                    // copy length (dctx = min(wire,5)-2 clamped to 3)
+                    const double* cd = cost_dist + sym;
+                    double f0 = base_i + nb + cd[0];
+                    double f1 = base_i + nb + cd[dist_alpha];
+                    double f2 = base_i + nb + cd[2 * dist_alpha];
+                    double f3 = base_i + nb + cd[3 * dist_alpha];
+                    auto go = [&](int64_t adv, int64_t wirev, int cc) {
+                        double base_f =
+                            wirev >= 5 ? f3
+                                       : (wirev == 4 ? f2
+                                                     : (wirev == 3 ? f1
+                                                                   : f0));
+                        relax(p + adv,
+                              base_f + copy_extra_tab[cc] +
+                                  cost_cmd[cmd_row[cc]],
+                              adv, wirev, d, in_window);
+                    };
+                    go(L, c_wire[e], copy_code_of(c_wire[e]));
+                    if (fl & 2) {
+                        if (L > 4) go(L - 1, L - 1, copy_code_of(L - 1));
+                        if (L > 5) go(L - 2, L - 2, copy_code_of(L - 2));
+                        for (int s2 = 0; s2 < 14 && subs[s2] < L; s2++)
+                            go(subs[s2], subs[s2], sub_cc[s2]);
+                    }
                 }
             }
         }
