@@ -494,32 +494,59 @@ def _backtrack(n, lcp_l, cost, prev_start, prev_len, prev_wire,
 
 
 def _collect_candidates(full, window_size, dict_len, literal_byte_score,
-                        use_dictionary):
-    """Per-position candidate rows: deep hash-4, deep hash-8, dict."""
+                        use_dictionary, executor=None):
+    """Per-position candidate rows: deep hash-4, deep hash-8, dict.
+    The three table passes are independent native calls (ctypes drops
+    the GIL), so with an executor they run concurrently."""
     from .. import native_bridge as nb
     outs = []
     if nb.available():
-        # deep table with runner-up (2 diverse rows from one pass)
-        bl, bd, bs, isd, bw, b2l, b2d = nb.find_best_matches(
-            full, window_size, dict_len=dict_len,
-            literal_byte_score=literal_byte_score,
-            k=64, bucket_bits=15, k8=0, use_dictionary=False,
-            want_top2=True)
-        outs.append((bl, bd, isd, bw))
-        outs.append((b2l, b2d, np.zeros(len(b2l), bool), b2l))
+        def deep():
+            # deep table with runner-up (2 diverse rows from one pass)
+            return nb.find_best_matches(
+                full, window_size, dict_len=dict_len,
+                literal_byte_score=literal_byte_score,
+                k=64, bucket_bits=15, k8=0, use_dictionary=False,
+                want_top2=True)
+        shallow_kws = (dict(k=12, bucket_bits=14, k8=0,
+                            use_dictionary=False),
+                       dict(k=1, bucket_bits=17, k8=24,
+                            use_dictionary=use_dictionary))
+
+        def shallow(kw):
+            return find_best_matches(
+                full, window_size, dict_len=dict_len,
+                literal_byte_score=literal_byte_score, **kw)
+        if executor is not None:
+            futs = [executor.submit(deep)] + [
+                executor.submit(shallow, kw) for kw in shallow_kws]
+            bl, bd, bs, isd, bw, b2l, b2d = futs[0].result()
+            outs.append((bl, bd, isd, bw))
+            outs.append((b2l, b2d, np.zeros(len(b2l), bool), b2l))
+            for f in futs[1:]:
+                bl, bd, bs, isd, bw = f.result()
+                outs.append((bl, bd, isd, bw))
+        else:
+            bl, bd, bs, isd, bw, b2l, b2d = deep()
+            outs.append((bl, bd, isd, bw))
+            outs.append((b2l, b2d, np.zeros(len(b2l), bool), b2l))
+            for kw in shallow_kws:
+                bl, bd, bs, isd, bw = shallow(kw)
+                outs.append((bl, bd, isd, bw))
     else:
         bl, bd, bs, isd, bw = find_best_matches(
             full, window_size, dict_len=dict_len,
             literal_byte_score=literal_byte_score,
             k=64, bucket_bits=15, k8=0, use_dictionary=False)
         outs.append((bl, bd, isd, bw))
-    for kw in (dict(k=12, bucket_bits=14, k8=0, use_dictionary=False),
-               dict(k=1, bucket_bits=17, k8=24,
-                    use_dictionary=use_dictionary)):
-        bl, bd, bs, isd, bw = find_best_matches(
-            full, window_size, dict_len=dict_len,
-            literal_byte_score=literal_byte_score, **kw)
-        outs.append((bl, bd, isd, bw))
+        for kw in (dict(k=12, bucket_bits=14, k8=0,
+                        use_dictionary=False),
+                   dict(k=1, bucket_bits=17, k8=24,
+                        use_dictionary=use_dictionary)):
+            bl, bd, bs, isd, bw = find_best_matches(
+                full, window_size, dict_len=dict_len,
+                literal_byte_score=literal_byte_score, **kw)
+            outs.append((bl, bd, isd, bw))
     cand_lens = np.stack([o[0] for o in outs])
     cand_dists = np.stack([o[1] for o in outs])
     cand_isdict = np.stack([o[2] for o in outs])
@@ -544,6 +571,23 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     use_prior = params.quality >= 11 and iters > 1
 
     from .. import native_bridge as nb
+    # the candidate passes (3 table scans, all-matches collection,
+    # dictionary probe) are independent native calls; overlap them on a
+    # small thread pool (ctypes releases the GIL)
+    executor = None
+    fut_cm = fut_cd = None
+    if nb.available():
+        from concurrent.futures import ThreadPoolExecutor
+        executor = ThreadPoolExecutor(max_workers=4)
+        if params.quality >= 11:
+            fut_cm = executor.submit(nb.collect_matches, full,
+                                     window_size, dict_len=dict_len)
+            if not params.catable:
+                from .static_dict import (collect_dict_matches,
+                                          expanded_dict_index)
+                expanded_dict_index()  # warm the lru_cache serially
+                fut_cd = executor.submit(collect_dict_matches, full,
+                                         dict_len, window_size)
     # the sorted-space top-K rows stay even at q11: the ring-table
     # collector only sees the 48 most recent positions per bucket, so
     # long-range matches come from the rows (the greedy pre-pass, by
@@ -555,7 +599,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
         (cand_lens, cand_dists, cand_isdict,
          cand_wire) = _collect_candidates(
             full, window_size, dict_len, params.literal_byte_score,
-            not params.catable)
+            not params.catable, executor=executor)
         cand_lens = cand_lens.copy()
         cand_wire = cand_wire.copy()
         # exact lengths for cap-hit matches, with amortized skipping:
@@ -613,18 +657,22 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     extra = None
     if params.quality >= 11:
         xs = []
-        if nb.available():
-            mp, ml, md = nb.collect_matches(full, window_size,
-                                            dict_len=dict_len)
+        if fut_cm is not None:
+            mp, ml, md = fut_cm.result()
             xs.append((mp, ml, md, np.zeros(len(mp), bool), ml))
         if not params.catable:
-            from .static_dict import collect_dict_matches
-            dp_, dl_, dd_, dw_ = collect_dict_matches(
-                full, dict_len, window_size)
+            if fut_cd is not None:
+                dp_, dl_, dd_, dw_ = fut_cd.result()
+            else:
+                from .static_dict import collect_dict_matches
+                dp_, dl_, dd_, dw_ = collect_dict_matches(
+                    full, dict_len, window_size)
             xs.append((dp_, dl_, dd_, np.ones(len(dp_), bool), dw_))
         if xs:
             extra = tuple(np.concatenate([x[i] for x in xs])
                           for i in range(5))
+    if executor is not None:
+        executor.shutdown(wait=False)
 
     data_region = full[dict_len:]
     lit_costs = estimate_literal_costs(data_region)
