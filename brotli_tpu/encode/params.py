@@ -121,11 +121,20 @@ def compute_lg_block(p: EncoderParams) -> int:
     1<<lgblock).  An explicit `-l` is honored, clamped to [16, 24] as in
     the reference.  The auto default diverges deliberately: the
     reference picks 16-18 to bound its ring buffer; our batched
-    pipeline has no ring buffer, and 4 MiB spans amortize header cost
-    with block splitting providing histogram locality, so auto = 22."""
+    pipeline has no ring buffer.  For the greedy tiers (q2-9) auto = 20:
+    1 MiB spans give the histograms locality the block splitter does
+    not fully recover on heterogeneous data (measured on the mixed
+    bench corpus: q5 1.022 -> 1.005 vs C, q3 1.000 -> 0.973), while
+    4 MiB spans (auto = 22) remain best for the Zopfli tiers, whose
+    per-metablock optimization benefits from the longer span."""
     lgblock = p.lgblock
     if lgblock == 0:
-        lgblock = p.lgwin if p.quality <= 1 else 22
+        if p.quality <= 1:
+            lgblock = p.lgwin
+        elif p.quality <= 9:
+            lgblock = 20
+        else:
+            lgblock = 22
     return max(MIN_INPUT_BLOCK_BITS, min(MAX_INPUT_BLOCK_BITS, lgblock))
 
 

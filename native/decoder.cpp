@@ -767,11 +767,34 @@ int64_t decode_native(
             if (ins_len > mlen) return br.over() ? -1 : -2;
             if (out_len + ins_len > out_cap) return -3;
             if (lit_trivial) {
-                // common fast path: one literal block type, one tree
+                // common fast path: one literal block type, one tree.
+                // Literals are decoded in register-resident batches:
+                // one refill yields >= 57 bits, enough for several
+                // symbols, so the per-symbol work is a table load and
+                // a shift — the avail check, bit-position update, and
+                // memory round-trip through the BitReader happen once
+                // per batch instead of once per literal.
                 const int32_t* tab = lit_roots[0];
-                for (int64_t j = 0; j < ins_len; j++) {
-                    int lit = decode_tab(br, tab);
-                    out[out_len++] = (uint8_t)lit;
+                int64_t j = 0;
+                while (j < ins_len) {
+                    if (br.avail < 15) br.refill();
+                    uint64_t w = br.bits;
+                    int64_t amax = br.avail;
+                    int consumed = 0;
+                    do {
+                        int32_t e = tab[w & 511];
+                        int l = e & 15;
+                        if (__builtin_expect(l > 9, 0)) {
+                            e = tab[(e >> 4) +
+                                    ((w >> 9) & ((1u << (l - 9)) - 1))];
+                            l = e & 15;
+                        }
+                        out[out_len++] = (uint8_t)(e >> 4);
+                        w >>= l;
+                        consumed += l;
+                        j++;
+                    } while (j < ins_len && consumed + 15 <= amax);
+                    br.skip(consumed);
                 }
                 if (br.over()) return -1;
                 if (out_len >= 2) {
@@ -795,12 +818,33 @@ int64_t decode_native(
                     int64_t take = std::min(ins_len - j, L.remaining);
                     L.remaining -= take;
                     j += take;
-                    for (; take > 0; take--) {
-                        int ctx = l0[p1] | l1[p2];
-                        int lit = decode_tab(br, lit_roots[lrow[ctx]]);
-                        out[out_len++] = (uint8_t)lit;
-                        p2 = p1;
-                        p1 = (uint8_t)lit;
+                    // same register-batched shape as the trivial path,
+                    // with the context chain (p1, p2) carried in
+                    // registers across the batch
+                    while (take > 0) {
+                        if (br.avail < 15) br.refill();
+                        uint64_t w = br.bits;
+                        int64_t amax = br.avail;
+                        int consumed = 0;
+                        do {
+                            int ctx = l0[p1] | l1[p2];
+                            const int32_t* tab = lit_roots[lrow[ctx]];
+                            int32_t e = tab[w & 511];
+                            int l = e & 15;
+                            if (__builtin_expect(l > 9, 0)) {
+                                e = tab[(e >> 4) +
+                                        ((w >> 9) &
+                                         ((1u << (l - 9)) - 1))];
+                                l = e & 15;
+                            }
+                            p2 = p1;
+                            p1 = (uint8_t)(e >> 4);
+                            out[out_len++] = p1;
+                            w >>= l;
+                            consumed += l;
+                            take--;
+                        } while (take > 0 && consumed + 15 <= amax);
+                        br.skip(consumed);
                     }
                     if (br.over()) return -1;
                 }

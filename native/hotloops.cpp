@@ -1259,6 +1259,34 @@ void find_matches_native(
 
 namespace {
 
+// opt-in profiling counters for the combined parse (enable via
+// parse_stats_enable(1); near-zero cost when off)
+struct ParseStats {
+    int64_t positions = 0;       // search() calls
+    int64_t cache_probes = 0;    // short-code probe_len calls
+    int64_t t4_scanned = 0;      // primary-table candidates examined
+    int64_t t4_probed = 0;       // ... that reached probe_len
+    int64_t t8_scanned = 0;
+    int64_t t8_probed = 0;
+    int64_t dict_probes = 0;
+    int64_t inserts = 0;
+    uint64_t cyc_search = 0;
+    uint64_t cyc_insert = 0;
+    uint64_t cyc_hash = 0;
+};
+bool g_stats_on = false;
+thread_local ParseStats g_stats;
+
+inline uint64_t rdtsc_now() {
+#if defined(__x86_64__)
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+#else
+    return 0;
+#endif
+}
+
 struct SearchResult {
     int64_t len = 0, dist = 0, score = 0, wire = 0;
     bool isdict = false;
@@ -1311,6 +1339,15 @@ struct CombinedCtx {
     }
 
     inline void insert_upto(int64_t stop) {
+        if (__builtin_expect(g_stats_on, 0)) {
+            uint64_t t0 = rdtsc_now();
+            int64_t from = ins_pos;
+            for (int64_t i = ins_pos; i < stop; i++) insert_one(i);
+            if (stop > ins_pos) ins_pos = stop;
+            g_stats.inserts += stop > from ? stop - from : 0;
+            g_stats.cyc_insert += rdtsc_now() - t0;
+            return;
+        }
         for (int64_t i = ins_pos; i < stop; i++) insert_one(i);
         if (stop > ins_pos) ins_pos = stop;
     }
@@ -1328,6 +1365,16 @@ struct CombinedCtx {
 
     // search at absolute position i (candidates strictly before i)
     SearchResult search(int64_t i, const int64_t* cache) {
+        if (__builtin_expect(!g_stats_on, 1))
+            return search_impl(i, cache);
+        g_stats.positions++;
+        uint64_t t0 = rdtsc_now();
+        SearchResult r = search_impl(i, cache);
+        g_stats.cyc_search += rdtsc_now() - t0;
+        return r;
+    }
+
+    SearchResult search_impl(int64_t i, const int64_t* cache) {
         SearchResult sr;
         insert_upto(i);
         if (i + 4 > n) return sr;
@@ -1342,6 +1389,7 @@ struct CombinedCtx {
             if (d <= 0 || d > i || d > window) continue;
             if (sr.len > 0 && (sr.len >= limit ||
                 data[i - d + sr.len] != data[i + sr.len])) continue;
+            if (__builtin_expect(g_stats_on, 0)) g_stats.cache_probes++;
             int64_t ml = probe_len(data, i - d, i, limit);
             if (ml >= 4) {
                 int64_t sc = lbs * ml + 15;
@@ -1360,8 +1408,12 @@ struct CombinedCtx {
                 std::min<int64_t>(c, k), 64);
             // gather the candidate positions first and prefetch their
             // data: the gating loads below would otherwise be serial
-            // cache misses
+            // cache misses.  (A tag-byte prefilter was tried here and
+            // reverted: same-bucket candidates share the hashed prefix,
+            // so tags rarely discriminate — it cost ratio on short
+            // matches and won no speed.)
             int64_t cands[64];
+            if (__builtin_expect(g_stats_on, 0)) g_stats.t4_scanned += m;
             for (int32_t j = 0; j < m; j++) {
                 int64_t cand = ring4[h4 * cap4 + ((c - 1 - j) & mask4)];
                 cands[j] = cand;
@@ -1376,6 +1428,7 @@ struct CombinedCtx {
                 if (sr.len > 0 && (sr.len >= limit ||
                     data[cand + sr.len] != data[i + sr.len])) continue;
                 if (load32(data + cand) != v4) continue;
+                if (__builtin_expect(g_stats_on, 0)) g_stats.t4_probed++;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
                 int64_t sc = lbs * ml - 30 * log2floor(dist);
@@ -1392,6 +1445,7 @@ struct CombinedCtx {
             int32_t m = (int32_t)std::min<int64_t>(
                 std::min<int64_t>(c, k8), 64);
             int64_t cands[64];
+            if (__builtin_expect(g_stats_on, 0)) g_stats.t8_scanned += m;
             for (int32_t j = 0; j < m; j++) {
                 int64_t cand = ring8[h8 * cap8 + ((c - 1 - j) & mask8)];
                 cands[j] = cand;
@@ -1404,6 +1458,7 @@ struct CombinedCtx {
                 if (sr.len > 0 && (sr.len >= limit ||
                     data[cand + sr.len] != data[i + sr.len])) continue;
                 if (load32(data + cand) != v4) continue;
+                if (__builtin_expect(g_stats_on, 0)) g_stats.t8_probed++;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
                 int64_t sc = lbs * ml - 30 * log2floor(dist);
@@ -1420,6 +1475,7 @@ struct CombinedCtx {
         if (dict_table && i >= dict_len && sr.len < 10 &&
             (dict_lookups >> 7) <= dict_matches) {
             dict_lookups++;
+            if (__builtin_expect(g_stats_on, 0)) g_stats.dict_probes++;
             uint32_t hd = (v4 * 0x1E35A7BDu) >> (32 - dict_hash_bits);
             for (int64_t s = 0; s < dict_slots; s++) {
                 int64_t e = dict_table[hd * dict_slots + s];
@@ -1454,6 +1510,22 @@ struct CombinedCtx {
 }  // namespace
 
 extern "C" {
+
+void parse_stats_enable(int64_t on) { g_stats_on = on != 0; }
+
+// copy out the 11 counters and reset (positions, cache_probes,
+// t4_scanned, t4_probed, t8_scanned, t8_probed, dict_probes, inserts,
+// cyc_search, cyc_insert, cyc_hash)
+void parse_stats_read(int64_t* out) {
+    ParseStats& s = g_stats;
+    out[0] = s.positions; out[1] = s.cache_probes;
+    out[2] = s.t4_scanned; out[3] = s.t4_probed;
+    out[4] = s.t8_scanned; out[5] = s.t8_probed;
+    out[6] = s.dict_probes; out[7] = s.inserts;
+    out[8] = (int64_t)s.cyc_search; out[9] = (int64_t)s.cyc_insert;
+    out[10] = (int64_t)s.cyc_hash;
+    s = ParseStats{};
+}
 
 int64_t combined_parse_native(
     const uint8_t* data, int64_t total_len, int64_t dict_len,
@@ -1505,6 +1577,7 @@ int64_t combined_parse_native(
     // precompute bucket ids in straight vectorizable passes, keeping
     // the hash math off the serial insert/search chain
     uint32_t* h4buf = fit(s_h4, total_len > 8 ? total_len : 8);
+    uint64_t t_hash0 = g_stats_on ? rdtsc_now() : 0;
     {
         int64_t m4 = total_len - (hash_len == 5 ? 8 : 4);
         for (int64_t i = 0; i <= m4; i++)
@@ -1524,6 +1597,7 @@ int64_t combined_parse_native(
         for (int64_t i = m8 > 0 ? m8 + 1 : 0; i < total_len; i++)
             h8buf[i] = 0;
     }
+    if (g_stats_on) g_stats.cyc_hash += rdtsc_now() - t_hash0;
     cx.H4 = h4buf;
     cx.H8 = h8buf;
     cx.dict_table = dict_table;
