@@ -138,6 +138,32 @@ def _quality_knobs(params: EncoderParams):
     return dict(k=24, bucket_bits=18, k8=12)
 
 
+def _pipelined_segments(nb, full, params, boundaries, dlen, start,
+                        cache, knobs):
+    """Generator over parse segments, prefetched one boundary ahead on
+    a single worker thread (see the call site for why this is exact)."""
+    sess = nb.ParseSession(
+        full, params.window_size, dict_len=dlen, pos0=start,
+        initial_cache=cache,
+        literal_byte_score=params.literal_byte_score,
+        use_dictionary=not params.catable, **knobs)
+    from concurrent.futures import ThreadPoolExecutor
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(sess.next, boundaries[0],
+                        (boundaries[0] - start) // 2 + 2)
+        for i in range(len(boundaries)):
+            seg = fut.result()
+            if i + 1 < len(boundaries):
+                span = boundaries[i + 1] - boundaries[i]
+                fut = ex.submit(sess.next, boundaries[i + 1],
+                                span // 2 + 2)
+            yield seg
+    finally:
+        ex.shutdown(wait=True)
+        sess.close()
+
+
 def compress_with_params(data: np.ndarray, params: EncoderParams,
                          custom_dictionary: bytes = b"",
                          metablock_callback=None,
@@ -185,12 +211,15 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         if nb.available():
             # one-pass native search+parse (the reference's
             # CreateBackwardReferences shape: search only at parse
-            # positions, bulk hash insertion over match bodies)
-            segments = nb.combined_parse(
-                full, params.window_size, boundaries, dict_len=dlen,
-                pos0=start, initial_cache=tuple(cache),
-                literal_byte_score=params.literal_byte_score,
-                use_dictionary=not params.catable, **knobs)
+            # positions, bulk hash insertion over match bodies),
+            # delivered one metablock at a time through a parse
+            # session and prefetched one ahead on a worker thread:
+            # parse(metablock g+1) overlaps serialization(g) — both
+            # native calls release the GIL — with output byte-
+            # identical to the single whole-input parse.
+            segments = _pipelined_segments(
+                nb, full, params, boundaries, dlen, start,
+                tuple(cache), knobs)
         else:
             best_len, best_dist, best_score, best_isdict, best_wire = \
                 find_best_matches(
@@ -223,7 +252,7 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         for i, (seg, boundary) in enumerate(zip(segments, boundaries)):
             ins, cps, dst, adv = seg
             mlen = boundary - seg_start
-            is_final = i == len(segments) - 1
+            is_final = i == len(boundaries) - 1
             suppress = params.appendable or params.byte_align
             is_last = is_final and not suppress
             abs_start = dlen + seg_start
@@ -276,7 +305,7 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
                                  iters=1 if params.q9_5 else None)
         ins, cps, dst, adv = seg
         mlen = boundary - seg_start
-        is_final = i == len(segments) - 1
+        is_final = i == len(boundaries) - 1
         # appendable/byte_align streams never set ISLAST on content
         # blocks; the trailer is written separately (encode.rs:1973,
         # :2165)

@@ -78,6 +78,10 @@ def get_lib():
         _lib.zopfli_dp_native.restype = None
         _lib.decode_native.restype = ctypes.c_int64
         _lib.combined_parse_native.restype = ctypes.c_int64
+        _lib.parse_session_begin.restype = ctypes.c_void_p
+        _lib.parse_session_next.restype = ctypes.c_int64
+        _lib.parse_session_cache.restype = None
+        _lib.parse_session_end.restype = None
         _lib.zopfli_dp_cache_native.restype = None
         _lib.pack_bits_native.restype = ctypes.c_int64
         _lib.collect_matches_native.restype = ctypes.c_int64
@@ -607,6 +611,64 @@ def _dict_index_args(use_dictionary):
     return (null, ctypes.c_int64(0), ctypes.c_int64(0),
             ctypes.POINTER(ctypes.c_uint8)(), null, null, null,
             null), ()
+
+
+class ParseSession:
+    """Incremental form of combined_parse: state (hash tables, distance
+    cache, walk position) persists across next() calls, so delivering
+    the parse one metablock at a time is byte-identical to one whole-
+    input call.  next() must be called serially in boundary order; the
+    encoder runs it on a worker thread to overlap parse(g+1) with
+    metablock serialization(g) (ctypes releases the GIL)."""
+
+    def __init__(self, data, window_size, dict_len=0, pos0=0,
+                 initial_cache=(4, 11, 15, 16), k=8, bucket_bits=17,
+                 k8=4, bucket_bits8=18, hash_len=4, n_cache=4,
+                 literal_byte_score=540, use_dictionary=True):
+        lib = get_lib()
+        assert lib is not None
+        self._lib = lib
+        self._data = np.ascontiguousarray(data, dtype=np.uint8)
+        self._dict_args, self._dict_refs = _dict_index_args(
+            use_dictionary)
+        self._cache = np.asarray(initial_cache, dtype=np.int64)
+        self._handle = lib.parse_session_begin(
+            _ptr(self._data, U8), ctypes.c_int64(len(self._data)),
+            ctypes.c_int64(dict_len), ctypes.c_int64(window_size),
+            ctypes.c_int64(k), ctypes.c_int64(bucket_bits),
+            ctypes.c_int64(k8), ctypes.c_int64(bucket_bits8),
+            ctypes.c_int64(hash_len), ctypes.c_int64(n_cache),
+            ctypes.c_int64(literal_byte_score // 4),
+            *self._dict_args,
+            ctypes.c_int64(pos0), _ptr(self._cache))
+
+    def next(self, boundary_rel: int, max_cmds: int | None = None):
+        """Parse up to boundary_rel (region-relative); returns one
+        segment (insert[], wire[], dist[], advance[])."""
+        assert self._handle is not None
+        if max_cmds is None:
+            max_cmds = boundary_rel // 2 + 2
+        out_i = np.empty(max_cmds, dtype=np.int64)
+        out_c = np.empty(max_cmds, dtype=np.int64)
+        out_d = np.empty(max_cmds, dtype=np.int64)
+        out_a = np.empty(max_cmds, dtype=np.int64)
+        cnt = self._lib.parse_session_next(
+            ctypes.c_void_p(self._handle),
+            ctypes.c_int64(boundary_rel),
+            _ptr(out_i), _ptr(out_c), _ptr(out_d), _ptr(out_a),
+            ctypes.c_int64(max_cmds))
+        return (out_i[:cnt], out_c[:cnt], out_d[:cnt], out_a[:cnt])
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.parse_session_end(ctypes.c_void_p(self._handle))
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def combined_parse(data, window_size, boundaries, dict_len=0, pos0=0,

@@ -15,6 +15,7 @@
 #include <cmath>
 #include <algorithm>
 #include <vector>
+#include <mutex>
 
 extern "C" {
 
@@ -1509,6 +1510,42 @@ struct CombinedCtx {
 
 }  // namespace
 
+namespace {
+
+// a whole-compress parse session: tables + hash buffers + walk state.
+// Owned buffers (not thread_local) so begin() and next() may run on
+// different threads; a one-deep global pool recycles the ~17MB of
+// scratch across compress calls.
+struct ParseSession {
+    CombinedCtx cx;
+    std::vector<int32_t> ring4, ring8;
+    std::vector<uint16_t> cnt4, cnt8;
+    std::vector<uint32_t> h4, h8;
+    int64_t cache[4] = {0, 0, 0, 0};
+    int64_t pos = 0, insert_start = 0;   // absolute walk state
+};
+
+std::mutex g_sess_mtx;
+ParseSession* g_sess_spare = nullptr;
+
+ParseSession* session_pool_get() {
+    std::lock_guard<std::mutex> lk(g_sess_mtx);
+    if (g_sess_spare) {
+        ParseSession* s = g_sess_spare;
+        g_sess_spare = nullptr;
+        return s;
+    }
+    return new ParseSession();
+}
+
+void session_pool_put(ParseSession* s) {
+    std::lock_guard<std::mutex> lk(g_sess_mtx);
+    if (g_sess_spare) { delete s; return; }
+    g_sess_spare = s;
+}
+
+}  // namespace
+
 extern "C" {
 
 void parse_stats_enable(int64_t on) { g_stats_on = on != 0; }
@@ -1527,7 +1564,91 @@ void parse_stats_read(int64_t* out) {
     s = ParseStats{};
 }
 
-int64_t combined_parse_native(
+// Parse-session form of the one-pass search+parse: begin() builds the
+// tables and hashes the whole buffer once; next() parses up to one
+// boundary and returns its commands; state (tables, distance cache,
+// walk position) persists between calls, so per-metablock delivery is
+// byte-identical to a single whole-input parse.  This is what lets the
+// encoder overlap parse(metablock g+1) with serialization(g) on two
+// threads.  combined_parse_native() below remains the one-shot form,
+// now a thin loop over a session.
+int64_t parse_session_next(void* vs, int64_t boundary_rel,
+                           int64_t* out_insert, int64_t* out_copy,
+                           int64_t* out_dist, int64_t* out_adv,
+                           int64_t max_cmds)
+{
+    ParseSession& S = *(ParseSession*)vs;
+    CombinedCtx& cx = S.cx;
+    const uint8_t* data = cx.data;
+    int64_t window_size = cx.window;
+    int64_t boundary = cx.dict_len + boundary_rel;  // absolute
+    int64_t n_out = 0;
+    int64_t misses = 0;
+    int64_t pos = S.pos;
+    int64_t insert_start = S.insert_start;
+    int64_t* cache = S.cache;
+    int64_t seg_start_count = 0;
+    while (pos + 2 <= boundary) {
+        SearchResult sr = cx.search(pos, cache);
+        if (sr.score <= 100) {
+            // sparse skip over incompressible spreads
+            // (LiteralSpreeLengthForSparseSearch, mod.rs:150)
+            int64_t step = 1;
+            if (misses > 512) step = 4;
+            else if (misses > 64) step = 2;
+            misses++;
+            pos += step;
+            continue;
+        }
+        // lazy matching: defer up to 4 times
+        int defers = 0;
+        while (defers < 4 && pos + 1 + 4 <= boundary) {
+            SearchResult sr2 = cx.search(pos + 1, cache);
+            if (sr2.score > sr.score + 175) {
+                pos++; sr = sr2; defers++;
+            } else break;
+        }
+        misses = 0;
+        int64_t l = sr.len;
+        if (pos + l > boundary) {
+            if (sr.isdict) { pos++; continue; }
+            l = boundary - pos;
+            sr.wire = l;
+            if (l < 2) { pos++; continue; }
+        }
+        if (n_out < max_cmds) {
+            out_insert[n_out] = pos - insert_start;
+            out_copy[n_out] = sr.wire;
+            out_dist[n_out] = sr.dist;
+            out_adv[n_out] = l;
+            n_out++;
+        }
+        int64_t max_distance = std::min(pos, window_size);
+        if (sr.dist <= max_distance && sr.dist != cache[0]) {
+            cache[3] = cache[2]; cache[2] = cache[1];
+            cache[1] = cache[0]; cache[0] = sr.dist;
+        }
+        cx.insert_span(pos, std::min(pos + l, cx.n));
+        pos += l;
+        insert_start = pos;
+    }
+    if (boundary > insert_start || n_out == seg_start_count) {
+        if (n_out < max_cmds) {
+            out_insert[n_out] = boundary - insert_start;
+            out_copy[n_out] = 0;
+            out_dist[n_out] = 0;
+            out_adv[n_out] = 0;
+            n_out++;
+        }
+    }
+    insert_start = boundary;
+    if (pos < boundary) pos = boundary;
+    S.pos = pos;
+    S.insert_start = insert_start;
+    return n_out;
+}
+
+void* parse_session_begin(
     const uint8_t* data, int64_t total_len, int64_t dict_len,
     int64_t window_size, int64_t k, int64_t bucket_bits,
     int64_t k8, int64_t bucket_bits8, int64_t hash_len,
@@ -1536,12 +1657,12 @@ int64_t combined_parse_native(
     int64_t dict_slots, const uint8_t* dict_words_flat,
     const int64_t* dict_word_len, const int64_t* dict_word_idx,
     const int64_t* dict_size_bits, const int64_t* omit_ids,
-    const int64_t* boundaries, int64_t n_boundaries, int64_t pos0,
-    const int64_t* initial_cache,
-    int64_t* out_insert, int64_t* out_copy, int64_t* out_dist,
-    int64_t* out_adv, int64_t* out_seg_counts, int64_t max_cmds)
+    int64_t pos0, const int64_t* initial_cache)
 {
-    CombinedCtx cx;
+    ParseSession* Sp = session_pool_get();
+    ParseSession& S = *Sp;
+    CombinedCtx& cx = S.cx;
+    cx = CombinedCtx{};
     cx.data = data; cx.n = total_len; cx.dict_len = dict_len;
     cx.window = window_size; cx.k = k; cx.k8 = k8; cx.lbs = lbs;
     cx.n_cache = std::max<int64_t>(1, std::min<int64_t>(n_cache, 16));
@@ -1558,25 +1679,22 @@ int64_t combined_parse_native(
     cx.mask8 = cx.cap8 - 1;
     int64_t nb4 = int64_t(1) << bucket_bits;
     int64_t nb8 = int64_t(1) << bucket_bits8;
-    // persistent per-thread scratch: reallocating ~17MB of tables and
-    // hash buffers per call costs more in page faults than the parse
-    // saves in cache warmth
-    static thread_local std::vector<int32_t> s_ring4, s_ring8;
-    static thread_local std::vector<uint16_t> s_cnt4, s_cnt8;
-    static thread_local std::vector<uint32_t> s_h4, s_h8;
+    // session-owned scratch, recycled through a one-deep global pool:
+    // reallocating ~17MB of tables per compress call costs more in
+    // page faults than the parse saves in cache warmth
     auto fit = [](auto& v, int64_t need) {
         if ((int64_t)v.size() < need) v.resize(need);
         return v.data();
     };
-    cx.ring4 = fit(s_ring4, nb4 * cx.cap4);
-    cx.cnt4 = fit(s_cnt4, nb4);
+    cx.ring4 = fit(S.ring4, nb4 * cx.cap4);
+    cx.cnt4 = fit(S.cnt4, nb4);
     std::memset(cx.cnt4, 0, nb4 * sizeof(uint16_t));
-    cx.ring8 = k8 ? fit(s_ring8, nb8 * cx.cap8) : nullptr;
-    cx.cnt8 = k8 ? fit(s_cnt8, nb8) : nullptr;
+    cx.ring8 = k8 ? fit(S.ring8, nb8 * cx.cap8) : nullptr;
+    cx.cnt8 = k8 ? fit(S.cnt8, nb8) : nullptr;
     if (k8) std::memset(cx.cnt8, 0, nb8 * sizeof(uint16_t));
     // precompute bucket ids in straight vectorizable passes, keeping
     // the hash math off the serial insert/search chain
-    uint32_t* h4buf = fit(s_h4, total_len > 8 ? total_len : 8);
+    uint32_t* h4buf = fit(S.h4, total_len > 8 ? total_len : 8);
     uint64_t t_hash0 = g_stats_on ? rdtsc_now() : 0;
     {
         int64_t m4 = total_len - (hash_len == 5 ? 8 : 4);
@@ -1589,7 +1707,7 @@ int64_t combined_parse_native(
     }
     uint32_t* h8buf = nullptr;
     if (k8) {
-        h8buf = fit(s_h8, total_len > 8 ? total_len : 8);
+        h8buf = fit(S.h8, total_len > 8 ? total_len : 8);
         int64_t m8 = total_len - 8;
         for (int64_t i = 0; i <= m8; i++)
             h8buf[i] = (uint32_t)((load64(data + i) *
@@ -1625,73 +1743,49 @@ int64_t combined_parse_native(
         cx.ins_pos = dense_from;
     }
 
-    int64_t cache[4] = {initial_cache[0], initial_cache[1],
-                        initial_cache[2], initial_cache[3]};
-    int64_t n_out = 0;
-    int64_t insert_start = dict_len + pos0;  // absolute
-    int64_t pos = dict_len + pos0;
+    for (int c = 0; c < 4; c++) S.cache[c] = initial_cache[c];
+    S.pos = dict_len + pos0;
+    S.insert_start = dict_len + pos0;
+    return Sp;
+}
 
+void parse_session_cache(void* vs, int64_t* out_cache) {
+    ParseSession& S = *(ParseSession*)vs;
+    for (int c = 0; c < 4; c++) out_cache[c] = S.cache[c];
+}
+
+void parse_session_end(void* vs) {
+    session_pool_put((ParseSession*)vs);
+}
+
+int64_t combined_parse_native(
+    const uint8_t* data, int64_t total_len, int64_t dict_len,
+    int64_t window_size, int64_t k, int64_t bucket_bits,
+    int64_t k8, int64_t bucket_bits8, int64_t hash_len,
+    int64_t n_cache, int64_t lbs,
+    const int64_t* dict_table, int64_t dict_hash_bits,
+    int64_t dict_slots, const uint8_t* dict_words_flat,
+    const int64_t* dict_word_len, const int64_t* dict_word_idx,
+    const int64_t* dict_size_bits, const int64_t* omit_ids,
+    const int64_t* boundaries, int64_t n_boundaries, int64_t pos0,
+    const int64_t* initial_cache,
+    int64_t* out_insert, int64_t* out_copy, int64_t* out_dist,
+    int64_t* out_adv, int64_t* out_seg_counts, int64_t max_cmds)
+{
+    void* sess = parse_session_begin(
+        data, total_len, dict_len, window_size, k, bucket_bits, k8,
+        bucket_bits8, hash_len, n_cache, lbs, dict_table,
+        dict_hash_bits, dict_slots, dict_words_flat, dict_word_len,
+        dict_word_idx, dict_size_bits, omit_ids, pos0, initial_cache);
+    int64_t n_out = 0;
     for (int64_t bi = 0; bi < n_boundaries; bi++) {
-        int64_t boundary = dict_len + boundaries[bi];  // absolute
-        int64_t seg_start_count = n_out;
-        int64_t misses = 0;
-        while (pos + 2 <= boundary) {
-            SearchResult sr = cx.search(pos, cache);
-            if (sr.score <= 100) {
-                // sparse skip over incompressible spreads
-                // (LiteralSpreeLengthForSparseSearch, mod.rs:150)
-                int64_t step = 1;
-                if (misses > 512) step = 4;
-                else if (misses > 64) step = 2;
-                misses++;
-                pos += step;
-                continue;
-            }
-            // lazy matching: defer up to 4 times
-            int defers = 0;
-            while (defers < 4 && pos + 1 + 4 <= boundary) {
-                SearchResult sr2 = cx.search(pos + 1, cache);
-                if (sr2.score > sr.score + 175) {
-                    pos++; sr = sr2; defers++;
-                } else break;
-            }
-            misses = 0;
-            int64_t l = sr.len;
-            if (pos + l > boundary) {
-                if (sr.isdict) { pos++; continue; }
-                l = boundary - pos;
-                sr.wire = l;
-                if (l < 2) { pos++; continue; }
-            }
-            if (n_out < max_cmds) {
-                out_insert[n_out] = pos - insert_start;
-                out_copy[n_out] = sr.wire;
-                out_dist[n_out] = sr.dist;
-                out_adv[n_out] = l;
-                n_out++;
-            }
-            int64_t max_distance = std::min(pos, window_size);
-            if (sr.dist <= max_distance && sr.dist != cache[0]) {
-                cache[3] = cache[2]; cache[2] = cache[1];
-                cache[1] = cache[0]; cache[0] = sr.dist;
-            }
-            cx.insert_span(pos, std::min(pos + l, cx.n));
-            pos += l;
-            insert_start = pos;
-        }
-        if (boundary > insert_start || n_out == seg_start_count) {
-            if (n_out < max_cmds) {
-                out_insert[n_out] = boundary - insert_start;
-                out_copy[n_out] = 0;
-                out_dist[n_out] = 0;
-                out_adv[n_out] = 0;
-                n_out++;
-            }
-        }
-        insert_start = boundary;
-        if (pos < boundary) pos = boundary;
-        out_seg_counts[bi] = n_out - seg_start_count;
+        int64_t cnt = parse_session_next(
+            sess, boundaries[bi], out_insert + n_out, out_copy + n_out,
+            out_dist + n_out, out_adv + n_out, max_cmds - n_out);
+        out_seg_counts[bi] = cnt;
+        n_out += cnt;
     }
+    parse_session_end(sess);
     return n_out;
 }
 
