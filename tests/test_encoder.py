@@ -208,8 +208,10 @@ def test_golden_sizes():
     must be re-pinned deliberately (reference goldens for comparison:
     q10 = 47,488; q11 = 46,493)."""
     data = load("alice29.txt")
-    assert len(compress(data, quality=5)) == 51_930
-    assert len(compress(data, quality=9)) == 51_305
+    # C engine at the same qualities: q5 52,809 / q9 51,054 — both
+    # greedy tiers now beat it (wide-and-shallow 4-byte primary table)
+    assert len(compress(data, quality=5)) == 52_244
+    assert len(compress(data, quality=9)) == 51_046
     assert len(compress(data, quality=10)) == 47_600
     assert len(compress(data, quality=11)) == 46_880
 
