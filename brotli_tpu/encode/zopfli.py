@@ -69,6 +69,7 @@ def estimate_literal_costs(data: np.ndarray, window: int = 0):
     for mostly-UTF8 input, +-2000-byte single histogram otherwise; the
     sequential add/remove histogram walk is replaced by a composite-key
     searchsorted, which gives the same window counts in O(n log n))."""
+    from .. import native_bridge as nb
     n = len(data)
     if n == 0:
         return np.zeros(0)
@@ -89,6 +90,10 @@ def estimate_literal_costs(data: np.ndarray, window: int = 0):
         max_utf8 = 0 if counts[1] + counts[2] < 25 else (
             1 if counts[2] < 500 else 2)
         cls = np.minimum(cls2, max_utf8)
+        if nb.available():
+            return nb.est_lit(data, None if max_utf8 == 0
+                              else cls.astype(np.uint8),
+                              half, True, 0.02905)
         lo, hi = idx - half + 1, idx + half
         if max_utf8 == 0:
             cnt = _sliding_key_counts(data.astype(np.int64),
@@ -106,6 +111,8 @@ def estimate_literal_costs(data: np.ndarray, window: int = 0):
                               / 2000.0 * 0.35)
     else:
         half = 2000
+        if nb.available():
+            return nb.est_lit(data, None, half, False, 0.029)
         lo, hi = idx - half + 1, idx + half
         cnt = _sliding_key_counts(data.astype(np.int64),
                                   data.astype(np.int64), lo, hi)
@@ -683,7 +690,10 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                                                dist_alpha)
     result = None
     prepared = None
-    for it in range(iters):
+    prev_end = None
+    it = 0
+    last_it = iters - 1  # index of the final (wide-queue) iteration
+    while it <= last_it:
         if it == 0 and use_prior:
             # iteration-0 prior (reference set_from_literal_costs,
             # hq.rs:222): gentle index-graded costs — small command /
@@ -713,6 +723,10 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
             # then per-iteration DP with inline sub-length ladder — no
             # edge list is materialized or re-priced
             if prepared is None:
+                prepared = nb.zopfli_cands_dense(
+                    cand_lens, cand_dists, cand_isdict, cand_wire,
+                    extra, n, params.dist.npostfix, params.dist.ndirect)
+            if prepared is None:
                 ci, ppr = np.nonzero(cand_lens >= 2)
                 rp = [ppr]
                 rl = [cand_lens[ci, ppr]]
@@ -741,7 +755,10 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                 C.INSERT_EXTRA, _CMD_SYM.reshape(-1),
                 _CMD_SYM_LAST.reshape(-1), full, dict_len, window_size,
                 np.asarray(initial_cache, dtype=np.int64),
-                n_starts=5 if it == iters - 1 else 2)
+                n_starts=5 if it == last_it else 2)
+            end_cost = (min(float(cost[n]),
+                            float((cost[:n] - lcp[:n]).min() + lcp[n]))
+                        if n else 0.0)
             result = _finish_parse(n, lcp, cost, ps, pl, pw, pd)
         else:
             if prepared is None:
@@ -753,11 +770,19 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                              window_size, np.asarray(initial_cache,
                                                      dtype=np.int64))
             result = zopfli_parse(n, lcp, cost_cmd, edges)
+            end_cost = None
         if prev is not None and all(
                 len(a) == len(b) and np.array_equal(a, b)
                 for a, b in zip(result, prev)):
             break
-        if it + 1 < iters:
+        if it < last_it:
+            # cost-based convergence: when an iteration's model-priced
+            # parse stops improving, promote the next iteration to the
+            # wide final instead of running out the schedule
+            if (end_cost is not None and prev_end is not None
+                    and prev_end - end_cost <= 2e-4 * abs(end_cost)):
+                last_it = it + 1
+            prev_end = end_cost
             r_ins, r_cps, r_dst, r_adv = result
             cmds, _ = resolve_commands(r_ins, r_cps, r_dst, params.dist,
                                        advance=r_adv,
@@ -767,4 +792,5 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
             prev_cmds = cmds
             lh, ch, dh = _histograms_from_commands(data_region, cmds,
                                                    dist_alpha)
+        it += 1
     return result

@@ -87,6 +87,8 @@ def get_lib():
         _lib.collect_matches_native.restype = ctypes.c_int64
         _lib.collect_dict_native.restype = ctypes.c_int64
         _lib.zopfli_cands_native.restype = ctypes.c_int64
+        _lib.zopfli_cands_dense_native.restype = ctypes.c_int64
+        _lib.est_lit_native.restype = None
         _lib.zopfli_dp_cands_native.restype = None
         _lib.zopfli_backtrack_native.restype = ctypes.c_int64
         _lib.store_metablock_native.restype = ctypes.c_int64
@@ -418,10 +420,18 @@ def encode_metablock(data, start, mlen, is_last, ins, wire, dist, adv,
     return words, int(r), cache_io.tolist()
 
 
+#: packed native Zopfli candidate record (mirrors ZCand in
+#: hotloops.cpp — one 16-byte struct per candidate)
+ZCAND_DTYPE = np.dtype([("len", "<i4"), ("wire", "<i4"),
+                        ("dist", "<i4"), ("sym", "<i2"),
+                        ("nbits", "u1"), ("flags", "u1")])
+
+
 def zopfli_cands(pos, lens, dists, isdict, wire, n, npostfix, ndirect,
                  k_win=12, k_dict=4, ladder_top=4):
     """Counting-sort + dedupe + cap the concatenated match sources into
-    per-position Zopfli candidates (native zopfli_cands_native)."""
+    per-position packed Zopfli candidates (native zopfli_cands_native).
+    Returns (cand_off, packed) where packed is a ZCAND_DTYPE array."""
     lib = get_lib()
     m = len(pos)
     pos = np.ascontiguousarray(pos, np.int64)
@@ -430,21 +440,72 @@ def zopfli_cands(pos, lens, dists, isdict, wire, n, npostfix, ndirect,
     isdict = np.ascontiguousarray(isdict, np.uint8)
     wire = np.ascontiguousarray(wire, np.int64)
     cand_off = np.zeros(n + 1, np.int64)
-    c_len = np.empty(m, np.int64)
-    c_wire = np.empty(m, np.int64)
-    c_dist = np.empty(m, np.int64)
-    c_sym = np.empty(m, np.int64)
-    c_nbits = np.empty(m, np.int64)
-    c_flags = np.empty(m, np.uint8)
-    lib.zopfli_cands_native(
+    packed = np.empty(m, dtype=ZCAND_DTYPE)
+    cnt = lib.zopfli_cands_native(
         _ptr(pos), _ptr(lens), _ptr(dists), _ptr(isdict, U8),
         _ptr(wire), ctypes.c_int64(m), ctypes.c_int64(n),
         ctypes.c_int64(npostfix), ctypes.c_int64(ndirect),
         ctypes.c_int64(k_win), ctypes.c_int64(k_dict),
         ctypes.c_int64(ladder_top),
-        _ptr(cand_off), _ptr(c_len), _ptr(c_wire), _ptr(c_dist),
-        _ptr(c_sym), _ptr(c_nbits), _ptr(c_flags, U8))
-    return cand_off, c_len, c_wire, c_dist, c_sym, c_nbits, c_flags
+        _ptr(cand_off), ctypes.c_void_p(packed.ctypes.data))
+    return cand_off, packed[:cnt]
+
+
+def zopfli_cands_dense(d_len, d_dist, d_isdict, d_wire, extra, n,
+                       npostfix, ndirect, k_win=12, k_dict=4,
+                       ladder_top=4):
+    """zopfli_cands over the dense [rows, n] top-K tables plus sparse
+    extra sources — no nonzero/concatenate on the Python side."""
+    lib = get_lib()
+    d_len = np.ascontiguousarray(d_len, np.int64)
+    d_dist = np.ascontiguousarray(d_dist, np.int64)
+    d_isdict = np.ascontiguousarray(d_isdict, np.uint8)
+    d_wire = np.ascontiguousarray(d_wire, np.int64)
+    n_rows = d_len.shape[0]
+    if extra is not None:
+        x_pos, x_len, x_dist, x_isdict, x_wire = extra
+        x_pos = np.ascontiguousarray(x_pos, np.int64)
+        x_len = np.ascontiguousarray(x_len, np.int64)
+        x_dist = np.ascontiguousarray(x_dist, np.int64)
+        x_isdict = np.ascontiguousarray(x_isdict, np.uint8)
+        x_wire = np.ascontiguousarray(x_wire, np.int64)
+        xm = len(x_pos)
+    else:
+        x_pos = x_len = x_dist = np.zeros(0, np.int64)
+        x_isdict = np.zeros(0, np.uint8)
+        x_wire = np.zeros(0, np.int64)
+        xm = 0
+    m = int((d_len >= 2).sum()) + xm
+    cand_off = np.zeros(n + 1, np.int64)
+    packed = np.empty(max(m, 1), dtype=ZCAND_DTYPE)
+    cnt = lib.zopfli_cands_dense_native(
+        _ptr(d_len), _ptr(d_dist), _ptr(d_isdict, U8), _ptr(d_wire),
+        ctypes.c_int64(n_rows),
+        _ptr(x_pos), _ptr(x_len), _ptr(x_dist), _ptr(x_isdict, U8),
+        _ptr(x_wire), ctypes.c_int64(xm),
+        ctypes.c_int64(n), ctypes.c_int64(npostfix),
+        ctypes.c_int64(ndirect), ctypes.c_int64(k_win),
+        ctypes.c_int64(k_dict), ctypes.c_int64(ladder_top),
+        _ptr(cand_off), ctypes.c_void_p(packed.ctypes.data))
+    if cnt < 0:
+        return None  # unsorted extra runs: caller uses zopfli_cands
+    return cand_off, packed[:cnt]
+
+
+def est_lit(data, cls, half, utf8_ramp, bias):
+    """Sliding-window literal bit-cost estimate (est_lit_native)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(data)
+    cost = np.empty(n, np.float64)
+    F64 = ctypes.POINTER(ctypes.c_double)
+    cls_ptr = (ctypes.c_void_p(None) if cls is None
+               else _ptr(np.ascontiguousarray(cls, np.uint8), U8))
+    lib.est_lit_native(
+        _ptr(data, U8), ctypes.c_int64(n), cls_ptr,
+        ctypes.c_int64(half), ctypes.c_int(1 if utf8_ramp else 0),
+        ctypes.c_double(bias), cost.ctypes.data_as(F64))
+    return cost
 
 
 def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
@@ -454,7 +515,7 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
     """Cache-aware DP over prepared candidates with inline sub-length
     ladder (native zopfli_dp_cands_native)."""
     lib = get_lib()
-    cand_off, c_len, c_wire, c_dist, c_sym, c_nbits, c_flags = cands
+    cand_off, packed = cands
     lcp = np.ascontiguousarray(lcp, np.float64)
     cost_cmd = np.ascontiguousarray(cost_cmd, np.float64)
     cds = np.ascontiguousarray(cost_dist_short, np.float64)
@@ -474,8 +535,7 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
         lcp.ctypes.data_as(F64),
         cost_cmd.ctypes.data_as(F64), cds.ctypes.data_as(F64),
         cd4.ctypes.data_as(F64), ctypes.c_int64(dist_alpha),
-        _ptr(cand_off), _ptr(c_len), _ptr(c_wire), _ptr(c_dist),
-        _ptr(c_sym), _ptr(c_nbits), _ptr(c_flags, U8),
+        _ptr(cand_off), ctypes.c_void_p(packed.ctypes.data),
         _ptr(np.ascontiguousarray(ins_code, np.int64)),
         _ptr(np.ascontiguousarray(ins_extra, np.int64)),
         _ptr(np.ascontiguousarray(cmd_sym, np.int64)),

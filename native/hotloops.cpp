@@ -553,71 +553,276 @@ static inline void prefix_encode_dist(int64_t dist, int64_t npostfix,
     *nbits = nb;
 }
 
+// packed per-position Zopfli candidate record (16 bytes).  One struct
+// instead of six parallel int64 arrays: the DP's inner edge loop and
+// the prep's per-position sort touch one cache line per candidate.
+struct ZCand {
+    int32_t len;
+    int32_t wire;
+    int32_t dist;
+    int16_t sym;
+    uint8_t nbits;
+    uint8_t flags;  // bit0 isdict, bit1 laddered
+};
+static_assert(sizeof(ZCand) == 16, "ZCand must pack to 16 bytes");
+
 int64_t zopfli_cands_native(
     const int64_t* pos, const int64_t* len, const int64_t* dist,
     const uint8_t* isdict, const int64_t* wire, int64_t m, int64_t n,
     int64_t npostfix, int64_t ndirect, int64_t k_win, int64_t k_dict,
     int64_t ladder_top,
-    int64_t* cand_off /* [n+1] */, int64_t* c_len, int64_t* c_wire,
-    int64_t* c_dist, int64_t* c_sym, int64_t* c_nbits,
-    uint8_t* c_flags /* bit0 isdict, bit1 laddered */)
+    int64_t* cand_off /* [n+1] */, ZCand* out /* [m] */)
 {
-    // counting sort indices by position (stable)
-    int64_t* cnt = new int64_t[n + 1]();
-    for (int64_t i = 0; i < m; i++) cnt[pos[i] + 1]++;
-    for (int64_t i = 0; i < n; i++) cnt[i + 1] += cnt[i];
-    int32_t* order = new int32_t[m];
+    // The input is a concatenation of match sources that are each
+    // already non-decreasing in position (table rows, all-matches
+    // collector, dictionary probe).  Detect those runs and k-way merge
+    // them: every array is read exactly once, sequentially, and the
+    // packed output is written sequentially — no position scatter.
+    // Inputs with many descents (not produced by in-tree callers) fall
+    // back to a counting-sort scatter pass.
+    constexpr int kMaxRuns = 64;
+    int64_t run_head[kMaxRuns];
+    int64_t run_end[kMaxRuns];
+    int n_runs = 0;
+    bool merged = true;
     {
+        int64_t start = 0;
+        for (int64_t i = 1; i <= m; i++) {
+            if (i == m || pos[i] < pos[i - 1]) {
+                if (n_runs == kMaxRuns) { merged = false; break; }
+                run_head[n_runs] = start;
+                run_end[n_runs] = i;
+                n_runs++;
+                start = i;
+            }
+        }
+    }
+    int64_t* cnt = nullptr;
+    ZCand* tmp = nullptr;
+    if (!merged) {
+        cnt = new int64_t[n + 1]();
+        for (int64_t i = 0; i < m; i++) cnt[pos[i] + 1]++;
+        for (int64_t i = 0; i < n; i++) cnt[i + 1] += cnt[i];
+        tmp = new ZCand[m];
         int64_t* fill = new int64_t[n];
         std::memcpy(fill, cnt, n * sizeof(int64_t));
-        for (int64_t i = 0; i < m; i++)
-            order[fill[pos[i]]++] = (int32_t)i;
+        for (int64_t i = 0; i < m; i++) {
+            int64_t s = fill[pos[i]]++;
+            ZCand& c = tmp[s];
+            c.len = (int32_t)len[i];
+            c.wire = (int32_t)wire[i];
+            c.dist = (int32_t)dist[i];
+            c.sym = 0;
+            c.nbits = 0;
+            c.flags = isdict[i] ? 1 : 0;
+        }
         delete[] fill;
     }
-    int64_t out = 0;
-    int idx[160];
+    int64_t out_n = 0;
+    ZCand loc[160];
     for (int64_t p = 0; p < n; p++) {
-        cand_off[p] = out;
-        int64_t g0 = cnt[p], g1 = cnt[p + 1];
-        int k = (int)std::min<int64_t>(g1 - g0, 160);
+        cand_off[p] = out_n;
+        int k = 0;
+        if (merged) {
+            for (int r = 0; r < n_runs; r++) {
+                int64_t h = run_head[r], e = run_end[r];
+                while (h < e && pos[h] == p) {
+                    if (k < 160) {
+                        ZCand& c = loc[k++];
+                        c.len = (int32_t)len[h];
+                        c.wire = (int32_t)wire[h];
+                        c.dist = (int32_t)dist[h];
+                        c.sym = 0;
+                        c.nbits = 0;
+                        c.flags = isdict[h] ? 1 : 0;
+                    }
+                    h++;
+                }
+                run_head[r] = h;
+            }
+        } else {
+            int64_t g0 = cnt[p], g1 = cnt[p + 1];
+            k = (int)std::min<int64_t>(g1 - g0, 160);
+            if (k) std::memcpy(loc, tmp + g0, (size_t)k * sizeof(ZCand));
+        }
         if (k == 0) continue;
-        for (int j = 0; j < k; j++) idx[j] = order[g0 + j];
-        // insertion sort by (isdict asc, len desc)
         for (int j = 1; j < k; j++) {
-            int v = idx[j];
-            int64_t kv = ((int64_t)isdict[v] << 32) - len[v];
+            ZCand v = loc[j];
+            int64_t kv = ((int64_t)(v.flags & 1) << 32) - v.len;
             int t = j - 1;
             while (t >= 0 &&
-                   (((int64_t)isdict[idx[t]] << 32) - len[idx[t]]) > kv) {
-                idx[t + 1] = idx[t];
+                   (((int64_t)(loc[t].flags & 1) << 32) - loc[t].len)
+                       > kv) {
+                loc[t + 1] = loc[t];
                 t--;
             }
-            idx[t + 1] = v;
+            loc[t + 1] = v;
         }
         int nw = 0, nd = 0;
         for (int j = 0; j < k; j++) {
-            int v = idx[j];
-            bool dic = isdict[v] != 0;
+            ZCand v = loc[j];
+            bool dic = (v.flags & 1) != 0;
             if (dic ? nd >= k_dict : nw >= k_win) continue;
             bool dup = false;
-            for (int64_t t = cand_off[p]; t < out; t++)
-                if (c_dist[t] == dist[v]) { dup = true; break; }
+            for (int64_t t = cand_off[p]; t < out_n; t++)
+                if (out[t].dist == v.dist) { dup = true; break; }
             if (dup) continue;
-            c_len[out] = len[v];
-            c_wire[out] = wire[v];
-            c_dist[out] = dist[v];
-            prefix_encode_dist(dist[v], npostfix, ndirect,
-                               &c_sym[out], &c_nbits[out]);
-            c_flags[out] = (dic ? 1 : 0) |
-                           ((!dic && nw < ladder_top) ? 2 : 0);
-            out++;
+            int64_t sym, nbits;
+            prefix_encode_dist(v.dist, npostfix, ndirect, &sym, &nbits);
+            v.sym = (int16_t)sym;
+            v.nbits = (uint8_t)nbits;
+            v.flags = (dic ? 1 : 0) |
+                      ((!dic && nw < ladder_top) ? 2 : 0);
+            out[out_n++] = v;
             if (dic) nd++; else nw++;
         }
     }
-    cand_off[n] = out;
+    cand_off[n] = out_n;
     delete[] cnt;
-    delete[] order;
-    return out;
+    delete[] tmp;
+    return out_n;
+}
+
+// dense-row variant: the per-position top-K tables arrive as row-major
+// [n_rows, n] arrays (at most one candidate per row per position) plus
+// sparse extra sources (all-matches collector, dictionary) — skips the
+// caller's nonzero/fancy-index/concatenate round entirely.
+int64_t zopfli_cands_dense_native(
+    const int64_t* d_len, const int64_t* d_dist, const uint8_t* d_isdict,
+    const int64_t* d_wire, int64_t n_rows,
+    const int64_t* x_pos, const int64_t* x_len, const int64_t* x_dist,
+    const uint8_t* x_isdict, const int64_t* x_wire, int64_t xm,
+    int64_t n, int64_t npostfix, int64_t ndirect, int64_t k_win,
+    int64_t k_dict, int64_t ladder_top,
+    int64_t* cand_off /* [n+1] */, ZCand* out)
+{
+    constexpr int kMaxRuns = 64;
+    int64_t run_head[kMaxRuns];
+    int64_t run_end[kMaxRuns];
+    int n_runs = 0;
+    {
+        int64_t start = 0;
+        for (int64_t i = 1; i <= xm; i++) {
+            if (i == xm || x_pos[i] < x_pos[i - 1]) {
+                if (n_runs == kMaxRuns) return -1;  // caller falls back
+                run_head[n_runs] = start;
+                run_end[n_runs] = i;
+                n_runs++;
+                start = i;
+            }
+        }
+    }
+    int64_t out_n = 0;
+    ZCand loc[160];
+    for (int64_t p = 0; p < n; p++) {
+        cand_off[p] = out_n;
+        int k = 0;
+        for (int64_t r = 0; r < n_rows; r++) {
+            int64_t o = r * n + p;
+            int64_t L = d_len[o];
+            if (L < 2) continue;
+            ZCand& c = loc[k++];
+            c.len = (int32_t)L;
+            c.wire = (int32_t)d_wire[o];
+            c.dist = (int32_t)d_dist[o];
+            c.sym = 0;
+            c.nbits = 0;
+            c.flags = d_isdict[o] ? 1 : 0;
+        }
+        for (int r = 0; r < n_runs; r++) {
+            int64_t h = run_head[r], e = run_end[r];
+            while (h < e && x_pos[h] == p) {
+                if (k < 160 && x_len[h] >= 2) {
+                    ZCand& c = loc[k++];
+                    c.len = (int32_t)x_len[h];
+                    c.wire = (int32_t)x_wire[h];
+                    c.dist = (int32_t)x_dist[h];
+                    c.sym = 0;
+                    c.nbits = 0;
+                    c.flags = x_isdict[h] ? 1 : 0;
+                }
+                h++;
+            }
+            run_head[r] = h;
+        }
+        if (k == 0) continue;
+        for (int j = 1; j < k; j++) {
+            ZCand v = loc[j];
+            int64_t kv = ((int64_t)(v.flags & 1) << 32) - v.len;
+            int t = j - 1;
+            while (t >= 0 &&
+                   (((int64_t)(loc[t].flags & 1) << 32) - loc[t].len)
+                       > kv) {
+                loc[t + 1] = loc[t];
+                t--;
+            }
+            loc[t + 1] = v;
+        }
+        int nw = 0, nd = 0;
+        for (int j = 0; j < k; j++) {
+            ZCand v = loc[j];
+            bool dic = (v.flags & 1) != 0;
+            if (dic ? nd >= k_dict : nw >= k_win) continue;
+            bool dup = false;
+            for (int64_t t = cand_off[p]; t < out_n; t++)
+                if (out[t].dist == v.dist) { dup = true; break; }
+            if (dup) continue;
+            int64_t sym, nbits;
+            prefix_encode_dist(v.dist, npostfix, ndirect, &sym, &nbits);
+            v.sym = (int16_t)sym;
+            v.nbits = (uint8_t)nbits;
+            v.flags = (dic ? 1 : 0) |
+                      ((!dic && nw < ladder_top) ? 2 : 0);
+            out[out_n++] = v;
+            if (dic) nd++; else nw++;
+        }
+    }
+    cand_off[n] = out_n;
+    return out_n;
+}
+
+// ---------------------------------------------------------------------------
+// sliding-window literal cost estimate (mirrors
+// zopfli.estimate_literal_costs — reference
+// BrotliEstimateBitCostsForLiterals, literal_cost.rs:179).  Exact
+// O(n) add/remove histogram walk over the +-half window, per UTF8
+// context class when cls is provided.
+// ---------------------------------------------------------------------------
+
+void est_lit_native(const uint8_t* data, int64_t n, const uint8_t* cls,
+                    int64_t half, int utf8_ramp, double bias,
+                    double* cost)
+{
+    int32_t hist[3 * 256] = {0};
+    int32_t clscnt[3] = {0, 0, 0};
+    auto cls_of = [&](int64_t i) -> int { return cls ? cls[i] : 0; };
+    int64_t lo = 0, hi = -1;  // inclusive added range
+    for (int64_t i = 0; i < n; i++) {
+        int64_t want_lo = i - half + 1 > 0 ? i - half + 1 : 0;
+        int64_t want_hi = i + half < n - 1 ? i + half : n - 1;
+        while (hi < want_hi) {
+            hi++;
+            int c = cls_of(hi);
+            hist[c * 256 + data[hi]]++;
+            clscnt[c]++;
+        }
+        while (lo < want_lo) {
+            int c = cls_of(lo);
+            hist[c * 256 + data[lo]]--;
+            clscnt[c]--;
+            lo++;
+        }
+        int c = cls_of(i);
+        int32_t cnt = hist[c * 256 + data[i]];
+        int32_t W = cls ? clscnt[c]
+                        : (int32_t)(want_hi - want_lo + 1);
+        double v = std::log2((double)(W > 1 ? W : 1))
+                   - std::log2((double)(cnt > 1 ? cnt : 1)) + bias;
+        if (v < 1.0) v = v * 0.5 + 0.5;
+        if (utf8_ramp && i < 2000)
+            v += 0.7 - (double)(2000 - i) / 2000.0 * 0.35;
+        cost[i] = v;
+    }
 }
 
 // ---------------------------------------------------------------------------
@@ -865,10 +1070,7 @@ void zopfli_dp_cands_native(
     const double* cost_cmd,
     const double* cost_dist_short /* [16] */,
     const double* cost_dist /* [4*alpha] */, int64_t dist_alpha,
-    const int64_t* cand_off, const int64_t* c_len,
-    const int64_t* c_wire, const int64_t* c_dist,
-    const int64_t* c_sym, const int64_t* c_nbits,
-    const uint8_t* c_flags,
+    const int64_t* cand_off, const ZCand* cands,
     const int64_t* ins_code_tab, const int64_t* ins_extra_tab,
     const int64_t* cmd_sym_tab, const int64_t* cmd_sym_last_tab,
     const uint8_t* data, int64_t total_len, int64_t dict_len,
@@ -1036,11 +1238,12 @@ void zopfli_dp_cands_native(
             }
 
             for (int64_t e = e0; e < e1; e++) {
-                int64_t L = c_len[e];
-                int64_t d = c_dist[e];
-                int64_t sym = c_sym[e];
-                double nb = (double)c_nbits[e];
-                uint8_t fl = c_flags[e];
+                const ZCand& cnd = cands[e];
+                int64_t L = cnd.len;
+                int64_t d = cnd.dist;
+                int64_t sym = cnd.sym;
+                double nb = (double)cnd.nbits;
+                uint8_t fl = cnd.flags;
                 int sc = d <= max_distance ? short_code_of(d, cs) : -1;
                 bool in_window = d <= max_distance;
 
@@ -1054,7 +1257,7 @@ void zopfli_dp_cands_native(
                                   cost_cmd[cmd_row[cc]],
                               adv, wirev, d, true);
                     };
-                    go(L, c_wire[e]);
+                    go(L, cnd.wire);
                     if (fl & 2) {
                         if (L > 4) go(L - 1, L - 1);
                         if (L > 5) go(L - 2, L - 2);
@@ -1079,7 +1282,7 @@ void zopfli_dp_cands_native(
                                   adv, wirev, d, in_window);
                         }
                     };
-                    go(L, c_wire[e], copy_code_of(c_wire[e]));
+                    go(L, cnd.wire, copy_code_of(cnd.wire));
                     if (fl & 2) {
                         if (L > 4) go(L - 1, L - 1, copy_code_of(L - 1));
                         if (L > 5) go(L - 2, L - 2, copy_code_of(L - 2));
@@ -1105,7 +1308,7 @@ void zopfli_dp_cands_native(
                                   cost_cmd[cmd_row[cc]],
                               adv, wirev, d, in_window);
                     };
-                    go(L, c_wire[e], copy_code_of(c_wire[e]));
+                    go(L, cnd.wire, copy_code_of(cnd.wire));
                     if (fl & 2) {
                         if (L > 4) go(L - 1, L - 1, copy_code_of(L - 1));
                         if (L > 5) go(L - 2, L - 2, copy_code_of(L - 2));

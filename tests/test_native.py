@@ -178,20 +178,20 @@ def test_zopfli_cands_caps_and_dedup():
     dists = rng.integers(1, 1 << 20, m)
     isdict = rng.random(m) < 0.2
     wire = lens.copy()
-    off, c_len, c_wire, c_dist, c_sym, c_nbits, c_flags = \
-        nb.zopfli_cands(pos, lens, dists, isdict, wire, n, 0, 0)
+    off, packed = nb.zopfli_cands(pos, lens, dists, isdict, wire, n,
+                                  0, 0)
     total = off[n]
-    assert total > 0
+    assert total > 0 and len(packed) == total
     for p in range(n):
         a, b = int(off[p]), int(off[p + 1])
-        ds = c_dist[a:b].tolist()
+        ds = packed["dist"][a:b].tolist()
         assert len(ds) == len(set(ds))          # deduped
-        dic = (c_flags[a:b] & 1) > 0
+        dic = (packed["flags"][a:b] & 1) > 0
         assert dic.sum() <= 4 and (~dic).sum() <= 12  # capped
-    far = c_dist[:total] > 0
-    sym, extra, nbits = C.encode_distance(c_dist[:total], 0, 0)
-    assert (c_sym[:total] == sym).all()
-    assert (c_nbits[:total] == nbits).all()
+    sym, extra, nbits = C.encode_distance(
+        packed["dist"].astype(np.int64), 0, 0)
+    assert (packed["sym"] == sym).all()
+    assert (packed["nbits"] == nbits).all()
 
 
 def test_q11_native_roundtrip_and_band():
