@@ -211,7 +211,18 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     if not use_zopfli:
         from .. import native_bridge as nb
         knobs = _quality_knobs(params)
-        if nb.available():
+        if params.quality <= 1 and nb.available() and dlen == 0:
+            # q0/q1 fast tier (reference BrotliCompressFragmentFast,
+            # compress_fragment.rs): one direct-mapped table, greedy
+            # one-pass, miss-skip stride — no ring tables, no
+            # dictionary, no distance-cache probes
+            segments = nb.fragment_parse(full, params.window_size,
+                                         boundaries, pos0=start)
+            if segments is None:
+                segments = _pipelined_segments(
+                    nb, full, params, boundaries, dlen, start,
+                    tuple(cache), knobs)
+        elif nb.available():
             # one-pass native search+parse (the reference's
             # CreateBackwardReferences shape: search only at parse
             # positions, bulk hash insertion over match bodies),
@@ -245,7 +256,10 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     # the IR callback needs the Python-side command arrays, so it runs
     # the unfused flow
     from .. import native_bridge as nb
-    fused = (not use_zopfli and 4 <= params.quality and nb.available()
+    # q<4 runs the same fused call with context modeling and block
+    # splits off — that wire shape IS the trivial store (single trees,
+    # implicit all-zero context map), at native speed
+    fused = (not use_zopfli and nb.available()
              and metablock_callback is None
              and params.stream_offset == 0)
     if fused:
@@ -283,7 +297,8 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
                 full, abs_start, mlen, is_last, ins, cps, dst, adv,
                 cache, params.window_size, params.dist.npostfix,
                 params.dist.ndirect, params.dist.alphabet_size,
-                params.quality, ctx_mode, nlc, smap, lut0, lut1)
+                params.quality, ctx_mode, nlc, smap, lut0, lut1,
+                enable_splits=params.quality >= 4)
             # Per-metablock expansion fallback (encode.rs:2141-2163).
             if res is None or res[1] > 8 * mlen + 40:
                 bs.store_uncompressed_meta_block(

@@ -89,6 +89,7 @@ def get_lib():
         _lib.zopfli_cands_native.restype = ctypes.c_int64
         _lib.zopfli_cands_dense_native.restype = ctypes.c_int64
         _lib.est_lit_native.restype = None
+        _lib.fragment_parse_native.restype = ctypes.c_int64
         _lib.zopfli_dp_cands_native.restype = None
         _lib.zopfli_backtrack_native.restype = ctypes.c_int64
         _lib.store_metablock_native.restype = ctypes.c_int64
@@ -490,6 +491,40 @@ def zopfli_cands_dense(d_len, d_dist, d_isdict, d_wire, extra, n,
     if cnt < 0:
         return None  # unsorted extra runs: caller uses zopfli_cands
     return cand_off, packed[:cnt]
+
+
+def fragment_parse(data, window_size, bounds, pos0=0, table_bits=17):
+    """q0/q1 one-pass greedy fragment parse (fragment_parse_native).
+    Returns one (ins, cps, dst, adv) tuple per boundary segment, or
+    None on overflow (caller uses the generic path)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(data)
+    table_bits = min(table_bits, max(9, n.bit_length()))
+    bounds = np.ascontiguousarray(bounds, np.int64)
+    cap = n // 4 + len(bounds) + 2
+    ins = np.empty(cap, np.int64)
+    cps = np.empty(cap, np.int64)
+    dst = np.empty(cap, np.int64)
+    adv = np.empty(cap, np.int64)
+    seg_counts = np.zeros(len(bounds), np.int64)
+    m = lib.fragment_parse_native(
+        _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(pos0),
+        ctypes.c_int64(window_size),
+        ctypes.c_int64(table_bits), _ptr(bounds),
+        ctypes.c_int64(len(bounds)),
+        _ptr(ins), _ptr(cps), _ptr(dst), _ptr(adv), _ptr(seg_counts),
+        ctypes.c_int64(cap))
+    if m < 0:
+        return None
+    segs = []
+    o = 0
+    for c in seg_counts:
+        c = int(c)
+        segs.append((ins[o:o + c], cps[o:o + c], dst[o:o + c],
+                     adv[o:o + c]))
+        o += c
+    return segs
 
 
 def est_lit(data, cls, half, utf8_ramp, bias):

@@ -826,6 +826,87 @@ void est_lit_native(const uint8_t* data, int64_t n, const uint8_t* cls,
 }
 
 // ---------------------------------------------------------------------------
+// q0/q1 fragment parse (reference compress_fragment.rs shape:
+// BrotliCompressFragmentFast — one direct-mapped table, greedy, an
+// unbounded miss-skip stride, sparse hashing inside match bodies).
+// Emits per-metablock command arrays for the fused native store; copies
+// are capped at metablock boundaries.
+// ---------------------------------------------------------------------------
+
+int64_t fragment_parse_native(
+    const uint8_t* data, int64_t n, int64_t pos0, int64_t window,
+    int64_t table_bits, const int64_t* bounds, int64_t n_bounds,
+    int64_t* out_ins, int64_t* out_cps, int64_t* out_dst,
+    int64_t* out_adv, int64_t* seg_counts /* [n_bounds] */, int64_t cap)
+{
+    int64_t tsize = int64_t(1) << table_bits;
+    static thread_local std::vector<int32_t> table_v;
+    table_v.assign(tsize, 0);  // stores pos+1; 0 = empty
+    int32_t* table = table_v.data();
+    const uint64_t kMul = 0x1FE35A7BD3579BD3ull;
+    uint32_t shift = (uint32_t)(64 - table_bits);
+    auto hash5 = [&](int64_t i) -> uint32_t {
+        uint64_t v;
+        std::memcpy(&v, data + i, 8);
+        return (uint32_t)(((v << 24) * kMul) >> shift);
+    };
+    int64_t m = 0;
+    int64_t prev = pos0;
+    for (int64_t b = 0; b < n_bounds; b++) {
+        int64_t bound = bounds[b];
+        int64_t m0 = m;
+        int64_t ip = prev;
+        int64_t last_insert = prev;
+        int64_t skip = 0;
+        while (ip + 8 <= bound) {
+            uint32_t h = hash5(ip);
+            int64_t cand = (int64_t)table[h] - 1;
+            table[h] = (int32_t)(ip + 1);
+            if (cand >= 0 && ip - cand <= window &&
+                load32(data + cand) == load32(data + ip)) {
+                int64_t len = probe_len(data, cand, ip, bound - ip);
+                if (len >= 4) {
+                    if (m >= cap) return -1;
+                    out_ins[m] = ip - last_insert;
+                    out_cps[m] = len;
+                    out_dst[m] = ip - cand;
+                    out_adv[m] = len;
+                    m++;
+                    // sparse interior hashing (the reference hashes a
+                    // couple of positions per emitted copy)
+                    int64_t stop = ip + len;
+                    for (int64_t i = ip + 1; i + 8 <= stop && i + 8 <= n;
+                         i += 4) {
+                        uint32_t h2 = hash5(i);
+                        table[h2] = (int32_t)(i + 1);
+                    }
+                    if (stop >= 2 && stop + 8 <= n) {
+                        uint32_t h2 = hash5(stop - 2);
+                        table[h2] = (int32_t)(stop - 1);
+                    }
+                    ip = stop;
+                    last_insert = ip;
+                    skip = 0;
+                    continue;
+                }
+            }
+            ip += 1 + (skip++ >> 5);
+        }
+        if (bound > last_insert) {
+            if (m >= cap) return -1;
+            out_ins[m] = bound - last_insert;
+            out_cps[m] = 0;
+            out_dst[m] = 0;
+            out_adv[m] = 0;
+            m++;
+        }
+        seg_counts[b] = m - m0;
+        prev = bound;
+    }
+    return m;
+}
+
+// ---------------------------------------------------------------------------
 // transform-aware static-dictionary matching against the prebuilt
 // expanded (word x transform) index (mirrors
 // static_dict.collect_dict_matches — that Python path is the oracle)
@@ -1583,6 +1664,17 @@ struct CombinedCtx {
         insert_upto(i);
         if (i + 4 > n) return sr;
         int64_t limit = n - i;
+        // prefetch everything the probes below will touch: the two
+        // ring bucket rows and the data at each cache-candidate
+        // source.  The probe loops otherwise serialize these misses.
+        __builtin_prefetch(ring4 + (int64_t)H4[i] * cap4, 0, 1);
+        if (k8 && i + 8 <= n)
+            __builtin_prefetch(ring8 + (int64_t)H8[i] * cap8, 0, 1);
+        for (int c = 0; c < n_cache; c++) {
+            int64_t d = cache[kSCIdx[c]] + kSCDelta[c];
+            if (d > 0 && d <= i && d <= window)
+                __builtin_prefetch(data + i - d, 0, 1);
+        }
         // distance-cache candidates: the full short-code set
         // (reference H9 kNumLastDistancesToCheck=16, mod.rs:598 —
         // cache[idx]+delta with last-distance penalties); n_cache is

@@ -988,20 +988,30 @@ extern "C" int64_t store_metablock_native(
     static thread_local std::vector<uint8_t> lit_ctx;
     literals.clear();
     lit_ctx.clear();
+    // contexts are only consulted by the static-map path when the map
+    // is non-trivial, or by the dynamic clustering at q>=10 — skip the
+    // per-literal LUT walk otherwise (the q<4 trivial tier)
+    bool need_ctx = quality >= 10 || num_lit_ctx > 1;
     {
         int64_t pos = start;
         int64_t tot = 0;
         for (int64_t c = 0; c < n_cmds; c++) tot += insert_len[c];
-        literals.reserve(tot);
-        lit_ctx.reserve(tot);
+        literals.resize(tot);
+        lit_ctx.resize(need_ctx ? tot : 0);
+        int64_t o = 0;
         for (int64_t c = 0; c < n_cmds; c++) {
             int64_t il = insert_len[c];
-            for (int64_t j = 0; j < il; j++) {
-                int64_t p = pos + j;
-                uint8_t p1 = p >= 1 ? data[p - 1] : 0;
-                uint8_t p2 = p >= 2 ? data[p - 2] : 0;
-                literals.push_back(data[p]);
-                lit_ctx.push_back((uint8_t)(lut0[p1] | lut1[p2]));
+            if (il) {
+                std::memcpy(literals.data() + o, data + pos, (size_t)il);
+                if (need_ctx) {
+                    for (int64_t j = 0; j < il; j++) {
+                        int64_t p = pos + j;
+                        uint8_t p1 = p >= 1 ? data[p - 1] : 0;
+                        uint8_t p2 = p >= 2 ? data[p - 2] : 0;
+                        lit_ctx[o + j] = (uint8_t)(lut0[p1] | lut1[p2]);
+                    }
+                }
+                o += il;
             }
             pos += il + copy_advance[c];
         }
@@ -1020,9 +1030,9 @@ extern "C" int64_t store_metablock_native(
 
     // ---- block splits ----
     static thread_local std::vector<int64_t> lit64;
-    lit64.assign(literals.begin(), literals.end());
     Split lit_split, cmd_split, dist_split;
     if (enable_splits) {
+        lit64.assign(literals.begin(), literals.end());
         bool fast_split = quality < 7;
         lit_split = split_symbols(lit64.data(), n_lit, 256,
                                   fast_split ? SP_LIT_FAST : SP_LIT);
@@ -1033,11 +1043,10 @@ extern "C" int64_t store_metablock_native(
                                    (int)dist_alpha,
                                    fast_split ? SP_DIST_FAST : SP_DIST);
     } else {
-        lit_split.types.assign(n_lit, 0);
+        // single-type splits: .types stays empty (every consumer
+        // below treats num_types == 1 as type 0 without the array)
         lit_split.blocks = {{0, (int)n_lit}};
-        cmd_split.types.assign(n_cmds, 0);
         cmd_split.blocks = {{0, (int)n_cmds}};
-        dist_split.types.assign(dist_syms.size(), 0);
         dist_split.blocks = {{0, (int)dist_syms.size()}};
     }
     while ((int64_t)lit_split.num_types * num_lit_ctx > 256)
@@ -1091,27 +1100,50 @@ extern "C" int64_t store_metablock_native(
                 cmap_l[(size_t)t * 64 + c] =
                     t * num_lit_ctx + lit_static_map[c];
         lit_h.assign((size_t)ntrees_l * 256, 0);
-        for (int64_t i = 0; i < n_lit; i++) {
-            int tr = (int)(lit_split.types[i] * num_lit_ctx +
-                           lit_static_map[lit_ctx[i]]);
-            lit_tree[i] = tr;
-            lit_h[(size_t)tr * 256 + literals[i]]++;
+        if (ntrees_l == 1) {
+            // single tree: plain byte histogram, no per-literal tree
+            for (int64_t i = 0; i < n_lit; i++) lit_h[literals[i]]++;
+        } else if (num_lit_ctx == 1) {
+            // trivial map: tree == block type, no context lookup
+            for (int64_t i = 0; i < n_lit; i++) {
+                int tr = lit_split.types[i];
+                lit_tree[i] = tr;
+                lit_h[(size_t)tr * 256 + literals[i]]++;
+            }
+        } else {
+            for (int64_t i = 0; i < n_lit; i++) {
+                int tr = (int)((lit_split.num_types == 1
+                                    ? 0 : lit_split.types[i])
+                                   * num_lit_ctx +
+                               lit_static_map[lit_ctx[i]]);
+                lit_tree[i] = tr;
+                lit_h[(size_t)tr * 256 + literals[i]]++;
+            }
         }
         ntrees_d = dist_split.num_types;
         for (int t = 0; t < ntrees_d; t++)
             for (int c = 0; c < 4; c++) cmap_d[(size_t)t * 4 + c] = t;
         dist_h.assign((size_t)ntrees_d * dist_alpha, 0);
-        for (size_t i = 0; i < dist_syms.size(); i++) {
-            dist_tree[i] = dist_split.types[i];
-            dist_h[(size_t)dist_split.types[i] * dist_alpha +
-                   dist_syms[i]]++;
+        if (ntrees_d == 1) {
+            for (size_t i = 0; i < dist_syms.size(); i++)
+                dist_h[dist_syms[i]]++;
+        } else {
+            for (size_t i = 0; i < dist_syms.size(); i++) {
+                dist_tree[i] = dist_split.types[i];
+                dist_h[(size_t)dist_split.types[i] * dist_alpha +
+                       dist_syms[i]]++;
+            }
         }
     }
 
     int nct = cmd_split.num_types;
     std::vector<int64_t> cmd_h((size_t)nct * 704, 0);
-    for (int64_t c = 0; c < n_cmds; c++)
-        cmd_h[(size_t)cmd_split.types[c] * 704 + cmd_sym[c]]++;
+    if (nct == 1) {
+        for (int64_t c = 0; c < n_cmds; c++) cmd_h[cmd_sym[c]]++;
+    } else {
+        for (int64_t c = 0; c < n_cmds; c++)
+            cmd_h[(size_t)cmd_split.types[c] * 704 + cmd_sym[c]]++;
+    }
 
     // ---- per-tree code lengths (safe-hist + RLE optimize) ----
     auto tree_lengths = [&](std::vector<int64_t>& hists, int ntrees,
@@ -1198,6 +1230,46 @@ extern "C" int64_t store_metablock_native(
         bw.put(sp.len_enc.codes[lc], sp.len_enc.lens[lc]);
         bw.put(sp.len_extra[si].first, sp.len_extra[si].second);
     };
+    if (!sw_c.active && !sw_l.active && !sw_d.active &&
+        ntrees_l == 1 && nct == 1 && ntrees_d == 1) {
+        // single tree per category (the trivial store and any
+        // metablock the splitter left whole): no switch checks, no
+        // per-symbol tree loads, literals emitted two per put
+        const Enc& ce = cmd_enc[0];
+        const Enc& le = lit_enc[0];
+        const Enc& de = dist_enc[0];
+        int64_t lit_i2 = 0, dist_i2 = 0;
+        for (int64_t c = 0; c < n_cmds; c++) {
+            int sym = (int)cmd_sym[c];
+            bw.put(ce.codes[sym], ce.lens[sym]);
+            int icode = T.cmd_ins_code[sym];
+            int ccode = T.cmd_copy_code[sym];
+            int64_t wire_copy = copy_len[c] == 0 ? 4 : copy_len[c];
+            bw.put(insert_len[c] - T.ins_base[icode],
+                   (int)T.ins_extra[icode]);
+            bw.put(wire_copy - T.copy_base[ccode],
+                   (int)T.copy_extra[ccode]);
+            int64_t il = insert_len[c];
+            const uint8_t* lp = literals.data() + lit_i2;
+            int64_t j = 0;
+            for (; j + 2 <= il; j += 2) {
+                uint8_t b0 = lp[j], b1 = lp[j + 1];
+                int l0 = le.lens[b0];
+                bw.put((uint64_t)le.codes[b0] |
+                           ((uint64_t)le.codes[b1] << l0),
+                       l0 + le.lens[b1]);
+            }
+            if (j < il) bw.put(le.codes[lp[j]], le.lens[lp[j]]);
+            lit_i2 += il;
+            if (copy_len[c] > 0 && !T.cmd_implicit[sym]) {
+                int ds = (int)dist_syms[dist_i2];
+                bw.put(de.codes[ds], de.lens[ds]);
+                bw.put(dist_extra[c], (int)dist_extra_bits[c]);
+                dist_i2++;
+            }
+        }
+        return bw.overflow ? -1 : bw.pos;
+    }
     size_t sw_li = 0, sw_ci = 0, sw_di = 0;
     int64_t lit_i = 0, dist_i = 0;
     for (int64_t c = 0; c < n_cmds; c++) {

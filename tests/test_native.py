@@ -228,3 +228,32 @@ def test_native_store_vs_python_store():
         py_size = int(r.stdout.strip())
         assert abs(len(native_out) - py_size) < 0.02 * py_size + 64, \
             (len(native_out), py_size)
+
+
+def test_fragment_parse_coverage_and_validity():
+    """fragment_parse_native covers each boundary segment exactly,
+    caps copies at metablock bounds, honors pos0, and its matches are
+    real (reference compress_fragment.rs contract)."""
+    data = load("asyoulik.txt")[:120000]
+    arr = np.frombuffer(data, np.uint8)
+    n = len(arr)
+    bounds = [50000, 100000, n]
+    for pos0 in (0, 2):
+        segs = nb.fragment_parse(arr, (1 << 22) - 16, bounds, pos0=pos0)
+        prev = pos0
+        for (ins, cps, dst, adv), b in zip(segs, bounds):
+            total = int((ins + adv).sum())
+            assert total == b - prev
+            pos = prev
+            for i in range(len(ins)):
+                pos += int(ins[i])
+                if cps[i] > 0:
+                    d, l = int(dst[i]), int(adv[i])
+                    assert 1 <= d <= pos
+                    assert pos + l <= b  # capped at the boundary
+                    src = bytes(arr[pos - d:pos - d + l]) if d >= l else \
+                        bytes((arr[pos - d + (j % d)] for j in range(l)))
+                    assert src == bytes(arr[pos:pos + l])
+                    pos += l
+            assert pos == b
+            prev = b
