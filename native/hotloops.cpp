@@ -240,7 +240,24 @@ static const int64_t kCpyBaseT[24] = {
     2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 22, 30, 38, 54, 70, 102,
     134, 198, 326, 582, 1094, 2118};
 
+// code-of-length lookup: direct u8 table below 1024 (covers nearly
+// every command), linear fallback above
+struct LenCodeLut {
+    uint8_t t[1024];
+    LenCodeLut(const int64_t* base) {
+        int64_t c = 0;
+        for (int64_t v = 0; v < 1024; v++) {
+            while (c < 23 && base[c + 1] <= v) c++;
+            t[v] = (uint8_t)c;
+        }
+    }
+};
+
 static inline int64_t len_code_of(const int64_t* base, int64_t v) {
+    static const LenCodeLut ins_lut(kInsBaseT);
+    static const LenCodeLut cpy_lut(kCpyBaseT);
+    if (v < 1024)
+        return (base == kInsBaseT ? ins_lut : cpy_lut).t[v];
     int64_t c = 23;
     while (c > 0 && base[c] > v) c--;
     return c;
@@ -275,7 +292,15 @@ void resolve_commands_native(
         int64_t c = copy_len[i];
         int64_t d = distance[i];
         out_extra[i] = 0; out_extra_bits[i] = 0; out_use_last[i] = 0;
-        if (c == 0) { out_code[i] = 0; out_use_last[i] = 1; continue; }
+        if (c == 0) {
+            out_code[i] = 0; out_use_last[i] = 1;
+            int64_t ic = len_code_of(kInsBaseT, insert_len[i]);
+            bool ul = ic < 8;  // copy code of wire length 4 is 2 (<16)
+            out_use_last[i] = ul ? 1 : 0;
+            out_cmd_sym[i] = combine_codes(
+                ic, len_code_of(kCpyBaseT, 4), ul);
+            continue;
+        }
         int64_t max_distance = std::min(pos, window_size);
         int64_t sc = -1;
         if (d <= max_distance) {
@@ -322,10 +347,9 @@ void resolve_commands_native(
             cache[1] = cache[0]; cache[0] = d;
         }
         pos += c;
-    }
-    // command alphabet symbols (wire copy length selects the copy code;
-    // a trailing insert-only command encodes wire copy 4 + dist0)
-    for (int64_t i = 0; i < n; i++) {
+        // command alphabet symbol, fused into the same pass (wire copy
+        // length selects the copy code; a trailing insert-only command
+        // encodes wire copy 4 + dist0)
         int64_t wc = wire_copy[i] == 0 ? 4 : wire_copy[i];
         int64_t ic = len_code_of(kInsBaseT, insert_len[i]);
         int64_t cc = len_code_of(kCpyBaseT, wc);

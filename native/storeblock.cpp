@@ -17,6 +17,9 @@
 #include <algorithm>
 #include <vector>
 #include <queue>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 
 namespace sb {
 
@@ -980,6 +983,16 @@ extern "C" int64_t store_metablock_native(
     using namespace sb;
     init_tables();
     BW bw{out_words, cap_bits};
+    static int prof = getenv("BROTLI_TPU_STORE_PROF") ? 1 : 0;
+    auto tprof = std::chrono::steady_clock::now();
+    auto mark = [&](const char* what) {
+        if (!prof) return;
+        auto now = std::chrono::steady_clock::now();
+        fprintf(stderr, "[store] %-10s %.3f ms\n", what,
+                std::chrono::duration<double, std::milli>(now - tprof)
+                    .count());
+        tprof = now;
+    };
 
     // ---- gather literals + their contexts ----
     // persistent per-thread scratch (multi-MB reallocation per
@@ -1017,10 +1030,15 @@ extern "C" int64_t store_metablock_native(
         }
     }
     int64_t n_lit = (int64_t)literals.size();
+    mark("lits");
 
     // ---- distance symbol stream ----
-    std::vector<int64_t> dist_syms;
-    std::vector<int64_t> dist_cmd_idx;
+    static thread_local std::vector<int64_t> dist_syms;
+    static thread_local std::vector<int64_t> dist_cmd_idx;
+    dist_syms.clear();
+    dist_cmd_idx.clear();
+    dist_syms.reserve(n_cmds);
+    dist_cmd_idx.reserve(n_cmds);
     for (int64_t c = 0; c < n_cmds; c++) {
         if (copy_len[c] > 0 && !T.cmd_implicit[cmd_sym[c]]) {
             dist_syms.push_back(dist_code[c]);
@@ -1028,6 +1046,7 @@ extern "C" int64_t store_metablock_native(
         }
     }
 
+    mark("dists");
     // ---- block splits ----
     static thread_local std::vector<int64_t> lit64;
     Split lit_split, cmd_split, dist_split;
@@ -1052,13 +1071,22 @@ extern "C" int64_t store_metablock_native(
     while ((int64_t)lit_split.num_types * num_lit_ctx > 256)
         num_lit_ctx = 1;
 
+    mark("splits");
     // ---- context maps + per-tree histograms ----
     bool dynamic_ctx = quality >= 10 && n_lit > 512;
     int ntrees_l, ntrees_d;
     std::vector<int64_t> cmap_l((size_t)lit_split.num_types * 64, 0);
     std::vector<int64_t> cmap_d((size_t)dist_split.num_types * 4, 0);
-    std::vector<int> lit_tree(n_lit, 0);
-    std::vector<int> dist_tree(dist_syms.size(), 0);
+    // per-symbol tree ids are only consulted by the multi-tree emit
+    // loop; skip the zeroed multi-MB allocations in the single-tree
+    // tiers (thread_local so the capacity persists across metablocks)
+    static thread_local std::vector<int> lit_tree;
+    static thread_local std::vector<int> dist_tree;
+    bool multi_l = dynamic_ctx || lit_split.num_types > 1 ||
+                   num_lit_ctx > 1;
+    bool multi_d = dynamic_ctx || dist_split.num_types > 1;
+    lit_tree.assign(multi_l ? n_lit : 0, 0);
+    dist_tree.assign(multi_d ? dist_syms.size() : 0, 0);
     std::vector<int64_t> lit_h, dist_h;
 
     if (dynamic_ctx) {
@@ -1145,6 +1173,7 @@ extern "C" int64_t store_metablock_native(
             cmd_h[(size_t)cmd_split.types[c] * 704 + cmd_sym[c]]++;
     }
 
+    mark("hists");
     // ---- per-tree code lengths (safe-hist + RLE optimize) ----
     auto tree_lengths = [&](std::vector<int64_t>& hists, int ntrees,
                             int alpha, std::vector<uint8_t>& lengths) {
@@ -1166,6 +1195,7 @@ extern "C" int64_t store_metablock_native(
     tree_lengths(cmd_h, nct, 704, cmd_lengths);
     tree_lengths(dist_h, ntrees_d, (int)dist_alpha, dist_lengths);
 
+    mark("treelens");
     // ---- header ----
     bw.put(is_last ? 1 : 0, 1);
     if (is_last) bw.put(0, 1);
@@ -1222,6 +1252,7 @@ extern "C" int64_t store_metablock_native(
                           (int)dist_alpha);
     }
 
+    mark("header");
     // ---- command stream ----
     auto emit_switch = [&](SwitchPlan& sp, size_t si) {
         int ts = sp.type_syms[si];
@@ -1234,40 +1265,75 @@ extern "C" int64_t store_metablock_native(
         ntrees_l == 1 && nct == 1 && ntrees_d == 1) {
         // single tree per category (the trivial store and any
         // metablock the splitter left whole): no switch checks, no
-        // per-symbol tree loads, literals emitted two per put
+        // per-symbol tree loads, and a register-resident bit
+        // accumulator flushed a full word at a time (BW::put's two
+        // read-modify-writes per symbol dominate this loop otherwise)
         const Enc& ce = cmd_enc[0];
         const Enc& le = lit_enc[0];
         const Enc& de = dist_enc[0];
+        int64_t word = bw.pos >> 6;
+        int off = (int)(bw.pos & 63);
+        uint64_t acc = bw.w[word];
+        auto push = [&](uint64_t bits, int nb) {
+            bits &= (nb >= 64) ? ~0ull : ((1ull << nb) - 1);
+            acc |= bits << off;
+            off += nb;
+            if (off >= 64) {
+                bw.w[word++] = acc;
+                off -= 64;
+                acc = (off == 0) ? 0 : (bits >> (nb - off));
+            }
+        };
         int64_t lit_i2 = 0, dist_i2 = 0;
         for (int64_t c = 0; c < n_cmds; c++) {
+            int64_t il = insert_len[c];
+            if ((word << 6) + off + 192 + il * 16 > cap_bits) {
+                bw.overflow = true;
+                break;
+            }
             int sym = (int)cmd_sym[c];
-            bw.put(ce.codes[sym], ce.lens[sym]);
             int icode = T.cmd_ins_code[sym];
             int ccode = T.cmd_copy_code[sym];
             int64_t wire_copy = copy_len[c] == 0 ? 4 : copy_len[c];
-            bw.put(insert_len[c] - T.ins_base[icode],
-                   (int)T.ins_extra[icode]);
-            bw.put(wire_copy - T.copy_base[ccode],
-                   (int)T.copy_extra[ccode]);
-            int64_t il = insert_len[c];
+            // cmd code (<=15b) + insert extra (<=24b) + copy extra
+            // (<=24b) fit one 64-bit push
+            int l0 = ce.lens[sym];
+            int l1 = (int)T.ins_extra[icode];
+            uint64_t v = (uint64_t)ce.codes[sym] |
+                         ((uint64_t)(insert_len[c] - T.ins_base[icode])
+                          << l0) |
+                         ((uint64_t)(wire_copy - T.copy_base[ccode])
+                          << (l0 + l1));
+            push(v, l0 + l1 + (int)T.copy_extra[ccode]);
             const uint8_t* lp = literals.data() + lit_i2;
             int64_t j = 0;
-            for (; j + 2 <= il; j += 2) {
-                uint8_t b0 = lp[j], b1 = lp[j + 1];
-                int l0 = le.lens[b0];
-                bw.put((uint64_t)le.codes[b0] |
-                           ((uint64_t)le.codes[b1] << l0),
-                       l0 + le.lens[b1]);
+            for (; j + 4 <= il; j += 4) {
+                // 4 literal codes <=15b each: one push
+                uint8_t b0 = lp[j], b1 = lp[j + 1], b2 = lp[j + 2],
+                        b3 = lp[j + 3];
+                int s0 = le.lens[b0];
+                int s1 = s0 + le.lens[b1];
+                int s2 = s1 + le.lens[b2];
+                uint64_t lv = (uint64_t)le.codes[b0] |
+                              ((uint64_t)le.codes[b1] << s0) |
+                              ((uint64_t)le.codes[b2] << s1) |
+                              ((uint64_t)le.codes[b3] << s2);
+                push(lv, s2 + le.lens[b3]);
             }
-            if (j < il) bw.put(le.codes[lp[j]], le.lens[lp[j]]);
+            for (; j < il; j++) push(le.codes[lp[j]], le.lens[lp[j]]);
             lit_i2 += il;
             if (copy_len[c] > 0 && !T.cmd_implicit[sym]) {
                 int ds = (int)dist_syms[dist_i2];
-                bw.put(de.codes[ds], de.lens[ds]);
-                bw.put(dist_extra[c], (int)dist_extra_bits[c]);
+                int dl = de.lens[ds];
+                push((uint64_t)de.codes[ds] |
+                         ((uint64_t)dist_extra[c] << dl),
+                     dl + (int)dist_extra_bits[c]);
                 dist_i2++;
             }
         }
+        bw.w[word] = acc;
+        bw.pos = (word << 6) + off;
+        mark("emit1tree");
         return bw.overflow ? -1 : bw.pos;
     }
     size_t sw_li = 0, sw_ci = 0, sw_di = 0;
@@ -1290,7 +1356,7 @@ extern "C" int64_t store_metablock_native(
             if (sw_l.active && sw_li < sw_l.switch_at.size() &&
                 sw_l.switch_at[sw_li] == lit_i)
                 emit_switch(sw_l, sw_li++);
-            int t = lit_tree[lit_i];
+            int t = multi_l ? lit_tree[lit_i] : 0;
             uint8_t b = literals[lit_i];
             bw.put(lit_enc[t].codes[b], lit_enc[t].lens[b]);
             lit_i++;
@@ -1299,7 +1365,7 @@ extern "C" int64_t store_metablock_native(
             if (sw_d.active && sw_di < sw_d.switch_at.size() &&
                 sw_d.switch_at[sw_di] == dist_i)
                 emit_switch(sw_d, sw_di++);
-            int t = dist_tree[dist_i];
+            int t = multi_d ? dist_tree[dist_i] : 0;
             int ds = (int)dist_syms[dist_i];
             bw.put(dist_enc[t].codes[ds], dist_enc[t].lens[ds]);
             bw.put(dist_extra[c], (int)dist_extra_bits[c]);
@@ -1333,9 +1399,10 @@ extern "C" int64_t encode_metablock_native(
     int64_t enable_splits,
     uint64_t* out_words, int64_t cap_bits)
 {
-    std::vector<int64_t> code(n_cmds), extra(n_cmds), bits(n_cmds),
-        sym(n_cmds);
-    std::vector<uint8_t> ul(n_cmds);
+    static thread_local std::vector<int64_t> code, extra, bits, sym;
+    static thread_local std::vector<uint8_t> ul;
+    code.resize(n_cmds); extra.resize(n_cmds); bits.resize(n_cmds);
+    sym.resize(n_cmds); ul.resize(n_cmds);
     int64_t cache[4] = {cache_io[0], cache_io[1], cache_io[2],
                         cache_io[3]};
     resolve_commands_native(insert_len, advance, distance, wire_copy,
