@@ -13,6 +13,32 @@ Capability parity with dropbox/rust-brotli (reference src/lib.rs):
   brotli_tpu.parallel.mesh              — multi-chip shard_map pipeline
 """
 
+def _tune_malloc():
+    """Keep large allocations on the heap free-lists instead of mmap.
+
+    The hot paths hand multi-MB numpy buffers back and forth; glibc's
+    default 128 KiB mmap threshold returns each one to the OS on free,
+    so every encode re-faults its working set (~15% of q11 wall time
+    measured as minor faults).  Raising M_MMAP_THRESHOLD/-TRIM keeps the
+    pages mapped across calls.  Opt out with BROTLI_TPU_NO_MALLOC_TUNE=1.
+    """
+    import ctypes
+    import ctypes.util
+    import os
+    if os.environ.get("BROTLI_TPU_NO_MALLOC_TUNE"):
+        return
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6",
+                           use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 128 << 20)
+        libc.mallopt(M_TRIM_THRESHOLD, 128 << 20)
+    except Exception:
+        pass  # non-glibc platforms: default allocator behavior
+
+
+_tune_malloc()
+
 from .concat.brocatli import BroCatli, BroCatliResult, concatenate
 from .decode.decoder import BrotliDecodeError, Decoder, decompress
 from .decode.batch import decompress_batch

@@ -19,12 +19,20 @@ reference's StartPosQueue trick (hq.rs:185).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core import constants as C
 from .match import MATCH_CAP, extend_match, find_best_matches, greedy_parse
 
 INF = float("inf")
+#: candidate-ladder width visited per position by the early cost-model
+#: iterations (the final wide iteration always visits the full set)
+_EARLY_CAND_CAP = int(os.environ.get("BROTLI_TPU_EARLY_CAND_CAP", "6"))
+#: whether early iterations expand the sub-length ladder per candidate
+_EARLY_LADDER = os.environ.get("BROTLI_TPU_EARLY_LADDER", "1") != "0"
+
 Q11_ITERS = 5  # cost-model refinement rounds at q11 (reference runs 2;
                # extra rounds keep improving the parse/histogram
                # equilibrium and stop early on convergence)
@@ -755,7 +763,9 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                 C.INSERT_EXTRA, _CMD_SYM.reshape(-1),
                 _CMD_SYM_LAST.reshape(-1), full, dict_len, window_size,
                 np.asarray(initial_cache, dtype=np.int64),
-                n_starts=5 if it == last_it else 2)
+                n_starts=5 if it == last_it else 2,
+                cand_cap=0 if it == last_it else _EARLY_CAND_CAP,
+                use_ladder=it == last_it or _EARLY_LADDER)
             end_cost = (min(float(cost[n]),
                             float((cost[:n] - lcp[:n]).min() + lcp[n]))
                         if n else 0.0)

@@ -13,6 +13,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import threading
 import warnings
 
 import numpy as np
@@ -37,6 +38,36 @@ F64 = ctypes.POINTER(ctypes.c_double)
 
 def _ptr(a, t=I64):
     return a.ctypes.data_as(t)
+
+
+_scratch_tls = threading.local()
+
+#: buffers above this size are allocated fresh (returned to the OS on
+#: free) instead of parked in the per-thread pool forever
+_SCRATCH_CAP = 64 << 20
+
+
+def _scratch(name, size, dtype):
+    """Reusable per-thread output buffer for native calls.  Fresh numpy
+    allocations above the malloc mmap threshold are returned to the OS
+    on free, so every hot-loop call re-faults its output pages; parking
+    one buffer per (call-site, dtype) keeps the pages mapped.  The
+    returned view aliases the pool: it is valid until the same call
+    site runs again on this thread, so callers that retain results
+    across calls must copy."""
+    nbytes = int(size) * np.dtype(dtype).itemsize
+    if nbytes > _SCRATCH_CAP:
+        return np.empty(size, dtype)
+    pool = getattr(_scratch_tls, "pool", None)
+    if pool is None:
+        pool = _scratch_tls.pool = {}
+    buf = pool.get(name)
+    if buf is None or buf.nbytes < nbytes:
+        cap = max(nbytes, 1 << 12)
+        if buf is not None:
+            cap = max(cap, buf.nbytes * 2)
+        buf = pool[name] = np.empty(cap, np.uint8)
+    return buf[:nbytes].view(dtype)
 
 
 def _src_hash() -> str:
@@ -359,7 +390,8 @@ def store_metablock(data, start, mlen, is_last, cmds, npostfix, ndirect,
     # an uncompressed block by the caller, so the worst useful size is
     # bounded; overflow returns None -> Python fallback
     cap_bits = 9 * int(mlen) + (1 << 17)
-    words = np.zeros(cap_bits // 64 + 2, dtype=np.uint64)
+    words = _scratch("sb_words", cap_bits // 64 + 2, np.uint64)
+    words[:] = 0
     U64 = ctypes.POINTER(ctypes.c_uint64)
     smap = np.ascontiguousarray(lit_static_map, np.int64)
     lut0 = np.ascontiguousarray(lut0, np.uint8)
@@ -400,7 +432,8 @@ def encode_metablock(data, start, mlen, is_last, ins, wire, dist, adv,
     adv = np.ascontiguousarray(adv, np.int64)
     cache_io = np.asarray(cache, dtype=np.int64).copy()
     cap_bits = 9 * int(mlen) + (1 << 17)
-    words = np.zeros(cap_bits // 64 + 2, dtype=np.uint64)
+    words = _scratch("em_words", cap_bits // 64 + 2, np.uint64)
+    words[:] = 0
     U64 = ctypes.POINTER(ctypes.c_uint64)
     smap = np.ascontiguousarray(lit_static_map, np.int64)
     lut0 = np.ascontiguousarray(lut0, np.uint8)
@@ -477,8 +510,9 @@ def zopfli_cands_dense(d_len, d_dist, d_isdict, d_wire, extra, n,
         x_wire = np.zeros(0, np.int64)
         xm = 0
     m = int((d_len >= 2).sum()) + xm
-    cand_off = np.zeros(n + 1, np.int64)
-    packed = np.empty(max(m, 1), dtype=ZCAND_DTYPE)
+    cand_off = _scratch("zc_off", n + 1, np.int64)
+    cand_off[:] = 0
+    packed = _scratch("zc_packed", max(m, 1), ZCAND_DTYPE)
     cnt = lib.zopfli_cands_dense_native(
         _ptr(d_len), _ptr(d_dist), _ptr(d_isdict, U8), _ptr(d_wire),
         ctypes.c_int64(n_rows),
@@ -503,11 +537,12 @@ def fragment_parse(data, window_size, bounds, pos0=0, table_bits=17):
     table_bits = min(table_bits, max(9, n.bit_length()))
     bounds = np.ascontiguousarray(bounds, np.int64)
     cap = n // 4 + len(bounds) + 2
-    ins = np.empty(cap, np.int64)
-    cps = np.empty(cap, np.int64)
-    dst = np.empty(cap, np.int64)
-    adv = np.empty(cap, np.int64)
-    seg_counts = np.zeros(len(bounds), np.int64)
+    ins = _scratch("fp_ins", cap, np.int64)
+    cps = _scratch("fp_cps", cap, np.int64)
+    dst = _scratch("fp_dst", cap, np.int64)
+    adv = _scratch("fp_adv", cap, np.int64)
+    seg_counts = _scratch("fp_segc", len(bounds), np.int64)
+    seg_counts[:] = 0
     m = lib.fragment_parse_native(
         _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(pos0),
         ctypes.c_int64(window_size),
@@ -546,7 +581,7 @@ def est_lit(data, cls, half, utf8_ramp, bias):
 def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
                     cands, ins_code, ins_extra, cmd_sym, cmd_sym_last,
                     data, dict_len, window_size, initial_cache,
-                    n_starts=2):
+                    n_starts=2, cand_cap=0, use_ladder=True):
     """Cache-aware DP over prepared candidates with inline sub-length
     ladder (native zopfli_dp_cands_native)."""
     lib = get_lib()
@@ -558,15 +593,22 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
     dist_alpha = cd4.shape[1]
     data = np.ascontiguousarray(data, np.uint8)
     cache0 = np.ascontiguousarray(initial_cache, np.int64)
-    cost = np.empty(n + 1, np.float64)
-    prev_start = np.empty(n + 1, np.int64)
-    prev_len = np.empty(n + 1, np.int64)
-    prev_wire = np.empty(n + 1, np.int64)
-    prev_dist = np.empty(n + 1, np.int64)
-    node_cache = np.empty(4 * (n + 1), np.int64)
+    # float32 costs / int32 node records (the reference's ZopfliNode
+    # is f32+u32 too): the DP's rejected-relax loads dominate its
+    # runtime, so halving the randomly-accessed arrays pays directly
+    cost = _scratch("dp_cost", n + 1, np.float32)
+    prev_start = _scratch("dp_ps", n + 1, np.int32)
+    prev_len = _scratch("dp_pl", n + 1, np.int32)
+    prev_wire = _scratch("dp_pw", n + 1, np.int32)
+    prev_dist = _scratch("dp_pd", n + 1, np.int32)
+    node_cache = _scratch("dp_nc", 4 * (n + 1), np.int32)
     F64 = ctypes.POINTER(ctypes.c_double)
+    F32 = ctypes.POINTER(ctypes.c_float)
+    I32 = ctypes.POINTER(ctypes.c_int32)
     lib.zopfli_dp_cands_native(
         ctypes.c_int64(n), ctypes.c_int64(n_starts),
+        ctypes.c_int64(cand_cap),
+        ctypes.c_int64(int(use_ladder)),
         lcp.ctypes.data_as(F64),
         cost_cmd.ctypes.data_as(F64), cds.ctypes.data_as(F64),
         cd4.ctypes.data_as(F64), ctypes.c_int64(dist_alpha),
@@ -578,8 +620,9 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
         _ptr(data, U8), ctypes.c_int64(len(data)),
         ctypes.c_int64(dict_len), ctypes.c_int64(window_size),
         _ptr(cache0),
-        cost.ctypes.data_as(F64), _ptr(prev_start), _ptr(prev_len),
-        _ptr(prev_wire), _ptr(prev_dist), _ptr(node_cache))
+        cost.ctypes.data_as(F32), prev_start.ctypes.data_as(I32),
+        prev_len.ctypes.data_as(I32), prev_wire.ctypes.data_as(I32),
+        prev_dist.ctypes.data_as(I32), node_cache.ctypes.data_as(I32))
     return cost, prev_start, prev_len, prev_wire, prev_dist
 
 
@@ -618,7 +661,8 @@ def pack_bits(bits, nbits):
     total = int(nbits.sum())
     if total == 0:
         return np.zeros(0, dtype=np.uint64), 0
-    words = np.zeros(total // 64 + 2, dtype=np.uint64)
+    words = _scratch("pb_words", total // 64 + 2, np.uint64)
+    words[:] = 0
     U64 = ctypes.POINTER(ctypes.c_uint64)
     lib.pack_bits_native(bits.ctypes.data_as(U64), _ptr(nbits),
                          ctypes.c_int64(len(bits)),

@@ -12,6 +12,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <algorithm>
 #include <vector>
@@ -1003,6 +1005,20 @@ int64_t pack_bits_native(const uint64_t* bits, const int64_t* nbits,
 // spawn continuation edges (probed against the data) at every position.
 // ---------------------------------------------------------------------------
 
+static inline int short_code_of32(int64_t d, const int32_t* c) {
+    if (d == c[0]) return 0;
+    if (d == c[1]) return 1;
+    if (d == c[2]) return 2;
+    if (d == c[3]) return 3;
+    int64_t k = d - c[0] + 3;
+    static const int m0[7] = {8, 6, 4, -1, 5, 7, 9};
+    static const int m1[7] = {14, 12, 10, -1, 11, 13, 15};
+    if (k >= 0 && k <= 6 && k != 3) return m0[k];
+    k = d - c[1] + 3;
+    if (k >= 0 && k <= 6 && k != 3) return m1[k];
+    return -1;
+}
+
 static inline int short_code_of(int64_t d, const int64_t* c) {
     if (d == c[0]) return 0;
     if (d == c[1]) return 1;
@@ -1171,7 +1187,8 @@ void zopfli_dp_cache_native(
 // ---------------------------------------------------------------------------
 
 void zopfli_dp_cands_native(
-    int64_t n, int64_t n_starts, const double* lcp,
+    int64_t n, int64_t n_starts, int64_t cand_cap,
+    int64_t use_ladder, const double* lcp,
     const double* cost_cmd,
     const double* cost_dist_short /* [16] */,
     const double* cost_dist /* [4*alpha] */, int64_t dist_alpha,
@@ -1180,18 +1197,24 @@ void zopfli_dp_cands_native(
     const int64_t* cmd_sym_tab, const int64_t* cmd_sym_last_tab,
     const uint8_t* data, int64_t total_len, int64_t dict_len,
     int64_t window_size, const int64_t* initial_cache,
-    double* cost, int64_t* prev_start, int64_t* prev_len,
-    int64_t* prev_wire, int64_t* prev_dist, int64_t* node_cache)
+    float* cost, int32_t* prev_start, int32_t* prev_len,
+    int32_t* prev_wire, int32_t* prev_dist, int32_t* node_cache)
 {
-    const double INF = 1e30;
+    const float INF = 1e30f;
     for (int64_t i = 0; i <= n; i++) {
         cost[i] = INF; prev_start[i] = 0; prev_len[i] = 0;
         prev_wire[i] = 0; prev_dist[i] = 0;
     }
-    cost[0] = 0.0;
+    cost[0] = 0.0f;
     for (int c4 = 0; c4 < 4; c4++)
-        node_cache[c4] = initial_cache[c4];
+        node_cache[c4] = (int32_t)initial_cache[c4];
 
+    static int dbg = getenv("BROTLI_TPU_DP_DEBUG")
+                         ? atoi(getenv("BROTLI_TPU_DP_DEBUG")) : 0;
+    // dbg==5 work counters: memo hits, probes, relax attempts,
+    // relax successes, candidate visits, go() calls
+    static int64_t dp_ctr[6];
+    if (dbg == 5) memset(dp_ctr, 0, sizeof(dp_ctr));
     // top-J insert-start queue (reference StartPosQueue, hq.rs:185-256)
     constexpr int kStarts = 5;
     int max_starts = (int)std::max<int64_t>(
@@ -1241,9 +1264,28 @@ void zopfli_dp_cands_native(
     int memo_n = 0;
     int memo_w = 0;  // ring write index once full
 
+    struct Start {
+        int64_t u; double base_i; int64_t il;
+        const int32_t* cs; const int64_t* cmd_row;
+        const int64_t* cmd_row_last; bool ic_last_ok;
+    };
     for (int64_t p = 0; p < n; p++) {
-        memo_n = 0;
-        memo_w = 0;
+        // carry the probe memo across the position step:
+        // m(p+1, d) == m(p, d) - 1 exactly whenever m(p, d) >= 1 and
+        // the probe was not truncated by its cap
+        {
+            int w = 0;
+            for (int mi = 0; mi < memo_n; mi++) {
+                if (!memo_capped[mi] && memo_l[mi] >= 1) {
+                    memo_d[w] = memo_d[mi];
+                    memo_l[w] = memo_l[mi] - 1;
+                    memo_capped[w] = 0;
+                    w++;
+                }
+            }
+            memo_n = w;
+            memo_w = 0;
+        }
         double c = cost[p];
         if (c < INF) {
             double adj = c - lcp[p];
@@ -1259,64 +1301,133 @@ void zopfli_dp_cands_native(
                 if (q_n < max_starts) q_n++;
             }
         }
-        struct Start { int64_t u; double base_noins; int64_t il; };
         Start starts[kStarts + 1];
         int ns = 0;
         // only starts within a few bits of the best matter
         for (int qi = 0; qi < q_n; qi++) {
             if (q_adj[qi] > q_adj[0] + 6.0 && qi > 0) break;
             starts[ns++] = Start{q_u[qi], q_adj[qi] + lcp[p],
-                                 p - q_u[qi]};
+                                 p - q_u[qi], nullptr, nullptr,
+                                 nullptr, false};
         }
         bool have_p = false;
         for (int qi = 0; qi < q_n; qi++) have_p |= q_u[qi] == p;
         if (c < INF && !have_p)
-            starts[ns++] = Start{p, c, 0};
+            starts[ns++] = Start{p, c, 0, nullptr, nullptr, nullptr,
+                                 false};
 
         int64_t max_distance = std::min(dict_len + p, window_size);
         int64_t probe_cap = std::min<int64_t>(n - p, 512);
         int64_t e0 = cand_off[p], e1 = cand_off[p + 1];
+        // early cost-model iterations only visit the strongest few
+        // candidates per position; the final (wide) iteration visits
+        // the full set
+        if (cand_cap > 0 && e1 - e0 > cand_cap) e1 = e0 + cand_cap;
 
+        // per-start derived rows, plus the start-independent pricing
+        // floor: bestP[cc] = min over starts of
+        // (base + insert extras + cost_cmd[cmd symbol(ic, cc)]) — the
+        // full-priced (no cache hit) candidate path only needs the
+        // winning start per copy code, so candidates price once, not
+        // once per start
+        double bestP[24];
+        int bestS[24];
+        for (int cc = 0; cc < 24; cc++) { bestP[cc] = INF; bestS[cc] = 0; }
         for (int si = 0; si < ns; si++) {
-            const Start& st = starts[si];
-            const int64_t* cs = node_cache + 4 * st.u;
+            Start& st = starts[si];
+            st.cs = node_cache + 4 * st.u;
             int ic = st.il < 65536 ? (int)ins_code_tab[st.il] : 23;
-            double base_i = st.base_noins + (double)ins_extra_tab[ic];
-            const int64_t* cmd_row = cmd_sym_tab + ic * 24;
-            const int64_t* cmd_row_last = cmd_sym_last_tab + ic * 24;
-            bool ic_last_ok = ic < 8;
-
-            auto relax = [&](int64_t tgt, double t, int64_t adv,
-                             int64_t wire, int64_t d, bool push) {
-                if (tgt > n || t >= cost[tgt]) return;
-                cost[tgt] = t;
-                prev_start[tgt] = st.u;
-                prev_len[tgt] = adv;
-                prev_wire[tgt] = wire;
-                prev_dist[tgt] = d;
-                int64_t* ct = node_cache + 4 * tgt;
-                if (push) {
-                    ct[0] = d; ct[1] = cs[0]; ct[2] = cs[1];
-                    ct[3] = cs[2];
-                } else {
-                    ct[0] = cs[0]; ct[1] = cs[1]; ct[2] = cs[2];
-                    ct[3] = cs[3];
+            st.base_i += (double)ins_extra_tab[ic];
+            st.cmd_row = cmd_sym_tab + ic * 24;
+            st.cmd_row_last = cmd_sym_last_tab + ic * 24;
+            st.ic_last_ok = ic < 8;
+            for (int cc = 0; cc < 24; cc++) {
+                double t = st.base_i + cost_cmd[st.cmd_row[cc]];
+                if (t < bestP[cc]) { bestP[cc] = t; bestS[cc] = si; }
+            }
+        }
+        // distinct cache rows across starts (usually 1): a candidate
+        // distance can only be a short code if it lands within +-3 of
+        // cs[0]/cs[1] or equals cs[2]/cs[3] of one of these rows.
+        // bestPr/bestSr are the same pricing floor per row, so the
+        // short-code probe loop below runs once per row, not per start
+        const int32_t* crows[kStarts + 1];
+        int row_of[kStarts + 1];
+        double bestPr[kStarts + 1][24];
+        int bestSr[kStarts + 1][24];
+        int ncrows = 0;
+        for (int si = 0; si < ns; si++) {
+            int r = -1;
+            for (int q = 0; q < ncrows && r < 0; q++)
+                if (crows[q][0] == starts[si].cs[0] &&
+                    crows[q][1] == starts[si].cs[1] &&
+                    crows[q][2] == starts[si].cs[2] &&
+                    crows[q][3] == starts[si].cs[3])
+                    r = q;
+            if (r < 0) {
+                r = ncrows++;
+                crows[r] = starts[si].cs;
+                for (int cc = 0; cc < 24; cc++) {
+                    bestPr[r][cc] = INF;
+                    bestSr[r][cc] = si;
                 }
-            };
+            }
+            row_of[si] = r;
+            const Start& st = starts[si];
+            for (int cc = 0; cc < 24; cc++) {
+                double t = st.base_i + cost_cmd[st.cmd_row[cc]];
+                if (t < bestPr[r][cc]) {
+                    bestPr[r][cc] = t;
+                    bestSr[r][cc] = si;
+                }
+            }
+        }
 
-            // all 16 short-code variants (RFC 7932 4; reference
-            // kDistanceCacheIndex/Offset, hq.rs)
-            static const int sc_idx[16] = {0, 1, 2, 3, 0, 0, 0, 0, 0, 0,
-                                           1, 1, 1, 1, 1, 1};
-            static const int sc_delta[16] = {0, 0, 0, 0, -1, 1, -2, 2,
-                                             -3, 3, -1, 1, -2, 2, -3, 3};
-            for (int sc = 0; sc < n_sc; sc++) {
-                int64_t d = cs[sc_idx[sc]] + sc_delta[sc];
+        auto relax = [&](const Start& st, int64_t tgt, double t,
+                         int64_t adv, int64_t wire, int64_t d,
+                         bool push) {
+            if (dbg == 5) dp_ctr[2]++;
+            if (tgt > n || (float)t >= cost[tgt]) return;
+            if (dbg == 5) dp_ctr[3]++;
+            cost[tgt] = (float)t;
+            prev_start[tgt] = (int32_t)st.u;
+            prev_len[tgt] = (int32_t)adv;
+            prev_wire[tgt] = (int32_t)wire;
+            prev_dist[tgt] = (int32_t)d;
+            const int32_t* cs = st.cs;
+            int32_t* ct = node_cache + 4 * tgt;
+            if (push) {
+                ct[0] = (int32_t)d; ct[1] = cs[0]; ct[2] = cs[1];
+                ct[3] = cs[2];
+            } else {
+                ct[0] = cs[0]; ct[1] = cs[1]; ct[2] = cs[2];
+                ct[3] = cs[3];
+            }
+        };
+
+        // all 16 short-code variants (RFC 7932 4; reference
+        // kDistanceCacheIndex/Offset, hq.rs)
+        static const int sc_idx[16] = {0, 1, 2, 3, 0, 0, 0, 0, 0, 0,
+                                       1, 1, 1, 1, 1, 1};
+        static const int sc_delta[16] = {0, 0, 0, 0, -1, 1, -2, 2,
+                                         -3, 3, -1, 1, -2, 2, -3, 3};
+        for (int r = 0; r < ncrows; r++) {
+            const int32_t* cs = crows[r];
+            int64_t base_ml[2] = {2, 2};
+            for (int sc = 0; sc < (dbg == 1 ? 0 : n_sc); sc++) {
+                // delta variants (+-1..3 of cache[0]/cache[1]) almost
+                // never match when the base distance itself found
+                // nothing: skip their probes in that case
+                if (sc >= 6 && sc != 10 && sc != 11 && dbg != 6 &&
+                    base_ml[sc_idx[sc]] < 2)
+                    continue;
+                int64_t d = (int64_t)cs[sc_idx[sc]] + sc_delta[sc];
                 if (d <= 0 || d > max_distance) continue;
                 int64_t ml = -1;
                 for (int mi = 0; mi < memo_n; mi++)
                     if (memo_d[mi] == d) { ml = memo_l[mi]; break; }
                 if (ml < 0) {
+                    if (dbg == 5) dp_ctr[1]++;
                     ml = probe_len(data, dict_len + p - d,
                                    dict_len + p, probe_cap);
                     int slot;
@@ -1325,41 +1436,114 @@ void zopfli_dp_cands_native(
                     memo_d[slot] = d;
                     memo_l[slot] = (int32_t)ml;
                     memo_capped[slot] = ml == probe_cap;
-                }
+                } else if (dbg == 5) dp_ctr[0]++;
+                if (sc < 2) base_ml[sc] = ml;
                 if (ml < 2) continue;
                 int cc = copy_code_of(ml);
-                if (sc == 0 && ic_last_ok && cc < 16) {
-                    relax(p + ml,
-                          base_i + copy_extra_tab[cc] +
-                              cost_cmd[cmd_row_last[cc]],
-                          ml, ml, d, false);
+                if (sc == 0) {
+                    // the last-distance command alphabet is
+                    // start-dependent (insert code < 8): price each
+                    // start of this row on its own path
+                    for (int si = 0; si < ns; si++) {
+                        if (row_of[si] != r) continue;
+                        const Start& st = starts[si];
+                        if (st.ic_last_ok && cc < 16) {
+                            relax(st, p + ml,
+                                  st.base_i + copy_extra_tab[cc] +
+                                      cost_cmd[st.cmd_row_last[cc]],
+                                  ml, ml, d, false);
+                        } else {
+                            relax(st, p + ml,
+                                  st.base_i + copy_extra_tab[cc] +
+                                      cost_cmd[st.cmd_row[cc]] +
+                                      cost_dist_short[0],
+                                  ml, ml, d, false);
+                        }
+                    }
                 } else {
-                    relax(p + ml,
-                          base_i + copy_extra_tab[cc] +
-                              cost_cmd[cmd_row[cc]] +
+                    relax(starts[bestSr[r][cc]], p + ml,
+                          bestPr[r][cc] + copy_extra_tab[cc] +
                               cost_dist_short[sc],
-                          ml, ml, d, sc != 0);
+                          ml, ml, d, true);
+                }
+            }
+        }
+
+        for (int64_t e = e0; e < (dbg == 3 ? e0 : e1); e++) {
+            if (dbg == 5) dp_ctr[4]++;
+            const ZCand& cnd = cands[e];
+            int64_t L = cnd.len;
+            int64_t d = cnd.dist;
+            int64_t sym = cnd.sym;
+            double nb = (double)cnd.nbits;
+            uint8_t fl = (dbg == 2 || !use_ladder) ? (cnd.flags & ~2)
+                                                   : cnd.flags;
+            bool in_window = d <= max_distance;
+
+            bool cache_hit = false;
+            if (in_window) {
+                for (int r = 0; r < ncrows && !cache_hit; r++) {
+                    const int32_t* cr = crows[r];
+                    cache_hit = (d - cr[0] + 3) >= 0 &&
+                                        (d - cr[0] + 3) <= 6
+                                    ? true
+                                    : ((d - cr[1] + 3) >= 0 &&
+                                               (d - cr[1] + 3) <= 6
+                                           ? true
+                                           : (d == cr[2] || d == cr[3]));
                 }
             }
 
-            for (int64_t e = e0; e < e1; e++) {
-                const ZCand& cnd = cands[e];
-                int64_t L = cnd.len;
-                int64_t d = cnd.dist;
-                int64_t sym = cnd.sym;
-                double nb = (double)cnd.nbits;
-                uint8_t fl = cnd.flags;
-                int sc = d <= max_distance ? short_code_of(d, cs) : -1;
-                bool in_window = d <= max_distance;
+            static int64_t n_hit = 0, n_miss = 0;
+            if (dbg == 4) {
+                (cache_hit ? n_hit : n_miss)++;
+                if (((n_hit + n_miss) & 0xFFFFF) == 0)
+                    fprintf(stderr, "[dp] hit %lld miss %lld ns~%d ncrows~%d\n",
+                            (long long)n_hit, (long long)n_miss, ns, ncrows);
+            }
+            if (!cache_hit) {
+                // start-independent fast path: full distance pricing,
+                // context-conditioned on the copy length, taken from
+                // the per-copy-code winning start
+                const double* cd = cost_dist + sym;
+                double f0 = nb + cd[0];
+                double f1 = nb + cd[dist_alpha];
+                double f2 = nb + cd[2 * dist_alpha];
+                double f3 = nb + cd[3 * dist_alpha];
+                auto go = [&](int64_t adv, int64_t wirev, int cc) {
+                    if (dbg == 5) dp_ctr[5]++;
+                    double base_f =
+                        wirev >= 5 ? f3
+                                   : (wirev == 4 ? f2
+                                                 : (wirev == 3 ? f1
+                                                               : f0));
+                    relax(starts[bestS[cc]], p + adv,
+                          bestP[cc] + copy_extra_tab[cc] + base_f,
+                          adv, wirev, d, in_window);
+                };
+                go(L, cnd.wire, copy_code_of(cnd.wire));
+                if (fl & 2) {
+                    if (L > 4) go(L - 1, L - 1, copy_code_of(L - 1));
+                    if (L > 5) go(L - 2, L - 2, copy_code_of(L - 2));
+                    for (int s2 = 0; s2 < 14 && subs[s2] < L; s2++)
+                        go(subs[s2], subs[s2], sub_cc[s2]);
+                }
+                continue;
+            }
 
+            for (int si = 0; si < ns; si++) {
+                const Start& st = starts[si];
+                int sc = short_code_of32(d, st.cs);
+                double base_i = st.base_i;
                 if (sc > 0) {
                     // all lengths priced through the short code
                     double base_s = base_i + cost_dist_short[sc];
                     auto go = [&](int64_t adv, int64_t wirev) {
+                        if (dbg == 5) dp_ctr[5]++;
                         int cc = copy_code_of(wirev);
-                        relax(p + adv,
+                        relax(st, p + adv,
                               base_s + copy_extra_tab[cc] +
-                                  cost_cmd[cmd_row[cc]],
+                                  cost_cmd[st.cmd_row[cc]],
                               adv, wirev, d, true);
                     };
                     go(L, cnd.wire);
@@ -1369,21 +1553,22 @@ void zopfli_dp_cands_native(
                         for (int s2 = 0; s2 < 14 && subs[s2] < L; s2++)
                             go(subs[s2], subs[s2]);
                     }
-                } else if (sc == 0 && ic_last_ok) {
+                } else if (sc == 0 && st.ic_last_ok) {
                     // last-distance command symbols for cc<16, full
                     // pricing beyond
                     double full3 = base_i + nb +
                                    cost_dist[3 * dist_alpha + sym];
                     auto go = [&](int64_t adv, int64_t wirev, int cc) {
+                        if (dbg == 5) dp_ctr[5]++;
                         if (cc < 16) {
-                            relax(p + adv,
+                            relax(st, p + adv,
                                   base_i + copy_extra_tab[cc] +
-                                      cost_cmd[cmd_row_last[cc]],
+                                      cost_cmd[st.cmd_row_last[cc]],
                                   adv, wirev, d, false);
                         } else {
-                            relax(p + adv,
+                            relax(st, p + adv,
                                   full3 + copy_extra_tab[cc] +
-                                      cost_cmd[cmd_row[cc]],
+                                      cost_cmd[st.cmd_row[cc]],
                                   adv, wirev, d, in_window);
                         }
                     };
@@ -1403,14 +1588,15 @@ void zopfli_dp_cands_native(
                     double f2 = base_i + nb + cd[2 * dist_alpha];
                     double f3 = base_i + nb + cd[3 * dist_alpha];
                     auto go = [&](int64_t adv, int64_t wirev, int cc) {
+                        if (dbg == 5) dp_ctr[5]++;
                         double base_f =
                             wirev >= 5 ? f3
                                        : (wirev == 4 ? f2
                                                      : (wirev == 3 ? f1
                                                                    : f0));
-                        relax(p + adv,
+                        relax(st, p + adv,
                               base_f + copy_extra_tab[cc] +
-                                  cost_cmd[cmd_row[cc]],
+                                  cost_cmd[st.cmd_row[cc]],
                               adv, wirev, d, in_window);
                     };
                     go(L, cnd.wire, copy_code_of(cnd.wire));
@@ -1424,6 +1610,13 @@ void zopfli_dp_cands_native(
             }
         }
     }
+    if (dbg == 5)
+        fprintf(stderr,
+                "[dpctr] memo_hit %lld probe %lld relax_try %lld "
+                "relax_ok %lld cand %lld go %lld\n",
+                (long long)dp_ctr[0], (long long)dp_ctr[1],
+                (long long)dp_ctr[2], (long long)dp_ctr[3],
+                (long long)dp_ctr[4], (long long)dp_ctr[5]);
 }
 
 // ---------------------------------------------------------------------------
