@@ -32,8 +32,12 @@ INF = float("inf")
 _EARLY_CAND_CAP = int(os.environ.get("BROTLI_TPU_EARLY_CAND_CAP", "6"))
 #: whether early iterations expand the sub-length ladder per candidate
 _EARLY_LADDER = os.environ.get("BROTLI_TPU_EARLY_LADDER", "1") != "0"
+#: insert-start queue width of the final iteration (reference
+#: StartPosQueue holds 8, hq.rs:185)
+_FINAL_STARTS = int(os.environ.get("BROTLI_TPU_FINAL_STARTS", "5"))
 
-Q11_ITERS = 5  # cost-model refinement rounds at q11 (reference runs 2;
+Q11_ITERS = int(os.environ.get("BROTLI_TPU_Q11_ITERS", "5"))
+               # cost-model refinement rounds at q11 (reference runs 2;
                # extra rounds keep improving the parse/histogram
                # equilibrium and stop early on convergence)
 
@@ -763,7 +767,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                 C.INSERT_EXTRA, _CMD_SYM.reshape(-1),
                 _CMD_SYM_LAST.reshape(-1), full, dict_len, window_size,
                 np.asarray(initial_cache, dtype=np.int64),
-                n_starts=5 if it == last_it else 2,
+                n_starts=_FINAL_STARTS if it == last_it else 2,
                 cand_cap=0 if it == last_it else _EARLY_CAND_CAP,
                 use_ladder=it == last_it or _EARLY_LADDER)
             end_cost = (min(float(cost[n]),

@@ -1005,20 +1005,6 @@ int64_t pack_bits_native(const uint64_t* bits, const int64_t* nbits,
 // spawn continuation edges (probed against the data) at every position.
 // ---------------------------------------------------------------------------
 
-static inline int short_code_of32(int64_t d, const int32_t* c) {
-    if (d == c[0]) return 0;
-    if (d == c[1]) return 1;
-    if (d == c[2]) return 2;
-    if (d == c[3]) return 3;
-    int64_t k = d - c[0] + 3;
-    static const int m0[7] = {8, 6, 4, -1, 5, 7, 9};
-    static const int m1[7] = {14, 12, 10, -1, 11, 13, 15};
-    if (k >= 0 && k <= 6 && k != 3) return m0[k];
-    k = d - c[1] + 3;
-    if (k >= 0 && k <= 6 && k != 3) return m1[k];
-    return -1;
-}
-
 static inline int short_code_of(int64_t d, const int64_t* c) {
     if (d == c[0]) return 0;
     if (d == c[1]) return 1;
@@ -1216,7 +1202,7 @@ void zopfli_dp_cands_native(
     static int64_t dp_ctr[6];
     if (dbg == 5) memset(dp_ctr, 0, sizeof(dp_ctr));
     // top-J insert-start queue (reference StartPosQueue, hq.rs:185-256)
-    constexpr int kStarts = 5;
+    constexpr int kStarts = 8;
     int max_starts = (int)std::max<int64_t>(
         1, std::min<int64_t>(n_starts, kStarts));
     // early cost-model iterations probe only the 4 plain cache
@@ -1247,22 +1233,13 @@ void zopfli_dp_cands_native(
     };
     static const int copy_extra_tab[24] = {0,0,0,0,0,0,0,0,1,1,2,2,3,3,
                                            4,4,5,5,6,7,8,9,10,24};
-    static const int64_t subs[14] = {4,5,6,8,10,13,16,22,32,48,64,96,
-                                     128,192};
-    // copy codes of the fixed ladder sub-lengths (all < 2118)
-    static const int sub_cc[14] = {2,3,4,6,8,9,10,12,13,14,15,16,17,18};
+    (void)use_ladder;  // superseded by the full-length frontier sweep
 
-    // cross-position probe memo: m(p+1, d) == m(p, d) - 1 exactly
-    // whenever m(p, d) >= 1 and the probe was not truncated by its
-    // cap, so cached lengths carry forward with a decrement (the
-    // reference gets the same effect from ComputeDistanceShortcut,
-    // hq.rs:422)
-    constexpr int kMemo = 24;
-    int64_t memo_d[kMemo];
-    int32_t memo_l[kMemo];
-    uint8_t memo_capped[kMemo];
-    int memo_n = 0;
-    int memo_w = 0;  // ring write index once full
+    // cheapest possible command bits, for the minimum-copy-length
+    // lower bound (reference min_cost_cmd_, hq.rs:172)
+    double min_cost_cmd = 1e30;
+    for (int i = 0; i < 704; i++)
+        min_cost_cmd = std::min(min_cost_cmd, cost_cmd[i]);
 
     struct Start {
         int64_t u; double base_i; int64_t il;
@@ -1270,22 +1247,6 @@ void zopfli_dp_cands_native(
         const int64_t* cmd_row_last; bool ic_last_ok;
     };
     for (int64_t p = 0; p < n; p++) {
-        // carry the probe memo across the position step:
-        // m(p+1, d) == m(p, d) - 1 exactly whenever m(p, d) >= 1 and
-        // the probe was not truncated by its cap
-        {
-            int w = 0;
-            for (int mi = 0; mi < memo_n; mi++) {
-                if (!memo_capped[mi] && memo_l[mi] >= 1) {
-                    memo_d[w] = memo_d[mi];
-                    memo_l[w] = memo_l[mi] - 1;
-                    memo_capped[w] = 0;
-                    w++;
-                }
-            }
-            memo_n = w;
-            memo_w = 0;
-        }
         double c = cost[p];
         if (c < INF) {
             double adj = c - lcp[p];
@@ -1303,18 +1264,23 @@ void zopfli_dp_cands_native(
         }
         Start starts[kStarts + 1];
         int ns = 0;
+        double best_base = 1e30;
         // only starts within a few bits of the best matter
         for (int qi = 0; qi < q_n; qi++) {
             if (q_adj[qi] > q_adj[0] + 6.0 && qi > 0) break;
             starts[ns++] = Start{q_u[qi], q_adj[qi] + lcp[p],
                                  p - q_u[qi], nullptr, nullptr,
                                  nullptr, false};
+            best_base = std::min(best_base, q_adj[qi] + lcp[p]);
         }
         bool have_p = false;
         for (int qi = 0; qi < q_n; qi++) have_p |= q_u[qi] == p;
-        if (c < INF && !have_p)
+        if (c < INF && !have_p) {
             starts[ns++] = Start{p, c, 0, nullptr, nullptr, nullptr,
                                  false};
+            best_base = std::min(best_base, c);
+        }
+        if (ns == 0) continue;
 
         int64_t max_distance = std::min(dict_len + p, window_size);
         int64_t probe_cap = std::min<int64_t>(n - p, 512);
@@ -1323,6 +1289,24 @@ void zopfli_dp_cands_native(
         // candidates per position; the final (wide) iteration visits
         // the full set
         if (cand_cap > 0 && e1 - e0 > cand_cap) e1 = e0 + cand_cap;
+
+        // minimum copy length worth pricing at this position
+        // (reference ComputeMinimumCopyLength, hq.rs:565): no copy
+        // shorter than this can undercut the already-known node costs
+        // even with the cheapest command
+        int64_t min_len = 2;
+        {
+            double mc = best_base + min_cost_cmd;
+            int64_t next_off = 10, next_bucket = 4;
+            while (p + min_len <= n && cost[p + min_len] <= (float)mc) {
+                min_len++;
+                if (min_len == next_off) {
+                    mc += 1.0;
+                    next_off += next_bucket;
+                    next_bucket *= 2;
+                }
+            }
+        }
 
         // per-start derived rows, plus the start-independent pricing
         // floor: bestP[cc] = min over starts of
@@ -1411,203 +1395,127 @@ void zopfli_dp_cands_native(
                                        1, 1, 1, 1, 1, 1};
         static const int sc_delta[16] = {0, 0, 0, 0, -1, 1, -2, 2,
                                          -3, 3, -1, 1, -2, 2, -3, 3};
+        // short-code loop, reference shape (hq.rs:684-768): per cache
+        // row a monotone best_len frontier — each variant only prices
+        // lengths beyond anything already priced — plus a one-byte
+        // continuation filter that skips the probe when the byte at
+        // the frontier can't extend it
+        int64_t max_len = n - p;
         for (int r = 0; r < ncrows; r++) {
             const int32_t* cs = crows[r];
-            int64_t base_ml[2] = {2, 2};
+            int64_t best_len = min_len - 1;
             for (int sc = 0; sc < (dbg == 1 ? 0 : n_sc); sc++) {
-                // delta variants (+-1..3 of cache[0]/cache[1]) almost
-                // never match when the base distance itself found
-                // nothing: skip their probes in that case
-                if (sc >= 6 && sc != 10 && sc != 11 && dbg != 6 &&
-                    base_ml[sc_idx[sc]] < 2)
-                    continue;
+                if (best_len >= max_len) break;
                 int64_t d = (int64_t)cs[sc_idx[sc]] + sc_delta[sc];
                 if (d <= 0 || d > max_distance) continue;
-                int64_t ml = -1;
-                for (int mi = 0; mi < memo_n; mi++)
-                    if (memo_d[mi] == d) { ml = memo_l[mi]; break; }
-                if (ml < 0) {
-                    if (dbg == 5) dp_ctr[1]++;
-                    ml = probe_len(data, dict_len + p - d,
-                                   dict_len + p, probe_cap);
-                    int slot;
-                    if (memo_n < kMemo) slot = memo_n++;
-                    else { slot = memo_w; memo_w = (memo_w + 1) % kMemo; }
-                    memo_d[slot] = d;
-                    memo_l[slot] = (int32_t)ml;
-                    memo_capped[slot] = ml == probe_cap;
-                } else if (dbg == 5) dp_ctr[0]++;
-                if (sc < 2) base_ml[sc] = ml;
-                if (ml < 2) continue;
-                int cc = copy_code_of(ml);
+                if (data[dict_len + p + best_len] !=
+                    data[dict_len + p - d + best_len])
+                    continue;
+                if (dbg == 5) dp_ctr[1]++;
+                int64_t ml = probe_len(data, dict_len + p - d,
+                                       dict_len + p, probe_cap);
+                if (ml <= best_len) continue;
                 if (sc == 0) {
-                    // the last-distance command alphabet is
-                    // start-dependent (insert code < 8): price each
-                    // start of this row on its own path
-                    for (int si = 0; si < ns; si++) {
-                        if (row_of[si] != r) continue;
-                        const Start& st = starts[si];
-                        if (st.ic_last_ok && cc < 16) {
-                            relax(st, p + ml,
-                                  st.base_i + copy_extra_tab[cc] +
-                                      cost_cmd[st.cmd_row_last[cc]],
-                                  ml, ml, d, false);
-                        } else {
-                            relax(st, p + ml,
-                                  st.base_i + copy_extra_tab[cc] +
-                                      cost_cmd[st.cmd_row[cc]] +
-                                      cost_dist_short[0],
-                                  ml, ml, d, false);
+                    for (int64_t l = best_len + 1; l <= ml; l++) {
+                        int cc = copy_code_of(l);
+                        for (int si = 0; si < ns; si++) {
+                            if (row_of[si] != r) continue;
+                            const Start& st = starts[si];
+                            if (st.ic_last_ok && cc < 16) {
+                                relax(st, p + l,
+                                      st.base_i + copy_extra_tab[cc] +
+                                          cost_cmd[st.cmd_row_last[cc]],
+                                      l, l, d, false);
+                            } else {
+                                relax(st, p + l,
+                                      st.base_i + copy_extra_tab[cc] +
+                                          cost_cmd[st.cmd_row[cc]] +
+                                          cost_dist_short[0],
+                                      l, l, d, false);
+                            }
                         }
                     }
                 } else {
-                    relax(starts[bestSr[r][cc]], p + ml,
-                          bestPr[r][cc] + copy_extra_tab[cc] +
-                              cost_dist_short[sc],
-                          ml, ml, d, true);
+                    for (int64_t l = best_len + 1; l <= ml; l++) {
+                        int cc = copy_code_of(l);
+                        relax(starts[bestSr[r][cc]], p + l,
+                              bestPr[r][cc] + copy_extra_tab[cc] +
+                                  cost_dist_short[sc],
+                              l, l, d, true);
+                    }
                 }
+                best_len = ml;
             }
         }
 
-        for (int64_t e = e0; e < (dbg == 3 ? e0 : e1); e++) {
-            if (dbg == 5) dp_ctr[4]++;
-            const ZCand& cnd = cands[e];
-            int64_t L = cnd.len;
-            int64_t d = cnd.dist;
-            int64_t sym = cnd.sym;
-            double nb = (double)cnd.nbits;
-            uint8_t fl = (dbg == 2 || !use_ladder) ? (cnd.flags & ~2)
-                                                   : cnd.flags;
-            bool in_window = d <= max_distance;
-
-            bool cache_hit = false;
-            if (in_window) {
-                for (int r = 0; r < ncrows && !cache_hit; r++) {
-                    const int32_t* cr = crows[r];
-                    cache_hit = (d - cr[0] + 3) >= 0 &&
-                                        (d - cr[0] + 3) <= 6
-                                    ? true
-                                    : ((d - cr[1] + 3) >= 0 &&
-                                               (d - cr[1] + 3) <= 6
-                                           ? true
-                                           : (d == cr[2] || d == cr[3]));
+        if (dbg == 3) { e1 = e0; }
+        // window candidates are stored first, descending by length
+        // (zopfli_cands_native insertion sort); sweep lengths ascending
+        // from min_len so every length is priced exactly once with the
+        // cheapest covering candidate (reference hq.rs:773-830 walks
+        // the same monotone frontier over its sorted match list)
+        int nw = 0;
+        while (e0 + nw < e1 && !(cands[e0 + nw].flags & 1) && nw < 24)
+            nw++;
+        if (nw > 0 && min_len <= max_len) {
+            // prefix-min (over the stored descending-length order) of
+            // the distance cost per RFC copy-length context row: entry
+            // j = cheapest distance cost among candidates with
+            // len >= len_j
+            double pmc[4][24];
+            int pmi[4][24];
+            for (int j = 0; j < nw; j++) {
+                const ZCand& c2 = cands[e0 + j];
+                bool ok = c2.dist <= max_distance;
+                double nb2 = (double)c2.nbits;
+                for (int rr = 0; rr < 4; rr++) {
+                    double dc = ok ? nb2 + cost_dist[rr * dist_alpha +
+                                                    c2.sym]
+                                   : 1e30;
+                    if (j == 0 || dc < pmc[rr][j - 1]) {
+                        pmc[rr][j] = dc;
+                        pmi[rr][j] = j;
+                    } else {
+                        pmc[rr][j] = pmc[rr][j - 1];
+                        pmi[rr][j] = pmi[rr][j - 1];
+                    }
                 }
             }
-
-            static int64_t n_hit = 0, n_miss = 0;
-            if (dbg == 4) {
-                (cache_hit ? n_hit : n_miss)++;
-                if (((n_hit + n_miss) & 0xFFFFF) == 0)
-                    fprintf(stderr, "[dp] hit %lld miss %lld ns~%d ncrows~%d\n",
-                            (long long)n_hit, (long long)n_miss, ns, ncrows);
-            }
-            if (!cache_hit) {
-                // start-independent fast path: full distance pricing,
-                // context-conditioned on the copy length, taken from
-                // the per-copy-code winning start
-                const double* cd = cost_dist + sym;
-                double f0 = nb + cd[0];
-                double f1 = nb + cd[dist_alpha];
-                double f2 = nb + cd[2 * dist_alpha];
-                double f3 = nb + cd[3 * dist_alpha];
-                auto go = [&](int64_t adv, int64_t wirev, int cc) {
+            int64_t frontier = min_len;
+            for (int j = nw - 1; j >= 0; j--) {
+                int64_t Lj = std::min<int64_t>(cands[e0 + j].len,
+                                               max_len);
+                if (Lj < frontier) continue;
+                for (int64_t l = frontier; l <= Lj; l++) {
                     if (dbg == 5) dp_ctr[5]++;
-                    double base_f =
-                        wirev >= 5 ? f3
-                                   : (wirev == 4 ? f2
-                                                 : (wirev == 3 ? f1
-                                                               : f0));
-                    relax(starts[bestS[cc]], p + adv,
-                          bestP[cc] + copy_extra_tab[cc] + base_f,
-                          adv, wirev, d, in_window);
-                };
-                go(L, cnd.wire, copy_code_of(cnd.wire));
-                if (fl & 2) {
-                    if (L > 4) go(L - 1, L - 1, copy_code_of(L - 1));
-                    if (L > 5) go(L - 2, L - 2, copy_code_of(L - 2));
-                    for (int s2 = 0; s2 < 14 && subs[s2] < L; s2++)
-                        go(subs[s2], subs[s2], sub_cc[s2]);
+                    int rr = l >= 5 ? 3 : (int)(l - 2);
+                    double dc = pmc[rr][j];
+                    if (dc >= 1e29) continue;
+                    int cc = copy_code_of(l);
+                    relax(starts[bestS[cc]], p + l,
+                          bestP[cc] + copy_extra_tab[cc] + dc,
+                          l, l, cands[e0 + pmi[rr][j]].dist, true);
                 }
-                continue;
+                frontier = Lj + 1;
             }
-
-            for (int si = 0; si < ns; si++) {
-                const Start& st = starts[si];
-                int sc = short_code_of32(d, st.cs);
-                double base_i = st.base_i;
-                if (sc > 0) {
-                    // all lengths priced through the short code
-                    double base_s = base_i + cost_dist_short[sc];
-                    auto go = [&](int64_t adv, int64_t wirev) {
-                        if (dbg == 5) dp_ctr[5]++;
-                        int cc = copy_code_of(wirev);
-                        relax(st, p + adv,
-                              base_s + copy_extra_tab[cc] +
-                                  cost_cmd[st.cmd_row[cc]],
-                              adv, wirev, d, true);
-                    };
-                    go(L, cnd.wire);
-                    if (fl & 2) {
-                        if (L > 4) go(L - 1, L - 1);
-                        if (L > 5) go(L - 2, L - 2);
-                        for (int s2 = 0; s2 < 14 && subs[s2] < L; s2++)
-                            go(subs[s2], subs[s2]);
-                    }
-                } else if (sc == 0 && st.ic_last_ok) {
-                    // last-distance command symbols for cc<16, full
-                    // pricing beyond
-                    double full3 = base_i + nb +
-                                   cost_dist[3 * dist_alpha + sym];
-                    auto go = [&](int64_t adv, int64_t wirev, int cc) {
-                        if (dbg == 5) dp_ctr[5]++;
-                        if (cc < 16) {
-                            relax(st, p + adv,
-                                  base_i + copy_extra_tab[cc] +
-                                      cost_cmd[st.cmd_row_last[cc]],
-                                  adv, wirev, d, false);
-                        } else {
-                            relax(st, p + adv,
-                                  full3 + copy_extra_tab[cc] +
-                                      cost_cmd[st.cmd_row[cc]],
-                                  adv, wirev, d, in_window);
-                        }
-                    };
-                    go(L, cnd.wire, copy_code_of(cnd.wire));
-                    if (fl & 2) {
-                        if (L > 4) go(L - 1, L - 1, copy_code_of(L - 1));
-                        if (L > 5) go(L - 2, L - 2, copy_code_of(L - 2));
-                        for (int s2 = 0; s2 < 14 && subs[s2] < L; s2++)
-                            go(subs[s2], subs[s2], sub_cc[s2]);
-                    }
-                } else {
-                    // full distance pricing, context-conditioned on the
-                    // copy length (dctx = min(wire,5)-2 clamped to 3)
-                    const double* cd = cost_dist + sym;
-                    double f0 = base_i + nb + cd[0];
-                    double f1 = base_i + nb + cd[dist_alpha];
-                    double f2 = base_i + nb + cd[2 * dist_alpha];
-                    double f3 = base_i + nb + cd[3 * dist_alpha];
-                    auto go = [&](int64_t adv, int64_t wirev, int cc) {
-                        if (dbg == 5) dp_ctr[5]++;
-                        double base_f =
-                            wirev >= 5 ? f3
-                                       : (wirev == 4 ? f2
-                                                     : (wirev == 3 ? f1
-                                                                   : f0));
-                        relax(st, p + adv,
-                              base_f + copy_extra_tab[cc] +
-                                  cost_cmd[st.cmd_row[cc]],
-                              adv, wirev, d, in_window);
-                    };
-                    go(L, cnd.wire, copy_code_of(cnd.wire));
-                    if (fl & 2) {
-                        if (L > 4) go(L - 1, L - 1, copy_code_of(L - 1));
-                        if (L > 5) go(L - 2, L - 2, copy_code_of(L - 2));
-                        for (int s2 = 0; s2 < 14 && subs[s2] < L; s2++)
-                            go(subs[s2], subs[s2], sub_cc[s2]);
-                    }
-                }
-            }
+        }
+        // dictionary candidates: exact advance length, wire-coded copy
+        // (transform cutoffs make wire != len); pseudo-distances never
+        // enter the decoder's cache
+        for (int64_t e = e0 + nw; e < e1; e++) {
+            const ZCand& cnd = cands[e];
+            if (dbg == 5) dp_ctr[4]++;
+            int64_t L = cnd.len;
+            if (L < min_len || p + L > n) continue;
+            int64_t wirev = cnd.wire;
+            int rr = wirev >= 5 ? 3 : (int)std::max<int64_t>(wirev - 2,
+                                                             0);
+            double dc = (double)cnd.nbits +
+                        cost_dist[rr * dist_alpha + cnd.sym];
+            int cc = copy_code_of(wirev);
+            relax(starts[bestS[cc]], p + L,
+                  bestP[cc] + copy_extra_tab[cc] + dc,
+                  L, wirev, cnd.dist, false);
         }
     }
     if (dbg == 5)
