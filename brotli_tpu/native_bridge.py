@@ -97,7 +97,7 @@ def get_lib():
                 have = f.read().strip()
         if not os.path.exists(_LIB) or have != want:
             r = subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                ["g++", "-O3", "-g", "-march=native", "-shared", "-fPIC",
                  "-pthread", *_SRCS, "-o", _LIB + ".tmp"],
                 check=True, capture_output=True, timeout=300)
             os.replace(_LIB + ".tmp", _LIB)

@@ -32,6 +32,12 @@ namespace {
 // zero-pad past the end; truncation is detected by the monotone
 // `over()` check at command/header granularity, keeping bounds tests
 // off the per-symbol path.
+// env-gated work counters: [0] commands, [1] trivial literals,
+// [2] ctx literals, [3] dist symbols, [4] dict refs, [5] block
+// switches
+static int64_t* dec_ctr = nullptr;
+static int64_t dec_ctr_store[8];
+
 struct BitReader {
     const uint8_t* data;
     int64_t size;       // bytes
@@ -582,6 +588,11 @@ int64_t decode_native(
     int64_t large_window,
     int32_t* table_mem, int64_t table_mem_size)
 {
+    static int want_ctr = getenv("BROTLI_TPU_DEC_CTR") ? 1 : 0;
+    if (want_ctr) {
+        dec_ctr = dec_ctr_store;
+        memset(dec_ctr_store, 0, sizeof(dec_ctr_store));
+    }
     BitReader br{in, in_len, 0};
     int64_t out_len = 0;
 
@@ -712,6 +723,22 @@ int64_t decode_native(
         const uint8_t* l1 = g_dict.ctx_lut1 + modes[L.cur] * 256;
         const uint8_t* drow = cmap_d + ((int64_t)D.cur << 2);
         const bool lit_trivial = !L.has && ntrees_l == 1;
+        // fold the context-map row and the per-tree root array into
+        // one pointer table per block type: the per-literal chain
+        // drops a dependent load (ctx -> root instead of
+        // ctx -> tree -> root)
+        const int32_t* ctx_tabs[64];
+        const int32_t* dctx_tabs[4];
+        auto refresh_lit_tabs = [&]() {
+            for (int c2 = 0; c2 < 64; c2++)
+                ctx_tabs[c2] = lit_roots[lrow[c2]];
+        };
+        auto refresh_dist_tabs = [&]() {
+            for (int c2 = 0; c2 < 4; c2++)
+                dctx_tabs[c2] = dist_roots[drow[c2]];
+        };
+        refresh_lit_tabs();
+        refresh_dist_tabs();
 
         auto prev_byte = [&](int k) -> uint8_t {
             if (out_len >= k) return out[out_len - k];
@@ -721,9 +748,11 @@ int64_t decode_native(
         uint8_t p1 = prev_byte(1), p2 = prev_byte(2);
 
         while (mlen > 0) {
+            if (__builtin_expect(dec_ctr != nullptr, 0)) dec_ctr[0]++;
             if (__builtin_expect(I.remaining == 0, 0)) {
                 if ((r = switch_block(br, I))) return r;
                 cmd_tab = cmd_pt[I.cur].tab;
+                if (dec_ctr) dec_ctr[5]++;
             }
             I.remaining--;
             // fused decode: one 57-bit window covers the command
@@ -766,6 +795,8 @@ int64_t decode_native(
 
             if (ins_len > mlen) return br.over() ? -1 : -2;
             if (out_len + ins_len > out_cap) return -3;
+            if (__builtin_expect(dec_ctr != nullptr, 0))
+                dec_ctr[lit_trivial ? 1 : 2] += ins_len;
             if (lit_trivial) {
                 // common fast path: one literal block type, one tree.
                 // Literals are decoded in register-resident batches:
@@ -814,6 +845,7 @@ int64_t decode_native(
                         lrow = cmap_l + ((int64_t)L.cur << 6);
                         l0 = g_dict.ctx_lut0 + modes[L.cur] * 256;
                         l1 = g_dict.ctx_lut1 + modes[L.cur] * 256;
+                        refresh_lit_tabs();
                     }
                     int64_t take = std::min(ins_len - j, L.remaining);
                     L.remaining -= take;
@@ -828,7 +860,7 @@ int64_t decode_native(
                         int consumed = 0;
                         do {
                             int ctx = l0[p1] | l1[p2];
-                            const int32_t* tab = lit_roots[lrow[ctx]];
+                            const int32_t* tab = ctx_tabs[ctx];
                             int32_t e = tab[w & 511];
                             int l = e & 15;
                             if (__builtin_expect(l > 9, 0)) {
@@ -852,6 +884,8 @@ int64_t decode_native(
             mlen -= ins_len;
             if (mlen == 0) break;
 
+            if (__builtin_expect(dec_ctr != nullptr, 0) && !implicit0)
+                dec_ctr[3]++;
             int64_t pos_total = out_len + custom_dict_len;
             int64_t max_distance = std::min(pos_total, window_size);
             int64_t distance;
@@ -862,13 +896,14 @@ int64_t decode_native(
                 if (__builtin_expect(D.remaining == 0, 0)) {
                     if ((r = switch_block(br, D))) return r;
                     drow = cmap_d + ((int64_t)D.cur << 2);
+                    refresh_dist_tabs();
                 }
                 D.remaining--;
                 int dctx = (int)std::min<int64_t>(
                     std::max<int64_t>(copy_len, 2), 5) - 2;
                 // fused distance decode: symbol + extra bits from one
                 // 57-bit window in the common case
-                const int32_t* dtab = dist_roots[drow[dctx]];
+                const int32_t* dtab = dctx_tabs[dctx];
                 uint64_t wd = br.peek(57);
                 int32_t de = dtab[wd & 1023];
                 int dl = de & 15;
@@ -916,6 +951,7 @@ int64_t decode_native(
                 ins_len, copy_len, distance, dcode, max_distance,
                 br.pos, (int)br.over());
             if (distance > max_distance) {
+                if (dec_ctr) dec_ctr[4]++;
                 // static dictionary reference
                 if (copy_len < 4 || copy_len > 24) return br.over() ? -1 : -2;
                 int64_t word_id = distance - max_distance - 1;
@@ -993,6 +1029,13 @@ int64_t decode_native(
         }
         if (islast) break;
     }
+    if (dec_ctr)
+        fprintf(stderr,
+                "[decctr] cmds %lld lit_triv %lld lit_ctx %lld "
+                "dists %lld dictrefs %lld cmd_switches %lld\n",
+                (long long)dec_ctr[0], (long long)dec_ctr[1],
+                (long long)dec_ctr[2], (long long)dec_ctr[3],
+                (long long)dec_ctr[4], (long long)dec_ctr[5]);
     return out_len;
 }
 
