@@ -30,8 +30,6 @@ INF = float("inf")
 #: candidate-ladder width visited per position by the early cost-model
 #: iterations (the final wide iteration always visits the full set)
 _EARLY_CAND_CAP = int(os.environ.get("BROTLI_TPU_EARLY_CAND_CAP", "6"))
-#: whether early iterations expand the sub-length ladder per candidate
-_EARLY_LADDER = os.environ.get("BROTLI_TPU_EARLY_LADDER", "1") != "0"
 #: insert-start queue width of the final iteration (reference
 #: StartPosQueue holds 8, hq.rs:185)
 _FINAL_STARTS = int(os.environ.get("BROTLI_TPU_FINAL_STARTS", "5"))
@@ -769,7 +767,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                 np.asarray(initial_cache, dtype=np.int64),
                 n_starts=_FINAL_STARTS if it == last_it else 2,
                 cand_cap=0 if it == last_it else _EARLY_CAND_CAP,
-                use_ladder=it == last_it or _EARLY_LADDER)
+                max_zopfli_len=150 if params.quality <= 10 else 325)
             end_cost = (min(float(cost[n]),
                             float((cost[:n] - lcp[:n]).min() + lcp[n]))
                         if n else 0.0)

@@ -581,7 +581,7 @@ def est_lit(data, cls, half, utf8_ramp, bias):
 def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
                     cands, ins_code, ins_extra, cmd_sym, cmd_sym_last,
                     data, dict_len, window_size, initial_cache,
-                    n_starts=2, cand_cap=0, use_ladder=True):
+                    n_starts=2, cand_cap=0, max_zopfli_len=0):
     """Cache-aware DP over prepared candidates with inline sub-length
     ladder (native zopfli_dp_cands_native)."""
     lib = get_lib()
@@ -608,7 +608,7 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
     lib.zopfli_dp_cands_native(
         ctypes.c_int64(n), ctypes.c_int64(n_starts),
         ctypes.c_int64(cand_cap),
-        ctypes.c_int64(int(use_ladder)),
+        ctypes.c_int64(max_zopfli_len),
         lcp.ctypes.data_as(F64),
         cost_cmd.ctypes.data_as(F64), cds.ctypes.data_as(F64),
         cd4.ctypes.data_as(F64), ctypes.c_int64(dist_alpha),

@@ -489,10 +489,19 @@ int64_t collect_matches_native(
             int64_t dist = i - cand;
             if (dist > window_size) return;
             if (load32(data + cand) != v4) return;
+            // candidates arrive nearest-first: a match that cannot
+            // extend past the longest already found is dominated
+            // (longer distance, no extra length) — one byte compare
+            // prunes the probe (reference H10 keeps only strictly
+            // increasing lengths, backward_references/hash_to_binary
+            // tree shape)
+            if (longest >= limit ||
+                data[cand + longest] != data[i + longest])
+                return;
             for (int d = 0; d < per; d++)
                 if (dists_seen[d] == dist) return;
             int64_t ml = probe_len(data, cand, i, limit);
-            if (ml < min_len) return;
+            if (ml < min_len || ml <= longest) return;
             if (per < max_per_pos && m < cap) {
                 dists_seen[per++] = dist;
                 out_pos[m] = i - dict_len;
@@ -1174,7 +1183,7 @@ void zopfli_dp_cache_native(
 
 void zopfli_dp_cands_native(
     int64_t n, int64_t n_starts, int64_t cand_cap,
-    int64_t use_ladder, const double* lcp,
+    int64_t max_zopfli_len, const double* lcp,
     const double* cost_cmd,
     const double* cost_dist_short /* [16] */,
     const double* cost_dist /* [4*alpha] */, int64_t dist_alpha,
@@ -1233,7 +1242,14 @@ void zopfli_dp_cands_native(
     };
     static const int copy_extra_tab[24] = {0,0,0,0,0,0,0,0,1,1,2,2,3,3,
                                            4,4,5,5,6,7,8,9,10,24};
-    (void)use_ladder;  // superseded by the full-length frontier sweep
+    // ladder cap (reference MaxZopfliLen, hq.rs:159: 150 for q<=10,
+    // 325 for q11): matches longer than this are priced only at their
+    // full length, and positions covered by a very long match are
+    // start-queue-updated without match evaluation (the `skip` loop,
+    // hq.rs:943-972) — without both, the length ladder is O(n^2) on
+    // repeat-heavy input
+    if (max_zopfli_len <= 0) max_zopfli_len = int64_t(1) << 30;
+    int64_t skip_until = 0;
 
     // cheapest possible command bits, for the minimum-copy-length
     // lower bound (reference min_cost_cmd_, hq.rs:172)
@@ -1262,6 +1278,9 @@ void zopfli_dp_cands_native(
                 if (q_n < max_starts) q_n++;
             }
         }
+        // inside a long-match skip region: queue update only
+        // (reference EvaluateNode-only loop, hq.rs:957-972)
+        if (p < skip_until) continue;
         Start starts[kStarts + 1];
         int ns = 0;
         double best_base = 1e30;
@@ -1367,12 +1386,14 @@ void zopfli_dp_cands_native(
             }
         }
 
+        int64_t relaxed_max = 0;
         auto relax = [&](const Start& st, int64_t tgt, double t,
                          int64_t adv, int64_t wire, int64_t d,
                          bool push) {
             if (dbg == 5) dp_ctr[2]++;
             if (tgt > n || (float)t >= cost[tgt]) return;
             if (dbg == 5) dp_ctr[3]++;
+            if (adv > relaxed_max) relaxed_max = adv;
             cost[tgt] = (float)t;
             prev_start[tgt] = (int32_t)st.u;
             prev_len[tgt] = (int32_t)adv;
@@ -1457,7 +1478,25 @@ void zopfli_dp_cands_native(
         int nw = 0;
         while (e0 + nw < e1 && !(cands[e0 + nw].flags & 1) && nw < 24)
             nw++;
-        if (nw > 0 && min_len <= max_len) {
+        // a window match longer than max_zopfli_len collapses the
+        // candidate list to just itself, priced at full length only
+        // (reference hq.rs:921-926 + the len=max_match_len jump at
+        // hq.rs:794)
+        bool single_long = nw > 0 && cands[e0].len > max_zopfli_len &&
+                           cands[e0].dist <= max_distance;
+        if (single_long) {
+            const ZCand& c2 = cands[e0];
+            int64_t L = std::min<int64_t>(c2.len, max_len);
+            if (L >= min_len) {
+                int rr = L >= 5 ? 3 : (int)(L - 2);
+                double dc = (double)c2.nbits +
+                            cost_dist[rr * dist_alpha + c2.sym];
+                int cc = copy_code_of(L);
+                relax(starts[bestS[cc]], p + L,
+                      bestP[cc] + copy_extra_tab[cc] + dc, L, L,
+                      c2.dist, true);
+            }
+        } else if (nw > 0 && min_len <= max_len) {
             // prefix-min (over the stored descending-length order) of
             // the distance cost per RFC copy-length context row: entry
             // j = cheapest distance cost among candidates with
@@ -1501,8 +1540,9 @@ void zopfli_dp_cands_native(
         }
         // dictionary candidates: exact advance length, wire-coded copy
         // (transform cutoffs make wire != len); pseudo-distances never
-        // enter the decoder's cache
-        for (int64_t e = e0 + nw; e < e1; e++) {
+        // enter the decoder's cache.  (the single-long collapse drops
+        // them, like the reference's matches[0]-only rewrite)
+        for (int64_t e = e0 + nw; e < e1 && !single_long; e++) {
             const ZCand& cnd = cands[e];
             if (dbg == 5) dp_ctr[4]++;
             int64_t L = cnd.len;
@@ -1517,6 +1557,13 @@ void zopfli_dp_cands_native(
                   bestP[cc] + copy_extra_tab[cc] + dc,
                   L, wirev, cnd.dist, false);
         }
+        // very long matches own the span: following positions get the
+        // queue update only (reference skip, hq.rs:943-956)
+        int64_t skipv = relaxed_max >= 16384 ? relaxed_max : 0;
+        if (single_long)
+            skipv = std::max(skipv,
+                             std::min<int64_t>(cands[e0].len, max_len));
+        if (skipv > 1) skip_until = p + skipv;
     }
     if (dbg == 5)
         fprintf(stderr,

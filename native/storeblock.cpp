@@ -781,6 +781,592 @@ static Split split_symbols(const int64_t* syms, int64_t n, int alpha,
 }
 
 // ---------------------------------------------------------------------------
+// quality-tier block splitting: sampled seed histograms + per-symbol
+// Viterbi (reference SplitByteVector shape, block_splitter.rs:699 —
+// InitialEntropyCodes/RefineEntropyCodes seeds, 3 rounds of FindBlocks
+// + histogram re-estimation, then the agglomerative type merge).
+// Unlike the chunked k-means above, block switches can land on ANY
+// symbol, which is where the reference wins on binary data.
+// ---------------------------------------------------------------------------
+
+struct HqSplitParams {
+    int syms_per_hist;   // kSymbolsPer*Histogram (544/530/544)
+    int max_hist;        // kMax*Histograms (100/50/50)
+    int stride;          // sampling stride (70)
+    double switch_cost;  // FindBlocks switch bit cost (28.1/13.5/14.6)
+    double header_cost;  // per-kept-type header estimate for the merge
+};
+static const HqSplitParams HQ_LIT = {544, 100, 70, 28.1, 320.0};
+static const HqSplitParams HQ_CMD = {530, 50, 40, 13.5, 500.0};
+static const HqSplitParams HQ_DIST = {544, 50, 40, 14.6, 600.0};
+
+static inline double bit_cost_of(double count) {
+    return count == 0.0 ? -2.0 : std::log2(count);
+}
+
+// coded size of one histogram: payload entropy + an estimate of its
+// RLE-coded depth description (reference BrotliPopulationCost,
+// bit_cost.rs:76 — including the 1/2/3/4-symbol special cases)
+static double population_cost(const uint32_t* h, int alpha,
+                              uint32_t total) {
+    if (total == 0) return 12.0;
+    int count = 0;
+    int s[5];
+    for (int i = 0; i < alpha && count < 5; i++)
+        if (h[i]) s[count++] = i;
+    if (count == 1) return 12.0;
+    if (count == 2) return 20.0 + (double)total;
+    if (count == 3) {
+        uint32_t mx = std::max({h[s[0]], h[s[1]], h[s[2]]});
+        return 28.0 + 2.0 * (double)total - mx;
+    }
+    if (count == 4) {
+        uint32_t v[4];
+        for (int i = 0; i < 4; i++) v[i] = h[s[i]];
+        std::sort(v, v + 4, std::greater<uint32_t>());
+        uint32_t h23 = v[2] + v[3];
+        uint32_t mx = std::max(h23, v[0]);
+        return 37.0 + 3.0 * h23 + 2.0 * (v[0] + v[1]) - mx;
+    }
+    double bits = 0.0;
+    int max_depth = 1;
+    uint32_t depth_histo[18] = {0};
+    double log2total = std::log2((double)total);
+    int i = 0;
+    while (i < alpha) {
+        if (h[i]) {
+            double log2p = log2total - std::log2((double)h[i]);
+            int depth = std::min((int)(log2p + 0.5), 15);
+            bits += h[i] * log2p;
+            if (depth > max_depth) max_depth = depth;
+            depth_histo[depth]++;
+            i++;
+        } else {
+            uint32_t reps = 1;
+            while (i + (int)reps < alpha && h[i + reps] == 0) reps++;
+            i += reps;
+            if (i == alpha) break;  // trailing zeros are not coded
+            if (reps < 3) {
+                depth_histo[0] += reps;
+            } else {
+                reps -= 2;
+                while (reps > 0) {
+                    depth_histo[17]++;
+                    bits += 3.0;
+                    reps >>= 3;
+                }
+            }
+        }
+    }
+    bits += 18.0 + 2.0 * max_depth;
+    double e = 0.0;
+    uint32_t sum = 0;
+    for (int j = 0; j < 18; j++)
+        if (depth_histo[j]) {
+            sum += depth_histo[j];
+            e -= depth_histo[j] * std::log2((double)depth_histo[j]);
+        }
+    if (sum) e += sum * std::log2((double)sum);
+    if (e < (double)sum) e = (double)sum;  // BitsEntropy floor
+    return bits + e;
+}
+
+// pairwise histogram clustering (reference BrotliHistogramCombine,
+// cluster.rs:123, with the pair queue of BrotliCompareAndPushToQueue)
+struct HPair {
+    uint32_t idx1, idx2;
+    double cost_combo, cost_diff;
+};
+static inline bool hpair_less(const HPair& a, const HPair& b) {
+    return a.cost_diff != b.cost_diff
+               ? a.cost_diff > b.cost_diff
+               : (a.idx2 - a.idx1) > (b.idx2 - b.idx1);
+}
+
+struct HistSet {
+    int alpha = 0;
+    std::vector<uint32_t> counts;  // [m][alpha]
+    std::vector<uint32_t> total;
+    std::vector<double> bit_cost;
+    uint32_t* row(size_t i) { return &counts[i * alpha]; }
+    const uint32_t* row(size_t i) const { return &counts[i * alpha]; }
+};
+
+static double cluster_cost_diff(uint32_t a, uint32_t b) {
+    auto l2 = [](double x) { return x > 0 ? std::log2(x) : 0.0; };
+    double c = (double)a + b;
+    return a * l2(a) + b * l2(b) - c * l2(c);
+}
+
+static void compare_and_push_pair(HistSet& hs,
+                                  const std::vector<uint32_t>& cl_size,
+                                  uint32_t idx1, uint32_t idx2,
+                                  size_t max_pairs,
+                                  std::vector<HPair>& pairs,
+                                  std::vector<uint32_t>& merged) {
+    if (idx1 == idx2) return;
+    if (idx2 < idx1) std::swap(idx1, idx2);
+    HPair p;
+    p.idx1 = idx1;
+    p.idx2 = idx2;
+    p.cost_combo = 0.0;
+    p.cost_diff = 0.5 * cluster_cost_diff(cl_size[idx1], cl_size[idx2]) -
+                  hs.bit_cost[idx1] - hs.bit_cost[idx2];
+    bool good = false;
+    if (hs.total[idx1] == 0) {
+        p.cost_combo = hs.bit_cost[idx2];
+        good = true;
+    } else if (hs.total[idx2] == 0) {
+        p.cost_combo = hs.bit_cost[idx1];
+        good = true;
+    } else {
+        double threshold =
+            pairs.empty() ? 1e38 : std::max(pairs[0].cost_diff, 0.0);
+        const uint32_t* a = hs.row(idx1);
+        const uint32_t* b = hs.row(idx2);
+        for (int k = 0; k < hs.alpha; k++) merged[k] = a[k] + b[k];
+        double combo = population_cost(merged.data(), hs.alpha,
+                                       hs.total[idx1] + hs.total[idx2]);
+        if (combo < threshold - p.cost_diff) {
+            p.cost_combo = combo;
+            good = true;
+        }
+    }
+    if (!good) return;
+    p.cost_diff += p.cost_combo;
+    if (!pairs.empty() && hpair_less(pairs[0], p)) {
+        if (pairs.size() < max_pairs) pairs.push_back(pairs[0]);
+        pairs[0] = p;
+    } else if (pairs.size() < max_pairs) {
+        pairs.push_back(p);
+    }
+}
+
+static void histogram_combine(HistSet& hs, std::vector<uint32_t>& cl_size,
+                              uint32_t* symbols, size_t symbols_size,
+                              std::vector<uint32_t>& clusters,
+                              size_t max_clusters, size_t max_pairs) {
+    double cost_diff_threshold = 0.0;
+    size_t min_cluster_size = 1;
+    std::vector<HPair> pairs;
+    pairs.reserve(max_pairs + 1);
+    std::vector<uint32_t> scratch(hs.alpha);
+    for (size_t i = 0; i < clusters.size(); i++)
+        for (size_t j = i + 1; j < clusters.size(); j++)
+            compare_and_push_pair(hs, cl_size, clusters[i], clusters[j],
+                                  max_pairs, pairs, scratch);
+    while (clusters.size() > min_cluster_size) {
+        if (pairs.empty() ||
+            pairs[0].cost_diff >= cost_diff_threshold) {
+            if (min_cluster_size >= max_clusters || pairs.empty()) break;
+            cost_diff_threshold = 1e38;
+            min_cluster_size = max_clusters;
+            continue;
+        }
+        uint32_t b1 = pairs[0].idx1, b2 = pairs[0].idx2;
+        {
+            uint32_t* d = hs.row(b1);
+            const uint32_t* s = hs.row(b2);
+            for (int k = 0; k < hs.alpha; k++) d[k] += s[k];
+            hs.total[b1] += hs.total[b2];
+            hs.bit_cost[b1] = pairs[0].cost_combo;
+            cl_size[b1] += cl_size[b2];
+        }
+        for (size_t i = 0; i < symbols_size; i++)
+            if (symbols[i] == b2) symbols[i] = b1;
+        clusters.erase(std::find(clusters.begin(), clusters.end(), b2));
+        // drop pairs touching the merged pair, keeping the best at [0]
+        size_t copy_to = 0;
+        for (size_t i = 0; i < pairs.size(); i++) {
+            HPair p = pairs[i];
+            if (p.idx1 == b1 || p.idx2 == b1 || p.idx1 == b2 ||
+                p.idx2 == b2)
+                continue;
+            if (copy_to > 0 && hpair_less(pairs[0], p)) {
+                HPair front = pairs[0];
+                pairs[0] = p;
+                pairs[copy_to] = front;
+            } else {
+                pairs[copy_to] = p;
+            }
+            copy_to++;
+        }
+        pairs.resize(copy_to);
+        for (uint32_t c : clusters)
+            compare_and_push_pair(hs, cl_size, b1, c, max_pairs, pairs,
+                                  scratch);
+    }
+}
+
+// run-level reclustering of a block assignment (reference
+// ClusterBlocks, block_splitter.rs:399: per-run histograms combined in
+// 64-run batches, then globally to <=256 types, then each run remapped
+// to its cheapest final cluster)
+static Split cluster_blocks(const int64_t* syms, int64_t n,
+                            const uint8_t* block_id, int alpha) {
+    Split out;
+    out.types.assign(n, 0);
+    out.blocks = {{0, (int)n}};
+    std::vector<uint32_t> block_lengths;
+    {
+        int64_t i = 0;
+        while (i < n) {
+            int64_t j = i;
+            while (j < n && block_id[j] == block_id[i]) j++;
+            block_lengths.push_back((uint32_t)(j - i));
+            i = j;
+        }
+    }
+    size_t num_blocks = block_lengths.size();
+    if (num_blocks <= 1) return out;
+
+    HistSet all;
+    all.alpha = alpha;
+    std::vector<uint32_t> cluster_size;
+    std::vector<uint32_t> hist_sym(num_blocks);
+    size_t num_clusters = 0;
+    size_t max_pairs = 64 * 64 / 2;
+    {
+        HistSet batch;
+        batch.alpha = alpha;
+        batch.counts.resize((size_t)64 * alpha);
+        batch.total.resize(64);
+        batch.bit_cost.resize(64);
+        int64_t pos = 0;
+        uint32_t symbols64[64], remap64[64];
+        for (size_t i = 0; i < num_blocks; i += 64) {
+            size_t nc = std::min(num_blocks - i, (size_t)64);
+            std::fill(batch.counts.begin(), batch.counts.end(), 0u);
+            std::vector<uint32_t> new_clusters(nc);
+            std::vector<uint32_t> cl_sz(nc, 1);
+            for (size_t j = 0; j < nc; j++) {
+                uint32_t* h = batch.row(j);
+                uint32_t tt = block_lengths[i + j];
+                for (uint32_t t = 0; t < tt; t++) h[syms[pos++]]++;
+                batch.total[j] = tt;
+                batch.bit_cost[j] = population_cost(h, alpha, tt);
+                new_clusters[j] = (uint32_t)j;
+                symbols64[j] = (uint32_t)j;
+            }
+            histogram_combine(batch, cl_sz, symbols64, nc, new_clusters,
+                              64, max_pairs);
+            size_t nnew = new_clusters.size();
+            for (size_t j = 0; j < nnew; j++) {
+                uint32_t src = new_clusters[j];
+                all.counts.insert(all.counts.end(), batch.row(src),
+                                  batch.row(src) + alpha);
+                all.total.push_back(batch.total[src]);
+                all.bit_cost.push_back(batch.bit_cost[src]);
+                cluster_size.push_back(cl_sz[src]);
+                remap64[src] = (uint32_t)j;
+            }
+            for (size_t j = 0; j < nc; j++)
+                hist_sym[i + j] =
+                    (uint32_t)num_clusters + remap64[symbols64[j]];
+            num_clusters += nnew;
+        }
+    }
+    std::vector<uint32_t> clusters(num_clusters);
+    for (size_t i = 0; i < num_clusters; i++) clusters[i] = (uint32_t)i;
+    max_pairs = std::min((size_t)64 * num_clusters,
+                         num_clusters / 2 * num_clusters);
+    histogram_combine(all, cluster_size, hist_sym.data(), num_blocks,
+                      clusters, 256, max_pairs);
+    size_t num_final = clusters.size();
+
+    // remap each run to its cheapest final cluster (HistogramRemap)
+    std::vector<int> new_index(num_clusters, -1);
+    std::vector<uint32_t> histo(alpha);
+    std::vector<uint32_t> merged(alpha);
+    auto bit_cost_distance = [&](uint32_t total, uint32_t cand) {
+        if (total == 0) return 0.0;
+        const uint32_t* c = all.row(cand);
+        for (int k = 0; k < alpha; k++) merged[k] = histo[k] + c[k];
+        return population_cost(merged.data(), alpha,
+                               total + all.total[cand]) -
+               all.bit_cost[cand];
+    };
+    int next_index = 0;
+    {
+        int64_t pos = 0;
+        for (size_t i = 0; i < num_blocks; i++) {
+            std::fill(histo.begin(), histo.end(), 0u);
+            uint32_t tt = block_lengths[i];
+            for (uint32_t t = 0; t < tt; t++) histo[syms[pos++]]++;
+            uint32_t best_out = i == 0 ? hist_sym[0] : hist_sym[i - 1];
+            double best_bits = bit_cost_distance(tt, best_out);
+            for (size_t j = 0; j < num_final; j++) {
+                double cur = bit_cost_distance(tt, clusters[j]);
+                if (cur < best_bits) {
+                    best_bits = cur;
+                    best_out = clusters[j];
+                }
+            }
+            hist_sym[i] = best_out;
+            if (new_index[best_out] < 0) new_index[best_out] = next_index++;
+        }
+    }
+    if (next_index <= 1) return out;
+    out.num_types = next_index;
+    out.blocks.clear();
+    {
+        int64_t pos = 0;
+        for (size_t i = 0; i < num_blocks; i++) {
+            int ty = new_index[hist_sym[i]];
+            uint32_t len = block_lengths[i];
+            for (uint32_t t = 0; t < len; t++) out.types[pos++] = ty;
+            if (!out.blocks.empty() && out.blocks.back().first == ty)
+                out.blocks.back().second += (int)len;
+            else
+                out.blocks.push_back({ty, (int)len});
+        }
+    }
+    return out;
+}
+
+// forward scan + capped-cost recurrence + backward signal walk
+// (reference FindBlocks, block_splitter.rs:223-351)
+static void hq_find_blocks(const int64_t* syms, int64_t n,
+                           double switch_cost, int k, int alpha,
+                           const double* hist /* k*alpha */,
+                           float* insert_cost /* alpha*k */,
+                           float* cost /* k */,
+                           uint8_t* switch_signal /* n*bitmaplen */,
+                           uint8_t* block_id /* n */) {
+    int bitmaplen = (k + 7) >> 3;
+    for (int j = 0; j < k; j++) {
+        double tot = 0;
+        for (int s = 0; s < alpha; s++) tot += hist[(size_t)j * alpha + s];
+        // FastLog2(0) == 0 in the reference: an empty histogram prices
+        // every symbol at +2 bits, it must not become attractive
+        double lt = tot > 0 ? std::log2(tot) : 0.0;
+        for (int s = 0; s < alpha; s++)
+            insert_cost[(size_t)s * k + j] =
+                (float)(lt - bit_cost_of(hist[(size_t)j * alpha + s]));
+    }
+    for (int j = 0; j < k; j++) cost[j] = 0.0f;
+    std::memset(switch_signal, 0, (size_t)n * bitmaplen);
+    for (int64_t i = 0; i < n; i++) {
+        const float* ic = &insert_cost[(size_t)syms[i] * k];
+        float min_cost = 1e38f;
+        int best = 0;
+        for (int j = 0; j < k; j++) {
+            float c = cost[j] + ic[j];
+            cost[j] = c;
+            if (c < min_cost) { min_cost = c; best = j; }
+        }
+        block_id[i] = (uint8_t)best;
+        float sc = (float)switch_cost;
+        if (i < 2000) sc *= (float)(0.77 + 0.07 * (double)i / 2000.0);
+        uint8_t* sig = &switch_signal[(size_t)i * bitmaplen];
+        for (int j = 0; j < k; j++) {
+            float d = cost[j] - min_cost;
+            if (d >= sc) {
+                sig[j >> 3] |= (uint8_t)(1u << (j & 7));
+                d = sc;
+            }
+            cost[j] = d;
+        }
+    }
+    static int fb_dbg = getenv("BROTLI_TPU_SPLIT_DEBUG")
+                            ? atoi(getenv("BROTLI_TPU_SPLIT_DEBUG")) : 0;
+    if (fb_dbg >= 2) {
+        std::vector<int64_t> cnt(k, 0);
+        int64_t bits = 0;
+        for (int64_t t = 0; t < n; t++) cnt[block_id[t]]++;
+        for (size_t t = 0; t < (size_t)n * bitmaplen; t++)
+            bits += __builtin_popcount(switch_signal[t]);
+        int distinct = 0;
+        for (int j = 0; j < k; j++) distinct += cnt[j] > 0;
+        fprintf(stderr,
+                "[findblocks] fwd distinct=%d sigbits/pos=%.2f\n",
+                distinct, (double)bits / n);
+    }
+    // backward pass: propagate the last block id until a switch signal
+    int64_t i = n - 1;
+    uint8_t cur = block_id[i];
+    while (i > 0) {
+        uint8_t mask = (uint8_t)(1u << (cur & 7));
+        i--;
+        if ((switch_signal[(size_t)i * bitmaplen + (cur >> 3)] & mask) &&
+            cur != block_id[i])
+            cur = block_id[i];
+        block_id[i] = cur;
+    }
+}
+
+static Split split_symbols_hq(const int64_t* syms, int64_t n, int alpha,
+                              const HqSplitParams& p) {
+    Split out;
+    out.types.assign(n, 0);
+    out.blocks = {{0, (int)n}};
+    if (n < 128) return out;
+    int k = (int)std::min<int64_t>(n / p.syms_per_hist + 1, p.max_hist);
+    if (k <= 1) return out;
+    int64_t stride = std::min<int64_t>(p.stride, n);
+
+    // seed histograms from strided + random samples (reference
+    // InitialEntropyCodes / RefineEntropyCodes)
+    std::vector<double> hist((size_t)k * alpha, 0.0);
+    uint32_t seed = 7;
+    auto rnd = [&]() {
+        seed = seed * 16807u;
+        if (seed == 0) seed = 1;
+        return seed;
+    };
+    {
+        int64_t block_length = n / k;
+        for (int j = 0; j < k; j++) {
+            int64_t pos = n * (int64_t)j / k;
+            if (j != 0) pos += rnd() % (uint64_t)block_length;
+            if (pos + stride >= n) pos = n - stride - 1;
+            if (pos < 0) pos = 0;
+            for (int64_t t = 0; t < stride; t++)
+                hist[(size_t)j * alpha + syms[pos + t]] += 1.0;
+        }
+    }
+    {
+        seed = 7;
+        int64_t iters = 2 * n / stride + 100;
+        iters = (iters + k - 1) / k * k;
+        for (int64_t it = 0; it < iters; it++) {
+            int64_t pos = n > stride ? rnd() % (uint64_t)(n - stride + 1)
+                                     : 0;
+            double* h = &hist[(size_t)(it % k) * alpha];
+            for (int64_t t = 0; t < stride; t++) h[syms[pos + t]] += 1.0;
+        }
+    }
+
+    int bitmaplen = (k + 7) >> 3;
+    std::vector<float> insert_cost((size_t)alpha * k);
+    std::vector<float> cost(k);
+    std::vector<uint8_t> switch_signal((size_t)n * bitmaplen);
+    std::vector<uint8_t> block_id(n);
+    for (int round = 0; round < 3; round++) {
+        hq_find_blocks(syms, n, p.switch_cost, k, alpha, hist.data(),
+                       insert_cost.data(), cost.data(),
+                       switch_signal.data(), block_id.data());
+        // shrink to the ids actually used (reference RemapBlockIds,
+        // block_splitter.rs:355: empty histograms never re-enter
+        // FindBlocks, where their +2-bit flat cost would attract
+        // everything) and re-estimate
+        std::vector<int> remap(k, -1);
+        int used = 0;
+        for (int64_t i = 0; i < n; i++)
+            if (remap[block_id[i]] < 0) remap[block_id[i]] = used++;
+        for (int64_t i = 0; i < n; i++)
+            block_id[i] = (uint8_t)remap[block_id[i]];
+        k = used;
+        bitmaplen = (k + 7) >> 3;
+        std::fill(hist.begin(), hist.end(), 0.0);
+        for (int64_t i = 0; i < n; i++)
+            hist[(size_t)block_id[i] * alpha + syms[i]] += 1.0;
+        if (k <= 1) break;
+    }
+    if (k <= 1) return out;
+
+    static int split_dbg = getenv("BROTLI_TPU_SPLIT_DEBUG")
+                               ? atoi(getenv("BROTLI_TPU_SPLIT_DEBUG"))
+                               : 0;
+    Split res = cluster_blocks(syms, n, block_id.data(), alpha);
+    if (split_dbg) {
+        int64_t nblk = 1;
+        for (int64_t i2 = 1; i2 < n; i2++)
+            if (block_id[i2] != block_id[i2 - 1]) nblk++;
+        fprintf(stderr,
+                "[hqsplit] n=%lld alpha=%d viterbi types=%d runs=%lld "
+                "-> clustered types=%d blocks=%d\n",
+                (long long)n, alpha, k, (long long)nblk, res.num_types,
+                (int)res.blocks.size());
+    }
+    return res;
+}
+
+
+// context-histogram clustering on the same pair-queue machinery
+// (reference BrotliClusterHistograms, cluster.rs:380: 64-batch combine,
+// global combine to <=max_out, remap every input bucket to its
+// cheapest cluster, reindex in first-use order)
+static void cluster_histograms_hq(const int64_t* bucket_hist, int nb,
+                                  int alpha, int max_out,
+                                  std::vector<int>& out_assign,
+                                  std::vector<int64_t>& tree_hists,
+                                  int& ntrees) {
+    HistSet hs;
+    hs.alpha = alpha;
+    hs.counts.resize((size_t)nb * alpha);
+    hs.total.assign(nb, 0);
+    hs.bit_cost.resize(nb);
+    for (int i = 0; i < nb; i++) {
+        uint32_t tt = 0;
+        for (int s = 0; s < alpha; s++) {
+            uint32_t v = (uint32_t)bucket_hist[(size_t)i * alpha + s];
+            hs.counts[(size_t)i * alpha + s] = v;
+            tt += v;
+        }
+        hs.total[i] = tt;
+        hs.bit_cost[i] = population_cost(hs.row(i), alpha, tt);
+    }
+    std::vector<uint32_t> cl_size(nb, 1);
+    std::vector<uint32_t> symbols(nb);
+    for (int i = 0; i < nb; i++) symbols[i] = (uint32_t)i;
+    std::vector<uint32_t> clusters;
+    clusters.reserve(nb);
+    size_t pairs_cap = 64 * 64 / 2;
+    for (int i = 0; i < nb; i += 64) {
+        size_t nc = std::min((size_t)(nb - i), (size_t)64);
+        std::vector<uint32_t> batch(nc);
+        for (size_t j = 0; j < nc; j++) batch[j] = (uint32_t)(i + j);
+        histogram_combine(hs, cl_size, &symbols[i], nc, batch,
+                          (size_t)max_out, pairs_cap);
+        clusters.insert(clusters.end(), batch.begin(), batch.end());
+    }
+    size_t max_pairs2 = std::min((size_t)64 * clusters.size(),
+                                 clusters.size() / 2 * clusters.size());
+    histogram_combine(hs, cl_size, symbols.data(), nb, clusters,
+                      (size_t)max_out, max_pairs2);
+    // remap each ORIGINAL bucket to its cheapest final cluster
+    std::vector<uint32_t> histo(alpha), merged(alpha);
+    for (int i = 0; i < nb; i++) {
+        uint32_t tt = 0;
+        for (int s = 0; s < alpha; s++) {
+            histo[s] = (uint32_t)bucket_hist[(size_t)i * alpha + s];
+            tt += histo[s];
+        }
+        uint32_t best = symbols[i];
+        double best_bits = 1e300;
+        for (uint32_t c : clusters) {
+            double d;
+            if (tt == 0) {
+                d = 0.0;
+            } else {
+                const uint32_t* cr = hs.row(c);
+                for (int s = 0; s < alpha; s++) merged[s] = histo[s] +
+                                                           cr[s];
+                d = population_cost(merged.data(), alpha,
+                                    tt + hs.total[c]) -
+                    hs.bit_cost[c];
+            }
+            if (d < best_bits) { best_bits = d; best = c; }
+        }
+        symbols[i] = best;
+    }
+    // reindex, first-use order
+    std::vector<int> newid(nb, -1);
+    ntrees = 0;
+    out_assign.assign(nb, 0);
+    for (int i = 0; i < nb; i++) {
+        if (newid[symbols[i]] < 0) newid[symbols[i]] = ntrees++;
+        out_assign[i] = newid[symbols[i]];
+    }
+    tree_hists.assign((size_t)ntrees * alpha, 0);
+    for (int i = 0; i < nb; i++)
+        for (int s = 0; s < alpha; s++)
+            tree_hists[(size_t)out_assign[i] * alpha + s] +=
+                bucket_hist[(size_t)i * alpha + s];
+}
+
+// ---------------------------------------------------------------------------
 // context-histogram clustering (metablock.py:351 port)
 // ---------------------------------------------------------------------------
 
@@ -1052,15 +1638,26 @@ extern "C" int64_t store_metablock_native(
     Split lit_split, cmd_split, dist_split;
     if (enable_splits) {
         lit64.assign(literals.begin(), literals.end());
-        bool fast_split = quality < 7;
-        lit_split = split_symbols(lit64.data(), n_lit, 256,
-                                  fast_split ? SP_LIT_FAST : SP_LIT);
-        cmd_split = split_symbols(cmd_sym, n_cmds, 704,
-                                  fast_split ? SP_CMD_FAST : SP_CMD);
-        dist_split = split_symbols(dist_syms.data(),
-                                   (int64_t)dist_syms.size(),
-                                   (int)dist_alpha,
-                                   fast_split ? SP_DIST_FAST : SP_DIST);
+        if (quality >= 10) {
+            // per-symbol Viterbi splitter (reference SplitByteVector)
+            lit_split = split_symbols_hq(lit64.data(), n_lit, 256,
+                                         HQ_LIT);
+            cmd_split = split_symbols_hq(cmd_sym, n_cmds, 704, HQ_CMD);
+            dist_split = split_symbols_hq(dist_syms.data(),
+                                          (int64_t)dist_syms.size(),
+                                          (int)dist_alpha, HQ_DIST);
+        } else {
+            bool fast_split = quality < 7;
+            lit_split = split_symbols(lit64.data(), n_lit, 256,
+                                      fast_split ? SP_LIT_FAST : SP_LIT);
+            cmd_split = split_symbols(cmd_sym, n_cmds, 704,
+                                      fast_split ? SP_CMD_FAST : SP_CMD);
+            dist_split = split_symbols(dist_syms.data(),
+                                       (int64_t)dist_syms.size(),
+                                       (int)dist_alpha,
+                                       fast_split ? SP_DIST_FAST
+                                                  : SP_DIST);
+        }
     } else {
         // single-type splits: .types stays empty (every consumer
         // below treats num_types == 1 as type 0 without the array)
@@ -1096,8 +1693,8 @@ extern "C" int64_t store_metablock_native(
             bh[(size_t)(lit_split.types[i] * 64 + lit_ctx[i]) * 256 +
                literals[i]]++;
         std::vector<int> assign_l;
-        cluster_histograms(bh.data(), nbuck_l, 256, 48, 300.0, assign_l,
-                           lit_h, ntrees_l);
+        cluster_histograms_hq(bh.data(), nbuck_l, 256, 256, assign_l,
+                              lit_h, ntrees_l);
         for (int b = 0; b < nbuck_l; b++) cmap_l[b] = assign_l[b];
         for (int64_t i = 0; i < n_lit; i++)
             lit_tree[i] = assign_l[lit_split.types[i] * 64 + lit_ctx[i]];
@@ -1112,8 +1709,8 @@ extern "C" int64_t store_metablock_native(
                 dist_syms[i]]++;
         }
         std::vector<int> assign_d;
-        cluster_histograms(bhd.data(), nbuck_d, (int)dist_alpha, 8,
-                           500.0, assign_d, dist_h, ntrees_d);
+        cluster_histograms_hq(bhd.data(), nbuck_d, (int)dist_alpha, 256,
+                              assign_d, dist_h, ntrees_d);
         for (int b = 0; b < nbuck_d; b++) cmap_d[b] = assign_d[b];
         for (size_t i = 0; i < dist_syms.size(); i++) {
             int64_t c = dist_cmd_idx[i];
