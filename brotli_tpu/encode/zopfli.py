@@ -597,19 +597,22 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
         from concurrent.futures import ThreadPoolExecutor
         executor = ThreadPoolExecutor(max_workers=4)
         if params.quality >= 11:
+            # deep rings (the domination filter makes extra probes one
+            # byte-compare each), H10-grade coverage without the rows
             fut_cm = executor.submit(nb.collect_matches, full,
-                                     window_size, dict_len=dict_len)
+                                     window_size, dict_len=dict_len,
+                                     k=96, k8=48, max_per_pos=16)
             if not params.catable:
                 from .static_dict import (collect_dict_matches,
                                           expanded_dict_index)
                 expanded_dict_index()  # warm the lru_cache serially
                 fut_cd = executor.submit(collect_dict_matches, full,
                                          dict_len, window_size)
-    # the sorted-space top-K rows stay even at q11: the ring-table
-    # collector only sees the 48 most recent positions per bucket, so
-    # long-range matches come from the rows (the greedy pre-pass, by
-    # contrast, is q10-only — q11 iteration 0 uses the reference prior)
-    need_rows = True
+    # q11 takes ALL its window candidates from the deep all-matches
+    # collection (k=96 ring + k8=48 long ring, increasing-length
+    # filtered); the per-position top-K rows only back the q10/9.5
+    # tiers, whose 2-iteration parse leans on the scored best rows
+    need_rows = fut_cm is None
     if need_rows:
         # find_best_matches already returns region-relative arrays
         # (index 0 == absolute position dict_len)

@@ -213,7 +213,7 @@ def test_golden_sizes():
     assert len(compress(data, quality=5)) == 52_244
     assert len(compress(data, quality=9)) == 51_046
     assert len(compress(data, quality=10)) == 47_703
-    assert len(compress(data, quality=11)) == 46_892
+    assert len(compress(data, quality=11)) == 46_901
 
 
 def test_lgblock_changes_metablock_spans():
