@@ -242,12 +242,12 @@ def _prepare_edges(cand_lens, cand_dists, cand_isdict, cand_wire,
         # dictionary candidates (the reference's hash-to-binary-tree +
         # BrotliFindAllStaticDictionaryMatches, hq.rs:1237, return every
         # distinct-distance match; these rows are the batched analog)
-        xp, xl, xd, xisd, xw = extra
-        pp = np.concatenate([pp, xp])
-        L = np.concatenate([L, xl])
-        D = np.concatenate([D, xd])
-        ISD = np.concatenate([ISD, xisd])
-        W = np.concatenate([W, xw])
+        srcs = extra if isinstance(extra, list) else [extra]
+        pp = np.concatenate([pp] + [s[0] for s in srcs])
+        L = np.concatenate([L] + [s[1] for s in srcs])
+        D = np.concatenate([D] + [s[2] for s in srcs])
+        ISD = np.concatenate([ISD] + [s[3] for s in srcs])
+        W = np.concatenate([W] + [s[4] for s in srcs])
     # dedupe (p, d) pairs keeping the longest
     order = np.lexsort((-L, D, pp))
     pp, L, D, ISD, W = (pp[order], L[order], D[order], ISD[order],
@@ -592,10 +592,13 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     # dictionary probe) are independent native calls; overlap them on a
     # small thread pool (ctypes releases the GIL)
     executor = None
-    fut_cm = fut_cd = None
+    fut_cm = fut_cd = fut_el = None
     if nb.available():
         from concurrent.futures import ThreadPoolExecutor
         executor = ThreadPoolExecutor(max_workers=4)
+        # the literal-cost estimator only reads the raw bytes: overlap
+        # it with the match collection passes
+        fut_el = executor.submit(estimate_literal_costs, full[dict_len:])
         if params.quality >= 11:
             # deep rings (the domination filter makes extra probes one
             # byte-compare each), H10-grade coverage without the rows
@@ -689,13 +692,14 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                     full, dict_len, window_size)
             xs.append((dp_, dl_, dd_, np.ones(len(dp_), bool), dw_))
         if xs:
-            extra = tuple(np.concatenate([x[i] for x in xs])
-                          for i in range(5))
+            # passed as separate sources: the dense prep k-way merges
+            # the sorted runs natively, no concatenated copy
+            extra = xs
+    data_region = full[dict_len:]
+    lit_costs = (fut_el.result() if fut_el is not None
+                 else estimate_literal_costs(data_region))
     if executor is not None:
         executor.shutdown(wait=False)
-
-    data_region = full[dict_len:]
-    lit_costs = estimate_literal_costs(data_region)
     lcp = np.concatenate([[0.0], np.cumsum(lit_costs)])
 
     if not use_prior:
@@ -747,12 +751,14 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                 risd = [cand_isdict[ci, ppr]]
                 rw = [cand_wire[ci, ppr]]
                 if extra is not None:
-                    xp, xl, xd, xisd, xw = extra
-                    rp.append(xp)
-                    rl.append(xl)
-                    rd.append(xd)
-                    risd.append(xisd)
-                    rw.append(xw)
+                    for xp, xl, xd, xisd, xw in (
+                            extra if isinstance(extra, list)
+                            else [extra]):
+                        rp.append(xp)
+                        rl.append(xl)
+                        rd.append(xd)
+                        risd.append(xisd)
+                        rw.append(xw)
                 prepared = nb.zopfli_cands(
                     np.concatenate(rp), np.concatenate(rl),
                     np.concatenate(rd), np.concatenate(risd),

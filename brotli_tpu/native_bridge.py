@@ -489,27 +489,39 @@ def zopfli_cands_dense(d_len, d_dist, d_isdict, d_wire, extra, n,
                        npostfix, ndirect, k_win=12, k_dict=4,
                        ladder_top=4):
     """zopfli_cands over the dense [rows, n] top-K tables plus sparse
-    extra sources — no nonzero/concatenate on the Python side."""
+    extra sources — no nonzero/concatenate on the Python side.  `extra`
+    is None, one (pos, len, dist, isdict, wire) tuple, or a list of up
+    to two such tuples (window + dictionary sources, merged natively)."""
     lib = get_lib()
     d_len = np.ascontiguousarray(d_len, np.int64)
     d_dist = np.ascontiguousarray(d_dist, np.int64)
     d_isdict = np.ascontiguousarray(d_isdict, np.uint8)
     d_wire = np.ascontiguousarray(d_wire, np.int64)
     n_rows = d_len.shape[0]
-    if extra is not None:
-        x_pos, x_len, x_dist, x_isdict, x_wire = extra
-        x_pos = np.ascontiguousarray(x_pos, np.int64)
-        x_len = np.ascontiguousarray(x_len, np.int64)
-        x_dist = np.ascontiguousarray(x_dist, np.int64)
-        x_isdict = np.ascontiguousarray(x_isdict, np.uint8)
-        x_wire = np.ascontiguousarray(x_wire, np.int64)
-        xm = len(x_pos)
+    if extra is None:
+        sources = []
+    elif isinstance(extra, list):
+        sources = extra
     else:
-        x_pos = x_len = x_dist = np.zeros(0, np.int64)
-        x_isdict = np.zeros(0, np.uint8)
-        x_wire = np.zeros(0, np.int64)
-        xm = 0
-    m = int((d_len >= 2).sum()) + xm
+        sources = [extra]
+    assert len(sources) <= 2
+    empty64 = np.zeros(0, np.int64)
+    empty8 = np.zeros(0, np.uint8)
+    prepped = []
+    m = int((d_len >= 2).sum())
+    for src in sources:
+        s_pos, s_len, s_dist, s_isdict, s_wire = src
+        s = (np.ascontiguousarray(s_pos, np.int64),
+             np.ascontiguousarray(s_len, np.int64),
+             np.ascontiguousarray(s_dist, np.int64),
+             np.ascontiguousarray(s_isdict, np.uint8),
+             np.ascontiguousarray(s_wire, np.int64))
+        m += len(s[0])
+        prepped.append(s)
+    while len(prepped) < 2:
+        prepped.append((empty64, empty64, empty64, empty8, empty64))
+    (x_pos, x_len, x_dist, x_isdict, x_wire) = prepped[0]
+    (y_pos, y_len, y_dist, y_isdict, y_wire) = prepped[1]
     cand_off = _scratch("zc_off", n + 1, np.int64)
     cand_off[:] = 0
     packed = _scratch("zc_packed", max(m, 1), ZCAND_DTYPE)
@@ -517,7 +529,9 @@ def zopfli_cands_dense(d_len, d_dist, d_isdict, d_wire, extra, n,
         _ptr(d_len), _ptr(d_dist), _ptr(d_isdict, U8), _ptr(d_wire),
         ctypes.c_int64(n_rows),
         _ptr(x_pos), _ptr(x_len), _ptr(x_dist), _ptr(x_isdict, U8),
-        _ptr(x_wire), ctypes.c_int64(xm),
+        _ptr(x_wire), ctypes.c_int64(len(x_pos)),
+        _ptr(y_pos), _ptr(y_len), _ptr(y_dist), _ptr(y_isdict, U8),
+        _ptr(y_wire), ctypes.c_int64(len(y_pos)),
         ctypes.c_int64(n), ctypes.c_int64(npostfix),
         ctypes.c_int64(ndirect), ctypes.c_int64(k_win),
         ctypes.c_int64(k_dict), ctypes.c_int64(ladder_top),

@@ -727,28 +727,39 @@ int64_t zopfli_cands_dense_native(
     const int64_t* d_wire, int64_t n_rows,
     const int64_t* x_pos, const int64_t* x_len, const int64_t* x_dist,
     const uint8_t* x_isdict, const int64_t* x_wire, int64_t xm,
+    const int64_t* y_pos, const int64_t* y_len, const int64_t* y_dist,
+    const uint8_t* y_isdict, const int64_t* y_wire, int64_t ym,
     int64_t n, int64_t npostfix, int64_t ndirect, int64_t k_win,
     int64_t k_dict, int64_t ladder_top,
     int64_t* cand_off /* [n+1] */, ZCand* out)
 {
+    // two independent sorted-run sources (window matches + dictionary
+    // matches), k-way merged per position — the Python side never
+    // materializes a concatenated edge list
     constexpr int kMaxRuns = 64;
-    int64_t run_head[kMaxRuns];
-    int64_t run_end[kMaxRuns];
-    int n_runs = 0;
-    {
+    int64_t run_head[2][kMaxRuns];
+    int64_t run_end[2][kMaxRuns];
+    int n_runs[2] = {0, 0};
+    const int64_t* s_pos[2] = {x_pos, y_pos};
+    const int64_t* s_len[2] = {x_len, y_len};
+    const int64_t* s_dist[2] = {x_dist, y_dist};
+    const uint8_t* s_isdict[2] = {x_isdict, y_isdict};
+    const int64_t* s_wire[2] = {x_wire, y_wire};
+    int64_t s_m[2] = {xm, ym};
+    for (int s = 0; s < 2; s++) {
         int64_t start = 0;
-        for (int64_t i = 1; i <= xm; i++) {
-            if (i == xm || x_pos[i] < x_pos[i - 1]) {
-                if (n_runs == kMaxRuns) return -1;  // caller falls back
-                run_head[n_runs] = start;
-                run_end[n_runs] = i;
-                n_runs++;
+        for (int64_t i = 1; i <= s_m[s]; i++) {
+            if (i == s_m[s] || s_pos[s][i] < s_pos[s][i - 1]) {
+                if (n_runs[s] == kMaxRuns) return -1;  // caller falls
+                run_head[s][n_runs[s]] = start;
+                run_end[s][n_runs[s]] = i;
+                n_runs[s]++;
                 start = i;
             }
         }
     }
     int64_t out_n = 0;
-    ZCand loc[160];
+    ZCand loc[224];
     for (int64_t p = 0; p < n; p++) {
         cand_off[p] = out_n;
         int k = 0;
@@ -764,21 +775,23 @@ int64_t zopfli_cands_dense_native(
             c.nbits = 0;
             c.flags = d_isdict[o] ? 1 : 0;
         }
-        for (int r = 0; r < n_runs; r++) {
-            int64_t h = run_head[r], e = run_end[r];
-            while (h < e && x_pos[h] == p) {
-                if (k < 160 && x_len[h] >= 2) {
-                    ZCand& c = loc[k++];
-                    c.len = (int32_t)x_len[h];
-                    c.wire = (int32_t)x_wire[h];
-                    c.dist = (int32_t)x_dist[h];
-                    c.sym = 0;
-                    c.nbits = 0;
-                    c.flags = x_isdict[h] ? 1 : 0;
+        for (int s = 0; s < 2; s++) {
+            for (int r = 0; r < n_runs[s]; r++) {
+                int64_t h = run_head[s][r], e = run_end[s][r];
+                while (h < e && s_pos[s][h] == p) {
+                    if (k < 224 && s_len[s][h] >= 2) {
+                        ZCand& c = loc[k++];
+                        c.len = (int32_t)s_len[s][h];
+                        c.wire = (int32_t)s_wire[s][h];
+                        c.dist = (int32_t)s_dist[s][h];
+                        c.sym = 0;
+                        c.nbits = 0;
+                        c.flags = s_isdict[s][h] ? 1 : 0;
+                    }
+                    h++;
                 }
-                h++;
+                run_head[s][r] = h;
             }
-            run_head[r] = h;
         }
         if (k == 0) continue;
         for (int j = 1; j < k; j++) {

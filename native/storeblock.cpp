@@ -1146,26 +1146,30 @@ static void hq_find_blocks(const int64_t* syms, int64_t n,
     }
     for (int j = 0; j < k; j++) cost[j] = 0.0f;
     std::memset(switch_signal, 0, (size_t)n * bitmaplen);
+    // forward pass in three vectorizable sweeps over k (the reference
+    // runs this 8-wide in Mem256f lanes): add, min-reduce, cap+signal
     for (int64_t i = 0; i < n; i++) {
         const float* ic = &insert_cost[(size_t)syms[i] * k];
-        float min_cost = 1e38f;
+        for (int j = 0; j < k; j++) cost[j] += ic[j];
+        float min_cost = cost[0];
+        for (int j = 1; j < k; j++)
+            min_cost = cost[j] < min_cost ? cost[j] : min_cost;
         int best = 0;
-        for (int j = 0; j < k; j++) {
-            float c = cost[j] + ic[j];
-            cost[j] = c;
-            if (c < min_cost) { min_cost = c; best = j; }
-        }
+        while (cost[best] != min_cost) best++;
         block_id[i] = (uint8_t)best;
         float sc = (float)switch_cost;
         if (i < 2000) sc *= (float)(0.77 + 0.07 * (double)i / 2000.0);
         uint8_t* sig = &switch_signal[(size_t)i * bitmaplen];
-        for (int j = 0; j < k; j++) {
-            float d = cost[j] - min_cost;
-            if (d >= sc) {
-                sig[j >> 3] |= (uint8_t)(1u << (j & 7));
-                d = sc;
+        for (int b = 0; b < bitmaplen; b++) {
+            uint8_t bits = 0;
+            int j0 = b << 3;
+            int je = j0 + 8 < k ? j0 + 8 : k;
+            for (int j = j0; j < je; j++) {
+                float d = cost[j] - min_cost;
+                bits |= (uint8_t)(d >= sc) << (j - j0);
+                cost[j] = d < sc ? d : sc;
             }
-            cost[j] = d;
+            sig[b] = bits;
         }
     }
     static int fb_dbg = getenv("BROTLI_TPU_SPLIT_DEBUG")
