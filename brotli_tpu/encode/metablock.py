@@ -418,43 +418,70 @@ def cluster_context_histograms(bucket_hist: np.ndarray, max_trees: int,
     return out_assign, tree_hists
 
 
+def _dist_stream_cost(hist: np.ndarray, extra_cost: int) -> float:
+    """Actual serialized cost of a distance symbol stream: depth-limited
+    Huffman code bits plus the wire-form tree description (reference
+    BrotliPopulationCost, bit_cost.rs — but measured exactly by building
+    and serializing the code, not by the piecewise estimate)."""
+    from ..core.huffman import build_huffman_lengths, code_bit_cost, \
+        optimize_counts_for_rle
+    from ..core.prefix import write_prefix_code
+    from .bitstream import BitWriter
+    h = hist if hist.sum() else np.array([1], dtype=np.int64)
+    lengths = build_huffman_lengths(optimize_counts_for_rle(h))
+    w = BitWriter()
+    write_prefix_code(w, lengths)
+    return float(code_bit_cost(h, lengths)) + w.bit_length() + extra_cost
+
+
 def choose_distance_params(distances: np.ndarray, copy_mask: np.ndarray,
                            dist_codes_now: np.ndarray,
                            large_window: bool = False):
     """Distance NPOSTFIX/NDIRECT search (reference BrotliBuildMetaBlock,
-    metablock.rs:158-208): pick the (npostfix, ndirect) minimizing
-    estimated distance-stream cost.  Short codes (cache hits) are
-    unaffected; only long-form distances are re-binned, vectorized."""
+    metablock.rs:158-208): pick the (npostfix, ndirect) minimizing the
+    distance-stream cost.  Cost is measured the way the stream is
+    actually written — integer Huffman depths over the full symbol
+    histogram (short codes included) plus the serialized tree
+    description plus extra bits — because raw entropy over-favors wide
+    alphabets (it ignores depth quantization and tree cost; measured
+    +80B on alice q11 when it picked (3,120) over the C engine's
+    (0,0)).  Search order mirrors the reference's ndirect_msb sweep with
+    its early-break on worsening cost."""
     from .params import DistanceParams
     long_mask = copy_mask & (dist_codes_now >= 16)
     dists = distances[long_mask]
-    n_short = int(copy_mask.sum() - long_mask.sum())
+    short_hist = np.bincount(dist_codes_now[copy_mask & ~long_mask],
+                             minlength=16)[:16]
     if len(dists) == 0:
         return DistanceParams(large_window=large_window)
     best = None
     for npostfix in range(4):
-        for wire in (0, 4, 8, 15):  # NDIRECT = wire << npostfix (4 bits)
+        prev = None
+        for wire in range(16):  # NDIRECT = wire << npostfix (4 bits)
             ndirect = wire << npostfix
             direct = dists <= ndirect
             far = dists[~direct]
             if len(far):
                 sym, extra, nbits = C.encode_distance(far, npostfix,
                                                       ndirect)
-                hist = np.bincount(sym - 16,
-                                   minlength=16 + ndirect)
+                hist = np.bincount(sym, minlength=16 + ndirect)
                 extra_cost = int(nbits.sum())
             else:
-                hist = np.zeros(1, dtype=np.int64)
+                hist = np.zeros(16 + ndirect, dtype=np.int64)
                 extra_cost = 0
+            hist[:16] += short_hist
             if direct.any():
-                dh = np.bincount(dists[direct] - 1, minlength=ndirect)
-                sym_cost = shannon_entropy(np.concatenate([hist, dh]))
-            else:
-                sym_cost = shannon_entropy(hist)
-            total = sym_cost + extra_cost \
-                + 0.5 * n_short  # short codes share the alphabet head
+                hist[16:16 + ndirect] += np.bincount(
+                    dists[direct] - 1, minlength=ndirect)
+            total = _dist_stream_cost(hist, extra_cost)
             if best is None or total < best[0]:
                 best = (total, npostfix, ndirect)
+            # the reference abandons an npostfix lane once cost rises
+            # (metablock.rs ndirect_msb loop); two strikes guards the
+            # non-monotone seam at small ndirect
+            if prev is not None and total > prev and total > best[0]:
+                break
+            prev = total
     return DistanceParams(npostfix=best[1], ndirect=best[2],
                           large_window=large_window)
 

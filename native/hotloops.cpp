@@ -1765,6 +1765,8 @@ struct SearchResult {
 struct CombinedCtx {
     const uint8_t* data;
     int64_t n_cache = 4;   // short-code candidates probed per search
+    int64_t dict_gate = 10;   // probe dict only when best len < gate
+    int64_t lazy_gate = 1 << 30;  // skip lazy re-search at/after this len
     int64_t n;                // total incl. dict prefix
     int64_t dict_len;
     int64_t window;
@@ -1953,7 +1955,7 @@ struct CombinedCtx {
         // reference gates SearchInStaticDictionary the same way,
         // mod.rs:1979: dict words are <= 24 bytes, so a solid window
         // match always wins)
-        if (dict_table && i >= dict_len && sr.len < 10 &&
+        if (dict_table && i >= dict_len && sr.len < dict_gate &&
             (dict_lookups >> 7) <= dict_matches) {
             dict_lookups++;
             if (__builtin_expect(g_stats_on, 0)) g_stats.dict_probes++;
@@ -2080,9 +2082,12 @@ int64_t parse_session_next(void* vs, int64_t boundary_rel,
             pos += step;
             continue;
         }
-        // lazy matching: defer up to 4 times
+        // lazy matching: defer up to 4 times (skipped after a long
+        // match at speed tiers — a one-later restart can't beat it by
+        // the 175 margin often enough to pay for the search)
         int defers = 0;
-        while (defers < 4 && pos + 1 + 4 <= boundary) {
+        while (sr.len < cx.lazy_gate && defers < 4 &&
+               pos + 1 + 4 <= boundary) {
             SearchResult sr2 = cx.search(pos + 1, cache);
             if (sr2.score > sr.score + 175) {
                 pos++; sr = sr2; defers++;
@@ -2226,6 +2231,10 @@ void* parse_session_begin(
     for (int c = 0; c < 4; c++) S.cache[c] = initial_cache[c];
     S.pos = dict_len + pos0;
     S.insert_start = dict_len + pos0;
+    if (const char* g = std::getenv("BROTLI_TPU_LAZY_GATE"))
+        cx.lazy_gate = std::atoll(g);
+    if (const char* g = std::getenv("BROTLI_TPU_DICT_GATE"))
+        cx.dict_gate = std::atoll(g);
     return Sp;
 }
 

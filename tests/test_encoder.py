@@ -212,8 +212,8 @@ def test_golden_sizes():
     # greedy tiers now beat it (wide-and-shallow 4-byte primary table)
     assert len(compress(data, quality=5)) == 52_244
     assert len(compress(data, quality=9)) == 51_046
-    assert len(compress(data, quality=10)) == 47_703
-    assert len(compress(data, quality=11)) == 46_901
+    assert len(compress(data, quality=10)) == 47_531
+    assert len(compress(data, quality=11)) == 46_821
 
 
 def test_lgblock_changes_metablock_spans():
