@@ -218,75 +218,93 @@ def expanded_dict_index():
     return entry_bytes, out_len, wire, wid, table
 
 
+@lru_cache(maxsize=1)
+def sorted_dict_index():
+    """Every unique transformed output, lexicographically sorted
+    (0-padded bytes, then output length), deduped to the cheapest
+    encoding (min word-id value = min distance).  Backs the exact
+    predecessor-search dictionary collector: the hashed expanded index's
+    fixed bucket cap dropped 80% of entries (suffix-transform families
+    share long output prefixes), losing most of the reference's
+    dictionary coverage (BrotliFindAllStaticDictionaryMatches,
+    src/enc/static_dict.rs).  Returns (sorted_bytes[m, 38], out_len,
+    wire, wid), all row-aligned."""
+    entry_bytes, out_len, wire, wid, _table = expanded_dict_index()
+    m = len(out_len)
+    keys = np.zeros((m, EXT_MAX_OUT + 1), np.uint8)
+    keys[:, :EXT_MAX_OUT] = entry_bytes
+    keys[:, EXT_MAX_OUT] = out_len  # length tiebreak; also keeps the
+    # key NUL-free at the tail, so S-dtype memcmp order is exact
+    kv = np.ascontiguousarray(keys).view(
+        f"S{EXT_MAX_OUT + 1}").ravel()
+    order = np.lexsort((wid, kv))
+    kv_s = kv[order]
+    first = np.ones(m, bool)
+    first[1:] = kv_s[1:] != kv_s[:-1]
+    sel = order[first]  # min-wid representative, still key-sorted
+    return (np.ascontiguousarray(entry_bytes[sel]), out_len[sel].copy(),
+            wire[sel].copy(), wid[sel].copy())
+
+
 def collect_dict_matches(data: np.ndarray, dict_len: int,
-                         window_size: int, chunk: int = 1 << 16):
+                         window_size: int, chunk: int = 1 << 15):
     """ALL static-dictionary matches (every transform) as sparse
     candidates for the optimal parser: (pos, out_len, pseudo_dist,
     wire), pos relative to the region start.  The DP prices each
     against window matches and literals (reference hq.rs:707 feeds
-    dictionary matches to Zopfli the same way).  Dispatches to the
-    native probe (collect_dict_native); this Python path is the tested
-    oracle."""
+    dictionary matches to Zopfli the same way).  Exact coverage via the
+    sorted-output index; dispatches to collect_dict_sorted_native, this
+    Python path is the tested oracle."""
     from .. import native_bridge as nb
-    entry_bytes, e_out, e_wire, e_wid, table = expanded_dict_index()
-    if nb.available():
-        data = np.ascontiguousarray(data, dtype=np.uint8)
-        n = len(data)
-        span = 1 << 20
-        outs = []
-        for a in range(dict_len, max(n, dict_len + 1), span):
-            b = min(a + span + 40, n)
-            p, l, d, w = nb.collect_dict(
-                data[:b], a, window_size, entry_bytes, e_out, e_wire,
-                e_wid, table, EXT_HASH_BITS)
-            # only keep matches starting inside [a, a+span)
-            keep = p < span
-            outs.append((p[keep] + (a - dict_len), l[keep], d[keep],
-                         w[keep]))
-        if not outs:
-            return (np.zeros(0, np.int64),) * 4
-        return tuple(np.concatenate([o[i] for o in outs])
-                     for i in range(4))
-    d = get_dictionary()
     n = len(data)
-    out_p, out_l, out_d, out_w = [], [], [], []
     if n - dict_len < 4:
         return (np.zeros(0, np.int64),) * 4
+    if nb.available():
+        return nb.collect_dict_sorted(data, dict_len, window_size)
+    sb, s_len, s_wire, s_wid = sorted_dict_index()
+    m = len(s_len)
+    keys = np.zeros((m, EXT_MAX_OUT + 1), np.uint8)
+    keys[:, :EXT_MAX_OUT] = sb
+    keys[:, EXT_MAX_OUT] = s_len
+    kv = np.ascontiguousarray(keys).view(f"S{EXT_MAX_OUT + 1}").ravel()
     pad = np.concatenate([data, np.zeros(EXT_MAX_OUT, np.uint8)])
-    span = np.arange(EXT_MAX_OUT)
+    out_p, out_l, out_d, out_w = [], [], [], []
+    lengths = np.unique(s_len)
     for c0 in range(dict_len, n - 3, chunk):
         c1 = min(c0 + chunk, n - 3)
         idx = np.arange(c0, c1, dtype=np.int64)
-        v = (pad[idx].astype(np.uint32)
-             | (pad[idx + 1].astype(np.uint32) << 8)
-             | (pad[idx + 2].astype(np.uint32) << 16)
-             | (pad[idx + 3].astype(np.uint32) << 24))
-        h = ((v * np.uint32(HASH_MUL32))
-             >> np.uint32(32 - EXT_HASH_BITS)).astype(np.int64)
-        cands = table[h]                              # [m, SLOTS]
-        hit = cands >= 0
-        if not hit.any():
-            continue
-        window = pad[idx[:, None] + span[None, :]]    # [m, 38]
-        ee = np.maximum(cands, 0)
-        eq = window[:, None, :] == entry_bytes[ee]    # [m, SLOTS, 38]
-        pref = np.cumprod(eq, axis=2, dtype=bool).sum(axis=2)
-        lo = e_out[ee]
-        ok = hit & (pref >= lo) & (idx[:, None] + lo <= n)
-        if not ok.any():
-            continue
-        mi, si = np.nonzero(ok)
-        pos = idx[mi]
-        sel = ee[mi, si]
-        max_dist = np.minimum(pos, window_size)
-        out_p.append(pos - dict_len)
-        out_l.append(lo[mi, si])
-        out_d.append(max_dist + 1 + e_wid[sel])
-        out_w.append(e_wire[sel])
+        win = pad[idx[:, None] + np.arange(EXT_MAX_OUT)[None, :]]
+        q = np.zeros((len(idx), EXT_MAX_OUT + 1), np.uint8)
+        for L in lengths.tolist():
+            # exact-match probe per output length: window prefix of
+            # length L + the length byte is a full key iff an entry
+            # with those bytes exists (post-dedup keys are unique)
+            q[:, :L] = win[:, :L]
+            q[:, L:EXT_MAX_OUT] = 0
+            q[:, EXT_MAX_OUT] = L
+            qv = np.ascontiguousarray(q).view(
+                f"S{EXT_MAX_OUT + 1}").ravel()
+            at = np.searchsorted(kv, qv)
+            ok = (at < m) & (kv[np.minimum(at, m - 1)] == qv) \
+                & (idx + L <= n)
+            if not ok.any():
+                continue
+            sel = np.nonzero(ok)[0]
+            e = at[sel]
+            pos = idx[sel]
+            max_dist = np.minimum(pos, window_size)
+            out_p.append(pos - dict_len)
+            out_l.append(np.full(len(sel), L, np.int64))
+            out_d.append(max_dist + 1 + s_wid[e])
+            out_w.append(s_wire[e])
     if not out_p:
         return (np.zeros(0, np.int64),) * 4
-    return (np.concatenate(out_p), np.concatenate(out_l),
-            np.concatenate(out_d), np.concatenate(out_w))
+    order_p = None
+    p = np.concatenate(out_p)
+    res = (p, np.concatenate(out_l), np.concatenate(out_d),
+           np.concatenate(out_w))
+    order_p = np.argsort(p, kind="stable")
+    return tuple(a[order_p] for a in res)
 
 
 def collect_dict_matches_identity(data: np.ndarray, dict_len: int,

@@ -607,8 +607,8 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                                      k=96, k8=48, max_per_pos=16)
             if not params.catable:
                 from .static_dict import (collect_dict_matches,
-                                          expanded_dict_index)
-                expanded_dict_index()  # warm the lru_cache serially
+                                          sorted_dict_index)
+                sorted_dict_index()  # warm the lru_cache serially
                 fut_cd = executor.submit(collect_dict_matches, full,
                                          dict_len, window_size)
     # q11 takes ALL its window candidates from the deep all-matches
@@ -723,6 +723,8 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                                                  dtype=np.float64))
         else:
             cost_lit, cost_cmd, cost_dist = _cost_tables(lh, ch, dh)
+            cost_cmd = cost_cmd + float(os.environ.get(
+                "BROTLI_TPU_CMD_BIAS", "0"))
             if it > 0:
                 # iterations >= 1 price literals and distances from the
                 # previous parse, context-conditioned (see
@@ -734,6 +736,11 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                                                     dist_alpha)
         cds = (cost_dist[3, :16] if cost_dist.ndim == 2
                else cost_dist[:16]).copy()
+        if os.environ.get("BROTLI_TPU_ZDEBUG"):
+            global _DEBUG_MODEL
+            _DEBUG_MODEL = dict(it=it, lcp=lcp.copy(),
+                                cost_cmd=cost_cmd.copy(),
+                                cost_dist=np.array(cost_dist))
         prev = result
         if nb.available():
             # native candidate path: one counting-sort/dedupe/cap pass,

@@ -117,6 +117,8 @@ def get_lib():
         _lib.pack_bits_native.restype = ctypes.c_int64
         _lib.collect_matches_native.restype = ctypes.c_int64
         _lib.collect_dict_native.restype = ctypes.c_int64
+        _lib.dict_sorted_init_native.restype = None
+        _lib.collect_dict_sorted_native.restype = ctypes.c_int64
         _lib.zopfli_cands_native.restype = ctypes.c_int64
         _lib.zopfli_cands_dense_native.restype = ctypes.c_int64
         _lib.est_lit_native.restype = None
@@ -665,6 +667,47 @@ def collect_dict(data, dict_len, window_size, entry_bytes, e_out,
         _ptr(out_p), _ptr(out_l), _ptr(out_d), _ptr(out_w),
         ctypes.c_int64(cap))
     return out_p[:m], out_l[:m], out_d[:m], out_w[:m]
+
+
+_DICT_SORTED_STATE = None  # (lpf int32[m], bloom u8[2^21]), built once
+
+
+def collect_dict_sorted(data, dict_len, window_size):
+    """Exact transform-aware dictionary matches via the native
+    predecessor search over the sorted-output index (same contract as
+    static_dict.collect_dict_matches)."""
+    global _DICT_SORTED_STATE
+    from .encode.static_dict import sorted_dict_index
+    lib = get_lib()
+    sb, s_len, s_wire, s_wid = sorted_dict_index()
+    m = len(s_len)
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    if _DICT_SORTED_STATE is None:
+        lpf = np.empty(m, dtype=np.int32)
+        bloom = np.empty(1 << 21, dtype=np.uint8)
+        lib.dict_sorted_init_native(
+            _ptr(sb, U8), _ptr(s_len), ctypes.c_int64(m),
+            lpf.ctypes.data_as(I32), _ptr(bloom, U8))
+        _DICT_SORTED_STATE = (lpf, bloom)
+    lpf, bloom = _DICT_SORTED_STATE
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(data)
+    cap = max(64, (n - dict_len) * 6)
+    while True:
+        out_p = np.empty(cap, dtype=np.int64)
+        out_l = np.empty(cap, dtype=np.int64)
+        out_d = np.empty(cap, dtype=np.int64)
+        out_w = np.empty(cap, dtype=np.int64)
+        cnt = lib.collect_dict_sorted_native(
+            _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(dict_len),
+            ctypes.c_int64(window_size),
+            _ptr(sb, U8), _ptr(s_len), _ptr(s_wire), _ptr(s_wid),
+            lpf.ctypes.data_as(I32), ctypes.c_int64(m), _ptr(bloom, U8),
+            _ptr(out_p), _ptr(out_l), _ptr(out_d), _ptr(out_w),
+            ctypes.c_int64(cap))
+        if cnt >= 0:
+            return out_p[:cnt], out_l[:cnt], out_d[:cnt], out_w[:cnt]
+        cap *= 2
 
 
 def pack_bits(bits, nbits):

