@@ -605,12 +605,15 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
             fut_cm = executor.submit(nb.collect_matches, full,
                                      window_size, dict_len=dict_len,
                                      k=96, k8=48, max_per_pos=16)
-            if not params.catable:
-                from .static_dict import (collect_dict_matches,
-                                          sorted_dict_index)
-                sorted_dict_index()  # warm the lru_cache serially
-                fut_cd = executor.submit(collect_dict_matches, full,
-                                         dict_len, window_size)
+        if params.quality >= 10 and not params.catable:
+            # the whole optimal-parse family prices exact dictionary
+            # candidates (reference hq.rs feeds Zopfli dict matches at
+            # q10+ too); overlapped with the table scans on the pool
+            from .static_dict import (collect_dict_matches,
+                                      sorted_dict_index)
+            sorted_dict_index()  # warm the lru_cache serially
+            fut_cd = executor.submit(collect_dict_matches, full,
+                                     dict_len, window_size)
     # q11 takes ALL its window candidates from the deep all-matches
     # collection (k=96 ring + k8=48 long ring, increasing-length
     # filtered); the per-position top-K rows only back the q10/9.5
@@ -678,7 +681,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                                        pos_offset=dict_len,
                                        window_size=window_size)
     extra = None
-    if params.quality >= 11:
+    if params.quality >= 10:
         xs = []
         if fut_cm is not None:
             mp, ml, md = fut_cm.result()

@@ -212,7 +212,9 @@ def test_golden_sizes():
     # greedy tiers now beat it (wide-and-shallow 4-byte primary table)
     assert len(compress(data, quality=5)) == 52_244
     assert len(compress(data, quality=9)) == 51_046
-    assert len(compress(data, quality=10)) == 47_531
+    # q10 also prices exact dictionary candidates now — beats C's
+    # q10 golden (47,488) too
+    assert len(compress(data, quality=10)) == 46_313
     # beats the reference's own q11 golden (46,493) since the exact
     # sorted-output dictionary index restored full transform coverage
     assert len(compress(data, quality=11)) == 45_907
