@@ -669,7 +669,7 @@ def collect_dict(data, dict_len, window_size, entry_bytes, e_out,
     return out_p[:m], out_l[:m], out_d[:m], out_w[:m]
 
 
-_DICT_SORTED_STATE = None  # (lpf int32[m], bloom u8[2^21]), built once
+_DICT_SORTED_STATE = None  # (lpf, bloom, key8, range16), built once
 
 
 def collect_dict_sorted(data, dict_len, window_size):
@@ -682,14 +682,18 @@ def collect_dict_sorted(data, dict_len, window_size):
     sb, s_len, s_wire, s_wid = sorted_dict_index()
     m = len(s_len)
     I32 = ctypes.POINTER(ctypes.c_int32)
+    U64 = ctypes.POINTER(ctypes.c_uint64)
     if _DICT_SORTED_STATE is None:
         lpf = np.empty(m, dtype=np.int32)
         bloom = np.empty(1 << 21, dtype=np.uint8)
+        key8 = np.empty(m, dtype=np.uint64)
+        range16 = np.empty(65537, dtype=np.int32)
         lib.dict_sorted_init_native(
             _ptr(sb, U8), _ptr(s_len), ctypes.c_int64(m),
-            lpf.ctypes.data_as(I32), _ptr(bloom, U8))
-        _DICT_SORTED_STATE = (lpf, bloom)
-    lpf, bloom = _DICT_SORTED_STATE
+            lpf.ctypes.data_as(I32), _ptr(bloom, U8),
+            key8.ctypes.data_as(U64), range16.ctypes.data_as(I32))
+        _DICT_SORTED_STATE = (lpf, bloom, key8, range16)
+    lpf, bloom, key8, range16 = _DICT_SORTED_STATE
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(data)
     cap = max(64, (n - dict_len) * 6)
@@ -703,6 +707,7 @@ def collect_dict_sorted(data, dict_len, window_size):
             ctypes.c_int64(window_size),
             _ptr(sb, U8), _ptr(s_len), _ptr(s_wire), _ptr(s_wid),
             lpf.ctypes.data_as(I32), ctypes.c_int64(m), _ptr(bloom, U8),
+            key8.ctypes.data_as(U64), range16.ctypes.data_as(I32),
             _ptr(out_p), _ptr(out_l), _ptr(out_d), _ptr(out_w),
             ctypes.c_int64(cap))
         if cnt >= 0:

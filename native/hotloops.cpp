@@ -1018,13 +1018,32 @@ int64_t collect_dict_native(
 static const int64_t DICT_SORTED_W = 38;   // padded entry width
 static const int64_t DICT_BLOOM_BYTES = int64_t(1) << 21;  // 2^24 bits
 
+// big-endian first-8-bytes key: lexicographic order of the 0-padded
+// entries == numeric order of (key8, remaining 30 bytes), so most
+// binary-search levels become one integer compare
+static inline uint64_t be_key8(const uint8_t* p) {
+    uint64_t v; std::memcpy(&v, p, 8);
+    return __builtin_bswap64(v);
+}
+
 void dict_sorted_init_native(const uint8_t* sb, const int64_t* sl,
-                             int64_t m, int32_t* lpf, uint8_t* bloom)
+                             int64_t m, int32_t* lpf, uint8_t* bloom,
+                             uint64_t* key8, int32_t* range16)
 {
     std::memset(bloom, 0, DICT_BLOOM_BYTES);
     for (int64_t i = 0; i < m; i++) {
         uint32_t h = (load32(sb + i * DICT_SORTED_W) * 0x1E35A7BDu) >> 8;
         bloom[h >> 3] |= (uint8_t)(1u << (h & 7));
+    }
+    // key8[i] + range16: per 2-byte-prefix [start, end) ranges.  Every
+    // dictionary entry is >= 4 bytes long, so an entry that is a prefix
+    // of an input window shares its first 2 bytes — the predecessor
+    // search can stay inside the window's bucket.
+    for (int64_t i = 0; i < m; i++)
+        key8[i] = be_key8(sb + i * DICT_SORTED_W);
+    for (int64_t b = 0, i = 0; b <= 65536; b++) {
+        while (i < m && (int64_t)(key8[i] >> 48) < b) i++;
+        range16[b] = (int32_t)i;
     }
     std::vector<int32_t> stack;
     for (int64_t i = 0; i < m; i++) {
@@ -1046,7 +1065,7 @@ int64_t collect_dict_sorted_native(
     const uint8_t* data, int64_t n, int64_t dict_len, int64_t window_size,
     const uint8_t* sb, const int64_t* sl, const int64_t* swire,
     const int64_t* swid, const int32_t* lpf, int64_t m,
-    const uint8_t* bloom,
+    const uint8_t* bloom, const uint64_t* key8, const int32_t* range16,
     int64_t* out_pos, int64_t* out_len, int64_t* out_dist,
     int64_t* out_wire, int64_t cap)
 {
@@ -1062,16 +1081,27 @@ int64_t collect_dict_sorted_native(
             w = wbuf;
         }
         // pred: last entry with memcmp(entry, window) <= 0 (equal-padded
-        // entries sort before the window -- it carries 38 real bytes)
-        int64_t lo_ = -1, hi_ = m;
+        // entries sort before the window -- it carries 38 real bytes).
+        // Restricted to the window's 2-byte-prefix bucket: entries in
+        // other buckets differ from the window within their first 2
+        // bytes, so none can be a prefix of it (all entries are >= 4
+        // bytes) and none of their lpf ancestors can match either.
+        uint64_t wk = be_key8(w);
+        int64_t b = (int64_t)(wk >> 48);
+        int64_t lo_ = (int64_t)range16[b] - 1;
+        int64_t hi_ = range16[b + 1];
         while (hi_ - lo_ > 1) {
             int64_t mid = (lo_ + hi_) >> 1;
-            if (std::memcmp(sb + mid * DICT_SORTED_W, w,
-                            (size_t)DICT_SORTED_W) <= 0)
+            uint64_t k = key8[mid];
+            bool le = k != wk ? (k < wk)
+                    : (std::memcmp(sb + mid * DICT_SORTED_W + 8, w + 8,
+                                   (size_t)(DICT_SORTED_W - 8)) <= 0);
+            if (le)
                 lo_ = mid;
             else
                 hi_ = mid;
         }
+        if (lo_ < (int64_t)range16[b]) continue;  // bucket empty/all >
         int64_t rem = n - i;
         bool verified = false;  // once a chain node matches, all its
                                 // ancestors are prefixes of it, so of w
