@@ -1472,10 +1472,12 @@ void zopfli_dp_cands_native(
         // (base + insert extras + cost_cmd[cmd symbol(ic, cc)]) — the
         // full-priced (no cache hit) candidate path only needs the
         // winning start per copy code, so candidates price once, not
-        // once per start
+        // once per start.  Filled LAZILY per copy code (maskP bit):
+        // only ~5 distinct copy codes are touched per position, so an
+        // eager 24 x ns fill wastes most of its work
         double bestP[24];
         int bestS[24];
-        for (int cc = 0; cc < 24; cc++) { bestP[cc] = INF; bestS[cc] = 0; }
+        uint32_t maskP = 0;
         for (int si = 0; si < ns; si++) {
             Start& st = starts[si];
             st.cs = node_cache + 4 * st.u;
@@ -1484,20 +1486,29 @@ void zopfli_dp_cands_native(
             st.cmd_row = cmd_sym_tab + ic * 24;
             st.cmd_row_last = cmd_sym_last_tab + ic * 24;
             st.ic_last_ok = ic < 8;
-            for (int cc = 0; cc < 24; cc++) {
-                double t = st.base_i + cost_cmd[st.cmd_row[cc]];
-                if (t < bestP[cc]) { bestP[cc] = t; bestS[cc] = si; }
-            }
         }
+        auto getP = [&](int cc) {
+            if (!(maskP & (1u << cc))) {
+                double b = 1e30; int bi = 0;
+                for (int si = 0; si < ns; si++) {
+                    double t = starts[si].base_i +
+                               cost_cmd[starts[si].cmd_row[cc]];
+                    if (t < b) { b = t; bi = si; }
+                }
+                bestP[cc] = b; bestS[cc] = bi; maskP |= 1u << cc;
+            }
+        };
         // distinct cache rows across starts (usually 1): a candidate
         // distance can only be a short code if it lands within +-3 of
         // cs[0]/cs[1] or equals cs[2]/cs[3] of one of these rows.
         // bestPr/bestSr are the same pricing floor per row, so the
-        // short-code probe loop below runs once per row, not per start
+        // short-code probe loop below runs once per row, not per start;
+        // lazily filled like bestP
         const int32_t* crows[kStarts + 1];
         int row_of[kStarts + 1];
         double bestPr[kStarts + 1][24];
         int bestSr[kStarts + 1][24];
+        uint32_t maskPr[kStarts + 1];
         int ncrows = 0;
         for (int si = 0; si < ns; si++) {
             int r = -1;
@@ -1510,21 +1521,23 @@ void zopfli_dp_cands_native(
             if (r < 0) {
                 r = ncrows++;
                 crows[r] = starts[si].cs;
-                for (int cc = 0; cc < 24; cc++) {
-                    bestPr[r][cc] = INF;
-                    bestSr[r][cc] = si;
-                }
+                maskPr[r] = 0;
             }
             row_of[si] = r;
-            const Start& st = starts[si];
-            for (int cc = 0; cc < 24; cc++) {
-                double t = st.base_i + cost_cmd[st.cmd_row[cc]];
-                if (t < bestPr[r][cc]) {
-                    bestPr[r][cc] = t;
-                    bestSr[r][cc] = si;
-                }
-            }
         }
+        auto getPr = [&](int r, int cc) {
+            if (!(maskPr[r] & (1u << cc))) {
+                double b = 1e30; int bi = 0;
+                for (int si = 0; si < ns; si++) {
+                    if (row_of[si] != r) continue;
+                    double t = starts[si].base_i +
+                               cost_cmd[starts[si].cmd_row[cc]];
+                    if (t < b) { b = t; bi = si; }
+                }
+                bestPr[r][cc] = b; bestSr[r][cc] = bi;
+                maskPr[r] |= 1u << cc;
+            }
+        };
 
         int64_t relaxed_max = 0;
         auto relax = [&](const Start& st, int64_t tgt, double t,
@@ -1599,6 +1612,7 @@ void zopfli_dp_cands_native(
                 } else {
                     for (int64_t l = best_len + 1; l <= ml; l++) {
                         int cc = copy_code_of(l);
+                        getPr(r, cc);
                         relax(starts[bestSr[r][cc]], p + l,
                               bestPr[r][cc] + copy_extra_tab[cc] +
                                   cost_dist_short[sc],
@@ -1632,6 +1646,7 @@ void zopfli_dp_cands_native(
                 double dc = (double)c2.nbits +
                             cost_dist[rr * dist_alpha + c2.sym];
                 int cc = copy_code_of(L);
+                getP(cc);
                 relax(starts[bestS[cc]], p + L,
                       bestP[cc] + copy_extra_tab[cc] + dc, L, L,
                       c2.dist, true);
@@ -1671,6 +1686,7 @@ void zopfli_dp_cands_native(
                     double dc = pmc[rr][j];
                     if (dc >= 1e29) continue;
                     int cc = copy_code_of(l);
+                    getP(cc);
                     relax(starts[bestS[cc]], p + l,
                           bestP[cc] + copy_extra_tab[cc] + dc,
                           l, l, cands[e0 + pmi[rr][j]].dist, true);
@@ -1693,6 +1709,7 @@ void zopfli_dp_cands_native(
             double dc = (double)cnd.nbits +
                         cost_dist[rr * dist_alpha + cnd.sym];
             int cc = copy_code_of(wirev);
+            getP(cc);
             relax(starts[bestS[cc]], p + L,
                   bestP[cc] + copy_extra_tab[cc] + dc,
                   L, wirev, cnd.dist, false);
