@@ -1919,9 +1919,13 @@ struct CombinedCtx {
     int64_t lbs;
     uint32_t shift4, shift8;
     // u16 bucket counters (half the counter footprint; the recency
-    // walk is modular so wraparound is harmless)
-    int32_t* ring4; uint16_t* cnt4;
-    int32_t* ring8; uint16_t* cnt8;
+    // walk is modular so wraparound is harmless).  Ring entries pack
+    // (first-4-bytes << 32 | position): the 4-byte match gate then
+    // reads the ring row sequentially instead of doing a random
+    // data[cand] load per scanned candidate (the dominant memory
+    // traffic of the speed-tier search loop)
+    uint64_t* ring4; uint16_t* cnt4;
+    uint64_t* ring8; uint16_t* cnt8;
     const uint32_t* H4 = nullptr;  // precomputed bucket ids (SIMD pass)
     const uint32_t* H8 = nullptr;
     int64_t ins_pos = 0;      // next absolute position to insert
@@ -1940,8 +1944,9 @@ struct CombinedCtx {
 
     inline void insert_one(int64_t i) {
         if (i + 4 > n) return;
+        uint64_t e = ((uint64_t)load32(data + i) << 32) | (uint32_t)i;
         uint32_t h4 = H4[i];
-        ring4[h4 * cap4 + (cnt4[h4] & mask4)] = (int32_t)i;
+        ring4[h4 * cap4 + (cnt4[h4] & mask4)] = e;
         cnt4[h4]++;
         if (k8 && i + 8 <= n && (k8 > 4 || !(i & 1))) {
             // speed tiers (k8 <= 4) stride the 8-byte inserts: a long
@@ -1949,7 +1954,7 @@ struct CombinedCtx {
             // later, and the insert traffic halves; quality tiers
             // (k8 > 4) insert densely
             uint32_t h8 = H8[i];
-            ring8[h8 * cap8 + (cnt8[h8] & mask8)] = (int32_t)i;
+            ring8[h8 * cap8 + (cnt8[h8] & mask8)] = e;
             cnt8[h8]++;
         }
     }
@@ -2033,28 +2038,24 @@ struct CombinedCtx {
             int32_t c = cnt4[h4];
             int32_t m = (int32_t)std::min<int64_t>(
                 std::min<int64_t>(c, k), 64);
-            // gather the candidate positions first and prefetch their
-            // data: the gating loads below would otherwise be serial
-            // cache misses.  (A tag-byte prefilter was tried here and
-            // reverted: same-bucket candidates share the hashed prefix,
-            // so tags rarely discriminate — it cost ratio on short
-            // matches and won no speed.)
-            int64_t cands[64];
+            // the 4-byte gate reads the value packed in the ring entry
+            // — sequential row traffic, no random data[cand] load per
+            // scanned candidate.  (A tag-byte prefilter was tried and
+            // reverted: same-bucket candidates share the hashed prefix
+            // — but the FULL 4-byte value does discriminate, and it is
+            // exactly the old gate, so behavior is unchanged.)
+            const uint64_t* row = ring4 + h4 * cap4;
             if (__builtin_expect(g_stats_on, 0)) g_stats.t4_scanned += m;
             for (int32_t j = 0; j < m; j++) {
-                int64_t cand = ring4[h4 * cap4 + ((c - 1 - j) & mask4)];
-                cands[j] = cand;
-                __builtin_prefetch(data + cand, 0, 1);
-            }
-            for (int32_t j = 0; j < m; j++) {
-                int64_t cand = cands[j];
+                uint64_t e = row[(c - 1 - j) & mask4];
+                int64_t cand = (int64_t)(uint32_t)e;
                 int64_t dist = i - cand;
                 if (dist > window) break;
+                if ((uint32_t)(e >> 32) != v4) continue;
                 // a candidate can only beat the best if it matches at
                 // least one byte past it (reference mod.rs:1714)
                 if (sr.len > 0 && (sr.len >= limit ||
                     data[cand + sr.len] != data[i + sr.len])) continue;
-                if (load32(data + cand) != v4) continue;
                 if (__builtin_expect(g_stats_on, 0)) g_stats.t4_probed++;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
@@ -2071,20 +2072,16 @@ struct CombinedCtx {
             int32_t c = cnt8[h8];
             int32_t m = (int32_t)std::min<int64_t>(
                 std::min<int64_t>(c, k8), 64);
-            int64_t cands[64];
+            const uint64_t* row = ring8 + h8 * cap8;
             if (__builtin_expect(g_stats_on, 0)) g_stats.t8_scanned += m;
             for (int32_t j = 0; j < m; j++) {
-                int64_t cand = ring8[h8 * cap8 + ((c - 1 - j) & mask8)];
-                cands[j] = cand;
-                __builtin_prefetch(data + cand, 0, 1);
-            }
-            for (int32_t j = 0; j < m; j++) {
-                int64_t cand = cands[j];
+                uint64_t e = row[(c - 1 - j) & mask8];
+                int64_t cand = (int64_t)(uint32_t)e;
                 int64_t dist = i - cand;
                 if (dist > window) break;
+                if ((uint32_t)(e >> 32) != v4) continue;
                 if (sr.len > 0 && (sr.len >= limit ||
                     data[cand + sr.len] != data[i + sr.len])) continue;
-                if (load32(data + cand) != v4) continue;
                 if (__builtin_expect(g_stats_on, 0)) g_stats.t8_probed++;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
@@ -2144,7 +2141,7 @@ namespace {
 // scratch across compress calls.
 struct ParseSession {
     CombinedCtx cx;
-    std::vector<int32_t> ring4, ring8;
+    std::vector<uint64_t> ring4, ring8;
     std::vector<uint16_t> cnt4, cnt8;
     std::vector<uint32_t> h4, h8;
     int64_t cache[4] = {0, 0, 0, 0};
