@@ -1944,7 +1944,9 @@ extern "C" int64_t store_metablock_native(
             sw_c.switch_at[sw_ci] == c)
             emit_switch(sw_c, sw_ci++);
         int sym = (int)cmd_sym[c];
-        int tr = cmd_split.types[c];
+        // nct == 1 leaves cmd_split.types empty (splits disabled but a
+        // multi-tree literal context map routed us off the 1-tree path)
+        int tr = nct == 1 ? 0 : cmd_split.types[c];
         bw.put(cmd_enc[tr].codes[sym], cmd_enc[tr].lens[sym]);
         int icode = T.cmd_ins_code[sym];
         int ccode = T.cmd_copy_code[sym];

@@ -257,3 +257,24 @@ def test_fragment_parse_coverage_and_validity():
                     pos += l
             assert pos == b
             prev = b
+
+
+def test_store_splits_off_with_context_map():
+    """Splits-off store with a multi-tree literal context map must not
+    touch the empty cmd_split.types array (regression: segfault when
+    nct == 1 but num_lit_ctx > 1 routed emission off the 1-tree path)."""
+    from brotli_tpu import compress, decompress
+    from brotli_tpu import native_bridge as nb2
+    data = load("alice29.txt")
+    orig = nb2.encode_metablock
+
+    def no_splits(*a, **k):
+        k["enable_splits"] = False
+        return orig(*a, **k)
+
+    nb2.encode_metablock = no_splits
+    try:
+        out = compress(data, quality=5)
+    finally:
+        nb2.encode_metablock = orig
+    assert decompress(out) == data
