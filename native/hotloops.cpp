@@ -18,6 +18,7 @@
 #include <algorithm>
 #include <vector>
 #include <mutex>
+#include <thread>
 
 extern "C" {
 
@@ -2319,9 +2320,26 @@ void* parse_session_begin(
     cx.cnt8 = k8 ? fit(S.cnt8, nb8) : nullptr;
     if (k8) std::memset(cx.cnt8, 0, nb8 * sizeof(uint16_t));
     // precompute bucket ids in straight vectorizable passes, keeping
-    // the hash math off the serial insert/search chain
+    // the hash math off the serial insert/search chain.  The 4-byte
+    // and 8-byte passes are independent whole-buffer sweeps — run the
+    // 8-byte one on a helper thread (this init is the serial head of
+    // every compress call: nothing else overlaps it)
     uint32_t* h4buf = fit(S.h4, total_len > 8 ? total_len : 8);
+    uint32_t* h8buf = nullptr;
     uint64_t t_hash0 = g_stats_on ? rdtsc_now() : 0;
+    std::thread h8_thread;
+    if (k8) {
+        h8buf = fit(S.h8, total_len > 8 ? total_len : 8);
+        uint32_t shift8 = cx.shift8;
+        h8_thread = std::thread([data, total_len, h8buf, shift8] {
+            int64_t m8 = total_len - 8;
+            for (int64_t i = 0; i <= m8; i++)
+                h8buf[i] = (uint32_t)((load64(data + i) *
+                                       0x1FE35A7BD3579BD3ull) >> shift8);
+            for (int64_t i = m8 > 0 ? m8 + 1 : 0; i < total_len; i++)
+                h8buf[i] = 0;
+        });
+    }
     {
         int64_t m4 = total_len - (hash_len == 5 ? 8 : 4);
         for (int64_t i = 0; i <= m4; i++)
@@ -2331,16 +2349,7 @@ void* parse_session_begin(
         for (int64_t i = m4 > 0 ? m4 + 1 : 0; i < total_len; i++)
             h4buf[i] = 0;
     }
-    uint32_t* h8buf = nullptr;
-    if (k8) {
-        h8buf = fit(S.h8, total_len > 8 ? total_len : 8);
-        int64_t m8 = total_len - 8;
-        for (int64_t i = 0; i <= m8; i++)
-            h8buf[i] = (uint32_t)((load64(data + i) *
-                                   0x1FE35A7BD3579BD3ull) >> cx.shift8);
-        for (int64_t i = m8 > 0 ? m8 + 1 : 0; i < total_len; i++)
-            h8buf[i] = 0;
-    }
+    if (h8_thread.joinable()) h8_thread.join();
     if (g_stats_on) g_stats.cyc_hash += rdtsc_now() - t_hash0;
     cx.H4 = h4buf;
     cx.H8 = h8buf;
