@@ -446,10 +446,42 @@ int64_t collect_matches_native(
 {
     int64_t nb4 = int64_t(1) << bucket_bits;
     int64_t nb8 = int64_t(1) << bucket_bits8;
-    int32_t* ring4 = new int32_t[nb4 * k];
-    int32_t* cnt4 = new int32_t[nb4]();
-    int32_t* ring8 = k8 ? new int32_t[nb8 * k8] : nullptr;
-    int32_t* cnt8 = k8 ? new int32_t[nb8]() : nullptr;
+    // entries pack (first-4-bytes << 32 | position) like the parse
+    // session rings: the 4-byte gate reads the ring row sequentially.
+    // Buffers come from a one-deep global pool — the deep rings are
+    // ~100MB at the q11 geometry, and the caller runs this on a fresh
+    // pool thread per compress call, so thread_local would re-fault
+    // the pages every time
+    struct CollectBufs {
+        std::vector<uint64_t> ring4, ring8;
+        std::vector<int32_t> cnt4, cnt8;
+    };
+    static std::mutex bufs_mtx;
+    static CollectBufs* bufs_spare = nullptr;
+    CollectBufs* bufs;
+    {
+        std::lock_guard<std::mutex> lk(bufs_mtx);
+        bufs = bufs_spare;
+        bufs_spare = nullptr;
+    }
+    if (!bufs) bufs = new CollectBufs();
+    auto fit = [](auto& v, int64_t need) {
+        if ((int64_t)v.size() < need) v.resize(need);
+        return v.data();
+    };
+    uint64_t* ring4 = fit(bufs->ring4, nb4 * k);
+    int32_t* cnt4 = fit(bufs->cnt4, nb4);
+    std::memset(cnt4, 0, nb4 * sizeof(int32_t));
+    uint64_t* ring8 = k8 ? fit(bufs->ring8, nb8 * k8) : nullptr;
+    int32_t* cnt8 = k8 ? fit(bufs->cnt8, nb8) : nullptr;
+    if (k8) std::memset(cnt8, 0, nb8 * sizeof(int32_t));
+    struct BufsReturner {
+        std::mutex& mtx; CollectBufs*& spare; CollectBufs* b;
+        ~BufsReturner() {
+            std::lock_guard<std::mutex> lk(mtx);
+            if (spare) delete b; else spare = b;
+        }
+    } returner{bufs_mtx, bufs_spare, bufs};
     uint32_t shift4 = (uint32_t)(32 - bucket_bits);
     uint32_t shift8 = (uint32_t)(64 - bucket_bits8);
 
@@ -461,14 +493,15 @@ int64_t collect_matches_native(
         for (int64_t i = ins_pos; i < stop; i++) {
             if (i + 4 <= n) {
                 uint32_t v = load32(data + i);
+                uint64_t e = ((uint64_t)v << 32) | (uint32_t)i;
                 uint32_t h = (v * 0x1E35A7BDu) >> shift4;
-                ring4[h * k + (cnt4[h] % k)] = (int32_t)i;
+                ring4[h * k + (cnt4[h] % k)] = e;
                 cnt4[h]++;
                 if (k8 && i + 8 <= n) {
                     uint64_t v8 = load64(data + i);
                     uint32_t h8 = (uint32_t)(
                         (v8 * 0x1FE35A7BD3579BD3ull) >> shift8);
-                    ring8[h8 * k8 + (cnt8[h8] % k8)] = (int32_t)i;
+                    ring8[h8 * k8 + (cnt8[h8] % k8)] = e;
                     cnt8[h8]++;
                 }
             }
@@ -484,12 +517,12 @@ int64_t collect_matches_native(
         uint32_t v4 = load32(data + i);
         int per = 0;
         int64_t longest = 0;
-        int64_t best_per_len[2] = {0, 0};  // track to prune dominated
 
-        auto emit = [&](int64_t cand) {
+        auto emit = [&](uint64_t e) {
+            int64_t cand = (int64_t)(uint32_t)e;
             int64_t dist = i - cand;
             if (dist > window_size) return;
-            if (load32(data + cand) != v4) return;
+            if ((uint32_t)(e >> 32) != v4) return;
             // candidates arrive nearest-first: a match that cannot
             // extend past the longest already found is dominated
             // (longer distance, no extra length) — one byte compare
@@ -534,8 +567,6 @@ int64_t collect_matches_native(
         if (longest > 325)
             skip_until = i + longest - 64;
     }
-    delete[] ring4; delete[] cnt4;
-    delete[] ring8; delete[] cnt8;
     return m;
 }
 
