@@ -585,7 +585,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
         iters = Q11_ITERS if params.quality >= 11 else 2
     # a single-iteration run (the 9.5 tier) needs the histogram seed:
     # the gentle prior is only right when refinement follows
-    use_prior = params.quality >= 11 and iters > 1
+    use_prior = params.quality >= 10 and iters > 1
 
     from .. import native_bridge as nb
     # the candidate passes (3 table scans, all-matches collection,
@@ -599,9 +599,12 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
         # the literal-cost estimator only reads the raw bytes: overlap
         # it with the match collection passes
         fut_el = executor.submit(estimate_literal_costs, full[dict_len:])
-        if params.quality >= 11:
+        if use_prior:
             # deep rings (the domination filter makes extra probes one
-            # byte-compare each), H10-grade coverage without the rows
+            # byte-compare each), H10-grade coverage without the rows.
+            # The whole refining family (q10 and q11) runs on these;
+            # the single-iteration 9.5 tier keeps the scored top-K
+            # rows, whose greedy pre-pass seeds its histograms
             fut_cm = executor.submit(nb.collect_matches, full,
                                      window_size, dict_len=dict_len,
                                      k=96, k8=48, max_per_pos=16)
@@ -614,10 +617,11 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
             sorted_dict_index()  # warm the lru_cache serially
             fut_cd = executor.submit(collect_dict_matches, full,
                                      dict_len, window_size)
-    # q11 takes ALL its window candidates from the deep all-matches
-    # collection (k=96 ring + k8=48 long ring, increasing-length
-    # filtered); the per-position top-K rows only back the q10/9.5
-    # tiers, whose 2-iteration parse leans on the scored best rows
+    # q10/q11 take ALL their window candidates from the deep
+    # all-matches collection (k=96 ring + k8=48 long ring,
+    # increasing-length filtered); the per-position top-K rows only
+    # back the 9.5 tier, whose single-iteration parse leans on the
+    # scored best rows
     need_rows = fut_cm is None
     if need_rows:
         # find_best_matches already returns region-relative arrays

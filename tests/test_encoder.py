@@ -212,9 +212,10 @@ def test_golden_sizes():
     # greedy tiers now beat it (wide-and-shallow 4-byte primary table)
     assert len(compress(data, quality=5)) == 52_244
     assert len(compress(data, quality=9)) == 51_046
-    # q10 also prices exact dictionary candidates now — beats C's
-    # q10 golden (47,488) too
-    assert len(compress(data, quality=10)) == 46_313
+    # q10 runs the q11 candidate architecture (deep rings + exact
+    # dictionary candidates + iteration-0 prior) with 2 refinement
+    # iterations — beats C's q10 golden (47,488) by 3%
+    assert len(compress(data, quality=10)) == 46_080
     # beats the reference's own q11 golden (46,493) since the exact
     # sorted-output dictionary index restored full transform coverage
     assert len(compress(data, quality=11)) == 45_907
