@@ -143,6 +143,30 @@ def main():
             size_vs_c=round(size_vs, 4),
         )
 
+    # ---- Zopfli tiers (q10/q11): encode-only on a text+code slice,
+    # interleaved min-of-N vs the C engine (the optimal parse is the
+    # reference's flagship ratio mode — report speed AND size) ----
+    zopfli = {}
+    if oracle.available():
+        zl = corpus[: 1 << 19]
+        for q in (10, 11):
+            compress(zl[: 1 << 16], quality=q)  # warm
+            our_t, c_t = 1e9, 1e9
+            our_out = c_out = b""
+            for _ in range(3):
+                t0 = time.perf_counter()
+                our_out = compress(zl, quality=q)
+                our_t = min(our_t, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                c_out = oracle.compress(zl, quality=q)
+                c_t = min(c_t, time.perf_counter() - t0)
+            assert decompress(our_out) == zl
+            zopfli[f"q{q}"] = dict(
+                enc_MBps=round(len(zl) / our_t / 1e6, 3),
+                vs_c_encode=round(c_t / our_t, 3),
+                size_vs_c=round(len(our_out) / len(c_out), 4),
+            )
+
     # ---- CompressMulti via the persistent native WorkerPool ----
     try:
         from brotli_tpu import compress_multi
@@ -203,6 +227,7 @@ def main():
         "detail": {
             "q9": q9,
             "q5": results[5],
+            "zopfli_512k": zopfli,
             "workpool_multi4_enc_MBps": multi_mbps,
             "batch_decode4_MBps": batch_mbps,
             "tpu_offload_q9_enc_MBps": tpu_enc,
