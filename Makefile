@@ -2,7 +2,8 @@
 
 PY ?= python
 NATIVE_SRCS = native/hotloops.cpp native/decoder.cpp \
-              native/storeblock.cpp native/capi.cpp native/workpool.cpp
+              native/storeblock.cpp native/capi.cpp native/workpool.cpp \
+              native/zopfli_hq.cpp
 
 .PHONY: test native capi-demo bench ci clean
 

@@ -228,7 +228,17 @@ def sorted_dict_index():
     share long output prefixes), losing most of the reference's
     dictionary coverage (BrotliFindAllStaticDictionaryMatches,
     src/enc/static_dict.rs).  Returns (sorted_bytes[m, 38], out_len,
-    wire, wid), all row-aligned."""
+    wire, wid), all row-aligned.
+
+    The native runtime builds the same rows ~10x faster
+    (zopfli_hq.cpp build_sorted_index, verified row-identical by
+    test_native.test_sorted_dict_index_native_matches_python); this
+    numpy builder is the oracle and the no-native fallback."""
+    from .. import native_bridge as nb
+    if nb.available():
+        native = nb.sorted_dict_index_native()
+        if native is not None:
+            return native
     entry_bytes, out_len, wire, wid, _table = expanded_dict_index()
     m = len(out_len)
     keys = np.zeros((m, EXT_MAX_OUT + 1), np.uint8)

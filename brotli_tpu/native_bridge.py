@@ -24,7 +24,8 @@ _SRCS = [os.path.join(_NATIVE_DIR, "hotloops.cpp"),
          os.path.join(_NATIVE_DIR, "decoder.cpp"),
          os.path.join(_NATIVE_DIR, "storeblock.cpp"),
          os.path.join(_NATIVE_DIR, "capi.cpp"),
-         os.path.join(_NATIVE_DIR, "workpool.cpp")]
+         os.path.join(_NATIVE_DIR, "workpool.cpp"),
+         os.path.join(_NATIVE_DIR, "zopfli_hq.cpp")]
 _SRC = _SRCS[0]
 _LIB = os.path.join(_NATIVE_DIR, "libbrotli_tpu_native.so")
 
@@ -667,6 +668,33 @@ def collect_dict(data, dict_len, window_size, entry_bytes, e_out,
         _ptr(out_p), _ptr(out_l), _ptr(out_d), _ptr(out_w),
         ctypes.c_int64(cap))
     return out_p[:m], out_l[:m], out_d[:m], out_w[:m]
+
+
+def sorted_dict_index_native():
+    """The sorted (word x transform) dictionary index built by the
+    native runtime (zopfli_hq.cpp build_sorted_index) — same rows as
+    static_dict.sorted_dict_index's numpy builder at ~10x the speed.
+    Returns (sb[m, 38], out_len, wire, wid) as zero-copy views over
+    process-lifetime native buffers, or None."""
+    lib = get_lib()
+    lib.zopfli_hq_sorted_index.restype = ctypes.c_int64
+    lib.BrotliTpuEnsureHqDict()
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    sb_p = U8P()
+    len_p = I64P()
+    wire_p = I64P()
+    wid_p = I64P()
+    m = lib.zopfli_hq_sorted_index(
+        ctypes.byref(sb_p), ctypes.byref(len_p), ctypes.byref(wire_p),
+        ctypes.byref(wid_p))
+    if m <= 0:
+        return None
+    sb = np.ctypeslib.as_array(sb_p, shape=(m, 38))
+    s_len = np.ctypeslib.as_array(len_p, shape=(m,))
+    s_wire = np.ctypeslib.as_array(wire_p, shape=(m,))
+    s_wid = np.ctypeslib.as_array(wid_p, shape=(m,))
+    return sb, s_len, s_wire, s_wid
 
 
 _DICT_SORTED_STATE = None  # (lpf, bloom, key8, range16), built once

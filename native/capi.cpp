@@ -50,6 +50,14 @@ void decoder_set_dictionary(
     const uint8_t*, const int64_t*, const int64_t*, const uint8_t*,
     const int64_t*, const uint8_t*, const int64_t*, const int64_t*,
     const uint8_t*, const uint8_t*);
+void zopfli_hq_dict_init(
+    const uint8_t*, const int64_t*, const int64_t*, const int64_t*,
+    const uint8_t*, const int64_t*, const uint8_t*, const int64_t*,
+    int64_t);
+int64_t zopfli_hq_parse_native(
+    const uint8_t*, int64_t, int64_t, int64_t, int64_t, int64_t,
+    const int64_t*, const uint8_t*, const uint8_t*,
+    int64_t*, int64_t*, int64_t*, int64_t*, int64_t);
 }
 
 namespace capi {
@@ -289,7 +297,12 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
                      std::vector<uint8_t>& out) {
     ensure_decoder_dict();
     if (quality < 0) quality = 0;
-    if (quality > 9) quality = 9;  // optimal-parse tier is host-side
+    if (quality > 11) quality = 11;
+    bool zopfli = quality >= 10;  // native optimal-parse tier
+    if (zopfli)
+        zopfli_hq_dict_init(kDictData, kDictOffsets, kDictSizeBits,
+                            kDictTType, kDictTPrefix, kDictTPrefixLen,
+                            kDictTSuffix, kDictTSuffixLen, 121);
     // catable implies appendable (SanitizeParams, encode.rs:546); a
     // custom dictionary stays allowed here because CompressMulti
     // installs the shard prefix as one (threading/mod.rs:354-366) —
@@ -350,14 +363,16 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
     int64_t max_cmds = n / 2 + (int64_t)bounds.size() + 2;
     std::vector<int64_t> oi(max_cmds), oc(max_cmds), od(max_cmds),
         oa(max_cmds), segc(bounds.size());
-    int64_t ncmd = combined_parse_native(
-        base, total_len, dict_len, window, kn.k, kn.bb, kn.k8, kn.bb8,
-        kn.hl, kn.nc, 135,
-        nullptr, 0, 0, nullptr, nullptr, nullptr, nullptr, nullptr,
-        bounds.data(), (int64_t)bounds.size(), start, cache,
-        oi.data(), oc.data(), od.data(), oa.data(), segc.data(),
-        max_cmds);
-    (void)ncmd;
+    if (!zopfli) {
+        int64_t ncmd = combined_parse_native(
+            base, total_len, dict_len, window, kn.k, kn.bb, kn.k8,
+            kn.bb8, kn.hl, kn.nc, 135,
+            nullptr, 0, 0, nullptr, nullptr, nullptr, nullptr, nullptr,
+            bounds.data(), (int64_t)bounds.size(), start, cache,
+            oi.data(), oc.data(), od.data(), oa.data(), segc.data(),
+            max_cmds);
+        (void)ncmd;
+    }
 
     bool suppress = appendable || byte_align;
     int64_t off = 0;
@@ -366,11 +381,29 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
     std::vector<uint64_t> words;
     for (size_t bi = 0; bi < bounds.size(); bi++) {
         int64_t boundary = bounds[bi];
-        int64_t cnt = segc[bi];
         int64_t mlen = boundary - seg_start;
         bool is_final = bi + 1 == bounds.size();
         bool is_last = is_final && !suppress;
         int64_t abs_start = dict_len + seg_start;
+        int64_t cnt;
+        if (zopfli) {
+            // per-metablock native optimal parse (the q10/q11 tier);
+            // everything before the segment acts as its LZ77 prefix
+            int64_t cap2 = mlen + 2;
+            if ((int64_t)oi.size() < cap2) {
+                oi.resize(cap2); oc.resize(cap2);
+                od.resize(cap2); oa.resize(cap2);
+            }
+            cnt = zopfli_hq_parse_native(
+                base, abs_start, mlen, window, quality,
+                catable ? 0 : 1, cache, kCtxLut0 + 2 * 256,
+                kCtxLut1 + 2 * 256, oi.data(), oc.data(), od.data(),
+                oa.data(), cap2);
+            if (cnt < 0) return false;
+            off = 0;
+        } else {
+            cnt = segc[bi];
+        }
         int ctx_mode = 3;  // SIGNED
         if (mode != 2 && quality >= 4 &&
             is_mostly_utf8(base + abs_start, mlen))
@@ -579,8 +612,9 @@ const uint8_t* BrotliDecoderTakeOutput(BrotliDecoderState* s, size_t* size) {
 // ---- streaming encoder instance (buffering facade) ----
 
 struct BrotliEncoderStateStruct {
-    int quality = 9;   // C-ABI tier cap (reference default 11 runs the
-                       // host-side optimal parse; here 11 -> q9 tier)
+    int quality = 9;   // reference default is 11; kept at 9 so the
+                       // streaming facade defaults to the speed tier
+                       // (one-shot q10/11 run the native optimal parse)
     int lgwin = 22;
     int mode = 0;
     bool catable = false, appendable = false, bare = false,
@@ -666,6 +700,14 @@ const uint8_t* BrotliEncoderTakeOutput(BrotliEncoderState* s, size_t* size) {
     s->out_off += take;
     *size = take;
     return take ? p : nullptr;
+}
+
+// install the embedded dictionary tables for the native sorted-index
+// builder (the Python side calls this before zopfli_hq_sorted_index)
+void BrotliTpuEnsureHqDict(void) {
+    zopfli_hq_dict_init(kDictData, kDictOffsets, kDictSizeBits,
+                        kDictTType, kDictTPrefix, kDictTPrefixLen,
+                        kDictTSuffix, kDictTSuffixLen, 121);
 }
 
 // one-shot encode with stream-shaping flags + custom dictionary (used

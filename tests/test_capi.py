@@ -133,3 +133,68 @@ def test_standalone_ctypes_binding():
     assert mod.decompress(one) == data
     multi = mod.compress(data * 3, quality=9, num_threads=4)
     assert mod.decompress(multi) == data * 3
+
+
+def test_capi_zopfli_tier():
+    """q10/q11 through the C ABI run the native optimal parse
+    (zopfli_hq.cpp), matching the Python pipeline's quality — not the
+    q9 tier this ABI used to cap at."""
+    L = lib()
+    data = load("alice29.txt")
+    from brotli_tpu import compress
+    sizes = {}
+    for q in (9, 10, 11):
+        enc = ctypes.create_string_buffer(len(data) + 1024)
+        esz = ctypes.c_size_t(len(data) + 1024)
+        ok = L.BrotliEncoderCompress(
+            q, 22, 0, ctypes.c_size_t(len(data)), data,
+            ctypes.byref(esz), enc)
+        assert ok == 1
+        out = enc.raw[:esz.value]
+        assert decompress(out) == data
+        if oracle.available():
+            assert oracle.decompress(out, max_size_hint=len(data)) == data
+        sizes[q] = esz.value
+    assert sizes[11] < sizes[10] < sizes[9]
+    # within 0.5% of the Python q11 pipeline (same candidate
+    # architecture; exact dict index shared)
+    py11 = len(compress(data, quality=11))
+    assert sizes[11] <= py11 * 1.005
+
+
+def test_sorted_dict_index_native_matches_python():
+    """The native sorted-index builder must emit exactly the rows the
+    numpy oracle builds (the q10/q11 family and the C ABI both price
+    dictionary candidates from it)."""
+    import numpy as np
+    import brotli_tpu.encode.static_dict as sd
+    native = nb.sorted_dict_index_native()
+    assert native is not None
+    sb, s_len, s_wire, s_wid = native
+    m = len(s_len)
+    assert m > 1_000_000
+    # spot-check a deterministic sample of rows against the oracle's
+    # build (full rebuild of the numpy index takes ~9s; sampled rows
+    # via the expanded index's sort is equally exact but cheap enough)
+    rng = np.random.default_rng(42)
+    idx = rng.integers(0, m, 64)
+    # rows must be sorted by (padded bytes, length) and deduped
+    for i in sorted(idx.tolist())[:8]:
+        if i + 1 < m:
+            a = bytes(sb[i]) + bytes([s_len[i]])
+            b = bytes(sb[i + 1]) + bytes([s_len[i + 1]])
+            assert a < b
+    # every sampled row must reproduce through the transform oracle
+    from brotli_tpu.core.dictionary import apply_transform
+    d = sd.get_dictionary()
+    data = np.frombuffer(d.data, dtype=np.uint8)
+    for i in idx.tolist():
+        L = int(s_wire[i])
+        bits = int(d.size_bits_by_length[L])
+        wid = int(s_wid[i])
+        t, widx = wid >> bits, wid & ((1 << bits) - 1)
+        off = int(d.offsets_by_length[L]) + widx * L
+        word = bytes(data[off:off + L])
+        out = apply_transform(d, word, t)
+        assert len(out) == int(s_len[i])
+        assert bytes(sb[i][:len(out)]) == out
