@@ -105,6 +105,28 @@ int main(int argc, char** argv) {
     }
     BrotliEncoderDestroyInstance(es);
 
-    printf("OK %ld -> %zu bytes (q%d)\n", n, enc_size, quality);
+    /* multithreaded encode over a persistent worker pool (the analog
+     * of the reference's c/multiexample.c) */
+    void* pool = BrotliEncoderCreateWorkPool(4, NULL, NULL, NULL);
+    uint32_t keys[1] = {2 /* BROTLI_PARAM_QUALITY */};
+    uint32_t vals[1] = {(uint32_t)quality};
+    size_t multi_size = enc_cap;
+    uint8_t* multi = malloc(enc_cap);
+    if (!BrotliEncoderCompressWorkPool(pool, 1, keys, vals, n, input,
+                                       &multi_size, multi, 4)) {
+        fprintf(stderr, "workpool encode failed\n");
+        return 1;
+    }
+    dec_size = n + 16;
+    if (BrotliDecoderDecompress(multi_size, multi, &dec_size, dec) !=
+            BROTLI_DECODER_RESULT_SUCCESS ||
+        dec_size != (size_t)n || memcmp(dec, input, n) != 0) {
+        fprintf(stderr, "workpool round-trip FAILED\n");
+        return 1;
+    }
+    BrotliEncoderDestroyWorkPool(pool);
+
+    printf("OK %ld -> %zu bytes (q%d); workpool(4) -> %zu bytes\n",
+           n, enc_size, quality, multi_size);
     return 0;
 }

@@ -5,10 +5,10 @@
  * (/root/reference/c/brotli/encode.h:256-457, decode.h:146-330); decls
  * written against that documented surface, not copied.
  *
- * Documented divergences: qualities 10/11 run the greedy q9 tier (the
- * optimal-parse tier lives host-side); BrotliDecoderDecompressStream
- * buffers input and is byte-accurate at the API level rather than
- * constant-memory mid-metablock.
+ * Documented divergences: BrotliDecoderDecompressStream buffers input
+ * and is byte-accurate at the API level rather than constant-memory
+ * mid-metablock.  Qualities 10/11 run the native optimal parse
+ * (zopfli_hq.cpp) — same output quality as the host pipeline.
  */
 #ifndef BROTLI_TPU_H_
 #define BROTLI_TPU_H_
@@ -103,6 +103,27 @@ BROTLI_BOOL BrotliEncoderIsFinished(const BrotliEncoderState* state);
 BROTLI_BOOL BrotliEncoderHasMoreOutput(const BrotliEncoderState* state);
 const uint8_t* BrotliEncoderTakeOutput(BrotliEncoderState* state,
                                        size_t* size);
+
+/* ---- multithreaded encode (reference c/brotli/multiencode.h) ---- */
+
+/* persistent worker pool, reused across compress calls */
+void* BrotliEncoderCreateWorkPool(size_t num_threads,
+                                  brotli_alloc_func alloc_func,
+                                  brotli_free_func free_func,
+                                  void* opaque);
+void BrotliEncoderDestroyWorkPool(void* work_pool);
+/* (param_keys, param_values) pairs use BrotliEncoderParameter ids */
+BROTLI_BOOL BrotliEncoderCompressWorkPool(
+    void* work_pool, size_t num_params, const uint32_t* param_keys,
+    const uint32_t* param_values, size_t input_size,
+    const uint8_t* input, size_t* encoded_size, uint8_t* encoded_buffer,
+    size_t desired_num_threads);
+/* one-off form: spawns threads per call */
+BROTLI_BOOL BrotliEncoderCompressMulti(
+    size_t num_params, const uint32_t* param_keys,
+    const uint32_t* param_values, size_t input_size,
+    const uint8_t* input, size_t* encoded_size, uint8_t* encoded_buffer,
+    size_t desired_num_threads);
 
 /* ---- extensions ---- */
 
