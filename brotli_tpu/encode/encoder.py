@@ -317,8 +317,14 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     for i, (seg, boundary) in enumerate(zip(segments, boundaries)):
         if use_zopfli:
             from .zopfli import zopfli_segment
-            seg = zopfli_segment(full[:dlen + boundary], params,
-                                 dict_len=dlen + seg_start,
+            # the preceding input is the segment's LZ77 prefix, clamped
+            # to the window: no distance can reach further back, and an
+            # unclamped prefix makes the candidate collection quadratic
+            # across metablocks
+            region_start = dlen + seg_start
+            keep = min(region_start, params.window_size)
+            seg = zopfli_segment(full[region_start - keep:dlen + boundary],
+                                 params, dict_len=keep,
                                  initial_cache=tuple(cache),
                                  iters=1 if params.q9_5 else None)
         ins, cps, dst, adv = seg

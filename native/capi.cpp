@@ -388,14 +388,18 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
         int64_t cnt;
         if (zopfli) {
             // per-metablock native optimal parse (the q10/q11 tier);
-            // everything before the segment acts as its LZ77 prefix
+            // the preceding input acts as the LZ77 prefix, clamped to
+            // the window — no distance can reach further back, and an
+            // unclamped prefix makes the candidate collection
+            // quadratic across metablocks
+            int64_t keep = std::min(abs_start, window);
             int64_t cap2 = mlen + 2;
             if ((int64_t)oi.size() < cap2) {
                 oi.resize(cap2); oc.resize(cap2);
                 od.resize(cap2); oa.resize(cap2);
             }
             cnt = zopfli_hq_parse_native(
-                base, abs_start, mlen, window, quality,
+                base + abs_start - keep, keep, mlen, window, quality,
                 catable ? 0 : 1, cache, kCtxLut0 + 2 * 256,
                 kCtxLut1 + 2 * 256, oi.data(), oc.data(), od.data(),
                 oa.data(), cap2);
