@@ -198,3 +198,58 @@ def test_sorted_dict_index_native_matches_python():
         out = apply_transform(d, word, t)
         assert len(out) == int(s_len[i])
         assert bytes(sb[i][:len(out)]) == out
+
+
+def test_capi_zopfli_fuzz_roundtrip():
+    """Randomized inputs through the C-ABI q10/q11 tier: text-ish,
+    binary, repetitive, tiny, and empty inputs must all round-trip
+    through both decoders."""
+    import numpy as np
+    from brotli_tpu import decompress
+    L = lib()
+    rng = np.random.default_rng(7)
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 3,
+        bytes(rng.integers(0, 256, 10000, dtype=np.uint8)),       # random
+        bytes(rng.integers(97, 105, 30000, dtype=np.uint8)),      # text-ish
+        (b"0123456789abcdef" * 64 + b"X") * 40,                   # repetitive
+        load("random_then_unicode")[:50000],
+    ]
+    for q in (10, 11):
+        for data in cases:
+            enc = ctypes.create_string_buffer(len(data) + 4096)
+            esz = ctypes.c_size_t(len(data) + 4096)
+            ok = L.BrotliEncoderCompress(
+                q, 22, 0, ctypes.c_size_t(len(data)), data,
+                ctypes.byref(esz), enc)
+            assert ok == 1, (q, len(data))
+            out = enc.raw[:esz.value]
+            assert decompress(out) == data, (q, len(data))
+            if oracle.available():
+                assert oracle.decompress(
+                    out, max_size_hint=len(data) + 64) == data
+
+
+def test_capi_zopfli_catable_and_custom_dict():
+    """q11 through the one-shot extension with catable shaping and a
+    custom LZ77 dictionary (the CompressMulti shard shapes)."""
+    from brotli_tpu import decompress
+    L = lib()
+    L.BrotliTpuEncodeOneshot.restype = ctypes.c_int
+    alice = load("alice29.txt")
+    out = ctypes.create_string_buffer(len(alice) + 4096)
+    osz = ctypes.c_size_t(len(alice) + 4096)
+    ok = L.BrotliTpuEncodeOneshot(
+        11, 22, 0, 1, 0, 0, 0, None, ctypes.c_size_t(0),
+        ctypes.c_size_t(len(alice)), alice, ctypes.byref(osz), out)
+    assert ok == 1
+    assert decompress(out.raw[:osz.value]) == alice
+    d, body = alice[:30000], alice[30000:90000]
+    osz = ctypes.c_size_t(len(body) + 4096)
+    ok = L.BrotliTpuEncodeOneshot(
+        11, 22, 0, 0, 0, 0, 0, d, ctypes.c_size_t(len(d)),
+        ctypes.c_size_t(len(body)), body, ctypes.byref(osz), out)
+    assert ok == 1
+    assert decompress(out.raw[:osz.value], custom_dictionary=d) == body
