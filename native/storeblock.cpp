@@ -621,8 +621,12 @@ static Split split_symbols(const int64_t* syms, int64_t n, int alpha,
     int chunk = p.chunk;
     int nch = (int)((n + chunk - 1) / chunk);
     std::vector<double> hist((size_t)nch * alpha, 0.0);
-    for (int64_t i = 0; i < n; i++)
-        hist[(size_t)(i / chunk) * alpha + syms[i]] += 1.0;
+    for (int c = 0; c < nch; c++) {
+        double* h = &hist[(size_t)c * alpha];
+        int64_t e = std::min<int64_t>((int64_t)(c + 1) * chunk, n);
+        for (int64_t i = (int64_t)c * chunk; i < e; i++)
+            h[syms[i]] += 1.0;
+    }
     // sparse per-chunk entries for the assignment cost loop
     std::vector<int32_t> nz_sym;
     std::vector<double> nz_cnt;
