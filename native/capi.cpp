@@ -46,6 +46,9 @@ int64_t encode_metablock_native(
 int64_t decode_native(
     const uint8_t*, int64_t, uint8_t*, int64_t, const uint8_t*,
     int64_t, int64_t, int32_t*, int64_t);
+int64_t decode_stream_step_native(
+    int64_t*, const uint8_t*, int64_t, int64_t*, const uint8_t*,
+    int64_t, uint8_t*, int64_t, int64_t, int32_t*, int64_t);
 void decoder_set_dictionary(
     const uint8_t*, const int64_t*, const int64_t*, const uint8_t*,
     const int64_t*, const uint8_t*, const int64_t*, const int64_t*,
@@ -509,14 +512,23 @@ BrotliDecoderResult BrotliDecoderDecompress(
 // ---- streaming decoder instance (buffering facade) ----
 
 struct BrotliDecoderStateStruct {
-    std::vector<uint8_t> in;
-    std::vector<uint8_t> out;
+    std::vector<uint8_t> in;      // unconsumed input tail
+    int64_t bit_pos = 0;          // bit offset into `in`
+    // decode_stream_step_native state: header_done, finished, wbits,
+    // unused, distance cache x4
+    int64_t st[8] = {0, 0, 0, 0, 4, 11, 15, 16};
+    std::vector<uint8_t> hist;    // retained window
+    std::vector<uint8_t> out;     // decoded, not yet drained
     size_t out_off = 0;
-    size_t last_attempt = 0;
-    bool done = false;
+    size_t drained_total = 0;
+    int64_t step_cap = 1 << 20;   // per-step output bound (grows to
+                                  // one max metablock, 16MiB + slack)
+    std::vector<uint8_t> step_out;
+    bool used = false;
     bool error = false;
     int64_t err_code = 0;
     std::vector<int32_t> tmem;
+    bool finished() const { return st[1] != 0; }
 };
 typedef struct BrotliDecoderStateStruct BrotliDecoderState;
 
@@ -531,10 +543,10 @@ int BrotliDecoderSetParameter(BrotliDecoderState*, uint32_t, uint32_t) {
 }
 
 int BrotliDecoderIsFinished(const BrotliDecoderState* s) {
-    return (s->done && s->out_off >= s->out.size()) ? 1 : 0;
+    return (s->finished() && s->out_off >= s->out.size()) ? 1 : 0;
 }
 int BrotliDecoderIsUsed(const BrotliDecoderState* s) {
-    return (!s->in.empty() || s->done) ? 1 : 0;
+    return s->used ? 1 : 0;
 }
 int BrotliDecoderHasMoreOutput(const BrotliDecoderState* s) {
     return s->out_off < s->out.size() ? 1 : 0;
@@ -555,39 +567,68 @@ BrotliDecoderResult BrotliDecoderDecompressStream(
     BrotliDecoderState* s, size_t* available_in, const uint8_t** next_in,
     size_t* available_out, uint8_t** next_out, size_t* total_out) {
     if (s->error) return BROTLI_DECODER_RESULT_ERROR;
-    bool input_exhausted = !available_in || *available_in == 0;
     if (available_in && *available_in) {
+        s->used = true;
         s->in.insert(s->in.end(), *next_in, *next_in + *available_in);
         *next_in += *available_in;
         *available_in = 0;
     }
-    if (!s->done) {
-        // retry whole-stream decode when input grew 2x or the caller
-        // signals it has no more input
-        if (s->in.size() >= std::max<size_t>(1, s->last_attempt * 2) ||
-            input_exhausted) {
-            s->last_attempt = s->in.size();
-            if (s->tmem.size() < (1u << 23)) s->tmem.resize(1u << 23);
-            int64_t cap = 4 * (int64_t)s->in.size() + (1 << 16);
-            for (;;) {
-                s->out.resize((size_t)cap);
-                int64_t r = decode_native(
-                    s->in.data(), (int64_t)s->in.size(), s->out.data(),
-                    cap, nullptr, 0, 0, s->tmem.data(),
-                    (int64_t)s->tmem.size());
-                if (r == -3) { cap *= 8; continue; }
-                if (r >= 0) {
-                    s->out.resize((size_t)r);
-                    s->done = true;
-                } else if (r == -2 || (r == -1 && input_exhausted)) {
-                    s->error = true;
-                    s->err_code = r;
-                    return BROTLI_DECODER_RESULT_ERROR;
-                }
-                break;
+    if (!s->finished()) {
+        // decode all whole metablocks present in the buffered input
+        // (decode_stream_step_native rolls back to the last block
+        // boundary when input runs out mid-block); memory stays
+        // bounded: retained window + one metablock + unconsumed input
+        if (s->tmem.size() < (1u << 23)) s->tmem.resize(1u << 23);
+        for (;;) {
+            s->step_out.resize((size_t)s->step_cap);
+            int64_t r = decode_stream_step_native(
+                s->st, s->in.data(), (int64_t)s->in.size(),
+                &s->bit_pos, s->hist.data(), (int64_t)s->hist.size(),
+                s->step_out.data(), s->step_cap, 0, s->tmem.data(),
+                (int64_t)s->tmem.size());
+            if (r == -3) {
+                // one metablock larger than the step buffer (<= 16MiB
+                // by the format) — grow and retry
+                s->step_cap = std::min<int64_t>(s->step_cap * 4,
+                                                (16ll << 20) + 65536);
+                continue;
             }
+            if (r < 0) {
+                s->error = true;
+                s->err_code = r;
+                return BROTLI_DECODER_RESULT_ERROR;
+            }
+            if (r > 0) {
+                // compact drained output before appending
+                if (s->out_off) {
+                    s->out.erase(s->out.begin(),
+                                 s->out.begin() + s->out_off);
+                    s->out_off = 0;
+                }
+                s->out.insert(s->out.end(), s->step_out.data(),
+                              s->step_out.data() + r);
+                // retained window := tail of (hist + step output)
+                int64_t w = (1ll << s->st[2]) - 16;
+                if (r >= w) {
+                    s->hist.assign(s->step_out.data() + r - w,
+                                   s->step_out.data() + r);
+                } else {
+                    int64_t keep = std::min<int64_t>(
+                        (int64_t)s->hist.size(), w - r);
+                    s->hist.erase(s->hist.begin(),
+                                  s->hist.end() - keep);
+                    s->hist.insert(s->hist.end(), s->step_out.data(),
+                                   s->step_out.data() + r);
+                }
+            }
+            // drop consumed whole bytes of input
+            int64_t drop = s->bit_pos >> 3;
+            if (drop > 0) {
+                s->in.erase(s->in.begin(), s->in.begin() + drop);
+                s->bit_pos &= 7;
+            }
+            break;  // the step already consumed all decodable blocks
         }
-        if (!s->done) return BROTLI_DECODER_RESULT_NEEDS_MORE_INPUT;
     }
     // drain
     size_t have = s->out.size() - s->out_off;
@@ -597,11 +638,13 @@ BrotliDecoderResult BrotliDecoderDecompressStream(
         *next_out += take;
         *available_out -= take;
         s->out_off += take;
+        s->drained_total += take;
     }
-    if (total_out) *total_out = s->out_off;
+    if (total_out) *total_out = s->drained_total;
     if (s->out_off < s->out.size())
         return BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT;
-    return BROTLI_DECODER_RESULT_SUCCESS;
+    return s->finished() ? BROTLI_DECODER_RESULT_SUCCESS
+                         : BROTLI_DECODER_RESULT_NEEDS_MORE_INPUT;
 }
 
 const uint8_t* BrotliDecoderTakeOutput(BrotliDecoderState* s, size_t* size) {
@@ -609,6 +652,7 @@ const uint8_t* BrotliDecoderTakeOutput(BrotliDecoderState* s, size_t* size) {
     size_t take = (*size == 0 || *size > have) ? have : *size;
     const uint8_t* p = s->out.data() + s->out_off;
     s->out_off += take;
+    s->drained_total += take;
     *size = take;
     return take ? p : nullptr;
 }

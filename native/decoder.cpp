@@ -581,6 +581,15 @@ static int64_t transform_word(int64_t word_len, int64_t idx,
     return o;
 }
 
+static int64_t parse_stream_header(BitReader& br, int64_t large_window,
+                                   int* wbits_out);
+static int64_t decode_loop(
+    BitReader& br, uint8_t* out, int64_t out_cap, int64_t* out_len_io,
+    const uint8_t* custom_dict, int64_t custom_dict_len,
+    int64_t window_size, int max_distbits,
+    int32_t* table_mem, int64_t table_mem_size,
+    int64_t* dist_cache, int single_block, int* finished);
+
 int64_t decode_native(
     const uint8_t* in, int64_t in_len,
     uint8_t* out, int64_t out_cap,
@@ -594,9 +603,36 @@ int64_t decode_native(
         memset(dec_ctr_store, 0, sizeof(dec_ctr_store));
     }
     BitReader br{in, in_len, 0};
+    int wbits;
+    int64_t rh = parse_stream_header(br, large_window, &wbits);
+    if (rh) return rh;
+    int64_t window_size = (1ll << wbits) - 16;
+    int64_t dist_cache[4] = {4, 11, 15, 16};
+    int max_distbits = large_window ? 62 : 24;
     int64_t out_len = 0;
+    int finished = 0;
+    int64_t r2 = decode_loop(br, out, out_cap, &out_len, custom_dict,
+                             custom_dict_len, window_size, max_distbits,
+                             table_mem, table_mem_size, dist_cache, 0,
+                             &finished);
+    if (r2) return r2;
+    if (dec_ctr)
+        fprintf(stderr,
+                "[decctr] cmds %lld lit_triv %lld lit_ctx %lld "
+                "dists %lld dictrefs %lld cmd_switches %lld\n",
+                (long long)dec_ctr[0], (long long)dec_ctr[1],
+                (long long)dec_ctr[2], (long long)dec_ctr[3],
+                (long long)dec_ctr[4], (long long)dec_ctr[5]);
+    return out_len;
+}
 
-    // window bits
+// ---------------------------------------------------------------------------
+// stream header + metablock loop, shared by the one-shot entry above
+// and the resumable streaming step below
+// ---------------------------------------------------------------------------
+
+static int64_t parse_stream_header(BitReader& br, int64_t large_window,
+                                   int* wbits_out) {
     int wbits;
     if (br.read(1) == 0) wbits = 16;
     else {
@@ -614,17 +650,32 @@ int64_t decode_native(
         }
     }
     if (br.over()) return -1;
-    int64_t window_size = (1ll << wbits) - 16;
-    int64_t dist_cache[4] = {4, 11, 15, 16};
-    int max_distbits = large_window ? 62 : 24;
+    *wbits_out = wbits;
+    return 0;
+}
 
+// decode metablocks (all of them, or one when single_block) — returns
+// 0 on success with *out_len_io/*finished updated, or -1 truncated /
+// -2 corrupt / -3 out_cap too small (out/cache state is then garbage;
+// the streaming caller rolls back to its checkpoint)
+static int64_t decode_loop(
+    BitReader& br, uint8_t* out, int64_t out_cap, int64_t* out_len_io,
+    const uint8_t* custom_dict, int64_t custom_dict_len,
+    int64_t window_size, int max_distbits,
+    int32_t* table_mem, int64_t table_mem_size,
+    int64_t* dist_cache, int single_block, int* finished)
+{
+    int64_t out_len = *out_len_io;
     uint8_t scratch[1200];
     uint8_t word_buf[64];
 
     for (;;) {
         int64_t islast = br.read(1);
         if (br.over()) return -1;
-        if (islast && br.read(1)) break;  // ISLASTEMPTY
+        if (islast && br.read(1)) {  // ISLASTEMPTY
+            *finished = 1;
+            break;
+        }
         if (br.over()) return -1;
         int64_t mnibbles = br.read(2);
         if (mnibbles == 3) {  // metadata
@@ -640,7 +691,8 @@ int64_t decode_native(
             if (!br.align_ok()) return br.over() ? -1 : -2;
             if (!br.at_least(8 * skip)) return -1;
             br.skip_bulk(8 * skip);
-            if (islast) break;
+            if (islast) { *finished = 1; break; }
+            if (single_block) break;
             continue;
         }
         int64_t mlen = br.read((int)(16 + 4 * mnibbles)) + 1;
@@ -652,10 +704,11 @@ int64_t decode_native(
             if (br.read(n) != 0) { /* tolerated padding */ }
             if (!br.at_least(8 * mlen)) return -1;
             if (out_len + mlen > out_cap) return -3;
-            std::memcpy(out + out_len, in + (br.pos >> 3),
+            std::memcpy(out + out_len, br.data + (br.pos >> 3),
                         (size_t)mlen);
             br.skip_bulk(8 * mlen);
             out_len += mlen;
+            if (single_block) break;
             continue;
         }
 
@@ -1027,15 +1080,69 @@ int64_t decode_native(
             p1 = prev_byte(1);
             p2 = prev_byte(2);
         }
-        if (islast) break;
+        if (islast) { *finished = 1; break; }
+        if (single_block) break;
     }
-    if (dec_ctr)
-        fprintf(stderr,
-                "[decctr] cmds %lld lit_triv %lld lit_ctx %lld "
-                "dists %lld dictrefs %lld cmd_switches %lld\n",
-                (long long)dec_ctr[0], (long long)dec_ctr[1],
-                (long long)dec_ctr[2], (long long)dec_ctr[3],
-                (long long)dec_ctr[4], (long long)dec_ctr[5]);
+    *out_len_io = out_len;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// resumable streaming decode step (metablock-granular): decodes as
+// many whole metablocks as the input allows, rolling back to the last
+// metablock boundary when the input runs out mid-block.  State layout
+// (caller-owned int64[8]):
+//   [0] header_done  [1] finished  [2] wbits  [3] unused
+//   [4..7] distance cache
+// `hist` is the retained window (back-references past this step's
+// output resolve into it).  Returns bytes written this step (>= 0; a
+// zero with !finished means feed more input), -2 corrupt, or -3
+// out_cap cannot hold the next metablock (grow and retry; bit_pos is
+// left at the block boundary in both non-error cases).
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t decode_stream_step_native(
+    int64_t* state, const uint8_t* in, int64_t in_len,
+    int64_t* bit_pos_io, const uint8_t* hist, int64_t hist_len,
+    uint8_t* out, int64_t out_cap, int64_t large_window,
+    int32_t* table_mem, int64_t table_mem_size)
+{
+    BitReader br{in, in_len, *bit_pos_io};
+    if (!state[0]) {
+        int wbits;
+        int64_t r = parse_stream_header(br, large_window, &wbits);
+        if (r == -1) return 0;          // needs more input, no progress
+        if (r) return r;
+        state[0] = 1;
+        state[2] = wbits;
+        *bit_pos_io = br.pos;
+    }
+    int64_t window_size = (1ll << state[2]) - 16;
+    int max_distbits = large_window ? 62 : 24;
+    int64_t out_len = 0;
+    while (!state[1]) {
+        int64_t ck_pos = *bit_pos_io;
+        int64_t ck_out = out_len;
+        int64_t ck_cache[4] = {state[4], state[5], state[6], state[7]};
+        br.pos = ck_pos;
+        br.avail = 0;
+        int finished = 0;
+        int64_t r = decode_loop(br, out, out_cap, &out_len, hist,
+                                hist_len, window_size, max_distbits,
+                                table_mem, table_mem_size, state + 4,
+                                1, &finished);
+        if (r == -1 || r == -3) {
+            // truncated mid-block (wait for input) or out full (caller
+            // grows): roll back to the block boundary
+            out_len = ck_out;
+            for (int i = 0; i < 4; i++) state[4 + i] = ck_cache[i];
+            *bit_pos_io = ck_pos;
+            return r == -3 && out_len == 0 ? -3 : out_len;
+        }
+        if (r) return r;                 // corrupt
+        *bit_pos_io = br.pos;
+        if (finished) state[1] = 1;
+    }
     return out_len;
 }
 

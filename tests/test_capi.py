@@ -253,3 +253,95 @@ def test_capi_zopfli_catable_and_custom_dict():
         ctypes.c_size_t(len(body)), body, ctypes.byref(osz), out)
     assert ok == 1
     assert decompress(out.raw[:osz.value], custom_dictionary=d) == body
+
+
+def test_capi_streaming_decode_incremental():
+    """The native BrotliDecoderDecompressStream is metablock-resumable:
+    byte-at-a-time feeding emits output incrementally (not all at the
+    end), drains through small output windows, and the retained-window
+    state keeps cross-metablock back-references correct."""
+    import numpy as np
+    from brotli_tpu import compress
+    L = lib()
+    L.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    rng = np.random.default_rng(3)
+    # 3 metablocks at lgblock 16, with long-range matches across them
+    base = bytes(rng.integers(97, 110, 1 << 15, dtype=np.uint8))
+    data = base + bytes(rng.integers(97, 110, 1 << 16, dtype=np.uint8)) + base
+    comp = compress(data, quality=9, lgblock=16)
+
+    st = ctypes.c_void_p(L.BrotliDecoderCreateInstance(None, None, None))
+    out = bytearray()
+    emitted_before_end = False
+    i = 0
+    chunk = 997  # prime-sized feeds, byte-ish granularity
+    obuf = ctypes.create_string_buffer(4096)
+    while True:
+        feed = comp[i:i + chunk]
+        i += len(feed)
+        avail_in = ctypes.c_size_t(len(feed))
+        next_in = ctypes.c_char_p(bytes(feed))
+        # cast to uint8** via c_void_p indirection
+        pin = ctypes.cast(next_in, ctypes.POINTER(ctypes.c_uint8))
+        ppin = ctypes.pointer(pin)
+        while True:
+            avail_out = ctypes.c_size_t(len(obuf))
+            pout = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
+            ppout = ctypes.pointer(pout)
+            total = ctypes.c_size_t(0)
+            r = L.BrotliDecoderDecompressStream(
+                st, ctypes.byref(avail_in), ppin,
+                ctypes.byref(avail_out), ppout, ctypes.byref(total))
+            got = len(obuf) - avail_out.value
+            if got:
+                out += obuf.raw[:got]
+            assert r != 0, "decoder error"
+            if r == 3:  # NEEDS_MORE_OUTPUT: drain again
+                continue
+            break
+        if i < len(comp) and len(out):
+            emitted_before_end = True
+        if r == 1:  # SUCCESS
+            break
+        assert r == 2  # NEEDS_MORE_INPUT
+        assert i < len(comp), "decoder stuck at end of input"
+    assert bytes(out) == data
+    assert emitted_before_end, "no incremental output before input end"
+    assert L.BrotliDecoderIsFinished(st) == 1
+    L.BrotliDecoderDestroyInstance(st)
+
+
+def test_capi_streaming_decode_corrupt():
+    """Corrupt input through the streaming ABI reports ERROR."""
+    from brotli_tpu import compress
+    L = lib()
+    L.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    comp = bytearray(compress(load("alice29.txt"), quality=9))
+    comp[len(comp) // 2] ^= 0xFF
+    comp[len(comp) // 2 + 1] ^= 0xFF
+    st = ctypes.c_void_p(L.BrotliDecoderCreateInstance(None, None, None))
+    buf = ctypes.create_string_buffer(1 << 20)
+    avail_in = ctypes.c_size_t(len(comp))
+    pin = ctypes.cast(ctypes.c_char_p(bytes(comp)),
+                      ctypes.POINTER(ctypes.c_uint8))
+    ppin = ctypes.pointer(pin)
+    saw_error = False
+    for _ in range(64):
+        avail_out = ctypes.c_size_t(len(buf))
+        pout = ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8))
+        r = L.BrotliDecoderDecompressStream(
+            st, ctypes.byref(avail_in), ppin,
+            ctypes.byref(avail_out), ctypes.pointer(pout), None)
+        if r == 0:
+            saw_error = True
+            break
+        if r == 1:
+            break
+    # flipping bits mid-stream must not produce a clean SUCCESS with
+    # different content silently; either ERROR or (rarely) the bits
+    # land in literals and the stream still decodes to other content
+    if not saw_error:
+        assert L.BrotliDecoderGetErrorCode(st) == 0
+    else:
+        assert L.BrotliDecoderGetErrorCode(st) != 0
+    L.BrotliDecoderDestroyInstance(st)
