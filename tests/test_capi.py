@@ -345,3 +345,69 @@ def test_capi_streaming_decode_corrupt():
     else:
         assert L.BrotliDecoderGetErrorCode(st) != 0
     L.BrotliDecoderDestroyInstance(st)
+
+
+def test_capi_streaming_decode_bounded_memory():
+    """Bounded-memory validation (reference 'manual memory management'
+    operation mode analog): drip-feeding a 192MiB-output stream through
+    the streaming ABI must keep peak RSS far below the output size —
+    the state retains only the window + one metablock + input tail."""
+    import subprocess
+    import sys
+
+    import tempfile
+
+    from brotli_tpu import compress
+
+    # highly repetitive 192MiB -> tiny stream (encoded in the parent:
+    # encode scratch would dominate the child's RSS measurement)
+    data = (b"0123456789abcdef" * 63 + b"\n") * (192 * 1024)
+    comp = compress(data, quality=5)
+    del data
+    tf = tempfile.NamedTemporaryFile(suffix=".br", delete=False)
+    tf.write(comp)
+    tf.close()
+
+    code = r"""
+import ctypes, sys
+sys.path.insert(0, %r)
+from brotli_tpu import native_bridge as nb
+
+comp = open(%r, "rb").read()
+L = nb.get_lib()
+L.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+st = ctypes.c_void_p(L.BrotliDecoderCreateInstance(None, None, None))
+obuf = ctypes.create_string_buffer(1 << 20)
+total = 0
+i = 0
+r = 2
+while r != 1:
+    feed = comp[i:i + 4096]
+    i += len(feed)
+    avail_in = ctypes.c_size_t(len(feed))
+    pin = ctypes.cast(ctypes.c_char_p(bytes(feed)),
+                      ctypes.POINTER(ctypes.c_uint8))
+    while True:
+        avail_out = ctypes.c_size_t(len(obuf))
+        pout = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
+        r = L.BrotliDecoderDecompressStream(
+            st, ctypes.byref(avail_in), ctypes.pointer(pin),
+            ctypes.byref(avail_out), ctypes.pointer(pout), None)
+        assert r != 0
+        total += len(obuf) - avail_out.value
+        if r != 3:
+            break
+assert total == 192 * 1024 * 1009, total
+# VmHWM, not ru_maxrss: maxrss inherits the fork parent's peak
+peak_kb = int(open("/proc/self/status").read()
+              .split("VmHWM:")[1].split()[0])
+peak_mb = peak_kb / 1024
+# window(4MiB) + metablock(16MiB) + table arena(32MiB) + python/jax
+# baseline; the 192MiB output must NOT be resident
+assert peak_mb < 700, peak_mb
+print("OK peak_rss_mb=%%.0f" %% peak_mb)
+""" % (REPO, tf.name)
+    r = subprocess.run([__import__("sys").executable, "-c", code],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
