@@ -1958,8 +1958,14 @@ struct CombinedCtx {
     // traffic of the speed-tier search loop)
     uint64_t* ring4; uint16_t* cnt4;
     uint64_t* ring8; uint16_t* cnt8;
-    const uint32_t* H4 = nullptr;  // precomputed bucket ids (SIMD pass)
+    // precomputed bucket ids (straight vectorizable passes), covering
+    // absolute positions [hash_base, hash_base + coverage); the
+    // session slides this window per metablock so hash scratch stays
+    // O(metablock + window), not O(input)
+    const uint32_t* H4 = nullptr;
     const uint32_t* H8 = nullptr;
+    int64_t hash_base = 0;
+    int hash_len4 = 4;
     int64_t ins_pos = 0;      // next absolute position to insert
     // adaptive dictionary gating (reference SearchInStaticDictionary,
     // mod.rs:1942: stop paying for dictionary probes on data where
@@ -1977,7 +1983,7 @@ struct CombinedCtx {
     inline void insert_one(int64_t i) {
         if (i + 4 > n) return;
         uint64_t e = ((uint64_t)load32(data + i) << 32) | (uint32_t)i;
-        uint32_t h4 = H4[i];
+        uint32_t h4 = H4[i - hash_base];
         ring4[h4 * cap4 + (cnt4[h4] & mask4)] = e;
         cnt4[h4]++;
         if (k8 && i + 8 <= n && (k8 > 4 || !(i & 1))) {
@@ -1985,7 +1991,25 @@ struct CombinedCtx {
             // match missed at an odd start is found one position
             // later, and the insert traffic halves; quality tiers
             // (k8 > 4) insert densely
-            uint32_t h8 = H8[i];
+            uint32_t h8 = H8[i - hash_base];
+            ring8[h8 * cap8 + (cnt8[h8] & mask8)] = e;
+            cnt8[h8]++;
+        }
+    }
+
+    // prefix-priming insert: positions below the sliding hash window
+    // (CompressMulti shard prefixes) hash inline
+    inline void insert_one_inline(int64_t i) {
+        if (i + 4 > n) return;
+        // tail positions land in bucket 0, matching the buffer fill
+        uint64_t e = ((uint64_t)load32(data + i) << 32) | (uint32_t)i;
+        uint32_t h4 = i + (hash_len4 == 5 ? 8 : 4) <= n
+            ? bucket_hash(data + i, hash_len4, shift4) : 0;
+        ring4[h4 * cap4 + (cnt4[h4] & mask4)] = e;
+        cnt4[h4]++;
+        if (k8 && i + 8 <= n && (k8 > 4 || !(i & 1))) {
+            uint32_t h8 = (uint32_t)((load64(data + i) *
+                                      0x1FE35A7BD3579BD3ull) >> shift8);
             ring8[h8 * cap8 + (cnt8[h8] & mask8)] = e;
             cnt8[h8]++;
         }
@@ -2035,9 +2059,11 @@ struct CombinedCtx {
         // prefetch everything the probes below will touch: the two
         // ring bucket rows and the data at each cache-candidate
         // source.  The probe loops otherwise serialize these misses.
-        __builtin_prefetch(ring4 + (int64_t)H4[i] * cap4, 0, 1);
+        __builtin_prefetch(ring4 + (int64_t)H4[i - hash_base] * cap4,
+                           0, 1);
         if (k8 && i + 8 <= n)
-            __builtin_prefetch(ring8 + (int64_t)H8[i] * cap8, 0, 1);
+            __builtin_prefetch(ring8 + (int64_t)H8[i - hash_base] * cap8,
+                               0, 1);
         for (int c = 0; c < n_cache; c++) {
             int64_t d = cache[kSCIdx[c]] + kSCDelta[c];
             if (d > 0 && d <= i && d <= window)
@@ -2066,7 +2092,7 @@ struct CombinedCtx {
         }
         uint32_t v4 = load32(data + i);
         {
-            uint32_t h4 = H4[i];
+            uint32_t h4 = H4[i - hash_base];
             int32_t c = cnt4[h4];
             int32_t m = (int32_t)std::min<int64_t>(
                 std::min<int64_t>(c, k), 64);
@@ -2100,7 +2126,7 @@ struct CombinedCtx {
             }
         }
         if (k8 && i + 8 <= n && sr.len < 72) {
-            uint32_t h8 = H8[i];
+            uint32_t h8 = H8[i - hash_base];
             int32_t c = cnt8[h8];
             int32_t m = (int32_t)std::min<int64_t>(
                 std::min<int64_t>(c, k8), 64);
@@ -2178,6 +2204,55 @@ struct ParseSession {
     std::vector<uint32_t> h4, h8;
     int64_t cache[4] = {0, 0, 0, 0};
     int64_t pos = 0, insert_start = 0;   // absolute walk state
+    int64_t hash_end = 0;                // hashes cover [cx.hash_base,
+                                         // hash_end)
+    int hash_len = 4;
+
+    // slide the hash window to cover [from, to): recompute the two
+    // bucket-id passes over just that span (each position is hashed
+    // once across the whole parse; scratch stays O(metablock), not
+    // O(input)).  The 8-byte pass runs on a helper thread — this is
+    // the serial head of each metablock's parse.
+    void ensure_hashes(int64_t from, int64_t to) {
+        CombinedCtx& c = cx;
+        if (c.hash_base <= from && to <= hash_end) return;
+        int64_t span = to - from;
+        if ((int64_t)h4.size() < span) h4.resize(span);
+        uint32_t* h4buf = h4.data();
+        uint32_t* h8buf = nullptr;
+        std::thread h8_thread;
+        if (c.k8) {
+            if ((int64_t)h8.size() < span) h8.resize(span);
+            h8buf = h8.data();
+            const uint8_t* data = c.data;
+            int64_t n = c.n;
+            uint32_t shift8 = c.shift8;
+            h8_thread = std::thread([=] {
+                int64_t m8 = std::min(to, n - 8);
+                for (int64_t i = from; i <= m8; i++)
+                    h8buf[i - from] = (uint32_t)(
+                        (load64(data + i) * 0x1FE35A7BD3579BD3ull)
+                        >> shift8);
+                for (int64_t i = std::max(from, m8 + 1); i < to; i++)
+                    h8buf[i - from] = 0;
+            });
+        }
+        {
+            int64_t m4 = std::min(to, c.n - (hash_len == 5 ? 8 : 4));
+            for (int64_t i = from; i <= m4; i++)
+                h4buf[i - from] = bucket_hash(c.data + i, hash_len,
+                                              c.shift4);
+            // tail positions hash into bucket 0 (harmless: min match
+            // length 4 gates real use)
+            for (int64_t i = std::max(from, m4 + 1); i < to; i++)
+                h4buf[i - from] = 0;
+        }
+        if (h8_thread.joinable()) h8_thread.join();
+        c.H4 = h4buf;
+        c.H8 = h8buf;
+        c.hash_base = from;
+        hash_end = to;
+    }
 };
 
 std::mutex g_sess_mtx;
@@ -2237,6 +2312,9 @@ int64_t parse_session_next(void* vs, int64_t boundary_rel,
     const uint8_t* data = cx.data;
     int64_t window_size = cx.window;
     int64_t boundary = cx.dict_len + boundary_rel;  // absolute
+    uint64_t t_hash0 = g_stats_on ? rdtsc_now() : 0;
+    S.ensure_hashes(std::min(cx.ins_pos, S.pos), boundary);
+    if (g_stats_on) g_stats.cyc_hash += rdtsc_now() - t_hash0;
     int64_t n_out = 0;
     int64_t misses = 0;
     int64_t pos = S.pos;
@@ -2350,40 +2428,13 @@ void* parse_session_begin(
     cx.ring8 = k8 ? fit(S.ring8, nb8 * cx.cap8) : nullptr;
     cx.cnt8 = k8 ? fit(S.cnt8, nb8) : nullptr;
     if (k8) std::memset(cx.cnt8, 0, nb8 * sizeof(uint16_t));
-    // precompute bucket ids in straight vectorizable passes, keeping
-    // the hash math off the serial insert/search chain.  The 4-byte
-    // and 8-byte passes are independent whole-buffer sweeps — run the
-    // 8-byte one on a helper thread (this init is the serial head of
-    // every compress call: nothing else overlaps it)
-    uint32_t* h4buf = fit(S.h4, total_len > 8 ? total_len : 8);
-    uint32_t* h8buf = nullptr;
-    uint64_t t_hash0 = g_stats_on ? rdtsc_now() : 0;
-    std::thread h8_thread;
-    if (k8) {
-        h8buf = fit(S.h8, total_len > 8 ? total_len : 8);
-        uint32_t shift8 = cx.shift8;
-        h8_thread = std::thread([data, total_len, h8buf, shift8] {
-            int64_t m8 = total_len - 8;
-            for (int64_t i = 0; i <= m8; i++)
-                h8buf[i] = (uint32_t)((load64(data + i) *
-                                       0x1FE35A7BD3579BD3ull) >> shift8);
-            for (int64_t i = m8 > 0 ? m8 + 1 : 0; i < total_len; i++)
-                h8buf[i] = 0;
-        });
-    }
-    {
-        int64_t m4 = total_len - (hash_len == 5 ? 8 : 4);
-        for (int64_t i = 0; i <= m4; i++)
-            h4buf[i] = bucket_hash(data + i, hash_len, cx.shift4);
-        // tail positions hash into bucket 0 of an empty-by-then table;
-        // min match length 4 makes them harmless
-        for (int64_t i = m4 > 0 ? m4 + 1 : 0; i < total_len; i++)
-            h4buf[i] = 0;
-    }
-    if (h8_thread.joinable()) h8_thread.join();
-    if (g_stats_on) g_stats.cyc_hash += rdtsc_now() - t_hash0;
-    cx.H4 = h4buf;
-    cx.H8 = h8buf;
+    // bucket ids are computed per metablock by ensure_hashes (a
+    // sliding window over [ins_pos, boundary)) — hash scratch stays
+    // O(metablock), not O(input)
+    cx.hash_len4 = (int)hash_len;
+    S.hash_len = (int)hash_len;
+    cx.hash_base = 0;
+    S.hash_end = 0;
     cx.dict_table = dict_table;
     cx.dict_hash_bits = dict_hash_bits;
     cx.dict_slots = dict_slots;
@@ -2403,9 +2454,10 @@ void* parse_session_begin(
     if (dict_len > (256 << 10)) {
         int64_t dense_from = dict_len - (256 << 10);
         int64_t mid_from = std::max<int64_t>(0, dict_len - (1 << 20));
-        for (int64_t i = 0; i < mid_from; i += 8) cx.insert_one(i);
+        for (int64_t i = 0; i < mid_from; i += 8)
+            cx.insert_one_inline(i);
         for (int64_t i = mid_from; i < dense_from; i += 3)
-            cx.insert_one(i);
+            cx.insert_one_inline(i);
         cx.ins_pos = dense_from;
     }
 
