@@ -446,6 +446,84 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
     return true;
 }
 
+// ---------------------------------------------------------------------------
+// incremental chunk encode for the streaming facade: one region with
+// an external LZ77 prefix (the retained window), threading the
+// distance cache across chunks.  Same tiers as c_encode.
+// ---------------------------------------------------------------------------
+
+static bool encode_stream_chunk(
+    ByteBW& w, const uint8_t* prefix, int64_t plen,
+    const uint8_t* body, int64_t blen, bool is_last,
+    int quality, int lgwin, int mode, bool use_dict, int64_t* cache) {
+    ensure_decoder_dict();
+    if (quality < 0) quality = 0;
+    if (quality > 11) quality = 11;
+    bool zopfli = quality >= 10;
+    if (zopfli)
+        zopfli_hq_dict_init(kDictData, kDictOffsets, kDictSizeBits,
+                            kDictTType, kDictTPrefix, kDictTPrefixLen,
+                            kDictTSuffix, kDictTSuffixLen, 121);
+    int64_t window = (int64_t(1) << lgwin) - 16;
+    if (blen == 0) return true;
+    std::vector<uint8_t> full((size_t)(plen + blen));
+    if (plen) std::memcpy(full.data(), prefix, (size_t)plen);
+    std::memcpy(full.data() + plen, body, (size_t)blen);
+
+    int64_t cnt;
+    std::vector<int64_t> oi, oc, od, oa;
+    if (zopfli) {
+        oi.resize(blen + 2); oc.resize(blen + 2);
+        od.resize(blen + 2); oa.resize(blen + 2);
+        cnt = zopfli_hq_parse_native(
+            full.data(), plen, blen, window, quality, use_dict ? 1 : 0,
+            cache, kCtxLut0 + 2 * 256, kCtxLut1 + 2 * 256,
+            oi.data(), oc.data(), od.data(), oa.data(), blen + 2);
+        if (cnt < 0) return false;
+    } else {
+        Knobs kn = quality_knobs(quality);
+        int64_t max_cmds = blen / 2 + 4;
+        oi.resize(max_cmds); oc.resize(max_cmds);
+        od.resize(max_cmds); oa.resize(max_cmds);
+        int64_t bounds[1] = {blen};
+        int64_t segc[1] = {0};
+        cnt = combined_parse_native(
+            full.data(), plen + blen, plen, window, kn.k, kn.bb, kn.k8,
+            kn.bb8, kn.hl, kn.nc, 135,
+            nullptr, 0, 0, nullptr, nullptr, nullptr, nullptr, nullptr,
+            bounds, 1, 0, cache, oi.data(), oc.data(), od.data(),
+            oa.data(), segc, max_cmds);
+        if (cnt < 0) return false;
+        cnt = segc[0];
+    }
+
+    int ctx_mode = 3;
+    if (mode != 2 && quality >= 4 && is_mostly_utf8(full.data() + plen,
+                                                    blen))
+        ctx_mode = 2;
+    const int64_t* smap = kMapZero;
+    int nlc = 1;
+    if (ctx_mode == 2)
+        nlc = choose_literal_map(full.data(), plen, blen, quality, blen,
+                                 &smap);
+    int64_t dist_alpha = 16 + 0 + (24 << 1);
+    int64_t cap_bits = 9 * blen + (1 << 17);
+    std::vector<uint64_t> words((size_t)(cap_bits / 64 + 2), 0);
+    int64_t nbits = encode_metablock_native(
+        full.data(), plen, blen, is_last ? 1 : 0, cnt, oi.data(),
+        oc.data(), od.data(), oa.data(), cache, window, 0, 0,
+        dist_alpha, std::max(quality, 4), ctx_mode, nlc, smap,
+        kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
+        quality >= 4 ? 1 : 0, words.data(), cap_bits);
+    if (nbits < 0 || nbits > 8 * blen + 40) {
+        store_uncompressed(w, body, blen);
+        if (is_last) write_empty_last(w);
+    } else {
+        w.append_words(words.data(), nbits);
+    }
+    return true;
+}
+
 }  // namespace capi
 
 // ---------------------------------------------------------------------------
@@ -662,16 +740,77 @@ const uint8_t* BrotliDecoderTakeOutput(BrotliDecoderState* s, size_t* size) {
 struct BrotliEncoderStateStruct {
     int quality = 9;   // reference default is 11; kept at 9 so the
                        // streaming facade defaults to the speed tier
-                       // (one-shot q10/11 run the native optimal parse)
+                       // (q10/11 requests run the native optimal parse)
     int lgwin = 22;
     int mode = 0;
     bool catable = false, appendable = false, bare = false,
          byte_align = false;
-    std::vector<uint8_t> in;
-    std::vector<uint8_t> dict;
-    std::vector<uint8_t> out;
+    std::vector<uint8_t> in;      // unencoded input tail
+    std::vector<uint8_t> hist;    // retained window (LZ77 prefix)
+    std::vector<uint8_t> dict;    // custom dictionary
+    capi::ByteBW w;               // emitted bitstream (drains)
     size_t out_off = 0;
+    size_t drained_total = 0;
+    int64_t cache[4] = {4, 11, 15, 16};
+    bool header_written = false;
+    bool first_block = true;
     bool finished = false;
+    bool failed = false;
+
+    int64_t chunk_size() const {
+        // one metablock per chunk (the Python Compressor's shape);
+        // bounded latency and memory at speed tiers, bigger spans for
+        // the optimal-parse tiers
+        return int64_t(1) << (quality >= 10 ? 22 : 20);
+    }
+    size_t drainable() const {   // complete bytes only (bit carry
+                                 // stays internal until aligned)
+        return (size_t)(finished ? w.buf.size() : (w.bitpos >> 3));
+    }
+    // encode `take` bytes from the input tail as one metablock
+    bool emit(int64_t take, bool is_last) {
+        if (!header_written) {
+            if (!(bare && catable))
+                capi::write_stream_header(w, lgwin);
+            header_written = true;
+        }
+        if (first_block) {
+            first_block = false;
+            if (catable && take > 0) {
+                for (int i = 0; i < 4; i++)
+                    cache[i] = capi::kPoisonedDistance;
+                int64_t k = std::min<int64_t>(2, take);
+                capi::store_uncompressed(w, in.data(), k);
+                in.erase(in.begin(), in.begin() + k);
+                take -= k;
+                if (take == 0) return true;
+            }
+        }
+        const uint8_t* prefix = hist.data();
+        int64_t plen = (int64_t)hist.size();
+        // the custom dictionary precedes everything; it only fits the
+        // prefix slot while no window history exists yet
+        if (plen == 0 && !dict.empty()) {
+            prefix = dict.data();
+            plen = (int64_t)dict.size();
+        }
+        bool ok = capi::encode_stream_chunk(
+            w, prefix, plen, in.data(), take, is_last, quality, lgwin,
+            mode, !catable, cache);
+        if (!ok) return false;
+        // retained window := tail of (hist + chunk)
+        int64_t wsz = (int64_t(1) << lgwin) - 16;
+        if (take >= wsz) {
+            hist.assign(in.data() + take - wsz, in.data() + take);
+        } else {
+            int64_t keep = std::min<int64_t>((int64_t)hist.size(),
+                                             wsz - take);
+            hist.erase(hist.begin(), hist.end() - keep);
+            hist.insert(hist.end(), in.data(), in.data() + take);
+        }
+        in.erase(in.begin(), in.begin() + take);
+        return true;
+    }
 };
 typedef struct BrotliEncoderStateStruct BrotliEncoderState;
 
@@ -703,49 +842,94 @@ int BrotliEncoderSetCustomDictionary(BrotliEncoderState* s, size_t size,
 }
 
 int BrotliEncoderIsFinished(const BrotliEncoderState* s) {
-    return (s->finished && s->out_off >= s->out.size()) ? 1 : 0;
+    return (s->finished && s->out_off >= s->drainable()) ? 1 : 0;
 }
 int BrotliEncoderHasMoreOutput(const BrotliEncoderState* s) {
-    return s->out_off < s->out.size() ? 1 : 0;
+    return s->out_off < s->drainable() ? 1 : 0;
 }
 
 int BrotliEncoderCompressStream(
     BrotliEncoderState* s, BrotliEncoderOperation op,
     size_t* available_in, const uint8_t** next_in,
     size_t* available_out, uint8_t** next_out, size_t* total_out) {
+    if (s->failed) return 0;
+    // compact the drained output prefix (whole bytes only) so the
+    // emitted-bitstream buffer stays bounded on long streams
+    if (s->out_off > (1u << 20)) {
+        s->w.buf.erase(s->w.buf.begin(), s->w.buf.begin() + s->out_off);
+        s->w.bitpos -= (int64_t)s->out_off * 8;
+        s->out_off = 0;
+    }
     if (available_in && *available_in) {
         s->in.insert(s->in.end(), *next_in, *next_in + *available_in);
         *next_in += *available_in;
         *available_in = 0;
     }
-    if (op == BROTLI_OPERATION_FINISH && !s->finished) {
-        std::vector<uint8_t> enc;
-        if (!capi::c_encode(s->in.data(), (int64_t)s->in.size(),
-                            s->quality, s->lgwin, s->mode, s->catable,
-                            s->appendable, s->bare, s->byte_align,
-                            s->dict.data(), (int64_t)s->dict.size(),
-                            enc))
-            return 0;
-        s->out = std::move(enc);
-        s->finished = true;
+    if (!s->finished) {
+        // incremental emission: full metablock-sized chunks encode as
+        // soon as they are buffered (memory stays bounded by window +
+        // chunk); FLUSH drains the tail and byte-aligns with an empty
+        // metadata block; FINISH closes the stream
+        int64_t chunk = s->chunk_size();
+        bool finish = op == BROTLI_OPERATION_FINISH;
+        bool flush = op == BROTLI_OPERATION_FLUSH;
+        bool suppress = s->appendable || s->byte_align;
+        while ((int64_t)s->in.size() >= chunk ||
+               ((finish || flush) && !s->in.empty())) {
+            int64_t take = std::min<int64_t>(chunk,
+                                             (int64_t)s->in.size());
+            bool last_piece = (int64_t)s->in.size() <= chunk;
+            bool is_last = finish && last_piece && !suppress;
+            if (!s->emit(take, is_last)) {
+                s->failed = true;
+                return 0;
+            }
+            if (is_last) s->finished = true;
+        }
+        if (flush && !s->finished) {
+            if (!s->header_written) {
+                if (!(s->bare && s->catable))
+                    capi::write_stream_header(s->w, s->lgwin);
+                s->header_written = true;
+            }
+            capi::write_padding_block(s->w);  // byte-aligning sync
+        }
+        if (finish && !s->finished) {
+            // empty input or suppress-shaped tail
+            if (!s->header_written) {
+                if (!(s->bare && s->catable))
+                    capi::write_stream_header(s->w, s->lgwin);
+                s->header_written = true;
+            }
+            if (suppress) {
+                if (s->byte_align) capi::write_padding_block(s->w);
+                if (!s->bare) capi::write_empty_last(s->w);
+            } else {
+                capi::write_empty_last(s->w);
+            }
+            s->finished = true;
+        }
+        if (s->finished) s->w.align();
     }
-    size_t have = s->out.size() - s->out_off;
+    size_t have = s->drainable() - s->out_off;
     size_t take = std::min(have, available_out ? *available_out : 0);
     if (take) {
-        std::memcpy(*next_out, s->out.data() + s->out_off, take);
+        std::memcpy(*next_out, s->w.buf.data() + s->out_off, take);
         *next_out += take;
         *available_out -= take;
         s->out_off += take;
+        s->drained_total += take;
     }
-    if (total_out) *total_out = s->out_off;
+    if (total_out) *total_out = s->drained_total;
     return 1;
 }
 
 const uint8_t* BrotliEncoderTakeOutput(BrotliEncoderState* s, size_t* size) {
-    size_t have = s->out.size() - s->out_off;
+    size_t have = s->drainable() - s->out_off;
     size_t take = (*size == 0 || *size > have) ? have : *size;
-    const uint8_t* p = s->out.data() + s->out_off;
+    const uint8_t* p = s->w.buf.data() + s->out_off;
     s->out_off += take;
+    s->drained_total += take;
     *size = take;
     return take ? p : nullptr;
 }

@@ -411,3 +411,50 @@ print("OK peak_rss_mb=%%.0f" %% peak_mb)
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_capi_streaming_encode_incremental_and_flush():
+    """The native BrotliEncoderCompressStream emits output
+    incrementally (per metablock-sized chunk, not all at FINISH), and
+    FLUSH produces a byte-aligned prefix that decodes everything fed
+    so far (reference compress_stream contract)."""
+    from brotli_tpu import decompress
+    from brotli_tpu.decode.stream import StreamDecoder
+    L = lib()
+    L.BrotliEncoderCreateInstance.restype = ctypes.c_void_p
+
+    data = load("alice29.txt") * 16  # ~2.4MiB, > 2 chunks at q5
+    es = ctypes.c_void_p(L.BrotliEncoderCreateInstance(None, None, None))
+    L.BrotliEncoderSetParameter(es, 2, 5)
+    obuf = ctypes.create_string_buffer(1 << 20)
+    out = bytearray()
+
+    def pump(op, chunk):
+        avail_in = ctypes.c_size_t(len(chunk))
+        pin = ctypes.cast(ctypes.c_char_p(bytes(chunk)),
+                          ctypes.POINTER(ctypes.c_uint8))
+        while True:
+            avail_out = ctypes.c_size_t(len(obuf))
+            pout = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
+            assert L.BrotliEncoderCompressStream(
+                es, op, ctypes.byref(avail_in), ctypes.pointer(pin),
+                ctypes.byref(avail_out), ctypes.pointer(pout), None) == 1
+            out.extend(obuf.raw[:len(obuf) - avail_out.value])
+            if avail_in.value == 0 and avail_out.value > 0:
+                break
+
+    half = len(data) // 2
+    pump(0, data[:half])           # PROCESS
+    emitted_mid = len(out)
+    assert emitted_mid > 0, "no incremental output from PROCESS"
+    pump(1, b"")                   # FLUSH: decodable prefix
+    sd = StreamDecoder()
+    assert sd.decompress(bytes(out)) == data[:half]
+    pump(0, data[half:])
+    pump(2, b"")                   # FINISH
+    assert L.BrotliEncoderIsFinished(es)
+    assert decompress(bytes(out)) == data
+    if oracle.available():
+        assert oracle.decompress(bytes(out),
+                                 max_size_hint=len(data) + 64) == data
+    L.BrotliEncoderDestroyInstance(es)
