@@ -5,10 +5,12 @@
  * (/root/reference/c/brotli/encode.h:256-457, decode.h:146-330); decls
  * written against that documented surface, not copied.
  *
- * Documented divergences: BrotliDecoderDecompressStream buffers input
- * and is byte-accurate at the API level rather than constant-memory
- * mid-metablock.  Qualities 10/11 run the native optimal parse
- * (zopfli_hq.cpp) — same output quality as the host pipeline.
+ * Documented divergences: both streaming directions are incremental
+ * and bounded-memory at METABLOCK granularity (the decoder rolls back
+ * to the last block boundary on input exhaustion; the encoder emits
+ * per metablock-sized chunk and supports FLUSH byte-alignment) rather
+ * than resumable mid-symbol.  Qualities 10/11 run the native optimal
+ * parse (zopfli_hq.cpp) — same output quality as the host pipeline.
  */
 #ifndef BROTLI_TPU_H_
 #define BROTLI_TPU_H_
