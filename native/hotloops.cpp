@@ -2451,12 +2451,12 @@ void* parse_session_begin(
     // finds them via extension, and prefix hashing stops being the
     // critical path of the LAST shard in CompressMulti (its prefix is
     // the whole preceding input)
-    if (dict_len > (256 << 10)) {
-        int64_t dense_from = dict_len - (256 << 10);
-        int64_t mid_from = std::max<int64_t>(0, dict_len - (1 << 20));
+    if (dict_len > (1 << 20)) {
+        int64_t dense_from = dict_len - (1 << 20);
+        int64_t mid_from = std::max<int64_t>(0, dict_len - (4 << 20));
         for (int64_t i = 0; i < mid_from; i += 8)
             cx.insert_one_inline(i);
-        for (int64_t i = mid_from; i < dense_from; i += 3)
+        for (int64_t i = mid_from; i < dense_from; i += 2)
             cx.insert_one_inline(i);
         cx.ins_pos = dense_from;
     }
