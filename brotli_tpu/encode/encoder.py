@@ -167,6 +167,32 @@ def _pipelined_segments(nb, full, params, boundaries, dlen, start,
         sess.close()
 
 
+def _pipelined_fragment_segments(nb, full, params, boundaries, start):
+    """Fragment-tier analog of _pipelined_segments: one
+    fragment_parse_seg call per metablock, prefetched one boundary
+    ahead on a single worker thread (the persistent direct-mapped
+    table requires thread affinity)."""
+    from concurrent.futures import ThreadPoolExecutor
+    ex = ThreadPoolExecutor(max_workers=1)
+    window = params.window_size
+    try:
+        fut = ex.submit(nb.fragment_parse_seg, full, window, start,
+                        boundaries[0], True)
+        prev = start
+        for i in range(len(boundaries)):
+            seg = fut.result()
+            prev = boundaries[i]
+            if i + 1 < len(boundaries):
+                fut = ex.submit(nb.fragment_parse_seg, full, window,
+                                prev, boundaries[i + 1], False)
+            # cap = span/4 + 16 cannot overflow: every command but the
+            # trailing insert advances by a >= 4-byte copy
+            assert seg is not None
+            yield seg
+    finally:
+        ex.shutdown(wait=True)
+
+
 def compress_with_params(data: np.ndarray, params: EncoderParams,
                          custom_dictionary: bytes = b"",
                          metablock_callback=None,
@@ -215,13 +241,12 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
             # q0/q1 fast tier (reference BrotliCompressFragmentFast,
             # compress_fragment.rs): one direct-mapped table, greedy
             # one-pass, miss-skip stride — no ring tables, no
-            # dictionary, no distance-cache probes
-            segments = nb.fragment_parse(full, params.window_size,
-                                         boundaries, pos0=start)
-            if segments is None:
-                segments = _pipelined_segments(
-                    nb, full, params, boundaries, dlen, start,
-                    tuple(cache), knobs)
+            # dictionary, no distance-cache probes.  Parsed one
+            # metablock at a time on a single worker thread (the
+            # direct-mapped table persists thread-locally), so
+            # parse(g+1) overlaps serialization(g).
+            segments = _pipelined_fragment_segments(
+                nb, full, params, boundaries, start)
         elif nb.available():
             # one-pass native search+parse (the reference's
             # CreateBackwardReferences shape: search only at parse

@@ -130,7 +130,10 @@ def compute_lg_block(p: EncoderParams) -> int:
     lgblock = p.lgblock
     if lgblock == 0:
         if p.quality <= 1:
-            lgblock = p.lgwin
+            # 1 MiB spans let the fragment tier overlap parse(g+1)
+            # with serialization(g); the persistent table keeps
+            # matches crossing the boundaries
+            lgblock = min(p.lgwin, 20)
         elif p.quality <= 9:
             lgblock = 20
         else:

@@ -124,6 +124,7 @@ def get_lib():
         _lib.zopfli_cands_dense_native.restype = ctypes.c_int64
         _lib.est_lit_native.restype = None
         _lib.fragment_parse_native.restype = ctypes.c_int64
+        _lib.fragment_parse_seg_native.restype = ctypes.c_int64
         _lib.zopfli_dp_cands_native.restype = None
         _lib.zopfli_backtrack_native.restype = ctypes.c_int64
         _lib.store_metablock_native.restype = ctypes.c_int64
@@ -577,6 +578,33 @@ def fragment_parse(data, window_size, bounds, pos0=0, table_bits=17):
                      adv[o:o + c]))
         o += c
     return segs
+
+
+def fragment_parse_seg(data, window_size, pos0, bound, reset,
+                       table_bits=17):
+    """One-segment fragment parse with a persistent direct-mapped
+    table (fragment_parse_seg_native).  All calls for one stream must
+    come from the SAME thread (the table is thread-local); reset=True
+    on the first segment.  Returns (ins, cps, dst, adv) or None on
+    overflow."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(data)
+    table_bits = min(table_bits, max(9, n.bit_length()))
+    cap = (bound - pos0) // 4 + 16
+    ins = np.empty(cap, np.int64)
+    cps = np.empty(cap, np.int64)
+    dst = np.empty(cap, np.int64)
+    adv = np.empty(cap, np.int64)
+    m = lib.fragment_parse_seg_native(
+        _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(pos0),
+        ctypes.c_int64(window_size), ctypes.c_int64(table_bits),
+        ctypes.c_int64(bound), ctypes.c_int64(1 if reset else 0),
+        _ptr(ins), _ptr(cps), _ptr(dst), _ptr(adv),
+        ctypes.c_int64(cap))
+    if m < 0:
+        return None
+    return ins[:m].copy(), cps[:m].copy(), dst[:m].copy(), adv[:m].copy()
 
 
 def est_lit(data, cls, half, utf8_ramp, bias):

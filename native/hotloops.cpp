@@ -913,16 +913,41 @@ void est_lit_native(const uint8_t* data, int64_t n, const uint8_t* cls,
 // are capped at metablock boundaries.
 // ---------------------------------------------------------------------------
 
-int64_t fragment_parse_native(
+// per-segment form with a persistent direct-mapped table: the caller
+// parses one metablock at a time from a single worker thread (the
+// thread_local table carries cross-segment match state), overlapping
+// parse(g+1) with serialization(g) exactly like the generic parse
+// session.  reset != 0 clears the table (new stream).
+int64_t fragment_parse_seg_native(
     const uint8_t* data, int64_t n, int64_t pos0, int64_t window,
-    int64_t table_bits, const int64_t* bounds, int64_t n_bounds,
+    int64_t table_bits, int64_t bound, int64_t reset,
     int64_t* out_ins, int64_t* out_cps, int64_t* out_dst,
-    int64_t* out_adv, int64_t* seg_counts /* [n_bounds] */, int64_t cap)
+    int64_t* out_adv, int64_t cap)
 {
     int64_t tsize = int64_t(1) << table_bits;
-    static thread_local std::vector<int32_t> table_v;
-    table_v.assign(tsize, 0);  // stores pos+1; 0 = empty
-    int32_t* table = table_v.data();
+    static thread_local std::vector<int32_t> seg_table;
+    if (reset || (int64_t)seg_table.size() != tsize)
+        seg_table.assign(tsize, 0);
+    int32_t* table = seg_table.data();
+    int64_t bounds1[1] = {bound};
+    int64_t segc1[1] = {0};
+    // shares the walk below via a one-bound call on the same table
+    extern int64_t fragment_parse_core(
+        const uint8_t*, int64_t, int64_t, int64_t, int64_t, int32_t*,
+        const int64_t*, int64_t, int64_t*, int64_t*, int64_t*,
+        int64_t*, int64_t*, int64_t);
+    return fragment_parse_core(data, n, pos0, window, table_bits, table,
+                               bounds1, 1, out_ins, out_cps, out_dst,
+                               out_adv, segc1, cap);
+}
+
+int64_t fragment_parse_core(
+    const uint8_t* data, int64_t n, int64_t pos0, int64_t window,
+    int64_t table_bits, int32_t* table,
+    const int64_t* bounds, int64_t n_bounds,
+    int64_t* out_ins, int64_t* out_cps, int64_t* out_dst,
+    int64_t* out_adv, int64_t* seg_counts, int64_t cap)
+{
     const uint64_t kMul = 0x1FE35A7BD3579BD3ull;
     uint32_t shift = (uint32_t)(64 - table_bits);
     auto hash5 = [&](int64_t i) -> uint32_t {
@@ -984,6 +1009,21 @@ int64_t fragment_parse_native(
         prev = bound;
     }
     return m;
+}
+
+int64_t fragment_parse_native(
+    const uint8_t* data, int64_t n, int64_t pos0, int64_t window,
+    int64_t table_bits, const int64_t* bounds, int64_t n_bounds,
+    int64_t* out_ins, int64_t* out_cps, int64_t* out_dst,
+    int64_t* out_adv, int64_t* seg_counts /* [n_bounds] */, int64_t cap)
+{
+    int64_t tsize = int64_t(1) << table_bits;
+    static thread_local std::vector<int32_t> table_v;
+    table_v.assign(tsize, 0);  // stores pos+1; 0 = empty
+    return fragment_parse_core(data, n, pos0, window, table_bits,
+                               table_v.data(), bounds, n_bounds,
+                               out_ins, out_cps, out_dst, out_adv,
+                               seg_counts, cap);
 }
 
 // ---------------------------------------------------------------------------

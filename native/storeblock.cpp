@@ -1599,31 +1599,40 @@ extern "C" int64_t store_metablock_native(
     // is non-trivial, or by the dynamic clustering at q>=10 — skip the
     // per-literal LUT walk otherwise (the q<4 trivial tier)
     bool need_ctx = quality >= 10 || num_lit_ctx > 1;
+    // the trivial tier (no splits, no context map) never needs the
+    // gathered literal buffer: the histogram and emit loops walk the
+    // window data through the command stream instead
+    bool need_lit_buf = need_ctx || enable_splits;
+    int64_t n_lit = 0;
     {
         int64_t pos = start;
         int64_t tot = 0;
         for (int64_t c = 0; c < n_cmds; c++) tot += insert_len[c];
-        literals.resize(tot);
+        n_lit = tot;
+        literals.resize(need_lit_buf ? tot : 0);
         lit_ctx.resize(need_ctx ? tot : 0);
-        int64_t o = 0;
-        for (int64_t c = 0; c < n_cmds; c++) {
-            int64_t il = insert_len[c];
-            if (il) {
-                std::memcpy(literals.data() + o, data + pos, (size_t)il);
-                if (need_ctx) {
-                    for (int64_t j = 0; j < il; j++) {
-                        int64_t p = pos + j;
-                        uint8_t p1 = p >= 1 ? data[p - 1] : 0;
-                        uint8_t p2 = p >= 2 ? data[p - 2] : 0;
-                        lit_ctx[o + j] = (uint8_t)(lut0[p1] | lut1[p2]);
+        if (need_lit_buf) {
+            int64_t o = 0;
+            for (int64_t c = 0; c < n_cmds; c++) {
+                int64_t il = insert_len[c];
+                if (il) {
+                    std::memcpy(literals.data() + o, data + pos,
+                                (size_t)il);
+                    if (need_ctx) {
+                        for (int64_t j = 0; j < il; j++) {
+                            int64_t p = pos + j;
+                            uint8_t p1 = p >= 1 ? data[p - 1] : 0;
+                            uint8_t p2 = p >= 2 ? data[p - 2] : 0;
+                            lit_ctx[o + j] =
+                                (uint8_t)(lut0[p1] | lut1[p2]);
+                        }
                     }
+                    o += il;
                 }
-                o += il;
+                pos += il + copy_advance[c];
             }
-            pos += il + copy_advance[c];
         }
     }
-    int64_t n_lit = (int64_t)literals.size();
     mark("lits");
 
     // ---- distance symbol stream ----
@@ -1735,7 +1744,18 @@ extern "C" int64_t store_metablock_native(
         lit_h.assign((size_t)ntrees_l * 256, 0);
         if (ntrees_l == 1) {
             // single tree: plain byte histogram, no per-literal tree
-            for (int64_t i = 0; i < n_lit; i++) lit_h[literals[i]]++;
+            if (need_lit_buf) {
+                for (int64_t i = 0; i < n_lit; i++) lit_h[literals[i]]++;
+            } else {
+                // trivial tier: walk the window data (no gathered copy)
+                int64_t pos = start;
+                for (int64_t c = 0; c < n_cmds; c++) {
+                    int64_t il = insert_len[c];
+                    for (int64_t j = 0; j < il; j++)
+                        lit_h[data[pos + j]]++;
+                    pos += il + copy_advance[c];
+                }
+            }
         } else if (num_lit_ctx == 1) {
             // trivial map: tree == block type, no context lookup
             for (int64_t i = 0; i < n_lit; i++) {
@@ -1889,7 +1909,9 @@ extern "C" int64_t store_metablock_native(
                 acc = (off == 0) ? 0 : (bits >> (nb - off));
             }
         };
-        int64_t lit_i2 = 0, dist_i2 = 0;
+        int64_t dist_i2 = 0;
+        int64_t lit_pos = start;  // literals stream straight from the
+                                  // window data via the command walk
         for (int64_t c = 0; c < n_cmds; c++) {
             int64_t il = insert_len[c];
             if ((word << 6) + off + 192 + il * 16 > cap_bits) {
@@ -1910,7 +1932,7 @@ extern "C" int64_t store_metablock_native(
                          ((uint64_t)(wire_copy - T.copy_base[ccode])
                           << (l0 + l1));
             push(v, l0 + l1 + (int)T.copy_extra[ccode]);
-            const uint8_t* lp = literals.data() + lit_i2;
+            const uint8_t* lp = data + lit_pos;
             int64_t j = 0;
             for (; j + 4 <= il; j += 4) {
                 // 4 literal codes <=15b each: one push
@@ -1926,7 +1948,7 @@ extern "C" int64_t store_metablock_native(
                 push(lv, s2 + le.lens[b3]);
             }
             for (; j < il; j++) push(le.codes[lp[j]], le.lens[lp[j]]);
-            lit_i2 += il;
+            lit_pos += il + copy_advance[c];
             if (copy_len[c] > 0 && !T.cmd_implicit[sym]) {
                 int ds = (int)dist_syms[dist_i2];
                 int dl = de.lens[ds];
