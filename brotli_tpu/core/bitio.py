@@ -180,8 +180,11 @@ class BitWriter:
         if total_bits == 0:
             return
         nbytes = (total_bits + 7) >> 3
+        # slice to the used words BEFORE the bytes copy: `words` is a
+        # reused scratch buffer much larger than the payload
+        used = words[:(total_bits + 63) >> 6]
         raw = np.frombuffer(
-            np.ascontiguousarray(words, dtype="<u8").tobytes()[:nbytes],
+            np.ascontiguousarray(used, dtype="<u8").tobytes()[:nbytes],
             dtype=np.uint8).copy()
         if total_bits & 7:
             raw[-1] &= (1 << (total_bits & 7)) - 1
