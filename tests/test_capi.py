@@ -458,3 +458,45 @@ def test_capi_streaming_encode_incremental_and_flush():
         assert oracle.decompress(bytes(out),
                                  max_size_hint=len(data) + 64) == data
     L.BrotliEncoderDestroyInstance(es)
+
+
+def test_capi_streaming_decode_header_edge_fixtures():
+    """The upstream header-edge fixtures (metadata blocks, window
+    codes, ISLASTEMPTY forms) must decode byte-at-a-time through the
+    streaming ABI exactly like one-shot."""
+    import glob
+    L = lib()
+    L.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    fixtures = sorted(glob.glob(os.path.join(TESTDATA, "empty.compressed*")))
+    fixtures += sorted(glob.glob(os.path.join(TESTDATA, "x.compressed*")))
+    assert len(fixtures) >= 20
+    for path in fixtures:
+        comp = open(path, "rb").read()
+        want = (b"" if os.path.basename(path).startswith("empty")
+                else b"X")
+        st = ctypes.c_void_p(
+            L.BrotliDecoderCreateInstance(None, None, None))
+        out = bytearray()
+        obuf = ctypes.create_string_buffer(64)
+        r = 2
+        i = 0
+        while r != 1:
+            feed = comp[i:i + 1]
+            i += len(feed)
+            avail_in = ctypes.c_size_t(len(feed))
+            pin = ctypes.cast(ctypes.c_char_p(bytes(feed)),
+                              ctypes.POINTER(ctypes.c_uint8))
+            while True:
+                avail_out = ctypes.c_size_t(len(obuf))
+                pout = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
+                r = L.BrotliDecoderDecompressStream(
+                    st, ctypes.byref(avail_in), ctypes.pointer(pin),
+                    ctypes.byref(avail_out), ctypes.pointer(pout), None)
+                out += obuf.raw[:len(obuf) - avail_out.value]
+                assert r != 0, path
+                if r != 3:
+                    break
+            if r == 2 and i >= len(comp):
+                raise AssertionError(f"{path}: stuck needing input")
+        assert bytes(out) == want, path
+        L.BrotliDecoderDestroyInstance(st)
