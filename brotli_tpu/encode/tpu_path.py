@@ -61,6 +61,22 @@ def _device_knobs(quality: int):
     return dict(k=8, k8=4) if quality <= 6 else dict(k=16, k8=8)
 
 
+def _extract_literals(region, dlen, ins, adv):
+    """Literal byte stream of a parsed segment (insert runs walked
+    through the command list)."""
+    total = int(np.sum(ins))
+    out = np.empty(total, np.uint8)
+    pos = dlen
+    o = 0
+    for i in range(len(ins)):
+        il = int(ins[i])
+        if il:
+            out[o:o + il] = region[pos:pos + il]
+            o += il
+        pos += il + int(adv[i])
+    return out
+
+
 def compress_tpu(data, quality: int = 9, lgwin: int = 22,
                  mode: int = 0, span: int | None = None) -> bytes:
     """One-shot TPU-path compress for q2-q9 (q0/1 use the trivial-tier
@@ -181,13 +197,28 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
                 region, dlen, real, params.quality, n)
         else:
             nlc, smap = 1, np.zeros(64, dtype=np.int64)
+        # literal block split planned ON THE DEVICE (ops/split.py: the
+        # Lloyd loop's cost matrix is an MXU matmul); the native store
+        # takes the assignment and computes command/distance splits
+        ext_split = None
+        try:
+            from ..ops.split import split_symbols_device
+            lit_stream = _extract_literals(region, dlen, ins, adv)
+            if len(lit_stream) >= 128:
+                sp = split_symbols_device(
+                    lit_stream.astype(np.int64), 256, "literal")
+                if sp.num_types > 1:
+                    ext_split = (sp.types.astype(np.int32),
+                                 sp.num_types)
+        except Exception:
+            ext_split = None  # device planning is best-effort
         if nb.available():
             res = nb.encode_metablock(
                 region, dlen, real, is_last, ins, cps, dst, adv,
                 cache, params.window_size, 0, 0,
                 params.dist.alphabet_size, max(params.quality, 4),
                 ctx_mode, nlc, smap, C.CONTEXT_LUT0[ctx_mode],
-                C.CONTEXT_LUT1[ctx_mode])
+                C.CONTEXT_LUT1[ctx_mode], ext_lit_split=ext_split)
             if res is None or res[1] > 8 * real + 40:
                 bs.store_uncompressed_meta_block(
                     w, raw[s0:s0 + real].tobytes())

@@ -413,6 +413,7 @@ def store_metablock(data, start, mlen, is_last, cmds, npostfix, ndirect,
         ctypes.c_int64(context_mode), ctypes.c_int64(num_lit_ctx),
         _ptr(smap), _ptr(lut0, U8), _ptr(lut1, U8),
         ctypes.c_int64(int(enable_splits)),
+        ctypes.c_void_p(None), ctypes.c_int64(0),
         words.ctypes.data_as(U64), ctypes.c_int64(cap_bits))
     if r < 0:
         return None
@@ -422,11 +423,16 @@ def store_metablock(data, start, mlen, is_last, cmds, npostfix, ndirect,
 def encode_metablock(data, start, mlen, is_last, ins, wire, dist, adv,
                      cache, window_size, npostfix, ndirect, dist_alpha,
                      quality, context_mode, num_lit_ctx, lit_static_map,
-                     lut0, lut1, enable_splits=True):
+                     lut0, lut1, enable_splits=True,
+                     ext_lit_split=None):
     """Fused per-metablock resolve + plan + serialize
     (encode_metablock_native).  Returns (words, nbits, new_cache) or
     None on overflow (caller falls back to an uncompressed block;
-    cache is unchanged in that case)."""
+    cache is unchanged in that case).
+
+    ext_lit_split: optional (types_per_literal int32[], num_types) —
+    an externally planned literal block split (the device Lloyd
+    planner, ops/split.py); command/distance splits stay native."""
     lib = get_lib()
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(ins)
@@ -442,6 +448,14 @@ def encode_metablock(data, start, mlen, is_last, ins, wire, dist, adv,
     smap = np.ascontiguousarray(lit_static_map, np.int64)
     lut0 = np.ascontiguousarray(lut0, np.uint8)
     lut1 = np.ascontiguousarray(lut1, np.uint8)
+    if ext_lit_split is not None:
+        ext_types = np.ascontiguousarray(ext_lit_split[0], np.int32)
+        ext_ptr = ext_types.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32))
+        ext_n = int(ext_lit_split[1])
+    else:
+        ext_ptr = ctypes.c_void_p(None)
+        ext_n = 0
     r = lib.encode_metablock_native(
         _ptr(data, U8), ctypes.c_int64(start), ctypes.c_int64(mlen),
         ctypes.c_int64(int(is_last)), ctypes.c_int64(n),
@@ -452,6 +466,7 @@ def encode_metablock(data, start, mlen, is_last, ins, wire, dist, adv,
         ctypes.c_int64(context_mode), ctypes.c_int64(num_lit_ctx),
         _ptr(smap), _ptr(lut0, U8), _ptr(lut1, U8),
         ctypes.c_int64(int(enable_splits)),
+        ext_ptr, ctypes.c_int64(ext_n),
         words.ctypes.data_as(U64), ctypes.c_int64(cap_bits))
     if r < 0:
         return None

@@ -10,16 +10,15 @@
 // the decoder is decode_native.
 //
 // Scope notes (documented divergences, not silent ones):
-//  - qualities 10/11 run the q9 pipeline (the optimal-parse tier is
-//    host-Python; the C ABI caps at the greedy tier).  Streams are
-//    valid brotli either way.
-//  - the encoder-side static dictionary index is not embedded; C-path
-//    streams simply contain no dictionary references.
-//  - BrotliDecoderDecompressStream buffers input and retries whole
-//    stream decode when input grows 2x or the caller signals input
-//    exhaustion (avail_in == 0); output then drains in chunks.  The
-//    state machine is byte-accurate at the API level, not
-//    constant-memory mid-metablock.
+//  - qualities 10/11 run the native optimal parse (zopfli_hq.cpp),
+//    including the exact sorted (word x transform) dictionary index
+//    built from the embedded tables; the greedy tiers do not search
+//    the static dictionary on this path.
+//  - both streaming directions are incremental and bounded-memory at
+//    METABLOCK granularity: the decoder resumes at the last block
+//    boundary (decode_stream_step_native), the encoder emits per
+//    metablock-sized chunk and supports FLUSH byte-alignment — not
+//    resumable mid-symbol.
 
 #include <cstdint>
 #include <cstring>
@@ -42,7 +41,8 @@ int64_t encode_metablock_native(
     int64_t, const int64_t*, const int64_t*, const int64_t*,
     const int64_t*, int64_t*, int64_t, int64_t, int64_t, int64_t,
     int64_t, int64_t, int64_t, const int64_t*, const uint8_t*,
-    const uint8_t*, int64_t, uint64_t*, int64_t);
+    const uint8_t*, int64_t, const int32_t*, int64_t,
+    uint64_t*, int64_t);
 int64_t decode_native(
     const uint8_t*, int64_t, uint8_t*, int64_t, const uint8_t*,
     int64_t, int64_t, int32_t*, int64_t);
@@ -428,7 +428,7 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
             oa.data() + off, cache, window, 0, 0, dist_alpha,
             std::max(quality, 4), ctx_mode, nlc, smap,
             kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
-            quality >= 4 ? 1 : 0, words.data(), cap_bits);
+            quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits);
         if (nbits < 0 || nbits > 8 * mlen + 40) {
             store_uncompressed(w, input + seg_start, mlen);
             if (is_last) write_empty_last(w);
@@ -514,7 +514,7 @@ static bool encode_stream_chunk(
         oc.data(), od.data(), oa.data(), cache, window, 0, 0,
         dist_alpha, std::max(quality, 4), ctx_mode, nlc, smap,
         kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
-        quality >= 4 ? 1 : 0, words.data(), cap_bits);
+        quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits);
     if (nbits < 0 || nbits > 8 * blen + 40) {
         store_uncompressed(w, body, blen);
         if (is_last) write_empty_last(w);

@@ -1572,6 +1572,8 @@ extern "C" int64_t store_metablock_native(
     int64_t num_lit_ctx, const int64_t* lit_static_map /* [64] */,
     const uint8_t* lut0 /* [256] */, const uint8_t* lut1 /* [256] */,
     int64_t enable_splits,
+    const int32_t* ext_lit_types /* per literal; may be null */,
+    int64_t ext_lit_ntypes,
     uint64_t* out_words, int64_t cap_bits)
 {
     using namespace sb;
@@ -1602,7 +1604,8 @@ extern "C" int64_t store_metablock_native(
     // the trivial tier (no splits, no context map) never needs the
     // gathered literal buffer: the histogram and emit loops walk the
     // window data through the command stream instead
-    bool need_lit_buf = need_ctx || enable_splits;
+    bool need_lit_buf = need_ctx || enable_splits ||
+                        (ext_lit_types && ext_lit_ntypes > 1);
     int64_t n_lit = 0;
     {
         int64_t pos = start;
@@ -1653,7 +1656,35 @@ extern "C" int64_t store_metablock_native(
     // ---- block splits ----
     static thread_local std::vector<int64_t> lit64;
     Split lit_split, cmd_split, dist_split;
-    if (enable_splits) {
+    if (ext_lit_types && ext_lit_ntypes > 1) {
+        // externally planned literal split (the device Lloyd planner,
+        // ops/split.py) — command/distance splits still computed here
+        lit_split.num_types = (int)ext_lit_ntypes;
+        lit_split.types.assign(ext_lit_types, ext_lit_types + n_lit);
+        lit_split.blocks.clear();
+        int64_t i = 0;
+        while (i < n_lit) {
+            int64_t j = i;
+            while (j < n_lit && lit_split.types[j] == lit_split.types[i])
+                j++;
+            lit_split.blocks.push_back({lit_split.types[i],
+                                        (int)(j - i)});
+            i = j;
+        }
+        if (enable_splits) {
+            bool fast_split = quality < 7;
+            cmd_split = split_symbols(cmd_sym, n_cmds, 704,
+                                      fast_split ? SP_CMD_FAST : SP_CMD);
+            dist_split = split_symbols(dist_syms.data(),
+                                       (int64_t)dist_syms.size(),
+                                       (int)dist_alpha,
+                                       fast_split ? SP_DIST_FAST
+                                                  : SP_DIST);
+        } else {
+            cmd_split.blocks = {{0, (int)n_cmds}};
+            dist_split.blocks = {{0, (int)dist_syms.size()}};
+        }
+    } else if (enable_splits) {
         lit64.assign(literals.begin(), literals.end());
         if (quality >= 10) {
             // per-symbol Viterbi splitter (reference SplitByteVector)
@@ -2026,6 +2057,7 @@ extern "C" int64_t encode_metablock_native(
     int64_t num_lit_ctx, const int64_t* lit_static_map,
     const uint8_t* lut0, const uint8_t* lut1,
     int64_t enable_splits,
+    const int32_t* ext_lit_types, int64_t ext_lit_ntypes,
     uint64_t* out_words, int64_t cap_bits)
 {
     static thread_local std::vector<int64_t> code, extra, bits, sym;
@@ -2043,7 +2075,7 @@ extern "C" int64_t encode_metablock_native(
         code.data(), extra.data(), bits.data(), sym.data(), advance,
         npostfix, ndirect, dist_alpha, quality, context_mode,
         num_lit_ctx, lit_static_map, lut0, lut1, enable_splits,
-        out_words, cap_bits);
+        ext_lit_types, ext_lit_ntypes, out_words, cap_bits);
     if (r >= 0) {
         // commit the rolled-forward distance cache only when the
         // compressed form is used (an uncompressed fallback leaves the

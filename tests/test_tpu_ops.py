@@ -162,3 +162,41 @@ def test_pallas_match_kernel_matches_jax():
     got = match_lengths_blocked(v4, jnp.asarray(a), jnp.asarray(b),
                                 limit, interpret=True)
     assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_device_split_planner_quality():
+    """The device Lloyd split planner (ops/split.py: chunk histograms
+    + matmul-shaped cost iterations on the device) produces a literal
+    partition whose total coded cost is within 1% of the host
+    oracle's (metablock.split_symbols)."""
+    from brotli_tpu.encode.metablock import shannon_entropy, split_symbols
+    from brotli_tpu.ops.split import split_symbols_device
+    with open(f"{TESTDATA}/alice29.txt", "rb") as f:
+        lits = np.frombuffer(f.read()[:100000], np.uint8).astype(np.int64)
+
+    def cost_of(split):
+        tot = 0.0
+        for t in range(split.num_types):
+            h = np.bincount(lits[split.types == t], minlength=256)
+            tot += shannon_entropy(h)
+        return tot + 28.1 * len(split.blocks)
+
+    ref = split_symbols(lits, 256, "literal")
+    dev = split_symbols_device(lits, 256, "literal")
+    assert dev.num_types >= 2
+    assert len(dev.types) == len(lits)
+    assert int(np.sum([ln for _, ln in dev.blocks])) == len(lits)
+    assert cost_of(dev) <= cost_of(ref) * 1.01
+
+
+def test_tpu_path_device_split_roundtrip():
+    """compress_tpu with the device-planned literal split round-trips
+    and stays within 1% of the host encoder at the same spans."""
+    from brotli_tpu import compress, decompress
+    from brotli_tpu.encode.tpu_path import compress_tpu
+    with open(f"{TESTDATA}/alice29.txt", "rb") as f:
+        data = f.read()
+    out = compress_tpu(data, quality=9, span=1 << 16)
+    assert decompress(out) == data
+    host = compress(data, quality=9)
+    assert len(out) <= len(host) * 1.01
