@@ -604,6 +604,7 @@ struct BrotliDecoderStateStruct {
     std::vector<uint8_t> step_out;
     bool used = false;
     bool error = false;
+    bool large_window = false;
     int64_t err_code = 0;
     std::vector<int32_t> tmem;
     bool finished() const { return st[1] != 0; }
@@ -616,7 +617,11 @@ BrotliDecoderState* BrotliDecoderCreateInstance(void*, void*, void*) {
 }
 void BrotliDecoderDestroyInstance(BrotliDecoderState* s) { delete s; }
 
-int BrotliDecoderSetParameter(BrotliDecoderState*, uint32_t, uint32_t) {
+int BrotliDecoderSetParameter(BrotliDecoderState* s, uint32_t param,
+                              uint32_t value) {
+    if (param == 1) {  // BROTLI_DECODER_PARAM_LARGE_WINDOW
+        s->large_window = value != 0;
+    }
     return 1;
 }
 
@@ -662,7 +667,8 @@ BrotliDecoderResult BrotliDecoderDecompressStream(
             int64_t r = decode_stream_step_native(
                 s->st, s->in.data(), (int64_t)s->in.size(),
                 &s->bit_pos, s->hist.data(), (int64_t)s->hist.size(),
-                s->step_out.data(), s->step_cap, 0, s->tmem.data(),
+                s->step_out.data(), s->step_cap,
+                s->large_window ? 1 : 0, s->tmem.data(),
                 (int64_t)s->tmem.size());
             if (r == -3) {
                 // one metablock larger than the step buffer (<= 16MiB

@@ -500,3 +500,39 @@ def test_capi_streaming_decode_header_edge_fixtures():
                 raise AssertionError(f"{path}: stuck needing input")
         assert bytes(out) == want, path
         L.BrotliDecoderDestroyInstance(st)
+
+
+def test_capi_streaming_decode_large_window():
+    """BROTLI_DECODER_PARAM_LARGE_WINDOW must be honored by the
+    streaming ABI (lgwin 26 stream)."""
+    from brotli_tpu import compress
+    L = lib()
+    L.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    data = load("alice29.txt")
+    comp = compress(data, quality=9, lgwin=26, large_window=True)
+    st = ctypes.c_void_p(L.BrotliDecoderCreateInstance(None, None, None))
+    L.BrotliDecoderSetParameter(st, 1, 1)   # LARGE_WINDOW
+    buf = ctypes.create_string_buffer(len(data) + 64)
+    avail_in = ctypes.c_size_t(len(comp))
+    pin = ctypes.cast(ctypes.c_char_p(bytes(comp)),
+                      ctypes.POINTER(ctypes.c_uint8))
+    avail_out = ctypes.c_size_t(len(buf))
+    pout = ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8))
+    r = L.BrotliDecoderDecompressStream(
+        st, ctypes.byref(avail_in), ctypes.pointer(pin),
+        ctypes.byref(avail_out), ctypes.pointer(pout), None)
+    assert r == 1, r
+    assert buf.raw[:len(buf) - avail_out.value] == data
+    L.BrotliDecoderDestroyInstance(st)
+    # without the parameter the stream must be rejected, not misread
+    st2 = ctypes.c_void_p(L.BrotliDecoderCreateInstance(None, None, None))
+    avail_in = ctypes.c_size_t(len(comp))
+    pin = ctypes.cast(ctypes.c_char_p(bytes(comp)),
+                      ctypes.POINTER(ctypes.c_uint8))
+    avail_out = ctypes.c_size_t(len(buf))
+    pout = ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8))
+    r = L.BrotliDecoderDecompressStream(
+        st2, ctypes.byref(avail_in), ctypes.pointer(pin),
+        ctypes.byref(avail_out), ctypes.pointer(pout), None)
+    assert r == 0
+    L.BrotliDecoderDestroyInstance(st2)
