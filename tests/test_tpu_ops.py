@@ -200,3 +200,25 @@ def test_tpu_path_device_split_roundtrip():
     assert decompress(out) == data
     host = compress(data, quality=9)
     assert len(out) <= len(host) * 1.01
+
+
+def test_kernel_profiling_counters(tmp_path):
+    """utils/profiling: per-kernel GB/s counters + a profiler trace
+    scope (the TPU-native analog of the reference's billing feature,
+    SURVEY.md §5)."""
+    import jax
+    from brotli_tpu.ops.matching import u32_values
+    from brotli_tpu.utils.profiling import device_trace, measure_kernel
+    data = np.frombuffer(
+        open(f"{TESTDATA}/alice29.txt", "rb").read()[:65536], np.uint8)
+    fn = jax.jit(u32_values)
+    arr = jnp.asarray(data)
+    stats = measure_kernel("u32_values", fn, (arr,),
+                           bytes_moved=len(data) * 5)
+    assert stats.wall_s > 0 and stats.gbps > 0
+    assert "GB/s" in str(stats)
+    with device_trace(str(tmp_path)):
+        jax.block_until_ready(fn(arr))
+    # the trace scope must leave a profile artifact behind
+    import glob
+    assert glob.glob(str(tmp_path) + "/**/*", recursive=True)
