@@ -171,3 +171,21 @@ def test_compress_multi_process_backend():
     assert decompress(out) == data
     if oracle.available():
         assert oracle.decompress(out, max_size_hint=len(data)) == data
+
+
+def test_compress_multi_zopfli_tiers():
+    """CompressMulti at the optimal-parse tiers: every backend's shards
+    run q10/q11 (catable + prefix dictionary) and merge losslessly."""
+    from brotli_tpu import compress_multi, decompress
+
+    from . import oracle
+    from .conftest import TESTDATA
+    import os as _os
+    with open(_os.path.join(TESTDATA, "alice29.txt"), "rb") as f:
+        data = f.read()
+    for q in (10, 11):
+        out = compress_multi(data, 3, quality=q, backend="workpool")
+        assert decompress(out) == data
+        if oracle.available():
+            assert oracle.decompress(out,
+                                     max_size_hint=len(data) + 64) == data
