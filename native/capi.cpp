@@ -711,7 +711,11 @@ BrotliDecoderResult BrotliDecoderDecompressStream(
                 s->in.erase(s->in.begin(), s->in.begin() + drop);
                 s->bit_pos &= 7;
             }
-            break;  // the step already consumed all decodable blocks
+            // a step that filled its output buffer mid-input (-3 with
+            // progress) leaves decodable blocks buffered — keep
+            // stepping until no progress or finished
+            if (r > 0 && !s->finished()) continue;
+            break;
         }
     }
     // drain
