@@ -883,7 +883,8 @@ int BrotliEncoderCompressStream(
         int64_t chunk = s->chunk_size();
         bool finish = op == BROTLI_OPERATION_FINISH;
         bool flush = op == BROTLI_OPERATION_FLUSH;
-        bool suppress = s->appendable || s->byte_align;
+        // catable implies appendable (SanitizeParams, encode.rs:546)
+        bool suppress = s->appendable || s->byte_align || s->catable;
         while ((int64_t)s->in.size() >= chunk ||
                ((finish || flush) && !s->in.empty())) {
             int64_t take = std::min<int64_t>(chunk,
