@@ -536,3 +536,44 @@ def test_capi_streaming_decode_large_window():
         ctypes.byref(avail_out), ctypes.pointer(pout), None)
     assert r == 0
     L.BrotliDecoderDestroyInstance(st2)
+
+
+def test_capi_streaming_encode_catable_concatenates():
+    """Facade-encoded appendable + catable streams must concatenate
+    losslessly (catable implies appendable shaping — no ISLAST on
+    content blocks)."""
+    from brotli_tpu import concatenate, decompress
+    L = lib()
+    L.BrotliEncoderCreateInstance.restype = ctypes.c_void_p
+
+    def stream_encode(data, params):
+        es = ctypes.c_void_p(
+            L.BrotliEncoderCreateInstance(None, None, None))
+        for k, v in params:
+            L.BrotliEncoderSetParameter(es, k, v)
+        out = bytearray()
+        obuf = ctypes.create_string_buffer(1 << 20)
+        for op, chunk in ((0, data), (2, b"")):
+            avail_in = ctypes.c_size_t(len(chunk))
+            pin = ctypes.cast(ctypes.c_char_p(bytes(chunk)),
+                              ctypes.POINTER(ctypes.c_uint8))
+            while True:
+                avail_out = ctypes.c_size_t(len(obuf))
+                pout = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
+                assert L.BrotliEncoderCompressStream(
+                    es, op, ctypes.byref(avail_in), ctypes.pointer(pin),
+                    ctypes.byref(avail_out), ctypes.pointer(pout),
+                    None) == 1
+                out.extend(obuf.raw[:len(obuf) - avail_out.value])
+                if avail_in.value == 0 and avail_out.value > 0:
+                    break
+        assert L.BrotliEncoderIsFinished(es)
+        L.BrotliEncoderDestroyInstance(es)
+        return bytes(out)
+
+    a = load("alice29.txt")
+    b = load("asyoulik.txt")
+    first = stream_encode(a, [(2, 9), (168, 1)])   # appendable
+    second = stream_encode(b, [(2, 9), (167, 1)])  # catable
+    joined = concatenate([first, second])
+    assert decompress(joined) == a + b
