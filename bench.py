@@ -106,30 +106,27 @@ def main():
     results = {}
     for q in (5, 9):
         compress(sl[: 1 << 16], quality=q)  # warm
-        enc_dt = 1e9
-        for _ in range(3):
+        # interleaved min-of-N: this VM's wall clock drifts +-30%
+        # between runs, so ours/C legs alternate within each rep
+        enc_dt = dec_dt = c_enc = c_dec = 1e9
+        out = cout = None
+        for _ in range(4):
             t0 = time.perf_counter()
             out = compress(sl, quality=q)
             enc_dt = min(enc_dt, time.perf_counter() - t0)
-        plain = decompress(out)
-        assert plain == sl, "round-trip failed"
-        dec_dt = 1e9
-        for _ in range(5):
-            t0 = time.perf_counter()
-            decompress(out)
-            dec_dt = min(dec_dt, time.perf_counter() - t0)
-
-        if oracle.available():
-            c_enc = 1e9
-            for _ in range(3):
+            if oracle.available():
                 t0 = time.perf_counter()
                 cout = oracle.compress(sl, quality=q)
                 c_enc = min(c_enc, time.perf_counter() - t0)
-            c_dec = 1e9
-            for _ in range(5):
+            t0 = time.perf_counter()
+            plain = decompress(out)
+            dec_dt = min(dec_dt, time.perf_counter() - t0)
+            if cout is not None:
                 t0 = time.perf_counter()
                 oracle.decompress(cout, max_size_hint=len(sl))
                 c_dec = min(c_dec, time.perf_counter() - t0)
+        assert plain == sl, "round-trip failed"
+        if cout is not None:
             c_rt = len(sl) / (c_enc + c_dec)
             size_vs = len(out) / len(cout)
         else:
