@@ -715,6 +715,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     result = None
     prepared = None
     prev_end = None
+    ctx_mode_seg = None  # computed lazily on first refinement iteration
     it = 0
     last_it = iters - 1  # index of the final (wide-queue) iteration
     while it <= last_it:
@@ -735,9 +736,17 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
             if it > 0:
                 # iterations >= 1 price literals and distances from the
                 # previous parse, context-conditioned (see
-                # _context_literal_costs / _context_distance_costs)
+                # _context_literal_costs / _context_distance_costs).
+                # The context family matches what the store will use
+                # (UTF8 vs SIGNED LUTs — pricing binaries with text
+                # contexts mispriced them by ~0.15%)
+                if ctx_mode_seg is None:
+                    from .metablock import choose_context_mode
+                    ctx_mode_seg = choose_context_mode(
+                        data_region, params.quality, params.mode)
                 lc = _context_literal_costs(data_region, full, dict_len,
-                                            prev_cmds)
+                                            prev_cmds,
+                                            mode=ctx_mode_seg)
                 lcp = np.concatenate([[0.0], np.cumsum(lc)])
                 cost_dist = _context_distance_costs(prev_cmds,
                                                     dist_alpha)

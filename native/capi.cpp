@@ -401,10 +401,14 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
                 oi.resize(cap2); oc.resize(cap2);
                 od.resize(cap2); oa.resize(cap2);
             }
+            // the DP's context-conditional literal pricing uses the
+            // same LUT family the store will pick (UTF8 vs SIGNED)
+            int pmode = (mode != 2 &&
+                         is_mostly_utf8(base + abs_start, mlen)) ? 2 : 3;
             cnt = zopfli_hq_parse_native(
                 base + abs_start - keep, keep, mlen, window, quality,
-                catable ? 0 : 1, cache, kCtxLut0 + 2 * 256,
-                kCtxLut1 + 2 * 256, oi.data(), oc.data(), od.data(),
+                catable ? 0 : 1, cache, kCtxLut0 + pmode * 256,
+                kCtxLut1 + pmode * 256, oi.data(), oc.data(), od.data(),
                 oa.data(), cap2);
             if (cnt < 0) return false;
             off = 0;
@@ -475,9 +479,11 @@ static bool encode_stream_chunk(
     if (zopfli) {
         oi.resize(blen + 2); oc.resize(blen + 2);
         od.resize(blen + 2); oa.resize(blen + 2);
+        int pmode = (mode != 2 &&
+                     is_mostly_utf8(full.data() + plen, blen)) ? 2 : 3;
         cnt = zopfli_hq_parse_native(
             full.data(), plen, blen, window, quality, use_dict ? 1 : 0,
-            cache, kCtxLut0 + 2 * 256, kCtxLut1 + 2 * 256,
+            cache, kCtxLut0 + pmode * 256, kCtxLut1 + pmode * 256,
             oi.data(), oc.data(), od.data(), oa.data(), blen + 2);
         if (cnt < 0) return false;
     } else {
