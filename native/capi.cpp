@@ -61,6 +61,13 @@ int64_t zopfli_hq_parse_native(
     const uint8_t*, int64_t, int64_t, int64_t, int64_t, int64_t,
     const int64_t*, const uint8_t*, const uint8_t*,
     int64_t*, int64_t*, int64_t*, int64_t*, int64_t);
+void resolve_commands_native(
+    const int64_t*, const int64_t*, const int64_t*, const int64_t*,
+    int64_t, int64_t, int64_t, int64_t*, int64_t, int64_t,
+    int64_t*, int64_t*, int64_t*, uint8_t*, int64_t*);
+void choose_dist_params_native(
+    const int64_t*, const int64_t*, const int64_t*, const int64_t*,
+    int64_t, int64_t*, int64_t*);
 }
 
 namespace capi {
@@ -293,6 +300,28 @@ static Knobs quality_knobs(int q) {
 
 static const int64_t kPoisonedDistance = 0x7FFFFFF0;
 
+// per-metablock distance-parameter search for the optimal-parse tier
+// (reference BrotliBuildMetaBlock, metablock.rs:158-208): resolve the
+// commands at (0,0) to classify short codes, then sweep
+static void pick_dist_params(const int64_t* oi, const int64_t* oc,
+                             const int64_t* od, const int64_t* oa,
+                             int64_t cnt, const int64_t* cache,
+                             int64_t abs_start, int64_t window,
+                             int64_t* npostfix, int64_t* ndirect) {
+    *npostfix = 0;
+    *ndirect = 0;
+    if (cnt <= 0) return;
+    std::vector<int64_t> rcode(cnt), rextra(cnt), rbits(cnt), rsym(cnt);
+    std::vector<uint8_t> rul(cnt);
+    int64_t scratch_cache[4] = {cache[0], cache[1], cache[2], cache[3]};
+    resolve_commands_native(oi, oa, od, oc, cnt, 0, 0, scratch_cache,
+                            abs_start, window, rcode.data(),
+                            rextra.data(), rbits.data(), rul.data(),
+                            rsym.data());
+    choose_dist_params_native(od, rcode.data(), rsym.data(), oc, cnt,
+                              npostfix, ndirect);
+}
+
 static bool c_encode(const uint8_t* input, int64_t n, int quality,
                      int lgwin, int mode, bool catable, bool appendable,
                      bool bare, bool byte_align,
@@ -380,9 +409,9 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
     bool suppress = appendable || byte_align;
     int64_t off = 0;
     int64_t seg_start = start;
-    int64_t dist_alpha = 16 + 0 + (24 << 1);
     std::vector<uint64_t> words;
     for (size_t bi = 0; bi < bounds.size(); bi++) {
+        int64_t mb_npostfix = 0, mb_ndirect = 0;
         int64_t boundary = bounds[bi];
         int64_t mlen = boundary - seg_start;
         bool is_final = bi + 1 == bounds.size();
@@ -412,6 +441,9 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
                 oa.data(), cap2);
             if (cnt < 0) return false;
             off = 0;
+            pick_dist_params(oi.data(), oc.data(), od.data(), oa.data(),
+                             cnt, cache, abs_start, window,
+                             &mb_npostfix, &mb_ndirect);
         } else {
             cnt = segc[bi];
         }
@@ -426,11 +458,12 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
                                      &smap);
         int64_t cap_bits = 9 * mlen + (1 << 17);
         words.assign((size_t)(cap_bits / 64 + 2), 0);
+        int64_t mb_alpha = 16 + mb_ndirect + (48 << mb_npostfix);
         int64_t nbits = encode_metablock_native(
             base, abs_start, mlen, is_last ? 1 : 0, cnt,
             oi.data() + off, oc.data() + off, od.data() + off,
-            oa.data() + off, cache, window, 0, 0, dist_alpha,
-            std::max(quality, 4), ctx_mode, nlc, smap,
+            oa.data() + off, cache, window, mb_npostfix, mb_ndirect,
+            mb_alpha, std::max(quality, 4), ctx_mode, nlc, smap,
             kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
             quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits);
         if (nbits < 0 || nbits > 8 * mlen + 40) {
@@ -512,14 +545,19 @@ static bool encode_stream_chunk(
     if (ctx_mode == 2)
         nlc = choose_literal_map(full.data(), plen, blen, quality, blen,
                                  &smap);
-    int64_t dist_alpha = 16 + 0 + (24 << 1);
+    int64_t mb_npostfix = 0, mb_ndirect = 0;
+    if (zopfli)
+        pick_dist_params(oi.data(), oc.data(), od.data(), oa.data(),
+                         cnt, cache, plen, window, &mb_npostfix,
+                         &mb_ndirect);
+    int64_t dist_alpha = 16 + mb_ndirect + (48 << mb_npostfix);
     int64_t cap_bits = 9 * blen + (1 << 17);
     std::vector<uint64_t> words((size_t)(cap_bits / 64 + 2), 0);
     int64_t nbits = encode_metablock_native(
         full.data(), plen, blen, is_last ? 1 : 0, cnt, oi.data(),
-        oc.data(), od.data(), oa.data(), cache, window, 0, 0,
-        dist_alpha, std::max(quality, 4), ctx_mode, nlc, smap,
-        kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
+        oc.data(), od.data(), oa.data(), cache, window, mb_npostfix,
+        mb_ndirect, dist_alpha, std::max(quality, 4), ctx_mode, nlc,
+        smap, kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
         quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits);
     if (nbits < 0 || nbits > 8 * blen + 40) {
         store_uncompressed(w, body, blen);

@@ -2085,3 +2085,87 @@ extern "C" int64_t encode_metablock_native(
     }
     return r;
 }
+
+// ---------------------------------------------------------------------------
+// distance NPOSTFIX/NDIRECT search (reference BrotliBuildMetaBlock,
+// metablock.rs:158-208; exact port of metablock.choose_distance_params:
+// cost = depth-limited Huffman bits + serialized tree description +
+// extra bits, swept over npostfix 0-3 x 16 ndirect wire values with
+// the reference's two-strike early break per lane)
+// ---------------------------------------------------------------------------
+
+extern "C" void choose_dist_params_native(
+    const int64_t* distance, const int64_t* dist_code_now,
+    const int64_t* cmd_sym, const int64_t* copy_len, int64_t n_cmds,
+    int64_t* npostfix_out, int64_t* ndirect_out)
+{
+    using namespace sb;
+    init_tables();
+    int64_t short_hist[16] = {0};
+    std::vector<int64_t> far;
+    far.reserve(n_cmds);
+    for (int64_t c = 0; c < n_cmds; c++) {
+        if (copy_len[c] <= 0 || T.cmd_implicit[cmd_sym[c]]) continue;
+        if (dist_code_now[c] >= 16) far.push_back(distance[c]);
+        else short_hist[dist_code_now[c]]++;
+    }
+    *npostfix_out = 0;
+    *ndirect_out = 0;
+    if (far.empty()) return;
+
+    auto stream_cost = [&](const int64_t* hist, int alpha,
+                           int64_t extra_cost) -> double {
+        static thread_local std::vector<int64_t> h;
+        h.assign(hist, hist + alpha);
+        int64_t s = 0;
+        for (int i = 0; i < alpha; i++) s += h[i];
+        if (s == 0) { h.assign(alpha, 0); h[0] = 1; }
+        optimize_rle(h.data(), alpha);
+        std::vector<uint8_t> lengths(alpha);
+        huffman_lengths(h.data(), alpha, 15, lengths.data());
+        double code_bits = 0;
+        for (int i = 0; i < alpha; i++)
+            code_bits += (double)hist[i] * lengths[i];
+        // serialized tree description size via a counting writer
+        std::vector<uint64_t> scratch((size_t)(alpha / 2 + 64), 0);
+        BW bw{scratch.data(), (int64_t)scratch.size() * 64};
+        write_prefix_code(bw, lengths.data(), alpha);
+        return code_bits + (double)bw.pos + (double)extra_cost;
+    };
+
+    double best = 1e300;
+    int64_t best_np = 0, best_nd = 0;
+    for (int np = 0; np < 4; np++) {
+        double prev = -1;
+        bool have_prev = false;
+        for (int wire = 0; wire < 16; wire++) {
+            int64_t nd = (int64_t)wire << np;
+            int alpha = (int)(16 + nd + (48 << np));
+            std::vector<int64_t> hist(alpha, 0);
+            for (int i = 0; i < 16; i++) hist[i] = short_hist[i];
+            int64_t extra_cost = 0;
+            for (int64_t d : far) {
+                if (d <= nd) {
+                    hist[16 + d - 1]++;
+                    continue;
+                }
+                int64_t dd = d - nd - 1;
+                int64_t lcode = dd & ((1 << np) - 1);
+                int64_t dp = dd >> np;
+                int64_t nb = 63 - __builtin_clzll((uint64_t)(dp + 4)) - 1;
+                int64_t prefix = ((dp + 4) >> nb) & 1;
+                int64_t hcode = 2 * (nb - 1) + prefix;
+                int64_t sym = 16 + nd + ((hcode << np) | lcode);
+                if (sym < alpha) hist[sym]++;
+                extra_cost += nb;
+            }
+            double total = stream_cost(hist.data(), alpha, extra_cost);
+            if (total < best) { best = total; best_np = np; best_nd = nd; }
+            if (have_prev && total > prev && total > best) break;
+            prev = total;
+            have_prev = true;
+        }
+    }
+    *npostfix_out = best_np;
+    *ndirect_out = best_nd;
+}
