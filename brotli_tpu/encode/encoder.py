@@ -342,19 +342,41 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         return w.getvalue()
 
     seg_start = start
+    zex = zopfli_pending = None
+    if use_zopfli and len(boundaries) > 1:
+        # prefetch metablock g+1's candidate collection (deep rings,
+        # dictionary probe, literal costs — all cache-independent)
+        # while metablock g's DP + store run
+        from concurrent.futures import ThreadPoolExecutor
+        zex = ThreadPoolExecutor(max_workers=1)
+    zopfli_iters = 1 if params.q9_5 else None
+
+    def _zopfli_region(idx):
+        s0 = start if idx == 0 else boundaries[idx - 1]
+        region_start = dlen + s0
+        keep = min(region_start, params.window_size)
+        return full[region_start - keep:dlen + boundaries[idx]], keep
+
+    if zex is not None:
+        from .zopfli import zopfli_collect
+        r0, k0 = _zopfli_region(0)
+        zopfli_pending = zex.submit(zopfli_collect, r0, params, k0,
+                                    zopfli_iters)
     for i, (seg, boundary) in enumerate(zip(segments, boundaries)):
         if use_zopfli:
-            from .zopfli import zopfli_segment
-            # the preceding input is the segment's LZ77 prefix, clamped
-            # to the window: no distance can reach further back, and an
-            # unclamped prefix makes the candidate collection quadratic
-            # across metablocks
-            region_start = dlen + seg_start
-            keep = min(region_start, params.window_size)
-            seg = zopfli_segment(full[region_start - keep:dlen + boundary],
-                                 params, dict_len=keep,
+            from .zopfli import zopfli_collect, zopfli_segment
+            region, keep = _zopfli_region(i)
+            if zopfli_pending is not None:
+                col = zopfli_pending.result()
+                if i + 1 < len(boundaries):
+                    rn, kn = _zopfli_region(i + 1)
+                    zopfli_pending = zex.submit(zopfli_collect, rn,
+                                                params, kn, zopfli_iters)
+            else:
+                col = None
+            seg = zopfli_segment(region, params, dict_len=keep,
                                  initial_cache=tuple(cache),
-                                 iters=1 if params.q9_5 else None)
+                                 iters=zopfli_iters, precollected=col)
         ins, cps, dst, adv = seg
         mlen = boundary - seg_start
         is_final = i == len(boundaries) - 1
@@ -429,6 +451,8 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
             cache = new_cache
         seg_start = boundary
 
+    if zex is not None:
+        zex.shutdown(wait=True)
     if params.appendable or params.byte_align:
         _write_trailer(w, params)
     return w.getvalue()

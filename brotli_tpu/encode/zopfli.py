@@ -571,20 +571,18 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
     return cand_lens, cand_dists, cand_isdict, cand_wire
 
 
-def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
-                   initial_cache=(4, 11, 15, 16), iters=None):
-    """q9.5/q10/q11 command generation for one region with cost-model
-    refinement (iters: 1 for the 9.5 tier, 2 for q10, Q11_ITERS with a
-    convergence stop for q11).  Returns (ins[], cps[], dst[])."""
-    from .command import resolve_commands
-
+def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
+                   iters=None):
+    """Cache-independent candidate collection for one region: the deep
+    all-matches rings (or the 9.5 tier's top-K rows), the exact
+    dictionary candidates, and the literal-cost estimate.  Split from
+    zopfli_segment so callers can prefetch metablock g+1's collection
+    while metablock g's DP runs (the collection never depends on the
+    rolling distance cache)."""
     n = len(full) - dict_len
     window_size = params.window_size
-    dist_alpha = params.dist.alphabet_size
     if iters is None:
         iters = Q11_ITERS if params.quality >= 11 else 2
-    # a single-iteration run (the 9.5 tier) needs the histogram seed:
-    # the gentle prior is only right when refinement follows
     use_prior = params.quality >= 10 and iters > 1
 
     from .. import native_bridge as nb
@@ -662,6 +660,63 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
         cand_isdict = np.zeros((0, n), dtype=bool)
         cand_wire = np.zeros((0, n), dtype=np.int64)
 
+    extra = None
+    if params.quality >= 10:
+        xs = []
+        if fut_cm is not None:
+            mp, ml, md = fut_cm.result()
+            xs.append((mp, ml, md, np.zeros(len(mp), bool), ml))
+        if not params.catable:
+            if fut_cd is not None:
+                dp_, dl_, dd_, dw_ = fut_cd.result()
+            else:
+                from .static_dict import collect_dict_matches
+                dp_, dl_, dd_, dw_ = collect_dict_matches(
+                    full, dict_len, window_size)
+            xs.append((dp_, dl_, dd_, np.ones(len(dp_), bool), dw_))
+        if xs:
+            # passed as separate sources: the dense prep k-way merges
+            # the sorted runs natively, no concatenated copy
+            extra = xs
+    lit_costs = (fut_el.result() if fut_el is not None
+                 else estimate_literal_costs(full[dict_len:]))
+    if executor is not None:
+        executor.shutdown(wait=False)
+    return dict(cand_lens=cand_lens, cand_dists=cand_dists,
+                cand_isdict=cand_isdict, cand_wire=cand_wire,
+                extra=extra, lit_costs=lit_costs)
+
+
+def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
+                   initial_cache=(4, 11, 15, 16), iters=None,
+                   precollected=None):
+    """q9.5/q10/q11 command generation for one region with cost-model
+    refinement (iters: 1 for the 9.5 tier, 2 for q10, Q11_ITERS with a
+    convergence stop for q11).  Returns (ins[], cps[], dst[]).
+
+    precollected: output of zopfli_collect for this exact region
+    (callers prefetch it one metablock ahead)."""
+    from .command import resolve_commands
+
+    n = len(full) - dict_len
+    window_size = params.window_size
+    dist_alpha = params.dist.alphabet_size
+    if iters is None:
+        iters = Q11_ITERS if params.quality >= 11 else 2
+    # a single-iteration run (the 9.5 tier) needs the histogram seed:
+    # the gentle prior is only right when refinement follows
+    use_prior = params.quality >= 10 and iters > 1
+
+    from .. import native_bridge as nb
+    col = precollected if precollected is not None else zopfli_collect(
+        full, params, dict_len, iters=iters)
+    cand_lens = col["cand_lens"]
+    cand_dists = col["cand_dists"]
+    cand_isdict = col["cand_isdict"]
+    cand_wire = col["cand_wire"]
+    extra = col["extra"]
+    lit_costs = col["lit_costs"]
+
     lh = ch = dh = None
     if not use_prior:
         # greedy pre-pass for the iteration-0 cost model (q11 uses the
@@ -684,29 +739,7 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                                        initial_cache=list(initial_cache),
                                        pos_offset=dict_len,
                                        window_size=window_size)
-    extra = None
-    if params.quality >= 10:
-        xs = []
-        if fut_cm is not None:
-            mp, ml, md = fut_cm.result()
-            xs.append((mp, ml, md, np.zeros(len(mp), bool), ml))
-        if not params.catable:
-            if fut_cd is not None:
-                dp_, dl_, dd_, dw_ = fut_cd.result()
-            else:
-                from .static_dict import collect_dict_matches
-                dp_, dl_, dd_, dw_ = collect_dict_matches(
-                    full, dict_len, window_size)
-            xs.append((dp_, dl_, dd_, np.ones(len(dp_), bool), dw_))
-        if xs:
-            # passed as separate sources: the dense prep k-way merges
-            # the sorted runs natively, no concatenated copy
-            extra = xs
     data_region = full[dict_len:]
-    lit_costs = (fut_el.result() if fut_el is not None
-                 else estimate_literal_costs(data_region))
-    if executor is not None:
-        executor.shutdown(wait=False)
     lcp = np.concatenate([[0.0], np.cumsum(lit_costs)])
 
     if not use_prior:
