@@ -24,6 +24,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <future>
 #include <vector>
 
 #include "dict_embed.inc"
@@ -61,6 +62,13 @@ int64_t zopfli_hq_parse_native(
     const uint8_t*, int64_t, int64_t, int64_t, int64_t, int64_t,
     const int64_t*, const uint8_t*, const uint8_t*,
     int64_t*, int64_t*, int64_t*, int64_t*, int64_t);
+int64_t zopfli_hq_parse_pre_native(
+    const uint8_t*, int64_t, int64_t, int64_t, int64_t, int64_t,
+    const int64_t*, const uint8_t*, const uint8_t*, void*,
+    int64_t*, int64_t*, int64_t*, int64_t*, int64_t);
+void* zopfli_hq_collect_native(const uint8_t*, int64_t, int64_t,
+                               int64_t, int64_t);
+void zopfli_hq_collect_free(void*);
 void resolve_commands_native(
     const int64_t*, const int64_t*, const int64_t*, const int64_t*,
     int64_t, int64_t, int64_t, int64_t*, int64_t, int64_t,
@@ -410,6 +418,20 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
     int64_t off = 0;
     int64_t seg_start = start;
     std::vector<uint64_t> words;
+    std::future<void*> zopfli_next;
+    if (zopfli && bounds.size() > 0) {
+        int64_t b0 = bounds[0];
+        int64_t abs0 = dict_len + start;
+        int64_t keep0 = std::min(abs0, window);
+        const uint8_t* base0 = base + abs0 - keep0;
+        int64_t s0 = start;
+        int64_t use_d = catable ? 0 : 1;
+        zopfli_next = std::async(
+            std::launch::async, [base0, keep0, b0, s0, window, use_d] {
+                return zopfli_hq_collect_native(base0, keep0, b0 - s0,
+                                                window, use_d);
+            });
+    }
     for (size_t bi = 0; bi < bounds.size(); bi++) {
         int64_t mb_npostfix = 0, mb_ndirect = 0;
         int64_t boundary = bounds[bi];
@@ -434,12 +456,34 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
             // same LUT family the store will pick (UTF8 vs SIGNED)
             int pmode = (mode != 2 &&
                          is_mostly_utf8(base + abs_start, mlen)) ? 2 : 3;
-            cnt = zopfli_hq_parse_native(
+            void* col = nullptr;
+            if (zopfli_next.valid()) col = zopfli_next.get();
+            if (bi + 1 < bounds.size()) {
+                // prefetch the NEXT metablock's candidate collection
+                // (cache-independent) while this block's DP runs
+                int64_t s1 = boundary;
+                int64_t b1 = bounds[bi + 1];
+                int64_t abs1 = dict_len + s1;
+                int64_t keep1 = std::min(abs1, window);
+                const uint8_t* base1 = base + abs1 - keep1;
+                int64_t use_d = catable ? 0 : 1;
+                zopfli_next = std::async(
+                    std::launch::async,
+                    [base1, keep1, b1, s1, window, use_d] {
+                        return zopfli_hq_collect_native(
+                            base1, keep1, b1 - s1, window, use_d);
+                    });
+            }
+            cnt = zopfli_hq_parse_pre_native(
                 base + abs_start - keep, keep, mlen, window, quality,
                 catable ? 0 : 1, cache, kCtxLut0 + pmode * 256,
-                kCtxLut1 + pmode * 256, oi.data(), oc.data(), od.data(),
-                oa.data(), cap2);
-            if (cnt < 0) return false;
+                kCtxLut1 + pmode * 256, col, oi.data(), oc.data(),
+                od.data(), oa.data(), cap2);
+            if (cnt < 0) {
+                if (zopfli_next.valid())
+                    zopfli_hq_collect_free(zopfli_next.get());
+                return false;
+            }
             off = 0;
             pick_dist_params(oi.data(), oc.data(), od.data(), oa.data(),
                              cnt, cache, abs_start, window,

