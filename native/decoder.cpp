@@ -744,7 +744,7 @@ static int64_t decode_loop(
         for (int t = 0; t < ntrees_l; t++) {
             lit_pt[t] = PrefixTable();
             if ((r = read_prefix_code(br, big_scratch, 256, lit_pt[t],
-                                      arena)))
+                                      arena, 10)))
                 return r;
         }
         for (int t = 0; t < I.num_types; t++) {
@@ -866,11 +866,11 @@ static int64_t decode_loop(
                     int64_t amax = br.avail;
                     int consumed = 0;
                     do {
-                        int32_t e = tab[w & 511];
+                        int32_t e = tab[w & 1023];
                         int l = e & 15;
-                        if (__builtin_expect(l > 9, 0)) {
+                        if (__builtin_expect(l > 10, 0)) {
                             e = tab[(e >> 4) +
-                                    ((w >> 9) & ((1u << (l - 9)) - 1))];
+                                    ((w >> 10) & ((1u << (l - 10)) - 1))];
                             l = e & 15;
                         }
                         out[out_len++] = (uint8_t)(e >> 4);
@@ -914,12 +914,12 @@ static int64_t decode_loop(
                         do {
                             int ctx = l0[p1] | l1[p2];
                             const int32_t* tab = ctx_tabs[ctx];
-                            int32_t e = tab[w & 511];
+                            int32_t e = tab[w & 1023];
                             int l = e & 15;
-                            if (__builtin_expect(l > 9, 0)) {
+                            if (__builtin_expect(l > 10, 0)) {
                                 e = tab[(e >> 4) +
-                                        ((w >> 9) &
-                                         ((1u << (l - 9)) - 1))];
+                                        ((w >> 10) &
+                                         ((1u << (l - 10)) - 1))];
                                 l = e & 15;
                             }
                             p2 = p1;
