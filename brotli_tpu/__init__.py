@@ -42,6 +42,7 @@ _tune_malloc()
 from .concat.brocatli import BroCatli, BroCatliResult, concatenate
 from .decode.decoder import BrotliDecodeError, Decoder, decompress
 from .decode.batch import decompress_batch
+from .encode.batch import compress_batch
 from .decode.stream import StreamDecoder
 from .encode.encoder import compress
 from .encode.params import EncoderParams
@@ -69,5 +70,6 @@ __all__ = [
     "compress_multi",
     "concatenate",
     "decompress",
+    "compress_batch",
     "decompress_batch",
 ]

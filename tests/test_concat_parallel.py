@@ -189,3 +189,26 @@ def test_compress_multi_zopfli_tiers():
         if oracle.available():
             assert oracle.decompress(out,
                                      max_size_hint=len(data) + 64) == data
+
+
+def test_compress_batch_serving_path():
+    """compress_batch: independent payloads encoded concurrently,
+    results in input order, first error surfaced after join-all."""
+    import numpy as np
+    import pytest as _pytest
+
+    from brotli_tpu import compress_batch, decompress
+
+    from .conftest import TESTDATA
+    import os as _os
+    with open(_os.path.join(TESTDATA, "alice29.txt"), "rb") as f:
+        text = f.read()
+    rng = np.random.default_rng(4)
+    payloads = [text[:50000],
+                bytes(rng.integers(0, 256, 30000, dtype=np.uint8)),
+                b"", b"x" * 100000]
+    outs = compress_batch(payloads, threads=3, quality=9)
+    assert [decompress(o) for o in outs] == payloads
+    # error propagation: a bad quality raises after all workers drain
+    with _pytest.raises(Exception):
+        compress_batch([text, object()], threads=2, quality=9)
