@@ -278,3 +278,30 @@ def test_store_splits_off_with_context_map():
     finally:
         nb2.encode_metablock = orig
     assert decompress(out) == data
+
+
+def test_encode_bounded_memory():
+    """The sliding hash window keeps encode scratch O(metablock), not
+    O(input): a 64MiB q5 encode in a fresh subprocess stays far below
+    the old 8-bytes-per-input-byte hash footprint."""
+    import subprocess
+    import sys
+
+    code = r"""
+import sys
+sys.path.insert(0, %r)
+from brotli_tpu import compress
+data = (b"0123456789abcdef" * 63 + b"\n") * (64 * 1024)
+out = compress(data, quality=5)
+assert len(out) < len(data)
+peak_kb = int(open("/proc/self/status").read()
+              .split("VmHWM:")[1].split()[0])
+# input (63MB) + tables + interpreter; the old whole-buffer hash
+# precompute alone added ~500MB here
+assert peak_kb // 1024 < 520, peak_kb
+print("OK", peak_kb // 1024)
+""" % REPO
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "OK" in r.stdout
