@@ -284,6 +284,7 @@ def test_encode_bounded_memory():
     """The sliding hash window keeps encode scratch O(metablock), not
     O(input): a 64MiB q5 encode in a fresh subprocess stays far below
     the old 8-bytes-per-input-byte hash footprint."""
+    import os
     import subprocess
     import sys
 
@@ -300,7 +301,7 @@ peak_kb = int(open("/proc/self/status").read()
 # precompute alone added ~500MB here
 assert peak_kb // 1024 < 520, peak_kb
 print("OK", peak_kb // 1024)
-""" % REPO
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run([sys.executable, "-c", code],
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-1500:]
