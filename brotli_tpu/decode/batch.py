@@ -37,7 +37,12 @@ def _decode_one(stream: bytes, custom_dictionary: bytes,
     cd = np.frombuffer(bytes(custom_dictionary), dtype=np.uint8)
     cap = max(size_hint or 0, 4 * len(src) + (1 << 16))
     while True:
-        out = np.empty(cap, dtype=np.uint8)
+        # pooled per-thread output buffer: a fresh np.empty above the
+        # malloc mmap threshold re-faults every page per call
+        buf = getattr(_tls, "out_buf", None)
+        if buf is None or len(buf) < cap:
+            buf = _tls.out_buf = np.empty(cap, dtype=np.uint8)
+        out = buf
         r = lib.decode_native(
             nb._ptr(src, nb.U8), ctypes.c_int64(len(src)),
             nb._ptr(out, nb.U8), ctypes.c_int64(cap),
