@@ -323,7 +323,10 @@ def greedy_parse_py(data: np.ndarray, best_len, best_dist, best_score,
         best = (0, 0, 0)
         for i in range(n_cache):
             d = cache[int(C.DISTANCE_SHORT_CODE_INDEX[i])] +                 int(C.DISTANCE_SHORT_CODE_DELTA[i])
-            if d <= 0 or d > dict_len + q:
+            # the +-3 short-code deltas can push past the window; an
+            # out-of-window distance would decode as a dictionary
+            # reference (same clamp as the native search)
+            if d <= 0 or d > dict_len + q or d > window_size:
                 continue
             lc = _probe_len(data, dict_len + q - d, dict_len + q, limit)
             if lc >= 4:

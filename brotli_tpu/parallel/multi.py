@@ -133,8 +133,11 @@ def compress_multi(data, num_parts: int, quality: int = 9,
         return compress_with_params(raw, p)
 
     if backend == "workpool" and not favor_cpu_efficiency:
-        return _compress_multi_workpool(raw, num_parts, quality, lgwin,
-                                        mode)
+        from .. import native_bridge as nb
+        if nb.available():
+            return _compress_multi_workpool(raw, num_parts, quality,
+                                            lgwin, mode)
+        backend = "thread"  # graceful degradation without the runtime
 
     if favor_cpu_efficiency and 2 <= params.quality <= 9:
         from ..encode.encoder import _quality_knobs

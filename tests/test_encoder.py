@@ -207,6 +207,9 @@ def test_golden_sizes():
     is deterministic, so any byte drift is a real behavior change and
     must be re-pinned deliberately (reference goldens for comparison:
     q10 = 47,488; q11 = 46,493)."""
+    from brotli_tpu import native_bridge as _nb
+    if not _nb.available():
+        pytest.skip("goldens pin the native production path")
     data = load("alice29.txt")
     # C engine at the same qualities: q5 52,809 / q9 51,054 — both
     # greedy tiers now beat it (wide-and-shallow 4-byte primary table)
