@@ -36,6 +36,26 @@ def test_greedy_walk_matches_python_oracle():
         assert list(map(list, a)) == list(map(list, b))
 
 
+def test_greedy_walk_small_window_matches_python_oracle():
+    """Small windows put the +-3 short-code deltas right at the window
+    edge (regression: the Python walk emitted an out-of-window distance
+    that decodes as a dictionary reference)."""
+    from brotli_tpu.encode.match import find_best_matches, greedy_parse_py
+    data = np.frombuffer(load("alice29.txt"), np.uint8)
+    for lgwin in (10, 14, 16):
+        w = (1 << lgwin) - 16
+        bl, bd, bs, isd, bw = find_best_matches(data, w, k=1,
+                                                bucket_bits=15, k8=0)
+        py = greedy_parse_py(data, bl, bd, bs, [70000, len(data)],
+                             best_isdict=isd, window_size=w,
+                             best_wire=bw)
+        nt = nb.greedy_parse(data, bl, bd, bs, [70000, len(data)],
+                             best_isdict=isd, window_size=w,
+                             best_wire=bw)
+        for a, b in zip(py, nt):
+            assert list(map(list, a)) == list(map(list, b)), lgwin
+
+
 def test_resolve_matches_python_oracle():
     import os
     from brotli_tpu.encode.command import resolve_commands
