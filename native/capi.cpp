@@ -884,13 +884,25 @@ struct BrotliEncoderStateStruct {
                 if (take == 0) return true;
             }
         }
+        // LZ77 prefix: custom-dictionary tail + window history, as
+        // much as the window can reach (the one-shot path keeps the
+        // dictionary prepended the same way)
+        int64_t wsz0 = (int64_t(1) << lgwin) - 16;
+        static thread_local std::vector<uint8_t> prefix_buf;
         const uint8_t* prefix = hist.data();
         int64_t plen = (int64_t)hist.size();
-        // the custom dictionary precedes everything; it only fits the
-        // prefix slot while no window history exists yet
-        if (plen == 0 && !dict.empty()) {
-            prefix = dict.data();
-            plen = (int64_t)dict.size();
+        if (!dict.empty() && (int64_t)hist.size() < wsz0) {
+            int64_t dkeep = std::min<int64_t>(
+                (int64_t)dict.size(), wsz0 - (int64_t)hist.size());
+            prefix_buf.resize((size_t)(dkeep + hist.size()));
+            std::memcpy(prefix_buf.data(),
+                        dict.data() + dict.size() - dkeep,
+                        (size_t)dkeep);
+            if (!hist.empty())
+                std::memcpy(prefix_buf.data() + dkeep, hist.data(),
+                            hist.size());
+            prefix = prefix_buf.data();
+            plen = dkeep + (int64_t)hist.size();
         }
         bool ok = capi::encode_stream_chunk(
             w, prefix, plen, in.data(), take, is_last, quality, lgwin,
@@ -985,13 +997,12 @@ int BrotliEncoderCompressStream(
             }
             if (is_last) s->finished = true;
         }
-        if (flush && !s->finished) {
-            if (!s->header_written) {
-                if (!(s->bare && s->catable))
-                    capi::write_stream_header(s->w, s->lgwin);
-                s->header_written = true;
-            }
-            capi::write_padding_block(s->w);  // byte-aligning sync
+        if (flush && !s->finished && s->header_written &&
+            (s->w.bitpos & 7) != 0) {
+            // byte-aligning sync block — only when the stream is
+            // mid-byte (repeated FLUSH with nothing pending is a
+            // no-op, matching the reference)
+            capi::write_padding_block(s->w);
         }
         if (finish && !s->finished) {
             // empty input or suppress-shaped tail

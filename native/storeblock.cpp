@@ -1683,6 +1683,12 @@ extern "C" int64_t store_metablock_native(
         } else {
             cmd_split.blocks = {{0, (int)n_cmds}};
             dist_split.blocks = {{0, (int)dist_syms.size()}};
+            // the q>=10 dynamic-context clustering below indexes the
+            // per-symbol type arrays unconditionally
+            if (quality >= 10) {
+                cmd_split.types.assign(n_cmds, 0);
+                dist_split.types.assign(dist_syms.size(), 0);
+            }
         }
     } else if (enable_splits) {
         lit64.assign(literals.begin(), literals.end());

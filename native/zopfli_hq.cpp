@@ -18,6 +18,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <atomic>
 #include <mutex>
 #include <vector>
 
@@ -225,7 +226,7 @@ struct DictIdx {
     std::vector<uint8_t> bloom;
     std::vector<uint64_t> key8;
     int64_t m = 0;
-    bool built = false;
+    std::atomic<bool> built{false};
 };
 static DictIdx g_dict;
 static std::mutex g_dict_mtx;
@@ -355,7 +356,7 @@ static void build_sorted_index() {
     dict_sorted_init_native(D.sb.data(), D.s_len.data(), m,
                             D.lpf.data(), D.bloom.data(),
                             D.key8.data(), D.range16.data());
-    D.built = true;
+    D.built.store(true, std::memory_order_release);
 }
 
 static void dict_candidates(const uint8_t* base, int64_t total_len,
@@ -364,9 +365,10 @@ static void dict_candidates(const uint8_t* base, int64_t total_len,
                             std::vector<int64_t>& yl,
                             std::vector<int64_t>& yd,
                             std::vector<int64_t>& yw) {
-    if (!g_dict.built) build_sorted_index();
+    if (!g_dict.built.load(std::memory_order_acquire))
+        build_sorted_index();
     const DictIdx& D = g_dict;
-    if (!D.built) return;
+    if (!D.built.load(std::memory_order_acquire)) return;
     int64_t cap = (total_len - dict_len) * 6 + 64;
     yp.resize(cap); yl.resize(cap); yd.resize(cap); yw.resize(cap);
     int64_t cnt;
@@ -574,8 +576,9 @@ extern "C" void zopfli_hq_dict_init(
 extern "C" int64_t zopfli_hq_sorted_index(
     const uint8_t** sb, const int64_t** s_len, const int64_t** s_wire,
     const int64_t** s_wid) {
-    if (!zhq::g_dict.built) zhq::build_sorted_index();
-    if (!zhq::g_dict.built) return -1;
+    if (!zhq::g_dict.built.load(std::memory_order_acquire))
+        zhq::build_sorted_index();
+    if (!zhq::g_dict.built.load(std::memory_order_acquire)) return -1;
     *sb = zhq::g_dict.sb.data();
     *s_len = zhq::g_dict.s_len.data();
     *s_wire = zhq::g_dict.s_wire.data();
@@ -725,8 +728,6 @@ extern "C" int64_t zopfli_hq_parse_pre_native(
                     cost_dist[r * dist_alpha + j] = v;
             }
         } else {
-            std::vector<double> lt(256), dt(dist_alpha);
-            set_cost(lh.data(), 256, true, lt.data());
             set_cost(ch.data(), 704, false, cost_cmd.data());
             // iterations >= 1 price literals and distances from the
             // previous parse, context-conditioned
