@@ -62,19 +62,20 @@ def _device_knobs(quality: int):
 
 
 def _extract_literals(region, dlen, ins, adv):
-    """Literal byte stream of a parsed segment (insert runs walked
-    through the command list)."""
-    total = int(np.sum(ins))
-    out = np.empty(total, np.uint8)
-    pos = dlen
-    o = 0
-    for i in range(len(ins)):
-        il = int(ins[i])
-        if il:
-            out[o:o + il] = region[pos:pos + il]
-            o += il
-        pos += il + int(adv[i])
-    return out
+    """Literal byte stream of a parsed segment (vectorized insert-run
+    gather through the command list)."""
+    ins = np.asarray(ins, np.int64)
+    adv = np.asarray(adv, np.int64)
+    total = int(ins.sum())
+    if total == 0:
+        return np.zeros(0, np.uint8)
+    step = ins + adv
+    cmd_start = np.zeros(len(ins), np.int64)
+    np.cumsum(step[:-1], out=cmd_start[1:])
+    owner = np.repeat(np.arange(len(ins)), ins)
+    run_off = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(ins)[:-1]]), ins)
+    return np.asarray(region)[dlen + cmd_start[owner] + run_off]
 
 
 def compress_tpu(data, quality: int = 9, lgwin: int = 22,

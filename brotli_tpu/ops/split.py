@@ -88,22 +88,29 @@ def split_symbols_device(syms: np.ndarray, alphabet_size: int,
     k = int(min(p["max_types"], max(1, nch // 3), 256))
     if k <= 1:
         return BlockSplit.trivial(n)
-    pad = nch * chunk - n
+    # round the chunk count up to the next power of two so the jitted
+    # Lloyd kernel compiles once per bucket, not once per distinct
+    # stream length (all-padding chunks histogram to zero rows and are
+    # sliced off below)
+    nch_pad = 1 << max(2, (nch - 1).bit_length())
+    pad = nch_pad * chunk - n
     padded = np.concatenate(
         [np.asarray(syms, np.int32),
          np.full(pad, -1, np.int32)])
     switch_pen = p["switch_cost"] / max(1, chunk // 16)
     assign_d, cost_d = _lloyd_device(jnp.asarray(padded), alphabet_size,
                                      k, chunk, iters, switch_pen)
-    assign = np.asarray(assign_d).astype(np.int64)
-    cost = np.asarray(cost_d).astype(np.float64)
+    assign = np.asarray(assign_d)[:nch].astype(np.int64)
+    cost = np.asarray(cost_d)[:nch].astype(np.float64)
 
     assign = _hysteresis(assign, cost, p["min_run"])
 
-    # histograms for the merge (host; [nch, alpha] bincount)
+    # histograms for the merge (host; [nch, alpha] bincount over the
+    # real chunks only)
+    real = padded[:nch * chunk]
     chunk_id = np.repeat(np.arange(nch), chunk)
-    valid = padded >= 0
-    flat = chunk_id[valid] * alphabet_size + padded[valid].astype(np.int64)
+    valid = real >= 0
+    flat = chunk_id[valid] * alphabet_size + real[valid].astype(np.int64)
     hist = np.bincount(flat, minlength=nch * alphabet_size) \
         .reshape(nch, alphabet_size).astype(np.float64)
     assign = _merge_types(assign, hist, k, p["switch_cost"],
