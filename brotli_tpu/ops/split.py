@@ -12,10 +12,11 @@ matmuls, one-hot segment sums), returning the per-chunk assignment and
 cost matrix; the sequential run-hysteresis and the agglomerative
 header-cost merge stay on the host (tiny [nch]-sized data).
 
-Used by the TPU offload pipeline and the mesh path: the chip plans the
-literal split for metablock g+1 while the host serializes g; the
-native store accepts the external assignment (encode_metablock's
-ext_lit_types hook).
+Used by the TPU offload pipeline: after the host walk produces a
+metablock's commands, the chip plans its literal split and the native
+store takes the assignment (encode_metablock's ext_lit_types hook);
+the device match kernel for later metablocks stays in flight
+throughout via the offload loop's async dispatch.
 """
 
 from __future__ import annotations
