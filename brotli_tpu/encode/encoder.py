@@ -107,10 +107,13 @@ def _quality_knobs(params: EncoderParams):
     if q <= 1:
         return dict(k=1, bucket_bits=15, k8=0)
     if q <= 3:
-        # two-probe single table, last-distance-only cache probe (the
-        # reference H2/H3 shape: BasicHasher checks one cache slot) —
-        # the prior k8/4-probe config cost 1.6x the speed for 3% size
-        return dict(k=2, bucket_bits=16, k8=0, n_cache=1)
+        # the native basic tier (reference H2/H3 BasicHasher shape:
+        # direct-mapped 2^16 buckets, no counters, last-distance cache
+        # probe only) with a 4-byte hash — unlike the reference's
+        # 5-byte hash it keeps length-4 matches findable, which beats
+        # it on ratio at equal speed; q2 sweeps 1 slot, q3 sweeps 2
+        return dict(k=1 if q == 2 else 2, bucket_bits=16, k8=0,
+                    n_cache=1, hash_len=4)
     if params.lgwin <= 16 and q >= 4:
         # small-window presets (the H40/H41/H42 'forgetful chain'
         # selection, reference ChooseHasher encode.rs:855-862): tiny

@@ -134,6 +134,13 @@ def compute_lg_block(p: EncoderParams) -> int:
             # with serialization(g); the persistent table keeps
             # matches crossing the boundaries
             lgblock = min(p.lgwin, 20)
+        elif p.quality <= 3:
+            # the basic-tier search misses more than the splitter can
+            # recover on heterogeneous data; 128 KiB spans buy back the
+            # local adaptation (the reference uses 16 KiB here) at
+            # ~1% of the speed (q2 1.032 -> 1.000, q3 1.004 -> 0.974
+            # vs C on the mixed corpus)
+            lgblock = 17
         elif p.quality <= 9:
             lgblock = 20
         else:

@@ -1981,6 +1981,7 @@ struct SearchResult {
 struct CombinedCtx {
     const uint8_t* data;
     int64_t n_cache = 4;   // short-code candidates probed per search
+    bool basic = false;    // q2/q3 direct-mapped tier (see basic_*)
     int64_t dict_gate = 10;   // probe dict only when best len < gate
     int64_t lazy_gate = 1 << 30;  // skip lazy re-search at/after this len
     int64_t n;                // total incl. dict prefix
@@ -2073,6 +2074,7 @@ struct CombinedCtx {
     // strided interior (the reference skips interior positions of long
     // copies the same way)
     inline void insert_span(int64_t start, int64_t stop) {
+        if (basic) { basic_insert_span(start, stop); return; }
         if (stop - ins_pos <= 48) { insert_upto(stop); return; }
         insert_upto(std::min(start + 16, stop));
         for (int64_t i = ins_pos; i < stop - 16; i += 4) insert_one(i);
@@ -2083,10 +2085,12 @@ struct CombinedCtx {
     // search at absolute position i (candidates strictly before i)
     SearchResult search(int64_t i, const int64_t* cache) {
         if (__builtin_expect(!g_stats_on, 1))
-            return search_impl(i, cache);
+            return basic ? basic_search(i, cache)
+                         : search_impl(i, cache);
         g_stats.positions++;
         uint64_t t0 = rdtsc_now();
-        SearchResult r = search_impl(i, cache);
+        SearchResult r = basic ? basic_search(i, cache)
+                               : search_impl(i, cache);
         g_stats.cyc_search += rdtsc_now() - t0;
         return r;
     }
@@ -2194,37 +2198,139 @@ struct CombinedCtx {
         // reference gates SearchInStaticDictionary the same way,
         // mod.rs:1979: dict words are <= 24 bytes, so a solid window
         // match always wins)
-        if (dict_table && i >= dict_len && sr.len < dict_gate &&
-            (dict_lookups >> 7) <= dict_matches) {
-            dict_lookups++;
-            if (__builtin_expect(g_stats_on, 0)) g_stats.dict_probes++;
-            uint32_t hd = (v4 * 0x1E35A7BDu) >> (32 - dict_hash_bits);
-            for (int64_t s = 0; s < dict_slots; s++) {
-                int64_t e = dict_table[hd * dict_slots + s];
-                if (e < 0) continue;
-                int64_t L = dict_wlen[e];
-                const uint8_t* wptr = dict_words + e * 24;
-                int64_t avail = std::min<int64_t>(L, n - i);
-                int64_t m = 0;
-                while (m < avail && data[i + m] == wptr[m]) m++;
-                if (m < 4) continue;
-                int64_t omit = L - m;
-                int64_t transform;
-                if (omit == 0) transform = 0;
-                else if (omit <= 9 && omit_ids[omit] >= 0)
-                    transform = omit_ids[omit];
-                else continue;
-                int64_t maxd = std::min<int64_t>(i, window);
-                int64_t dist = maxd + 1 +
-                    (transform << dict_sbits[L]) + dict_widx[e];
-                int64_t sc = lbs * m - 30 * log2floor(dist);
-                if (sc > sr.score) {
-                    sr.score = sc; sr.len = m; sr.dist = dist;
-                    sr.wire = L; sr.isdict = true;
-                    dict_matches++;
+        dict_probe(i, v4, sr);
+        return sr;
+    }
+
+    inline void dict_probe(int64_t i, uint32_t v4, SearchResult& sr) {
+        if (!(dict_table && i >= dict_len && sr.len < dict_gate &&
+              (dict_lookups >> 7) <= dict_matches))
+            return;
+        dict_lookups++;
+        if (__builtin_expect(g_stats_on, 0)) g_stats.dict_probes++;
+        uint32_t hd = (v4 * 0x1E35A7BDu) >> (32 - dict_hash_bits);
+        for (int64_t s = 0; s < dict_slots; s++) {
+            int64_t e = dict_table[hd * dict_slots + s];
+            if (e < 0) continue;
+            int64_t L = dict_wlen[e];
+            const uint8_t* wptr = dict_words + e * 24;
+            int64_t avail = std::min<int64_t>(L, n - i);
+            int64_t m = 0;
+            while (m < avail && data[i + m] == wptr[m]) m++;
+            if (m < 4) continue;
+            int64_t omit = L - m;
+            int64_t transform;
+            if (omit == 0) transform = 0;
+            else if (omit <= 9 && omit_ids[omit] >= 0)
+                transform = omit_ids[omit];
+            else continue;
+            int64_t maxd = std::min<int64_t>(i, window);
+            int64_t dist = maxd + 1 +
+                (transform << dict_sbits[L]) + dict_widx[e];
+            int64_t sc = lbs * m - 30 * log2floor(dist);
+            if (sc > sr.score) {
+                sr.score = sc; sr.len = m; sr.dist = dist;
+                sr.wire = L; sr.isdict = true;
+                dict_matches++;
+            }
+        }
+    }
+
+    // ----- basic tier (q2/q3): the reference's H2/H3 BasicHasher
+    // shape (mod.rs BasicHasher / google H2: 5-byte hash into a
+    // direct-mapped 2^16 table of 1-2 slots, no counters, no
+    // precomputed hash pass, last-distance-only cache probe).  The
+    // top-K ring machinery costs ~2x the per-position work these
+    // tiers want; ring4 doubles as the slot table (value<<32|pos,
+    // zero-initialized: a stale/zero entry is just a candidate that
+    // probe_len then rejects).
+    inline void basic_insert(int64_t i) {
+        if (i + (hash_len4 == 5 ? 8 : 4) > n) return;
+        uint64_t e = ((uint64_t)load32(data + i) << 32) | (uint32_t)i;
+        uint32_t h = bucket_hash(data + i, hash_len4, shift4);
+        if (cap4 == 1) {
+            ring4[h] = e;
+        } else {
+            // counter-free recency pair: slot0 = newest, slot1 =
+            // previous (a 2-entry move-to-front; recency order is
+            // what the position-phase slot picking of the reference's
+            // BUCKET_SWEEP gives up, and it costs ~2% ratio here)
+            uint64_t* row = ring4 + ((int64_t)h << 1);
+            row[1] = row[0];
+            row[0] = e;
+        }
+    }
+
+    inline void basic_insert_upto(int64_t stop) {
+        if (__builtin_expect(g_stats_on, 0)) {
+            int64_t from = ins_pos;
+            uint64_t t0 = rdtsc_now();
+            for (int64_t i = ins_pos; i < stop; i++) basic_insert(i);
+            if (stop > ins_pos) ins_pos = stop;
+            g_stats.inserts += stop > from ? stop - from : 0;
+            g_stats.cyc_insert += rdtsc_now() - t0;
+            return;
+        }
+        for (int64_t i = ins_pos; i < stop; i++) basic_insert(i);
+        if (stop > ins_pos) ins_pos = stop;
+    }
+
+    inline void basic_insert_span(int64_t start, int64_t stop) {
+        // dense over the whole body (the reference's basic StoreRange:
+        // 1-2-slot buckets can't afford strided gaps), strided only
+        // deep inside very long copies
+        if (stop - ins_pos <= 512) { basic_insert_upto(stop); return; }
+        basic_insert_upto(std::min(start + 256, stop));
+        for (int64_t i = ins_pos; i < stop - 128; i += 2)
+            basic_insert(i);
+        ins_pos = std::max(ins_pos, stop - 128);
+        basic_insert_upto(stop);
+    }
+
+    SearchResult basic_search(int64_t i, const int64_t* cache) {
+        SearchResult sr;
+        basic_insert_upto(i);
+        if (i + 4 > n) return sr;
+        int64_t limit = n - i;
+        uint32_t v4 = load32(data + i);
+        // last-distance probe (BasicHasher checks one cache slot)
+        {
+            int64_t d = cache[0];
+            if (d > 0 && d <= i && d <= window) {
+                if (__builtin_expect(g_stats_on, 0))
+                    g_stats.cache_probes++;
+                int64_t ml = probe_len(data, i - d, i, limit);
+                if (ml >= 4) {
+                    sr.score = lbs * ml + 15;
+                    sr.len = ml; sr.dist = d; sr.wire = ml;
                 }
             }
         }
+        if (i + (hash_len4 == 5 ? 8 : 4) <= n) {
+            uint32_t h = bucket_hash(data + i, hash_len4, shift4);
+            const uint64_t* row = ring4 + (int64_t)h * cap4;
+            if (__builtin_expect(g_stats_on, 0))
+                g_stats.t4_scanned += cap4;
+            for (int64_t s = 0; s < cap4; s++) {
+                uint64_t e = row[s];
+                int64_t cand = (int64_t)(uint32_t)e;
+                int64_t dist = i - cand;
+                if (dist <= 0) continue;
+                if (dist > window) break;  // slots are recency-ordered
+                if ((uint32_t)(e >> 32) != v4) continue;
+                if (sr.len > 0 && (sr.len >= limit ||
+                    data[cand + sr.len] != data[i + sr.len])) continue;
+                if (__builtin_expect(g_stats_on, 0)) g_stats.t4_probed++;
+                int64_t ml = probe_len(data, cand, i, limit);
+                if (ml < 4) continue;
+                int64_t sc = lbs * ml - 30 * log2floor(dist);
+                if (sc > sr.score) {
+                    sr.score = sc; sr.len = ml; sr.dist = dist;
+                    sr.wire = ml; sr.isdict = false;
+                }
+            }
+        }
+        dict_probe(i, v4, sr);
         return sr;
     }
 };
@@ -2255,6 +2361,7 @@ struct ParseSession {
     // the serial head of each metablock's parse.
     void ensure_hashes(int64_t from, int64_t to) {
         CombinedCtx& c = cx;
+        if (c.basic) return;  // basic tier hashes inline, no scratch
         if (c.hash_base <= from && to <= hash_end) return;
         int64_t span = to - from;
         if ((int64_t)h4.size() < span) h4.resize(span);
@@ -2462,9 +2569,18 @@ void* parse_session_begin(
         if ((int64_t)v.size() < need) v.resize(need);
         return v.data();
     };
+    // q2/q3 basic tier: direct-mapped slots, no counters, inline
+    // 5-byte hashing (the reference's H2/H3 BasicHasher geometry)
+    cx.basic = (k8 == 0 && k <= 2 && cx.n_cache <= 1);
+    // basic tier probes the dictionary only when the window search
+    // found nothing at all (the reference's BasicHasher dictionary
+    // condition); the ring tiers use the len<10 gate
+    if (cx.basic) cx.dict_gate = 4;
     cx.ring4 = fit(S.ring4, nb4 * cx.cap4);
     cx.cnt4 = fit(S.cnt4, nb4);
     std::memset(cx.cnt4, 0, nb4 * sizeof(uint16_t));
+    if (cx.basic)
+        std::memset(cx.ring4, 0, nb4 * cx.cap4 * sizeof(uint64_t));
     cx.ring8 = k8 ? fit(S.ring8, nb8 * cx.cap8) : nullptr;
     cx.cnt8 = k8 ? fit(S.cnt8, nb8) : nullptr;
     if (k8) std::memset(cx.cnt8, 0, nb8 * sizeof(uint16_t));
@@ -2494,10 +2610,17 @@ void* parse_session_begin(
     if (dict_len > (1 << 20)) {
         int64_t dense_from = dict_len - (1 << 20);
         int64_t mid_from = std::max<int64_t>(0, dict_len - (4 << 20));
-        for (int64_t i = 0; i < mid_from; i += 8)
-            cx.insert_one_inline(i);
-        for (int64_t i = mid_from; i < dense_from; i += 2)
-            cx.insert_one_inline(i);
+        if (cx.basic) {
+            for (int64_t i = 0; i < mid_from; i += 8)
+                cx.basic_insert(i);
+            for (int64_t i = mid_from; i < dense_from; i += 2)
+                cx.basic_insert(i);
+        } else {
+            for (int64_t i = 0; i < mid_from; i += 8)
+                cx.insert_one_inline(i);
+            for (int64_t i = mid_from; i < dense_from; i += 2)
+                cx.insert_one_inline(i);
+        }
         cx.ins_pos = dense_from;
     }
 
