@@ -240,14 +240,20 @@ def _merge_types(assign: np.ndarray, hist: np.ndarray, k: int,
 
 
 def split_symbols(syms: np.ndarray, alphabet_size: int, category: str,
-                  iters: int = 3) -> BlockSplit:
+                  iters: int = 3, max_types: int | None = None
+                  ) -> BlockSplit:
     """Entropy-cluster a symbol stream into block types.
 
     Lloyd iterations: cost[chunk, type] = -hist_chunk · log2 p_type via
     one matmul; assignment hysteresis merges short runs (stand-in for the
     reference's switch-cost Viterbi, block_splitter.rs FindBlocks :223).
-    """
+
+    max_types caps the cluster count below the category default (the
+    literal store caps it at 256 // num_lit_ctx so block types x static
+    contexts fit the 256-tree wire limit)."""
     p = SPLIT_PARAMS[category]
+    if max_types is not None:
+        p = dict(p, max_types=min(p["max_types"], max_types))
     n = len(syms)
     if n < MIN_LENGTH_FOR_SPLITTING:
         return BlockSplit.trivial(n)
@@ -558,7 +564,8 @@ def build_meta_block(full: np.ndarray, start: int, mlen: int,
     dist_mask = (cmds.copy_len > 0) & ~C.CMD_IMPLICIT_DIST0[cmds.cmd_sym]
     dist_syms = cmds.dist_code[dist_mask]
     if enable_splits:
-        lit_split = split_symbols(literals.astype(np.int64), 256, "literal")
+        lit_split = split_symbols(literals.astype(np.int64), 256, "literal",
+                                  max_types=256 // max(1, int(num_lit_ctx)))
         cmd_split = split_symbols(cmds.cmd_sym, 704, "command")
         dist_split = split_symbols(dist_syms, dist_params.alphabet_size,
                                    "distance")

@@ -1702,8 +1702,17 @@ extern "C" int64_t store_metablock_native(
                                           (int)dist_alpha, HQ_DIST);
         } else {
             bool fast_split = quality < 7;
-            lit_split = split_symbols(lit64.data(), n_lit, 256,
-                                      fast_split ? SP_LIT_FAST : SP_LIT);
+            // literal trees = block types x static contexts must fit
+            // the 256-tree wire limit; cap the splitter's type count
+            // so the context map never needs the lossy num_lit_ctx
+            // collapse below (it used to emit cmap values >= ntrees
+            // when the splitter returned >256/nlc types — OOB in
+            // write_context_map's histogram + invalid stream)
+            SplitParams pl = fast_split ? SP_LIT_FAST : SP_LIT;
+            pl.max_types = std::min<int>(
+                pl.max_types, (int)(256 / std::max<int64_t>(
+                                        1, num_lit_ctx)));
+            lit_split = split_symbols(lit64.data(), n_lit, 256, pl);
             cmd_split = split_symbols(cmd_sym, n_cmds, 704,
                                       fast_split ? SP_CMD_FAST : SP_CMD);
             dist_split = split_symbols(dist_syms.data(),
@@ -1776,8 +1785,12 @@ extern "C" int64_t store_metablock_native(
         ntrees_l = lit_split.num_types * (int)num_lit_ctx;
         for (int t = 0; t < lit_split.num_types; t++)
             for (int c = 0; c < 64; c++)
+                // when num_lit_ctx was collapsed to 1 (external split
+                // with too many types), the static map must collapse
+                // with it — tree == block type
                 cmap_l[(size_t)t * 64 + c] =
-                    t * num_lit_ctx + lit_static_map[c];
+                    t * num_lit_ctx +
+                    (num_lit_ctx > 1 ? lit_static_map[c] : 0);
         lit_h.assign((size_t)ntrees_l * 256, 0);
         if (ntrees_l == 1) {
             // single tree: plain byte histogram, no per-literal tree

@@ -326,3 +326,76 @@ print("OK", peak_kb // 1024)
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-1500:]
     assert "OK" in r.stdout
+
+
+def test_store_many_block_types_with_context_map():
+    """Literal block types x static contexts must fit the 256-tree wire
+    limit (regression: at q9 the splitter could return >19 types with a
+    13-context UTF8 map; the num_lit_ctx collapse kept building the wire
+    context map from the old static map, overflowing write_context_map's
+    histogram — heap corruption + invalid stream).  The external-split
+    path forces the collapse deterministically."""
+    from brotli_tpu import decompress
+    from brotli_tpu.core import constants as C
+    from brotli_tpu.core.bitio import BitWriter
+    from brotli_tpu.encode import bitstream as bs
+    from brotli_tpu.encode.metablock import choose_literal_context_map
+    from tests import oracle
+
+    rng = np.random.default_rng(7)
+    # 32 regimes of distinct ASCII distributions -> the splitter wants
+    # many literal block types
+    chunks = []
+    for t in range(32):
+        alpha = np.frombuffer(bytes(range(40 + t, 80 + t)), dtype=np.uint8)
+        chunks.append(rng.choice(alpha, size=2048).astype(np.uint8))
+    data = np.concatenate(chunks)
+    n = len(data)
+    nlc, smap = choose_literal_context_map(data, 0, n, 9, n)
+    if nlc == 1:
+        nlc, smap = 13, np.arange(64, dtype=np.int64) % 13
+
+    # all-literals command stream + an external 32-type literal split:
+    # 32 types x nlc > 256 forces the num_lit_ctx collapse
+    ins = np.array([n], dtype=np.int64)
+    cps = np.zeros(1, dtype=np.int64)
+    dst = np.zeros(1, dtype=np.int64)
+    adv = np.zeros(1, dtype=np.int64)
+    ext_types = np.repeat(np.arange(32, dtype=np.int32), 2048)
+    res = nb.encode_metablock(
+        data, 0, n, True, ins, cps, dst, adv,
+        list(C.INITIAL_DISTANCE_CACHE), (1 << 22) - 16, 0, 0, 64,
+        9, C.CONTEXT_UTF8, nlc, smap,
+        C.CONTEXT_LUT0[C.CONTEXT_UTF8], C.CONTEXT_LUT1[C.CONTEXT_UTF8],
+        enable_splits=True, ext_lit_split=(ext_types, 32))
+    assert res is not None
+    words, nbits, _ = res
+    w = BitWriter()
+    bs.write_stream_header(w, 22, False)
+    w.append_packed(words, nbits)
+    stream = w.getvalue()
+    assert decompress(stream) == data.tobytes()
+    if oracle.available():
+        assert oracle.decompress(stream, max_size_hint=n) == data.tobytes()
+
+
+def test_q9_small_lgblock_roundtrip():
+    """q9 with explicit small metablocks on heterogeneous data (the
+    configuration that used to corrupt the heap via the context-map
+    collapse) round-trips through ours and the upstream decoder."""
+    from brotli_tpu import decompress
+    from tests import oracle
+
+    rng = np.random.default_rng(3)
+    parts = [load("alice29.txt"), load("asyoulik.txt")]
+    for t in range(24):
+        alpha = np.frombuffer(bytes(range(32 + 2 * t, 96 + 2 * t)),
+                              dtype=np.uint8)
+        parts.append(rng.choice(alpha, size=16384).astype(np.uint8)
+                     .tobytes())
+    data = b"".join(parts)
+    for lgb in (17, 18):
+        out = compress(data, quality=9, lgblock=lgb)
+        assert decompress(out) == data
+        if oracle.available():
+            assert oracle.decompress(out, max_size_hint=len(data)) == data
