@@ -62,6 +62,14 @@ class Compressor:
         self._finished = False
         self._head_written = False
         self._out_emitted = 0
+        # persistent native parse session (q<10): one session spans
+        # many PROCESS chunks, so cross-chunk match context is exact
+        # (no per-chunk table rebuild or strided prefix re-priming);
+        # the buffer compacts to the retained window every ~8 chunks
+        self._sess = None
+        self._nbuf = None
+        self._nlen = 0
+        self._sdlen = 0
 
     def _start(self):
         if self._started:
@@ -95,8 +103,15 @@ class Compressor:
             if is_last:
                 self._end_stream()
             return
-        full = np.concatenate([self._context, chunk])
-        dlen = len(self._context)
+        from .. import native_bridge as nb
+        use_session = p.quality < 10 and nb.available()
+        if use_session:
+            full, dlen = self._append_to_session(chunk, p)
+            start = self._nlen - n
+        else:
+            full = np.concatenate([self._context, chunk])
+            dlen = len(self._context)
+            start = dlen
         if p.quality >= 10:
             # Streaming runs the same quality tier as one-shot
             # (reference WriteMetaBlockInternal applies the full q10/11
@@ -107,26 +122,20 @@ class Compressor:
                                  initial_cache=tuple(self._cache),
                                  iters=1 if p.q9_5 else None)
             segs = [seg]
+        elif use_session:
+            segs = [self._sess.next(self._nlen - self._sdlen)]
         else:
             knobs = _quality_knobs(p)
-            from .. import native_bridge as nb
-            if nb.available():
-                segs = nb.combined_parse(
-                    full, p.window_size, [n], dict_len=dlen, pos0=0,
-                    initial_cache=tuple(self._cache),
-                    literal_byte_score=p.literal_byte_score,
-                    use_dictionary=not p.catable, **knobs)
-            else:
-                bl, bd, bsc, isd, bw = find_best_matches(
-                    full, p.window_size, dict_len=dlen,
-                    literal_byte_score=p.literal_byte_score,
-                    use_dictionary=not p.catable, **knobs)
-                segs = greedy_parse(full, bl, bd, bsc, [n], dict_len=dlen,
-                                    pos0=0,
-                                    initial_cache=tuple(self._cache),
-                                    best_isdict=isd,
-                                    window_size=p.window_size,
-                                    best_wire=bw)
+            bl, bd, bsc, isd, bw = find_best_matches(
+                full, p.window_size, dict_len=dlen,
+                literal_byte_score=p.literal_byte_score,
+                use_dictionary=not p.catable, **knobs)
+            segs = greedy_parse(full, bl, bd, bsc, [n], dict_len=dlen,
+                                pos0=0,
+                                initial_cache=tuple(self._cache),
+                                best_isdict=isd,
+                                window_size=p.window_size,
+                                best_wire=bw)
         ins, cps, dst, adv = segs[0]
         cmds, new_cache = resolve_commands(
             ins, cps, dst, p.dist, advance=adv,
@@ -137,11 +146,11 @@ class Compressor:
         state = self._w.save_state()
         before = self._w.bit_length()
         if p.quality >= 4:
-            bs.store_meta_block_auto(self._w, full, dlen, n, cmds,
+            bs.store_meta_block_auto(self._w, full, start, n, cmds,
                                      p.dist, p.quality, n, p.mode,
                                      mark_last)
         else:
-            bs.store_meta_block_trivial(self._w, full, dlen, n,
+            bs.store_meta_block_trivial(self._w, full, start, n,
                                         mark_last, cmds, p.dist)
         if self._w.bit_length() - before > 8 * n + 40:
             self._w.restore_state(state)
@@ -154,8 +163,46 @@ class Compressor:
         if is_last and suppress:
             self._trailer()
 
+    def _append_to_session(self, chunk: np.ndarray, p):
+        """Append a chunk to the persistent parse buffer/session;
+        returns (full, dict_len).  The buffer holds [retained window |
+        appended chunks]; when it fills, it compacts back to the
+        window and the session rebuilds (the only points that pay the
+        strided prefix re-priming)."""
+        from .. import native_bridge as nb
+        n = len(chunk)
+        if self._sess is not None and self._nlen + n > len(self._nbuf):
+            w = p.window_size
+            self._context = self._nbuf[max(0, self._nlen - w):
+                                       self._nlen].copy()
+            self._sess.close()
+            self._sess = None
+        if self._sess is None:
+            ctx = np.asarray(self._context, dtype=np.uint8)
+            dlen = len(ctx)
+            cap = dlen + n + max(p.window_size, 8 * self.chunk_size)
+            self._nbuf = np.zeros(cap, dtype=np.uint8)
+            self._nbuf[:dlen] = ctx
+            self._nbuf[dlen:dlen + n] = chunk
+            self._nlen = dlen + n
+            self._sdlen = dlen
+            self._sess = nb.ParseSession(
+                self._nbuf[:self._nlen], p.window_size, dict_len=dlen,
+                pos0=0, initial_cache=tuple(self._cache),
+                literal_byte_score=p.literal_byte_score,
+                use_dictionary=not p.catable, **_quality_knobs(p))
+        else:
+            self._nbuf[self._nlen:self._nlen + n] = chunk
+            self._nlen += n
+            self._sess.extend(self._nbuf[:self._nlen])
+        return self._nbuf[:self._nlen], self._sdlen
+
     def _advance(self, chunk: np.ndarray):
         self._abs_pos += len(chunk)
+        if self._sess is not None:
+            # the persistent parse buffer IS the retained window;
+            # _context materializes lazily at compaction time
+            return
         w = self.params.window_size
         self._context = np.concatenate([self._context, chunk])[-w:]
 
@@ -225,6 +272,10 @@ class Compressor:
             self._emit_chunk(chunk, True)
         else:
             self._end_stream()
+        if self._sess is not None:
+            self._sess.close()
+            self._sess = None
+            self._nbuf = None
         return self._drain()
 
     def is_finished(self) -> bool:

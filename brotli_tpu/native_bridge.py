@@ -114,6 +114,7 @@ def get_lib():
         _lib.parse_session_next.restype = ctypes.c_int64
         _lib.parse_session_cache.restype = None
         _lib.parse_session_end.restype = None
+        _lib.parse_session_extend.restype = None
         _lib.zopfli_dp_cache_native.restype = None
         _lib.pack_bits_native.restype = ctypes.c_int64
         _lib.collect_matches_native.restype = ctypes.c_int64
@@ -930,6 +931,16 @@ class ParseSession:
             _ptr(out_i), _ptr(out_c), _ptr(out_d), _ptr(out_a),
             ctypes.c_int64(max_cmds))
         return (out_i[:cnt], out_c[:cnt], out_d[:cnt], out_a[:cnt])
+
+    def extend(self, data):
+        """Append input to a live session (streaming PROCESS): `data`
+        must contain the session's previous bytes unchanged as a
+        prefix.  Keeps a reference so the walk's pointer stays valid."""
+        assert self._handle is not None
+        self._data = np.ascontiguousarray(data, dtype=np.uint8)
+        self._lib.parse_session_extend(
+            ctypes.c_void_p(self._handle), _ptr(self._data, U8),
+            ctypes.c_int64(len(self._data)))
 
     def close(self):
         if self._handle is not None:

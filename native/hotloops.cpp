@@ -2639,6 +2639,26 @@ void parse_session_cache(void* vs, int64_t* out_cache) {
     for (int c = 0; c < 4; c++) out_cache[c] = S.cache[c];
 }
 
+// extend a live session with appended input (the streaming encoder's
+// persistent session: one session spans many PROCESS chunks, so match
+// context carries across chunk boundaries exactly like one-shot).
+// `data` may be a new base pointer (caller-side realloc) but bytes
+// [0, old_total) must be unchanged.  Tail positions within 8 bytes of
+// the old end were hashed with the zero fallback; rolling hash
+// coverage back past them makes the next ensure_hashes() recompute
+// their real buckets from the appended bytes.
+void parse_session_extend(void* vs, const uint8_t* data,
+                          int64_t new_total) {
+    ParseSession& S = *(ParseSession*)vs;
+    int64_t old_n = S.cx.n;
+    S.cx.data = data;
+    S.cx.n = new_total;
+    if (!S.cx.basic && S.hash_end > 0) {
+        int64_t keep = std::max(S.cx.hash_base, old_n - 8);
+        if (S.hash_end > keep) S.hash_end = keep;
+    }
+}
+
 void parse_session_end(void* vs) {
     session_pool_put((ParseSession*)vs);
 }

@@ -241,3 +241,38 @@ def test_stream_decoder_bounded_window_memory():
     assert bytes(out) == data
     # retained history is window + slack, not the whole 1MiB output
     assert len(sd._out._buf) <= (1 << 16) + 4096
+
+
+def test_stream_compress_session_compaction():
+    """The persistent parse session compacts its buffer back to the
+    retained window when it fills; compaction points must keep the
+    stream valid (distances crossing the compaction boundary stay
+    window-legal) for ours AND the upstream decoder."""
+    data = (load("alice29.txt") + load("asyoulik.txt")) * 4  # ~1.1 MB
+    c = Compressor(quality=9, lgwin=16, chunk_size=1 << 13)
+    out = bytearray()
+    for i in range(0, len(data), 1 << 13):
+        out += c.process(data[i:i + (1 << 13)])
+    out += c.finish()
+    assert decompress(bytes(out)) == data
+    if oracle.available():
+        assert oracle.decompress(bytes(out),
+                                 max_size_hint=len(data)) == data
+
+
+def test_stream_compress_ratio_near_oneshot():
+    """Chunked streaming must stay within 0.5% of one-shot size at the
+    greedy tiers (the persistent session carries exact cross-chunk
+    match context; regression: per-chunk table rebuilds with strided
+    prefix priming cost ~0.9%)."""
+    data = (load("alice29.txt") + load("random_then_unicode")
+            + load("asyoulik.txt"))
+    for q in (5, 9):
+        one = compress(data, quality=q)
+        c = Compressor(quality=q, chunk_size=1 << 16)
+        out = bytearray()
+        for i in range(0, len(data), 1 << 16):
+            out += c.process(data[i:i + (1 << 16)])
+        out += c.finish()
+        assert decompress(bytes(out)) == data
+        assert len(out) <= len(one) * 1.005, (q, len(out), len(one))
