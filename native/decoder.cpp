@@ -782,9 +782,16 @@ static int64_t decode_loop(
         // ctx -> tree -> root)
         const int32_t* ctx_tabs[64];
         const int32_t* dctx_tabs[4];
+        int lit_res = 15;  // per-symbol bit reservation (max depth
+                           // over the block type's context trees)
         auto refresh_lit_tabs = [&]() {
-            for (int c2 = 0; c2 < 64; c2++)
+            int mx = 1;
+            for (int c2 = 0; c2 < 64; c2++) {
                 ctx_tabs[c2] = lit_roots[lrow[c2]];
+                int ml = lit_pt[lrow[c2]].max_len;
+                if (ml > mx) mx = ml;
+            }
+            lit_res = mx;
         };
         auto refresh_dist_tabs = [&]() {
             for (int c2 = 0; c2 < 4; c2++)
@@ -859,9 +866,13 @@ static int64_t decode_loop(
                 // memory round-trip through the BitReader happen once
                 // per batch instead of once per literal.
                 const int32_t* tab = lit_roots[0];
+                // reserve only the tree's real max depth per symbol:
+                // shallow trees (8-10 bits typical) then fit 5-7
+                // symbols per refill instead of 3
+                const int res = std::max(1, lit_pt[0].max_len);
                 int64_t j = 0;
                 while (j < ins_len) {
-                    if (br.avail < 15) br.refill();
+                    if (br.avail < res) br.refill();
                     uint64_t w = br.bits;
                     int64_t amax = br.avail;
                     int consumed = 0;
@@ -877,7 +888,7 @@ static int64_t decode_loop(
                         w >>= l;
                         consumed += l;
                         j++;
-                    } while (j < ins_len && consumed + 15 <= amax);
+                    } while (j < ins_len && consumed + res <= amax);
                     br.skip(consumed);
                 }
                 if (br.over()) return -1;
@@ -907,7 +918,7 @@ static int64_t decode_loop(
                     // with the context chain (p1, p2) carried in
                     // registers across the batch
                     while (take > 0) {
-                        if (br.avail < 15) br.refill();
+                        if (br.avail < lit_res) br.refill();
                         uint64_t w = br.bits;
                         int64_t amax = br.avail;
                         int consumed = 0;
@@ -928,7 +939,7 @@ static int64_t decode_loop(
                             w >>= l;
                             consumed += l;
                             take--;
-                        } while (take > 0 && consumed + 15 <= amax);
+                        } while (take > 0 && consumed + lit_res <= amax);
                         br.skip(consumed);
                     }
                     if (br.over()) return -1;
@@ -1077,8 +1088,13 @@ static int64_t decode_loop(
                     dist_cache[0] = distance;
                 }
             }
-            p1 = prev_byte(1);
-            p2 = prev_byte(2);
+            if (__builtin_expect(out_len >= 2, 1)) {
+                p1 = out[out_len - 1];
+                p2 = out[out_len - 2];
+            } else {
+                p1 = prev_byte(1);
+                p2 = prev_byte(2);
+            }
         }
         if (islast) { *finished = 1; break; }
         if (single_block) break;
