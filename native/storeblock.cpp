@@ -1823,6 +1823,27 @@ extern "C" int64_t store_metablock_native(
                 lit_h[(size_t)tr * 256 + literals[i]]++;
             }
         }
+        if (ntrees_l > 1 && n_lit < 50 * (int64_t)ntrees_l) {
+            // thin histograms: the static map spreads a handful of
+            // literals over types x contexts trees, paying a tree
+            // header each.  The reference's greedy metablock builder
+            // clusters these (cluster.rs via BrotliBuildMetaBlock
+            // greedy path); cluster only when histograms are thin so
+            // the normal text path pays nothing.
+            std::vector<int> assign;
+            std::vector<int64_t> merged;
+            int nt2 = 0;
+            cluster_histograms_hq(lit_h.data(), ntrees_l, 256, 64,
+                                  assign, merged, nt2);
+            if (nt2 < ntrees_l) {
+                for (size_t b = 0; b < cmap_l.size(); b++)
+                    cmap_l[b] = assign[cmap_l[b]];
+                for (int64_t i = 0; i < n_lit; i++)
+                    lit_tree[i] = assign[lit_tree[i]];
+                lit_h.swap(merged);
+                ntrees_l = nt2;
+            }
+        }
         ntrees_d = dist_split.num_types;
         for (int t = 0; t < ntrees_d; t++)
             for (int c = 0; c < 4; c++) cmap_d[(size_t)t * 4 + c] = t;
