@@ -205,6 +205,30 @@ class BitWriter:
         if self.bitpos:
             self.buf[-1] &= (1 << self.bitpos) - 1
 
+    def append_packed_phased(self, words: np.ndarray, total_bits: int,
+                             phase: int):
+        """Append a pre-packed buffer assembled at this writer's bit
+        phase: the buffer's first `phase` bits are zero placeholders
+        for the bits already in the writer's partial last byte
+        (self.bitpos must equal phase), so whole bytes concatenate
+        with a single OR on the boundary byte."""
+        assert self.bitpos == phase
+        if total_bits <= phase:
+            return
+        nbytes = (total_bits + 7) >> 3
+        used = words[:(total_bits + 63) >> 6]
+        raw = np.frombuffer(
+            np.ascontiguousarray(used, dtype="<u8").tobytes()[:nbytes],
+            dtype=np.uint8)
+        if phase == 0:
+            self.buf += raw.tobytes()
+        else:
+            self.buf[-1] |= int(raw[0])
+            self.buf += raw[1:].tobytes()
+        self.bitpos = total_bits & 7
+        if self.bitpos:
+            self.buf[-1] &= (1 << self.bitpos) - 1
+
     def save_state(self):
         """Checkpoint for rollback (per-metablock uncompressed fallback)."""
         return (len(self.buf), self.bitpos,

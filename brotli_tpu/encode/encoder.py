@@ -243,14 +243,28 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
     if not use_zopfli:
         from .. import native_bridge as nb
         knobs = _quality_knobs(params)
-        if params.quality <= 1 and nb.available() and dlen == 0:
+        if (params.quality <= 1 and nb.available() and dlen == 0
+                and start == 0 and metablock_callback is None
+                and params.stream_offset == 0):
             # q0/q1 fast tier (reference BrotliCompressFragmentFast,
             # compress_fragment.rs): one direct-mapped table, greedy
             # one-pass, miss-skip stride — no ring tables, no
-            # dictionary, no distance-cache probes.  Parsed one
-            # metablock at a time on a single worker thread (the
-            # direct-mapped table persists thread-locally), so
-            # parse(g+1) overlaps serialization(g).
+            # dictionary, no distance-cache probes.  The whole
+            # metablock loop (parse worker + trivial store + bit
+            # assembly) runs in one native call.
+            suppress = params.appendable or params.byte_align
+            res = nb.compress_fragment_pipeline(
+                full, params.window_size, span, params.quality,
+                suppress, tuple(cache), bit_phase=w.bitpos)
+            if res is not None:
+                words, nbits, cache = res
+                w.append_packed_phased(words, nbits, w.bitpos)
+                if suppress:
+                    _write_trailer(w, params)
+                return w.getvalue()
+            segments = _pipelined_fragment_segments(
+                nb, full, params, boundaries, start)
+        elif params.quality <= 1 and nb.available() and dlen == 0:
             segments = _pipelined_fragment_segments(
                 nb, full, params, boundaries, start)
         elif nb.available():

@@ -126,6 +126,7 @@ def get_lib():
         _lib.est_lit_native.restype = None
         _lib.fragment_parse_native.restype = ctypes.c_int64
         _lib.fragment_parse_seg_native.restype = ctypes.c_int64
+        _lib.compress_fragment_pipeline_native.restype = ctypes.c_int64
         _lib.zopfli_dp_cands_native.restype = None
         _lib.zopfli_backtrack_native.restype = ctypes.c_int64
         _lib.store_metablock_native.restype = ctypes.c_int64
@@ -594,6 +595,38 @@ def fragment_parse(data, window_size, bounds, pos0=0, table_bits=17):
                      adv[o:o + c]))
         o += c
     return segs
+
+
+def compress_fragment_pipeline(data, window_size, span, quality,
+                               suppress_last, initial_cache,
+                               bit_phase=0, table_bits=17):
+    """Whole-stream q0/q1 encode (compress_fragment_pipeline_native):
+    fragment parse on a worker thread, trivial store + bit-level
+    assembly on the caller thread, no Python per metablock.
+    `bit_phase` is the writer's current bit-within-byte position so
+    ISUNCOMPRESSED alignment lands on true stream bytes.  Returns
+    (words, nbits, cache) with nbits counting from bit 0 of `words`
+    (the first bit_phase bits are zero — append with
+    append_packed_phased), or None on overflow."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(data)
+    table_bits = min(table_bits, max(9, n.bit_length()))
+    cap_bits = 9 * n + (1 << 18)
+    words = _scratch("frag_words", cap_bits // 64 + 2, np.uint64)
+    words[:] = 0
+    cache_io = np.asarray(initial_cache, dtype=np.int64).copy()
+    U64 = ctypes.POINTER(ctypes.c_uint64)
+    r = lib.compress_fragment_pipeline_native(
+        _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(window_size),
+        ctypes.c_int64(span), ctypes.c_int64(table_bits),
+        ctypes.c_int64(quality), ctypes.c_int64(int(suppress_last)),
+        ctypes.c_int64(bit_phase & 7),
+        _ptr(cache_io), words.ctypes.data_as(U64),
+        ctypes.c_int64(cap_bits))
+    if r < 0:
+        return None
+    return words, int(r), cache_io.tolist()
 
 
 def fragment_parse_seg(data, window_size, pos0, bound, reset,

@@ -2209,3 +2209,157 @@ extern "C" void choose_dist_params_native(
     *npostfix_out = best_np;
     *ndirect_out = best_nd;
 }
+
+// ---------------------------------------------------------------------------
+// fully-native q0/q1 pipeline: fragment parse (worker thread) +
+// trivial store + bit-level stream assembly, no Python in the loop.
+// The Python fragment tier paid ~4 ctypes transitions + 4 array
+// copies per metablock and never reached parse/store overlap; this
+// driver is the fragment-tier analog of the reference's
+// BrotliCompressFragmentFast one-shot entry
+// (src/enc/compress_fragment.rs) with the store pipelined behind the
+// parse.
+// ---------------------------------------------------------------------------
+
+#include <future>
+
+extern "C" int64_t fragment_parse_core(
+    const uint8_t*, int64_t, int64_t, int64_t, int64_t, int32_t*,
+    const int64_t*, int64_t, int64_t*, int64_t*, int64_t*,
+    int64_t*, int64_t*, int64_t);
+
+namespace {
+
+// append `nbits` (LSB-first, starting at src[0] bit 0) at bit `pos`
+// of dst; dst must be zero beyond pos, src zero beyond nbits
+inline void append_bits_words(uint64_t* dst, int64_t& pos,
+                              const uint64_t* src, int64_t nbits) {
+    if (nbits <= 0) return;
+    int64_t off = pos & 63, w = pos >> 6;
+    int64_t nw = (nbits + 63) >> 6;
+    if (off == 0) {
+        std::memcpy(dst + w, src, (size_t)nw * 8);
+    } else {
+        for (int64_t i = 0; i < nw; i++) {
+            uint64_t v = src[i];
+            dst[w + i] |= v << off;
+            dst[w + i + 1] |= v >> (64 - off);
+        }
+    }
+    pos += nbits;
+}
+
+inline void put_bits(uint64_t* dst, int64_t& pos, uint64_t bits,
+                     int nb) {
+    if (nb == 0) return;
+    int64_t off = pos & 63, w = pos >> 6;
+    dst[w] |= bits << off;
+    if (off + nb > 64) dst[w + 1] |= bits >> (64 - off);
+    pos += nb;
+}
+
+// ISUNCOMPRESSED metablock (RFC 9.2; caller appends the empty-last
+// block if this ends the stream)
+inline void put_uncompressed(uint64_t* dst, int64_t& pos,
+                             const uint8_t* data, int64_t mlen) {
+    put_bits(dst, pos, 0, 1);  // ISLAST
+    int lg = mlen > 1 ? 64 - __builtin_clzll((uint64_t)(mlen - 1)) : 1;
+    int mnibbles = std::max(4, (lg + 3) / 4);
+    put_bits(dst, pos, (uint64_t)(mnibbles - 4), 2);
+    put_bits(dst, pos, (uint64_t)(mlen - 1), mnibbles * 4);
+    put_bits(dst, pos, 1, 1);  // ISUNCOMPRESSED
+    pos = (pos + 7) & ~7ll;    // align (dst is zero here already)
+    std::memcpy((uint8_t*)dst + (pos >> 3), data, (size_t)mlen);
+    pos += mlen * 8;
+}
+
+}  // namespace
+
+extern "C" int64_t compress_fragment_pipeline_native(
+    const uint8_t* data, int64_t n, int64_t window_size, int64_t span,
+    int64_t table_bits, int64_t quality, int64_t suppress_last,
+    int64_t bit0, int64_t* cache_io, uint64_t* out_words,
+    int64_t cap_bits)
+{
+    std::vector<int64_t> bounds;
+    for (int64_t b = span; b < n; b += span) bounds.push_back(b);
+    bounds.push_back(n);
+    int nseg = (int)bounds.size();
+
+    std::vector<int32_t> table((size_t)1 << table_bits, 0);
+    struct Slot {
+        std::vector<int64_t> ins, cps, dst, adv;
+        int64_t cnt = 0;
+    };
+    Slot slots[2];
+    auto parse_seg = [&](int g, Slot& s) {
+        int64_t pos0 = g == 0 ? 0 : bounds[g - 1];
+        int64_t bound = bounds[g];
+        int64_t cap = (bound - pos0) / 4 + 16;
+        if ((int64_t)s.ins.size() < cap) {
+            s.ins.resize(cap); s.cps.resize(cap);
+            s.dst.resize(cap); s.adv.resize(cap);
+        }
+        int64_t segc = 0;
+        s.cnt = fragment_parse_core(
+            data, n, pos0, window_size, table_bits, table.data(),
+            &bound, 1, s.ins.data(), s.cps.data(), s.dst.data(),
+            s.adv.data(), &segc, cap);
+    };
+
+    static const int64_t kZeroMap[64] = {0};
+    static const uint8_t kZeroLut[256] = {0};
+    std::vector<uint64_t> scratch;
+    // start at the stream's bit phase (the Python writer holds
+    // bit0 (0..7) bits of stream header in its partial last byte) so
+    // the ISUNCOMPRESSED byte alignment lands on true stream bytes;
+    // the first bit0 bits of out_words stay zero and the caller ORs
+    // them away (BitWriter.append_packed_phased)
+    int64_t pos = bit0 & 7;
+    std::future<void> fut;
+    parse_seg(0, slots[0]);
+    int64_t seg_start = 0;
+    for (int g = 0; g < nseg; g++) {
+        if (g + 1 < nseg)
+            fut = std::async(std::launch::async, parse_seg, g + 1,
+                             std::ref(slots[(g + 1) & 1]));
+        Slot& s = slots[g & 1];
+        int64_t mlen = bounds[g] - seg_start;
+        bool is_final = g == nseg - 1;
+        bool mark_last = is_final && !suppress_last;
+        int64_t mb_cap = 9 * mlen + (1 << 17);
+        int64_t need = (mb_cap + 63) / 64 + 2;
+        if ((int64_t)scratch.size() < need) scratch.resize(need);
+        std::memset(scratch.data(), 0, (size_t)need * 8);
+        int64_t cache_snap[4] = {cache_io[0], cache_io[1], cache_io[2],
+                                 cache_io[3]};
+        int64_t r = encode_metablock_native(
+            data, seg_start, mlen, mark_last ? 1 : 0, s.cnt,
+            s.ins.data(), s.cps.data(), s.dst.data(), s.adv.data(),
+            cache_io, window_size, 0, 0, 64, quality, 0, 1, kZeroMap,
+            kZeroLut, kZeroLut, 0, nullptr, 0, scratch.data(), mb_cap);
+        int64_t take = r >= 0 && r <= 8 * mlen + 40 ? r : -1;
+        int64_t worst = take >= 0 ? take : 8 * mlen + 120;
+        if (pos + worst + 16 > cap_bits) {
+            if (fut.valid()) fut.get();
+            return -1;
+        }
+        if (take >= 0) {
+            append_bits_words(out_words, pos, scratch.data(), take);
+        } else {
+            // expansion fallback (reference encode.rs:2141-2163);
+            // the store committed the distance cache, but the wire
+            // carries the uncompressed block — the decoder's cache is
+            // unchanged, so roll ours back
+            for (int c = 0; c < 4; c++) cache_io[c] = cache_snap[c];
+            put_uncompressed(out_words, pos, data + seg_start, mlen);
+            if (mark_last) {
+                put_bits(out_words, pos, 1, 1);  // ISLAST
+                put_bits(out_words, pos, 1, 1);  // ISLASTEMPTY
+            }
+        }
+        seg_start = bounds[g];
+        if (fut.valid()) fut.get();
+    }
+    return pos;
+}
