@@ -416,7 +416,8 @@ def store_metablock(data, start, mlen, is_last, cmds, npostfix, ndirect,
         _ptr(smap), _ptr(lut0, U8), _ptr(lut1, U8),
         ctypes.c_int64(int(enable_splits)),
         ctypes.c_void_p(None), ctypes.c_int64(0),
-        words.ctypes.data_as(U64), ctypes.c_int64(cap_bits))
+        words.ctypes.data_as(U64), ctypes.c_int64(cap_bits),
+        ctypes.c_int64(0))
     if r < 0:
         return None
     return words, int(r)
@@ -469,7 +470,8 @@ def encode_metablock(data, start, mlen, is_last, ins, wire, dist, adv,
         _ptr(smap), _ptr(lut0, U8), _ptr(lut1, U8),
         ctypes.c_int64(int(enable_splits)),
         ext_ptr, ctypes.c_int64(ext_n),
-        words.ctypes.data_as(U64), ctypes.c_int64(cap_bits))
+        words.ctypes.data_as(U64), ctypes.c_int64(cap_bits),
+        ctypes.c_int64(0))
     if r < 0:
         return None
     return words, int(r), cache_io.tolist()

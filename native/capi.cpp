@@ -43,7 +43,7 @@ int64_t encode_metablock_native(
     const int64_t*, int64_t*, int64_t, int64_t, int64_t, int64_t,
     int64_t, int64_t, int64_t, const int64_t*, const uint8_t*,
     const uint8_t*, int64_t, const int32_t*, int64_t,
-    uint64_t*, int64_t);
+    uint64_t*, int64_t, int64_t);
 int64_t decode_native(
     const uint8_t*, int64_t, uint8_t*, int64_t, const uint8_t*,
     int64_t, int64_t, int32_t*, int64_t);
@@ -509,7 +509,8 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
             oa.data() + off, cache, window, mb_npostfix, mb_ndirect,
             mb_alpha, std::max(quality, 4), ctx_mode, nlc, smap,
             kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
-            quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits);
+            quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits,
+            0);
         if (nbits < 0 || nbits > 8 * mlen + 40) {
             store_uncompressed(w, input + seg_start, mlen);
             if (is_last) write_empty_last(w);
@@ -602,7 +603,7 @@ static bool encode_stream_chunk(
         oc.data(), od.data(), oa.data(), cache, window, mb_npostfix,
         mb_ndirect, dist_alpha, std::max(quality, 4), ctx_mode, nlc,
         smap, kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
-        quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits);
+        quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits, 0);
     if (nbits < 0 || nbits > 8 * blen + 40) {
         store_uncompressed(w, body, blen);
         if (is_last) write_empty_last(w);

@@ -1574,11 +1574,15 @@ extern "C" int64_t store_metablock_native(
     int64_t enable_splits,
     const int32_t* ext_lit_types /* per literal; may be null */,
     int64_t ext_lit_ntypes,
-    uint64_t* out_words, int64_t cap_bits)
+    uint64_t* out_words, int64_t cap_bits, int64_t bit0)
 {
     using namespace sb;
     init_tables();
+    // bit0 (0..63): start ORing at that bit of out_words[0] — lets a
+    // driver append metablocks in place with no scratch+copy pass.
+    // The returned bit count includes bit0.
     BW bw{out_words, cap_bits};
+    bw.pos = bit0 & 63;
     static int prof = getenv("BROTLI_TPU_STORE_PROF") ? 1 : 0;
     auto tprof = std::chrono::steady_clock::now();
     auto mark = [&](const char* what) {
@@ -2098,7 +2102,7 @@ extern "C" int64_t encode_metablock_native(
     const uint8_t* lut0, const uint8_t* lut1,
     int64_t enable_splits,
     const int32_t* ext_lit_types, int64_t ext_lit_ntypes,
-    uint64_t* out_words, int64_t cap_bits)
+    uint64_t* out_words, int64_t cap_bits, int64_t bit0)
 {
     static thread_local std::vector<int64_t> code, extra, bits, sym;
     static thread_local std::vector<uint8_t> ul;
@@ -2115,7 +2119,7 @@ extern "C" int64_t encode_metablock_native(
         code.data(), extra.data(), bits.data(), sym.data(), advance,
         npostfix, ndirect, dist_alpha, quality, context_mode,
         num_lit_ctx, lit_static_map, lut0, lut1, enable_splits,
-        ext_lit_types, ext_lit_ntypes, out_words, cap_bits);
+        ext_lit_types, ext_lit_ntypes, out_words, cap_bits, bit0);
     if (r >= 0) {
         // commit the rolled-forward distance cache only when the
         // compressed form is used (an uncompressed fallback leaves the
@@ -2230,25 +2234,6 @@ extern "C" int64_t fragment_parse_core(
 
 namespace {
 
-// append `nbits` (LSB-first, starting at src[0] bit 0) at bit `pos`
-// of dst; dst must be zero beyond pos, src zero beyond nbits
-inline void append_bits_words(uint64_t* dst, int64_t& pos,
-                              const uint64_t* src, int64_t nbits) {
-    if (nbits <= 0) return;
-    int64_t off = pos & 63, w = pos >> 6;
-    int64_t nw = (nbits + 63) >> 6;
-    if (off == 0) {
-        std::memcpy(dst + w, src, (size_t)nw * 8);
-    } else {
-        for (int64_t i = 0; i < nw; i++) {
-            uint64_t v = src[i];
-            dst[w + i] |= v << off;
-            dst[w + i + 1] |= v >> (64 - off);
-        }
-    }
-    pos += nbits;
-}
-
 inline void put_bits(uint64_t* dst, int64_t& pos, uint64_t bits,
                      int nb) {
     if (nb == 0) return;
@@ -2286,13 +2271,20 @@ extern "C" int64_t compress_fragment_pipeline_native(
     bounds.push_back(n);
     int nseg = (int)bounds.size();
 
-    std::vector<int32_t> table((size_t)1 << table_bits, 0);
+    // persistent per-thread state: re-faulting ~16MB of slot/table
+    // pages per call costs more than the parse itself on short inputs
+    static thread_local std::vector<int32_t> table;
+    table.assign((size_t)1 << table_bits, 0);
     struct Slot {
         std::vector<int64_t> ins, cps, dst, adv;
         int64_t cnt = 0;
     };
-    Slot slots[2];
-    auto parse_seg = [&](int g, Slot& s) {
+    static thread_local Slot slots[2];
+    // the async worker must use the CALLER's table: a thread_local
+    // name inside a lambda rebinds to the executing thread's instance,
+    // so hand the pointer over explicitly
+    int32_t* table_ptr = table.data();
+    auto parse_seg = [&, table_ptr](int g, Slot& s) {
         int64_t pos0 = g == 0 ? 0 : bounds[g - 1];
         int64_t bound = bounds[g];
         int64_t cap = (bound - pos0) / 4 + 16;
@@ -2302,14 +2294,13 @@ extern "C" int64_t compress_fragment_pipeline_native(
         }
         int64_t segc = 0;
         s.cnt = fragment_parse_core(
-            data, n, pos0, window_size, table_bits, table.data(),
+            data, n, pos0, window_size, table_bits, table_ptr,
             &bound, 1, s.ins.data(), s.cps.data(), s.dst.data(),
             s.adv.data(), &segc, cap);
     };
 
     static const int64_t kZeroMap[64] = {0};
     static const uint8_t kZeroLut[256] = {0};
-    std::vector<uint64_t> scratch;
     // start at the stream's bit phase (the Python writer holds
     // bit0 (0..7) bits of stream header in its partial last byte) so
     // the ISUNCOMPRESSED byte alignment lands on true stream bytes;
@@ -2327,31 +2318,40 @@ extern "C" int64_t compress_fragment_pipeline_native(
         int64_t mlen = bounds[g] - seg_start;
         bool is_final = g == nseg - 1;
         bool mark_last = is_final && !suppress_last;
-        int64_t mb_cap = 9 * mlen + (1 << 17);
-        int64_t need = (mb_cap + 63) / 64 + 2;
-        if ((int64_t)scratch.size() < need) scratch.resize(need);
-        std::memset(scratch.data(), 0, (size_t)need * 8);
+        // the store ORs straight into the output at the running bit
+        // position — no per-metablock scratch memset or copy pass.
+        // Anything above 8*mlen+40 bits is replaced by an
+        // ISUNCOMPRESSED block, so cap the in-place write there.
+        int64_t mb_cap = 8 * mlen + 4096;
+        if (pos + mb_cap + 64 > cap_bits) {
+            if (fut.valid()) fut.get();
+            return -1;
+        }
+        int64_t base_w = pos >> 6;
+        int64_t phase = pos & 63;
         int64_t cache_snap[4] = {cache_io[0], cache_io[1], cache_io[2],
                                  cache_io[3]};
         int64_t r = encode_metablock_native(
             data, seg_start, mlen, mark_last ? 1 : 0, s.cnt,
             s.ins.data(), s.cps.data(), s.dst.data(), s.adv.data(),
             cache_io, window_size, 0, 0, 64, quality, 0, 1, kZeroMap,
-            kZeroLut, kZeroLut, 0, nullptr, 0, scratch.data(), mb_cap);
-        int64_t take = r >= 0 && r <= 8 * mlen + 40 ? r : -1;
-        int64_t worst = take >= 0 ? take : 8 * mlen + 120;
-        if (pos + worst + 16 > cap_bits) {
-            if (fut.valid()) fut.get();
-            return -1;
-        }
+            kZeroLut, kZeroLut, 0, nullptr, 0, out_words + base_w,
+            mb_cap + phase, phase);
+        int64_t take = r >= 0 ? r - phase : -1;
+        if (take > 8 * mlen + 40) take = -1;
         if (take >= 0) {
-            append_bits_words(out_words, pos, scratch.data(), take);
+            pos += take;
         } else {
-            // expansion fallback (reference encode.rs:2141-2163);
-            // the store committed the distance cache, but the wire
-            // carries the uncompressed block — the decoder's cache is
-            // unchanged, so roll ours back
+            // expansion fallback (reference encode.rs:2141-2163):
+            // zero what the failed store wrote (preserving the bits
+            // below `phase` in the boundary word) and emit the block
+            // uncompressed.  The store committed the distance cache,
+            // but the wire carries the raw block — the decoder's
+            // cache is unchanged, so roll ours back.
             for (int c = 0; c < 4; c++) cache_io[c] = cache_snap[c];
+            out_words[base_w] &= phase ? (1ull << phase) - 1 : 0;
+            std::memset(out_words + base_w + 1, 0,
+                        (size_t)((mb_cap + phase) / 64 + 1) * 8);
             put_uncompressed(out_words, pos, data + seg_start, mlen);
             if (mark_last) {
                 put_bits(out_words, pos, 1, 1);  // ISLAST
