@@ -571,6 +571,17 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
     return cand_lens, cand_dists, cand_isdict, cand_wire
 
 
+class _Done:
+    """Future-shaped wrapper for an already-computed value (the
+    collection passes run sequentially; see the LLC note below)."""
+
+    def __init__(self, value):
+        self._value = value
+
+    def result(self):
+        return self._value
+
+
 def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
                    iters=None):
     """Cache-independent candidate collection for one region: the deep
@@ -586,35 +597,36 @@ def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
     use_prior = params.quality >= 10 and iters > 1
 
     from .. import native_bridge as nb
-    # the candidate passes (3 table scans, all-matches collection,
-    # dictionary probe) are independent native calls; overlap them on a
-    # small thread pool (ctypes releases the GIL)
+    # the candidate passes (deep all-matches collection, dictionary
+    # probe, literal-cost estimate) run SEQUENTIALLY: each streams a
+    # large working set (the ~200MB match rings, the 1.4M-entry sorted
+    # dictionary index), and overlapping them on host threads thrashes
+    # the shared LLC — measured 2-6x slower in wall time than
+    # back-to-back on a 4-vCPU host (the old pooled version cost q11
+    # alice ~0.5s of pure contention)
     executor = None
     fut_cm = fut_cd = fut_el = None
     if nb.available():
-        from concurrent.futures import ThreadPoolExecutor
-        executor = ThreadPoolExecutor(max_workers=4)
-        # the literal-cost estimator only reads the raw bytes: overlap
-        # it with the match collection passes
-        fut_el = executor.submit(estimate_literal_costs, full[dict_len:])
         if use_prior:
             # deep rings (the domination filter makes extra probes one
             # byte-compare each), H10-grade coverage without the rows.
             # The whole refining family (q10 and q11) runs on these;
             # the single-iteration 9.5 tier keeps the scored top-K
             # rows, whose greedy pre-pass seeds its histograms
-            fut_cm = executor.submit(nb.collect_matches, full,
-                                     window_size, dict_len=dict_len,
-                                     k=96, k8=48, max_per_pos=16)
+            fut_cm = _Done(nb.collect_matches(full, window_size,
+                                              dict_len=dict_len,
+                                              k=96, k8=48,
+                                              max_per_pos=16))
         if params.quality >= 10 and not params.catable:
             # the whole optimal-parse family prices exact dictionary
             # candidates (reference hq.rs feeds Zopfli dict matches at
-            # q10+ too); overlapped with the table scans on the pool
+            # q10+ too)
             from .static_dict import (collect_dict_matches,
                                       sorted_dict_index)
             sorted_dict_index()  # warm the lru_cache serially
-            fut_cd = executor.submit(collect_dict_matches, full,
-                                     dict_len, window_size)
+            fut_cd = _Done(collect_dict_matches(full, dict_len,
+                                                window_size))
+        fut_el = _Done(estimate_literal_costs(full[dict_len:]))
     # q10/q11 take ALL their window candidates from the deep
     # all-matches collection (k=96 ring + k8=48 long ring,
     # increasing-length filtered); the per-position top-K rows only
