@@ -36,29 +36,24 @@ _MAX_INFLIGHT = 3
 
 
 @partial(__import__("jax").jit,
-         static_argnames=("window_size", "halo", "k", "k8"))
+         static_argnames=("window_size", "halo", "k", "k8", "rounds"))
 def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
-                 k8: int):
+                 k8: int, rounds: int):
     """Device kernel: packed (len << 26 | dist) per shard position.
-    Uses the semi-packed matcher (4 compare rounds, two scatters per
-    fold) — the gather-bound kernel's cheapest correct form; the host
-    extends length-capped matches exactly."""
-    import jax.numpy as jnp
-
-    from ..ops.matching import MIN_SCORE_DELTA, best_matches_packed
-    sl, dist = best_matches_packed(row, window_size, k=k, k8=k8,
-                                   rounds=4, min_pos=min_pos)
-    score = sl >> 6
-    best_len = sl & 63
-    keep = score > MIN_SCORE_DELTA
-    packed = jnp.where(keep,
-                       (best_len << LEN_SHIFT) | dist,
-                       0).astype(jnp.int32)
-    return packed[halo:]
+    Content-sorted exact matcher (ops.matching.best_matches_exact):
+    one fused XLA program — multi-operand sort, stencil fold, one
+    scatter.  The host extends length-capped matches exactly from
+    base 4 (bytes 0-4 of every reported match are key-attested)."""
+    from ..ops.matching import best_matches_exact
+    return best_matches_exact(row, window_size, k=k, k8=k8,
+                              rounds=rounds, min_pos=min_pos,
+                              len_shift=LEN_SHIFT)[halo:]
 
 
 def _device_knobs(quality: int):
-    return dict(k=8, k8=4) if quality <= 6 else dict(k=16, k8=8)
+    if quality <= 6:
+        return dict(k=8, k8=4, rounds=2)
+    return dict(k=16, k8=8, rounds=4)
 
 
 def _extract_literals(region, dlen, ins, adv):
@@ -143,10 +138,12 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
         bl = packed >> LEN_SHIFT
         bd = packed & ((1 << LEN_SHIFT) - 1)
         row = rows[j]
-        # exact extension of device length-capped matches (the packed
-        # kernel compares 4 rounds = 16 bytes)
+        # exact extension of device length-capped matches (every
+        # reported length is byte-attested by the kernel's exact
+        # chunk-value payloads, so extension resumes at the cap)
+        cap = 4 * knobs["rounds"]
         if nb.available():
-            capped = bl >= 16
+            capped = bl >= cap
             if capped.any():
                 pos_c = np.nonzero(capped)[0]
                 ext = nb.extend_caps(row[:halo + real], 0,

@@ -511,45 +511,30 @@ def _backtrack(n, lcp_l, cost, prev_start, prev_len, prev_wire,
 
 
 def _collect_candidates(full, window_size, dict_len, literal_byte_score,
-                        use_dictionary, executor=None):
+                        use_dictionary):
     """Per-position candidate rows: deep hash-4, deep hash-8, dict.
-    The three table passes are independent native calls (ctypes drops
-    the GIL), so with an executor they run concurrently."""
+    The table passes run back-to-back: each streams a large working
+    set, and overlapping them on host threads thrashes the shared LLC
+    (same measurement as the zopfli_collect passes below)."""
     from .. import native_bridge as nb
     outs = []
     if nb.available():
-        def deep():
-            # deep table with runner-up (2 diverse rows from one pass)
-            return nb.find_best_matches(
-                full, window_size, dict_len=dict_len,
-                literal_byte_score=literal_byte_score,
-                k=64, bucket_bits=15, k8=0, use_dictionary=False,
-                want_top2=True)
-        shallow_kws = (dict(k=12, bucket_bits=14, k8=0,
-                            use_dictionary=False),
-                       dict(k=1, bucket_bits=17, k8=24,
-                            use_dictionary=use_dictionary))
-
-        def shallow(kw):
-            return find_best_matches(
+        # deep table with runner-up (2 diverse rows from one pass)
+        bl, bd, bs, isd, bw, b2l, b2d = nb.find_best_matches(
+            full, window_size, dict_len=dict_len,
+            literal_byte_score=literal_byte_score,
+            k=64, bucket_bits=15, k8=0, use_dictionary=False,
+            want_top2=True)
+        outs.append((bl, bd, isd, bw))
+        outs.append((b2l, b2d, np.zeros(len(b2l), bool), b2l))
+        for kw in (dict(k=12, bucket_bits=14, k8=0,
+                        use_dictionary=False),
+                   dict(k=1, bucket_bits=17, k8=24,
+                        use_dictionary=use_dictionary)):
+            bl, bd, bs, isd, bw = find_best_matches(
                 full, window_size, dict_len=dict_len,
                 literal_byte_score=literal_byte_score, **kw)
-        if executor is not None:
-            futs = [executor.submit(deep)] + [
-                executor.submit(shallow, kw) for kw in shallow_kws]
-            bl, bd, bs, isd, bw, b2l, b2d = futs[0].result()
             outs.append((bl, bd, isd, bw))
-            outs.append((b2l, b2d, np.zeros(len(b2l), bool), b2l))
-            for f in futs[1:]:
-                bl, bd, bs, isd, bw = f.result()
-                outs.append((bl, bd, isd, bw))
-        else:
-            bl, bd, bs, isd, bw, b2l, b2d = deep()
-            outs.append((bl, bd, isd, bw))
-            outs.append((b2l, b2d, np.zeros(len(b2l), bool), b2l))
-            for kw in shallow_kws:
-                bl, bd, bs, isd, bw = shallow(kw)
-                outs.append((bl, bd, isd, bw))
     else:
         bl, bd, bs, isd, bw = find_best_matches(
             full, window_size, dict_len=dict_len,
@@ -569,17 +554,6 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
     cand_isdict = np.stack([o[2] for o in outs])
     cand_wire = np.stack([o[3] for o in outs])
     return cand_lens, cand_dists, cand_isdict, cand_wire
-
-
-class _Done:
-    """Future-shaped wrapper for an already-computed value (the
-    collection passes run sequentially; see the LLC note below)."""
-
-    def __init__(self, value):
-        self._value = value
-
-    def result(self):
-        return self._value
 
 
 def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
@@ -604,8 +578,7 @@ def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
     # the shared LLC — measured 2-6x slower in wall time than
     # back-to-back on a 4-vCPU host (the old pooled version cost q11
     # alice ~0.5s of pure contention)
-    executor = None
-    fut_cm = fut_cd = fut_el = None
+    cm = cd = el = None
     if nb.available():
         if use_prior:
             # deep rings (the domination filter makes extra probes one
@@ -613,10 +586,9 @@ def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
             # The whole refining family (q10 and q11) runs on these;
             # the single-iteration 9.5 tier keeps the scored top-K
             # rows, whose greedy pre-pass seeds its histograms
-            fut_cm = _Done(nb.collect_matches(full, window_size,
-                                              dict_len=dict_len,
-                                              k=96, k8=48,
-                                              max_per_pos=16))
+            cm = nb.collect_matches(full, window_size,
+                                    dict_len=dict_len,
+                                    k=96, k8=48, max_per_pos=16)
         if params.quality >= 10 and not params.catable:
             # the whole optimal-parse family prices exact dictionary
             # candidates (reference hq.rs feeds Zopfli dict matches at
@@ -624,22 +596,21 @@ def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
             from .static_dict import (collect_dict_matches,
                                       sorted_dict_index)
             sorted_dict_index()  # warm the lru_cache serially
-            fut_cd = _Done(collect_dict_matches(full, dict_len,
-                                                window_size))
-        fut_el = _Done(estimate_literal_costs(full[dict_len:]))
+            cd = collect_dict_matches(full, dict_len, window_size)
+        el = estimate_literal_costs(full[dict_len:])
     # q10/q11 take ALL their window candidates from the deep
     # all-matches collection (k=96 ring + k8=48 long ring,
     # increasing-length filtered); the per-position top-K rows only
     # back the 9.5 tier, whose single-iteration parse leans on the
     # scored best rows
-    need_rows = fut_cm is None
+    need_rows = cm is None
     if need_rows:
         # find_best_matches already returns region-relative arrays
         # (index 0 == absolute position dict_len)
         (cand_lens, cand_dists, cand_isdict,
          cand_wire) = _collect_candidates(
             full, window_size, dict_len, params.literal_byte_score,
-            not params.catable, executor=executor)
+            not params.catable)
         cand_lens = cand_lens.copy()
         cand_wire = cand_wire.copy()
         # exact lengths for cap-hit matches, with amortized skipping:
@@ -675,25 +646,21 @@ def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
     extra = None
     if params.quality >= 10:
         xs = []
-        if fut_cm is not None:
-            mp, ml, md = fut_cm.result()
+        if cm is not None:
+            mp, ml, md = cm
             xs.append((mp, ml, md, np.zeros(len(mp), bool), ml))
         if not params.catable:
-            if fut_cd is not None:
-                dp_, dl_, dd_, dw_ = fut_cd.result()
-            else:
+            if cd is None:
                 from .static_dict import collect_dict_matches
-                dp_, dl_, dd_, dw_ = collect_dict_matches(
-                    full, dict_len, window_size)
+                cd = collect_dict_matches(full, dict_len, window_size)
+            dp_, dl_, dd_, dw_ = cd
             xs.append((dp_, dl_, dd_, np.ones(len(dp_), bool), dw_))
         if xs:
             # passed as separate sources: the dense prep k-way merges
             # the sorted runs natively, no concatenated copy
             extra = xs
-    lit_costs = (fut_el.result() if fut_el is not None
+    lit_costs = (el if el is not None
                  else estimate_literal_costs(full[dict_len:]))
-    if executor is not None:
-        executor.shutdown(wait=False)
     return dict(cand_lens=cand_lens, cand_dists=cand_dists,
                 cand_isdict=cand_isdict, cand_wire=cand_wire,
                 extra=extra, lit_costs=lit_costs)

@@ -223,10 +223,163 @@ def best_matches_packed(data: jnp.ndarray, window_size: int, k: int = 16,
     return best
 
 
+def _fold_fused(h: jnp.ndarray, k: int, vs: list, window_size: int,
+                lbs: int, best_packed: jnp.ndarray, min_pos=0,
+                len_shift: int = 26, base_len: int = 0,
+                require_full: bool = False) -> jnp.ndarray:
+    """One hash-table fold, fully fused: sort (hash, pos, chunk values)
+    together with ONE multi-operand lax.sort (no gathers at all), then
+    compare each position against its k left neighbors in sort order
+    with static slices of once-padded arrays (a pure stencil XLA fuses
+    into a single pass — the round-2 version's jnp.concatenate per
+    (candidate, round) forced materialized copies), and scatter ONE
+    packed int32 (len << len_shift | dist) back to position space.
+
+    Reference functional bar: AdvHasher FindLongestMatch
+    (src/enc/backward_references/mod.rs:932-1311) — fixed top-k recency
+    candidates per bucket, reference scoring shape.
+    """
+    n = h.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    ops = jax.lax.sort((h, pos) + tuple(vs), num_keys=1, is_stable=True)
+    h_s, pos_s = ops[0], ops[1]
+    vs_s = ops[2:]
+
+    # pad so neighbor j is a static slice; pad pos with a large
+    # NEGATIVE so dist > window masks the fake candidates
+    hp = jnp.pad(h_s, (k, 0))
+    pp = jnp.pad(pos_s, (k, 0), constant_values=np.int32(-(1 << 30)))
+    vps = [jnp.pad(v, (k, 0)) for v in vs_s]
+    limit_s = n - pos_s
+
+    s_score = jnp.zeros(n, jnp.int32)
+    s_packed = jnp.zeros(n, jnp.int32)
+    full_len = base_len + 4 * len(vs)
+    for j in range(1, k + 1):
+        same = hp[k - j:k - j + n] == h_s
+        cand = pp[k - j:k - j + n]
+        dist = pos_s - cand
+        # base_len: length already attested by key equality (the
+        # exact-content folds sort by the chunk value itself)
+        total = jnp.where(same, np.int32(base_len), 0) \
+            if base_len else jnp.zeros(n, jnp.int32)
+        alive = same
+        for v_s, v_p in zip(vs_s, vps):
+            x = v_s ^ v_p[k - j:k - j + n]
+            nz = x != 0
+            low = x & (~x + np.uint32(1))
+            ctz = jax.lax.population_count(low - np.uint32(1))
+            m = jnp.where(nz, (ctz >> np.uint32(3)).astype(jnp.int32), 4)
+            total = total + jnp.where(alive, m, 0)
+            alive = alive & (m == 4)
+        ml = jnp.minimum(total, limit_s)
+        valid = same & (dist <= window_size) & (ml >= 4) \
+            & (cand >= min_pos)
+        if require_full:
+            # hashed-key fold over partially-verified bytes: only a
+            # full payload-chain match is meaningful
+            valid = valid & (total == full_len)
+        ml = jnp.where(valid, ml, 0)
+        logd = 31 - jax.lax.clz(jnp.maximum(dist, 1))
+        sc = jnp.where(ml > 0, lbs * ml - DISTANCE_BIT_PENALTY * logd,
+                       0)
+        upd = sc > s_score
+        s_score = jnp.where(upd, sc, s_score)
+        s_packed = jnp.where(upd, (ml << len_shift) | dist, s_packed)
+
+    gate = s_score > MIN_SCORE_DELTA
+    s_packed = jnp.where(gate, s_packed, 0)
+    s_score = jnp.where(gate, s_score, 0)
+    # one scatter back to position space; merge with the running best
+    # by scattering (score, packed) and comparing — score rides in a
+    # second scatter only when a previous fold exists
+    if best_packed is None:
+        return (jnp.zeros(n, jnp.int32).at[pos_s].set(s_packed),
+                jnp.zeros(n, jnp.int32).at[pos_s].set(s_score))
+    prev_packed, prev_score = best_packed
+    p_packed = jnp.zeros(n, jnp.int32).at[pos_s].set(s_packed)
+    p_score = jnp.zeros(n, jnp.int32).at[pos_s].set(s_score)
+    upd = p_score > prev_score
+    return (jnp.where(upd, p_packed, prev_packed),
+            jnp.where(upd, p_score, prev_score))
+
+
+def best_matches_fused(data: jnp.ndarray, window_size: int, k: int = 16,
+                       k8: int = 8, rounds: int = 4,
+                       literal_byte_score: int = 540, min_pos=0,
+                       len_shift: int = 26) -> jnp.ndarray:
+    """Device matcher, one fused XLA program: per-position packed int32
+    (len << len_shift | dist), 0 where no candidate beats the score
+    gate.  Lengths cap at 4*rounds; the host extends cap hits exactly.
+
+    Two folds: the 17-bit 4-byte table (k candidates) and the 18-bit
+    8-byte long-match table (k8); set k8=0 to skip the second sort.
+    """
+    if 4 * rounds >= (1 << (31 - len_shift)):
+        raise ValueError("length cap overflows the int32 packing")
+    n = data.shape[0]
+    v4 = u32_values(data)
+    vs = [v4] + [u32_values_at(data, 4 * r) for r in range(1, rounds)]
+    lbs = literal_byte_score // 4
+    h4 = (v4 * HASH_MUL32 >> np.uint32(32 - 17)).astype(jnp.int32)
+    best = _fold_fused(h4, k, vs, window_size, lbs, None, min_pos,
+                       len_shift)
+    if k8 > 0:
+        h8 = (((v4 * HASH_MUL32) ^ (vs[1] * HASH_MUL32B))
+              >> np.uint32(32 - 18)).astype(jnp.int32)
+        best = _fold_fused(h8, k8, vs, window_size, lbs, best, min_pos,
+                           len_shift)
+    return best[0]
+
+
+def best_matches_exact(data: jnp.ndarray, window_size: int,
+                       k: int = 16, k8: int = 0, rounds: int = 2,
+                       literal_byte_score: int = 540, min_pos=0,
+                       len_shift: int = 26) -> jnp.ndarray:
+    """Content-sorted device matcher: sort by the 4-byte chunk VALUE
+    itself (not a hash) — candidate groups are exact-prefix groups, so
+    there are no bucket collisions and the sort carries one operand
+    less than the hashed fold.  Candidates are the k most recent
+    same-prefix positions (stable sort keeps position order inside a
+    value group).  Lengths cap at 4*rounds; bytes 0-4 of every
+    reported match are certain (key equality), so the host extends
+    capped matches from base 4.
+
+    The optional k8 fold groups by a full-width 32-bit hash of the
+    first 8 bytes and carries the exact chunk values as payload, so
+    its lengths are fully attested too — the hash is only a grouping
+    key, never trusted for bytes.
+
+    Every reported length is exact up to the cap; the host extends
+    cap hits from the reported length, as with the host tables.
+
+    Output: per-position packed int32 (len << len_shift | dist), 0
+    where nothing beats the score gate.
+    """
+    if 4 * rounds >= (1 << (31 - len_shift)):
+        raise ValueError("length cap overflows the int32 packing")
+    n = data.shape[0]
+    v4 = u32_values(data)
+    vs = [v4] + [u32_values_at(data, 4 * r) for r in range(1, rounds)]
+    lbs = literal_byte_score // 4
+    # fold A: key is the content itself; equal key ⇒ first 4 bytes
+    # match, the tail values refine the length up to the cap
+    best = _fold_fused(v4.astype(jnp.int32), k, vs[1:], window_size,
+                       lbs, None, min_pos, len_shift,
+                       base_len=4)
+    if k8 > 0:
+        h8 = (((v4 * HASH_MUL32) ^ (vs[1] * HASH_MUL32B))
+              .astype(jnp.int32))
+        best = _fold_fused(h8, k8, vs, window_size, lbs, best,
+                           min_pos, len_shift)
+    return best[0]
+
+
 def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
                        bucket_bits: int = 17, k8: int = 4,
                        bucket_bits8: int = 18,
-                       literal_byte_score: int = 540, min_pos=0):
+                       literal_byte_score: int = 540, min_pos=0,
+                       rounds: int = LEN_CAP // 4):
     """Per-position best (len, dist, score) for one shard, jit-friendly.
 
     Semantics mirror match.find_best_matches (host oracle) up to the
@@ -237,8 +390,7 @@ def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
     n = data.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     v4 = u32_values(data)
-    vs = [v4] + [u32_values_at(data, 4 * r)
-                 for r in range(1, LEN_CAP // 4)]
+    vs = [v4] + [u32_values_at(data, 4 * r) for r in range(1, rounds)]
     lbs = literal_byte_score // 4
 
     best = (jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),

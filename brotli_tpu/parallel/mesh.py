@@ -110,7 +110,7 @@ def match_pipeline(mesh: Mesh, window_size: int, k: int = 4,
 
 
 def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
-                  k8: int = 4):
+                  k8: int = 4, rounds: int = 2):
     """Jitted multi-chip match finding over halo-extended shards.
 
     Each row is [halo + shard_len] bytes: the shard preceded by the
@@ -120,15 +120,17 @@ def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
     part of row 0's halo.  Compact candidates for the shard region only
     cross the link; counts psum over ICI.
     """
-    from ..ops.matching import MIN_SCORE_DELTA, best_matches_block
+    from ..ops.matching import best_matches_exact
 
     def per_shard(block, min_pos):
         data = block[0]
         n = data.shape[0]
-        best_len, best_dist, best_score = best_matches_block(
-            data, window_size, k=k, k8=k8, min_pos=min_pos[0])
+        packed = best_matches_exact(data, window_size, k=k, k8=k8,
+                                    rounds=rounds, min_pos=min_pos[0])
+        best_len = packed >> 26
+        best_dist = packed & ((1 << 26) - 1)
         pos = jnp.arange(n, dtype=jnp.int32)
-        keep = (best_score > MIN_SCORE_DELTA) & (pos >= halo)
+        keep = (packed != 0) & (pos >= halo)
         maxc = n - halo  # every shard position may carry a match
         idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
         tgt = jnp.where(keep, idx, maxc)
@@ -151,7 +153,8 @@ def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
 
 
 def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
-                  quality: int = 9, lgwin: int = 22) -> bytes:
+                  quality: int = 9, lgwin: int = 22,
+                  lgblock: int = 0) -> bytes:
     """End-to-end multi-chip compression: shard the input over the
     device mesh with cross-shard context halos, run batched match
     finding per chip (shard_map), serialize each shard on host as a
@@ -181,7 +184,8 @@ def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
     if len(raw) < n_dev * SUB_BLOCK:
         from ..encode.encoder import compress
         return compress(bytes(data), quality=quality, lgwin=lgwin)
-    params = EncoderParams(quality=quality, lgwin=lgwin).sanitize(None)
+    params = EncoderParams(quality=quality, lgwin=lgwin,
+                           lgblock=lgblock).sanitize(None)
 
     n = len(raw)
     shard_len = -(-n // n_dev)
@@ -205,7 +209,8 @@ def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
 
     sharded = jax.device_put(rows, NamedSharding(mesh, P("shard", None)))
     mp = jax.device_put(min_pos, NamedSharding(mesh, P("shard")))
-    kdev = dict(k=8, k8=4) if params.quality <= 6 else dict(k=16, k8=8)
+    kdev = dict(k=8, k8=4, rounds=2) if params.quality <= 6 \
+        else dict(k=16, k8=8, rounds=4)
     step = halo_pipeline(mesh, params.window_size, halo, **kdev)
     cpos, clen, cdist, counts, _total = step(sharded, mp)
     cpos = np.asarray(cpos)
@@ -214,7 +219,6 @@ def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
     counts = np.asarray(counts)
 
     from .. import native_bridge as nb
-    from ..ops.matching import LEN_CAP
 
     pieces = []
     for i in range(n_dev):
@@ -229,9 +233,9 @@ def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
         pos = pos[keep]
         lens = clen[i, :cnt][keep].astype(np.int64)
         dists = cdist[i, :cnt][keep].astype(np.int64)
-        # exact extension of cap-hit matches (device caps at LEN_CAP)
+        # exact extension of cap-hit matches
         if nb.available() and len(pos):
-            capped = lens >= LEN_CAP
+            capped = lens >= 4 * kdev["rounds"]
             if capped.any():
                 ext = nb.extend_caps(row[:halo + real], 0,
                                      pos[capped] + halo, dists[capped],
@@ -269,42 +273,99 @@ def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
             bstr.store_uncompressed_meta_block(
                 w, row[halo:halo + hk].tobytes())
             start = hk
-        mlen = real - start
-        if mlen > 0:
+        if real - start > 0:
             # shard 0's halo is zero-fill, not real prefix: parse it
             # without a dict region so absolute positions (and dict
             # pseudo-distance eligibility) are exact
             dlen = halo if i > 0 else 0
             region = row[:halo + real] if i > 0 \
                 else row[halo:halo + real]
-            segs = greedy_parse(region, bl, bd, bsc, [real],
-                                dict_len=dlen, pos0=start,
-                                initial_cache=tuple(cache),
-                                best_isdict=isd,
-                                window_size=params.window_size,
-                                best_wire=bwire)
-            ins, cps, dst, adv = segs[0]
-            cmds, _ = resolve_commands(
+            _serialize_shard(w, region, row, halo, dlen, start, real,
+                             bl, bd, bsc, isd, bwire, params, cache)
+        bstr.write_empty_last_meta_block(w)
+        pieces.append(w.getvalue())
+    return _merge(pieces)
+
+
+def _serialize_shard(w, region, row, halo, dlen, start, real, bl, bd,
+                     bsc, isd, bwire, params, cache):
+    """Serialize one shard's parse as lgblock-sized metablocks through
+    the native store (shards of any size — the reference's
+    CompressMulti handles arbitrary ranges, threading/mod.rs:413-661;
+    a single metablock is capped at 2^24 by the format).  The distance
+    cache rolls across metablocks; each block falls back to an
+    uncompressed metablock independently if it expands."""
+    from .. import native_bridge as nb
+    from ..core import constants as C
+    from ..encode import bitstream as bstr
+    from ..encode.command import resolve_commands
+    from ..encode.match import greedy_parse
+    from ..encode.metablock import (choose_context_mode,
+                                    choose_literal_context_map)
+
+    span = 1 << params.lgblock
+    bounds = list(range(start + span, real, span)) + [real]
+    segs = greedy_parse(region, bl, bd, bsc, bounds,
+                        dict_len=dlen, pos0=start,
+                        initial_cache=tuple(cache),
+                        best_isdict=isd,
+                        window_size=params.window_size,
+                        best_wire=bwire)
+    mb_start = start
+    for gi, (ins, cps, dst, adv) in enumerate(segs):
+        mb_end = bounds[gi]
+        mlen = mb_end - mb_start
+        if mlen <= 0:
+            continue
+        ctx_mode = choose_context_mode(
+            row[halo + mb_start:halo + mb_end], params.quality,
+            params.mode)
+        if ctx_mode == C.CONTEXT_UTF8:
+            nlc, smap = choose_literal_context_map(
+                region, dlen + mb_start, mlen, params.quality, real)
+        else:
+            nlc, smap = 1, np.zeros(64, dtype=np.int64)
+        res = None
+        if nb.available():
+            res = nb.encode_metablock(
+                region, dlen + mb_start, mlen, False, ins, cps, dst,
+                adv, cache, params.window_size, 0, 0,
+                params.dist.alphabet_size, max(params.quality, 4),
+                ctx_mode, nlc, smap, C.CONTEXT_LUT0[ctx_mode],
+                C.CONTEXT_LUT1[ctx_mode])
+        if res is not None and res[1] <= 8 * mlen + 40:
+            words, nbits, cache[:] = res[0], res[1], res[2]
+        elif res is not None:
+            bstr.store_uncompressed_meta_block(
+                w, row[halo + mb_start:halo + mb_end].tobytes())
+            mb_start = mb_end
+            continue
+        else:
+            # pure-Python fallback (no native runtime)
+            cmds, new_cache = resolve_commands(
                 ins, cps, dst, params.dist, advance=adv,
-                initial_cache=cache, pos_offset=dlen + start,
+                initial_cache=cache, pos_offset=dlen + mb_start,
                 window_size=params.window_size)
             state = w.save_state()
             before = w.bit_length()
             if params.quality >= 4:
                 bstr.store_meta_block_auto(
-                    w, region, dlen + start, mlen, cmds, params.dist,
-                    params.quality, mlen, 0, False)
+                    w, region, dlen + mb_start, mlen, cmds,
+                    params.dist, params.quality, mlen, 0, False)
             else:
                 bstr.store_meta_block_trivial(
-                    w, region, dlen + start, mlen, False, cmds,
+                    w, region, dlen + mb_start, mlen, False, cmds,
                     params.dist)
             if w.bit_length() - before > 8 * mlen + 40:
                 w.restore_state(state)
                 bstr.store_uncompressed_meta_block(
-                    w, row[halo + start:halo + real].tobytes())
-        bstr.write_empty_last_meta_block(w)
-        pieces.append(w.getvalue())
-    return _merge(pieces)
+                    w, row[halo + mb_start:halo + mb_end].tobytes())
+            else:
+                cache[:] = new_cache
+            mb_start = mb_end
+            continue
+        w.append_packed(words, nbits)
+        mb_start = mb_end
 
 
 def shard_input(data: np.ndarray, n_shards: int,

@@ -224,3 +224,42 @@ def test_kernel_profiling_counters(tmp_path):
     # the trace scope must leave a profile artifact behind
     import glob
     assert glob.glob(str(tmp_path) + "/**/*", recursive=True)
+
+
+def test_compress_mesh_multi_metablock_shards():
+    """Shards larger than one metablock serialize as a sequence of
+    lgblock-sized metablocks through the native store (reference
+    CompressMulti handles arbitrary ranges, threading/mod.rs:413-661;
+    the format caps one metablock at 2^24 bytes).  A small lgblock
+    forces several metablocks per shard."""
+    from brotli_tpu import compress_multi, decompress
+    from brotli_tpu.parallel.mesh import compress_mesh, make_mesh
+    data = (load("alice29.txt") + load("asyoulik.txt")) * 4  # ~1.1 MB
+    mesh = make_mesh(4)
+    out = compress_mesh(data, mesh=mesh, lgblock=16)
+    assert decompress(out) == data
+    # size parity gate vs the host CompressMulti at the same shard
+    # count (mesh halos must preserve cross-shard matches)
+    host = compress_multi(data, num_parts=4)
+    assert len(out) <= len(host) * 1.02
+
+
+def test_compress_mesh_large_input_gated():
+    """256 MiB through compress_mesh on 8 virtual devices round-trips
+    (VERDICT r2 item 3; shards of 32 MiB exceed the 2^24 metablock cap
+    ~2x, exercising the per-shard segmentation).  Gated: ~minutes of
+    CPU-backend match kernels."""
+    import os
+
+    import pytest as _pytest
+    if not os.environ.get("BROTLI_TPU_BIG_TESTS"):
+        _pytest.skip("set BROTLI_TPU_BIG_TESTS=1 (runs ~minutes)")
+    from brotli_tpu import decompress
+    from brotli_tpu.parallel.mesh import compress_mesh, make_mesh
+    rng = np.random.default_rng(5)
+    base = load("alice29.txt") * 64  # ~9.3 MB of text
+    noise = rng.integers(0, 256, size=64 << 20, dtype=np.uint8)
+    data = (np.frombuffer(base, np.uint8).tobytes() * 28)[:192 << 20]
+    data = data + noise.tobytes()  # 256 MiB total
+    out = compress_mesh(data, mesh=make_mesh(8), quality=5)
+    assert decompress(out) == data
