@@ -1,7 +1,7 @@
 # Build/test entry points (the reference's justfile analog).
 
 PY ?= python
-NATIVE_SRCS = native/hotloops.cpp native/decoder.cpp \
+NATIVE_SRCS = native/hotloops.cpp native/decoder.cpp native/broccoli.cpp \
               native/storeblock.cpp native/capi.cpp native/workpool.cpp \
               native/zopfli_hq.cpp
 

@@ -51,8 +51,14 @@ def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
 
 
 def _device_knobs(quality: int):
+    """Per-tier device matcher knobs, chosen from the measured on-chip
+    speed/ratio grid (RESULTS.md): extra fold WIDTH (k) is nearly free
+    — the sorts dominate — so the greedy tier runs one wide exact fold
+    (~87 MB/s on a v5e at 5M rows, size 0.996x the host q5 path) and
+    the q7-9 tier adds the 8-byte-hash fold for long-match recency on
+    text (~26 MB/s, size 1.003x host q9)."""
     if quality <= 6:
-        return dict(k=8, k8=4, rounds=2)
+        return dict(k=32, k8=0, rounds=4)
     return dict(k=16, k8=8, rounds=4)
 
 

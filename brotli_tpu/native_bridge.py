@@ -21,6 +21,7 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRCS = [os.path.join(_NATIVE_DIR, "hotloops.cpp"),
+         os.path.join(_NATIVE_DIR, "broccoli.cpp"),
          os.path.join(_NATIVE_DIR, "decoder.cpp"),
          os.path.join(_NATIVE_DIR, "storeblock.cpp"),
          os.path.join(_NATIVE_DIR, "capi.cpp"),

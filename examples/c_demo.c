@@ -126,7 +126,57 @@ int main(int argc, char** argv) {
     }
     BrotliEncoderDestroyWorkPool(pool);
 
-    printf("OK %ld -> %zu bytes (q%d); workpool(4) -> %zu bytes\n",
-           n, enc_size, quality, multi_size);
+    /* Broccoli concatenation: compress the two halves independently
+     * (appendable first, catable second), merge at the bit level, and
+     * decode the merged stream (the reference's c/catbrotli.c analog).
+     * Uses BrotliTpuEncodeOneshot for the stream-shaping flags. */
+    long half = n / 2;
+    size_t c1_size = enc_cap, c2_size = enc_cap;
+    uint8_t* c1 = malloc(enc_cap);
+    uint8_t* c2 = malloc(enc_cap);
+    if (!BrotliTpuEncodeOneshot(quality, 22, 0, 0, 1, 0, 0, NULL, 0,
+                                half, input, &c1_size, c1) ||
+        !BrotliTpuEncodeOneshot(quality, 22, 0, 1, 0, 0, 0, NULL, 0,
+                                n - half, input + half, &c2_size, c2)) {
+        fprintf(stderr, "shaped encode failed\n");
+        return 1;
+    }
+    BroccoliState bs = BroccoliCreateInstance();
+    uint8_t* cat = malloc(c1_size + c2_size + 64);
+    uint8_t* cat_out = cat;
+    size_t cat_left = c1_size + c2_size + 64;
+    const uint8_t* piece[2] = {c1, c2};
+    size_t piece_size[2] = {c1_size, c2_size};
+    for (int i = 0; i < 2; i++) {
+        BroccoliNewBrotliFile(&bs);
+        size_t ain = piece_size[i];
+        const uint8_t* ip = piece[i];
+        int32_t br = BroccoliConcatStream(&bs, &ain, &ip, &cat_left,
+                                          &cat_out);
+        if (br != BroccoliNeedsMoreInput && br != BroccoliSuccess) {
+            fprintf(stderr, "broccoli stream failed: %d\n", br);
+            return 1;
+        }
+    }
+    if (BroccoliConcatFinish(&bs, &cat_left, &cat_out) !=
+            BroccoliSuccess) {
+        fprintf(stderr, "broccoli finish failed\n");
+        return 1;
+    }
+    BroccoliDestroyInstance(bs);
+    size_t cat_size = (size_t)(cat_out - cat);
+    /* decode the concatenated stream via the return-info API */
+    BrotliDecoderReturnInfo info = BrotliDecoderDecompressWithReturnInfo(
+        cat_size, cat, (size_t)n + 16, dec);
+    if (info.result != BROTLI_DECODER_RESULT_SUCCESS ||
+        info.decoded_size != (size_t)n || memcmp(dec, input, n) != 0) {
+        fprintf(stderr, "broccoli concat round-trip FAILED (%s)\n",
+                info.error);
+        return 1;
+    }
+
+    printf("OK %ld -> %zu bytes (q%d); workpool(4) -> %zu bytes; "
+           "broccoli concat %zu bytes decodes\n",
+           n, enc_size, quality, multi_size, cat_size);
     return 0;
 }

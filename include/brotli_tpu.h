@@ -61,6 +61,29 @@ const uint8_t* BrotliDecoderTakeOutput(BrotliDecoderState* state,
 int32_t BrotliDecoderGetErrorCode(const BrotliDecoderState* state);
 const char* BrotliDecoderErrorString(int32_t code);
 
+/* one-shot decode with rich result info (reference decode.h:223-240) */
+typedef struct BrotliDecoderReturnInfoStruct {
+    size_t decoded_size;
+    char error[256];
+    BrotliDecoderResult result;
+    int32_t code; /* BrotliDecoderErrorCode: 1 success, negative error */
+} BrotliDecoderReturnInfo;
+
+BrotliDecoderReturnInfo BrotliDecoderDecompressWithReturnInfo(
+    size_t encoded_size, const uint8_t* encoded_buffer,
+    size_t decoded_size, uint8_t* decoded_buffer);
+
+/* allocation-free decode: caller provides all scratch.  The int32
+ * prefix-table arena maps onto scratch_u32 (>= 65536 entries; 1<<23
+ * covers every stream).  scratch_u8/scratch_hc exist for reference
+ * ABI parity and may be NULL. */
+BrotliDecoderReturnInfo BrotliDecoderDecompressPrealloc(
+    size_t encoded_size, const uint8_t* encoded_buffer,
+    size_t decoded_size, uint8_t* decoded_buffer,
+    size_t scratch_u8_size, uint8_t* scratch_u8_buffer,
+    size_t scratch_u32_size, uint32_t* scratch_u32_buffer,
+    size_t scratch_hc_size, void* scratch_hc_buffer);
+
 /* ---- encoder ---- */
 
 typedef enum {
@@ -126,6 +149,42 @@ BROTLI_BOOL BrotliEncoderCompressMulti(
     const uint32_t* param_values, size_t input_size,
     const uint8_t* input, size_t* encoded_size, uint8_t* encoded_buffer,
     size_t desired_num_threads);
+
+/* ---- Broccoli: bit-level stream concatenation ----
+ * (reference c/brotli/broccoli.h, src/ffi/broccoli.rs:56-156) */
+
+typedef struct BroccoliState_ {
+    void* unused;
+    unsigned char data[248];
+} BroccoliState;
+
+typedef enum BroccoliResult_ {
+    BroccoliSuccess = 0,
+    BroccoliNeedsMoreInput = 1,
+    BroccoliNeedsMoreOutput = 2,
+    BroccoliBrotliFileNotCraftedForAppend = 124,
+    BroccoliInvalidWindowSize = 125,
+    BroccoliWindowSizeLargerThanPreviousFile = 126,
+    BroccoliBrotliFileNotCraftedForConcatenation = 127
+} BroccoliResult;
+
+BroccoliState BroccoliCreateInstance(void);
+BroccoliState BroccoliCreateInstanceWithWindowSize(uint8_t window_size);
+void BroccoliDestroyInstance(BroccoliState state);
+void BroccoliNewBrotliFile(BroccoliState* state);
+int32_t BroccoliConcatStream(
+    BroccoliState* state, size_t* available_in,
+    const uint8_t** input_buf_ptr, size_t* available_out,
+    uint8_t** output_buf_ptr);
+int32_t BroccoliConcatStreaming(
+    BroccoliState* state, size_t* available_in,
+    const uint8_t* input_buf, size_t* available_out,
+    uint8_t* output_buf);
+int32_t BroccoliConcatFinish(BroccoliState* state, size_t* available_out,
+                             uint8_t** output_buf);
+int32_t BroccoliConcatFinished(BroccoliState* state,
+                               size_t* available_out,
+                               uint8_t* output_buf);
 
 /* ---- extensions ---- */
 

@@ -22,6 +22,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <cmath>
 #include <algorithm>
 #include <future>
@@ -674,6 +675,106 @@ BrotliDecoderResult BrotliDecoderDecompress(
     if (r == -1) return BROTLI_DECODER_RESULT_NEEDS_MORE_INPUT;
     if (r == -3) return BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT;
     return BROTLI_DECODER_RESULT_ERROR;
+}
+
+// one-shot decode with rich result info (reference
+// BrotliDecoderDecompressWithReturnInfo, c/brotli/decode.h:223 and
+// src/ffi/decompressor.rs); layout matches the reference header's
+// BrotliDecoderReturnInfoStruct (decode.h:128)
+typedef struct BrotliDecoderReturnInfoStruct {
+    size_t decoded_size;
+    char error[256];
+    BrotliDecoderResult result;
+    int32_t code;   // BrotliDecoderErrorCode (negative on error)
+} BrotliDecoderReturnInfo;
+
+BrotliDecoderReturnInfo BrotliDecoderDecompressWithReturnInfo(
+    size_t encoded_size, const uint8_t* encoded_buffer,
+    size_t decoded_size, uint8_t* decoded_buffer) {
+    BrotliDecoderReturnInfo info;
+    std::memset(&info, 0, sizeof(info));
+    capi::ensure_decoder_dict();
+    static thread_local std::vector<int32_t> tmem;
+    if (tmem.size() < (1u << 23)) tmem.resize(1u << 23);
+    int64_t r = decode_native(encoded_buffer, (int64_t)encoded_size,
+                              decoded_buffer, (int64_t)decoded_size,
+                              nullptr, 0, 0, tmem.data(),
+                              (int64_t)tmem.size());
+    if (r >= 0) {
+        info.decoded_size = (size_t)r;
+        info.result = BROTLI_DECODER_RESULT_SUCCESS;
+        info.code = 1;  // BROTLI_DECODER_SUCCESS
+        return info;
+    }
+    if (r == -1) {
+        info.result = BROTLI_DECODER_RESULT_NEEDS_MORE_INPUT;
+        info.code = 2;  // BROTLI_DECODER_NEEDS_MORE_INPUT
+        std::snprintf(info.error, sizeof(info.error),
+                      "needs more input");
+    } else if (r == -3) {
+        info.result = BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT;
+        info.code = 3;  // BROTLI_DECODER_NEEDS_MORE_OUTPUT
+        std::snprintf(info.error, sizeof(info.error),
+                      "needs more output");
+    } else {
+        info.result = BROTLI_DECODER_RESULT_ERROR;
+        info.code = -1;
+        std::snprintf(info.error, sizeof(info.error),
+                      "corrupt brotli stream");
+    }
+    return info;
+}
+
+// allocation-free one-shot decode: the caller provides every scratch
+// buffer (reference BrotliDecoderDecompressPrealloc, decode.h:229 —
+// the seccomp/no-alloc operation mode).  Our decoder needs one int32
+// prefix-table arena; it maps onto the caller's u32 scratch.  The u8
+// and HuffmanCode scratch parameters exist for ABI parity (the
+// reference decoder shapes its scratch differently) and may be null.
+BrotliDecoderReturnInfo BrotliDecoderDecompressPrealloc(
+    size_t encoded_size, const uint8_t* encoded_buffer,
+    size_t decoded_size, uint8_t* decoded_buffer,
+    size_t scratch_u8_size, uint8_t* scratch_u8_buffer,
+    size_t scratch_u32_size, uint32_t* scratch_u32_buffer,
+    size_t scratch_hc_size, void* scratch_hc_buffer) {
+    (void)scratch_u8_size; (void)scratch_u8_buffer;
+    (void)scratch_hc_size; (void)scratch_hc_buffer;
+    BrotliDecoderReturnInfo info;
+    std::memset(&info, 0, sizeof(info));
+    capi::ensure_decoder_dict();
+    if (!scratch_u32_buffer || scratch_u32_size < (1u << 16)) {
+        info.result = BROTLI_DECODER_RESULT_ERROR;
+        info.code = -21;  // BROTLI_DECODER_ERROR_ALLOC_*
+        std::snprintf(info.error, sizeof(info.error),
+                      "u32 scratch too small (need >= 65536 entries)");
+        return info;
+    }
+    int64_t r = decode_native(
+        encoded_buffer, (int64_t)encoded_size, decoded_buffer,
+        (int64_t)decoded_size, nullptr, 0, 0,
+        reinterpret_cast<int32_t*>(scratch_u32_buffer),
+        (int64_t)scratch_u32_size);
+    if (r >= 0) {
+        info.decoded_size = (size_t)r;
+        info.result = BROTLI_DECODER_RESULT_SUCCESS;
+        info.code = 1;
+    } else if (r == -1) {
+        info.result = BROTLI_DECODER_RESULT_NEEDS_MORE_INPUT;
+        info.code = 2;
+        std::snprintf(info.error, sizeof(info.error),
+                      "needs more input");
+    } else if (r == -3) {
+        info.result = BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT;
+        info.code = 3;
+        std::snprintf(info.error, sizeof(info.error),
+                      "needs more output");
+    } else {
+        info.result = BROTLI_DECODER_RESULT_ERROR;
+        info.code = -1;
+        std::snprintf(info.error, sizeof(info.error),
+                      "corrupt brotli stream");
+    }
+    return info;
 }
 
 // ---- streaming decoder instance (buffering facade) ----

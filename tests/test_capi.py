@@ -577,3 +577,125 @@ def test_capi_streaming_encode_catable_concatenates():
     second = stream_encode(b, [(2, 9), (167, 1)])  # catable
     joined = concatenate([first, second])
     assert decompress(joined) == a + b
+
+
+class _BroccoliState(ctypes.Structure):
+    _fields_ = [("unused", ctypes.c_void_p),
+                ("data", ctypes.c_ubyte * 248)]
+
+
+class _DecoderReturnInfo(ctypes.Structure):
+    _fields_ = [("decoded_size", ctypes.c_size_t),
+                ("error", ctypes.c_char * 256),
+                ("result", ctypes.c_int32),
+                ("code", ctypes.c_int32)]
+
+
+def _broccoli_concat(L, streams, window=0):
+    """Drive the Broccoli C ABI (reference ffi/broccoli.rs:56-156)."""
+    L.BroccoliCreateInstance.restype = _BroccoliState
+    L.BroccoliCreateInstanceWithWindowSize.restype = _BroccoliState
+    L.BroccoliConcatStream.restype = ctypes.c_int32
+    L.BroccoliConcatFinish.restype = ctypes.c_int32
+    st = (L.BroccoliCreateInstanceWithWindowSize(ctypes.c_uint8(window))
+          if window else L.BroccoliCreateInstance())
+    out = bytearray()
+    obuf = ctypes.create_string_buffer(1 << 16)
+    try:
+        for s in streams:
+            L.BroccoliNewBrotliFile(ctypes.byref(st))
+            ain = ctypes.c_size_t(len(s))
+            inp = ctypes.cast(ctypes.c_char_p(bytes(s)),
+                              ctypes.POINTER(ctypes.c_uint8))
+            while True:
+                aout = ctypes.c_size_t(len(obuf))
+                optr = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
+                r = L.BroccoliConcatStream(
+                    ctypes.byref(st), ctypes.byref(ain),
+                    ctypes.byref(inp), ctypes.byref(aout),
+                    ctypes.byref(optr))
+                out += obuf.raw[:len(obuf) - aout.value]
+                if r != 2:  # not NeedsMoreOutput
+                    if r not in (0, 1):
+                        return r, bytes(out)
+                    break
+        while True:
+            aout = ctypes.c_size_t(len(obuf))
+            optr = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
+            r = L.BroccoliConcatFinish(ctypes.byref(st),
+                                       ctypes.byref(aout),
+                                       ctypes.byref(optr))
+            out += obuf.raw[:len(obuf) - aout.value]
+            if r != 2:
+                return r, bytes(out)
+    finally:
+        L.BroccoliDestroyInstance(st)
+
+
+def test_broccoli_abi_matches_python_engine():
+    """The compiled Broccoli surface produces byte-identical output to
+    the Python BroCatli engine and the result decodes (reference
+    src/ffi/broccoli.rs:56-156, c/brotli/broccoli.h)."""
+    from brotli_tpu import compress
+    from brotli_tpu.concat.brocatli import concatenate
+    L = lib()
+    a = load("alice29.txt")
+    b = load("asyoulik.txt")
+    c1 = compress(a, quality=5, appendable=True)
+    c2 = compress(b, quality=9, catable=True)
+    c3 = compress(a[:30000], quality=2, catable=True)
+    r, got = _broccoli_concat(L, [c1, c2, c3])
+    assert r == 0
+    assert got == concatenate([c1, c2, c3])
+    assert decompress(got) == a + b + a[:30000]
+    # window-size constructor (all-catable form)
+    r, got2 = _broccoli_concat(L, [c2, c3], window=22)
+    assert r == 0
+    assert got2 == concatenate([c2, c3], window_size=22)
+    assert decompress(got2) == b + a[:30000]
+    # rejection: a plain (non-shaped) stream cannot be concatenated
+    plain = compress(b, quality=5)
+    r, _ = _broccoli_concat(L, [c1, plain])
+    assert r == 127  # BroccoliBrotliFileNotCraftedForConcatenation
+
+
+def test_decoder_return_info_and_prealloc():
+    """BrotliDecoderDecompressWithReturnInfo / DecompressPrealloc in
+    the compiled ABI (reference c/brotli/decode.h:223-240); prealloc
+    decodes with zero library-side allocation (caller scratch only)."""
+    from brotli_tpu import compress
+    L = lib()
+    L.BrotliDecoderDecompressWithReturnInfo.restype = _DecoderReturnInfo
+    L.BrotliDecoderDecompressWithReturnInfo.argtypes = [
+        ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p]
+    L.BrotliDecoderDecompressPrealloc.restype = _DecoderReturnInfo
+    L.BrotliDecoderDecompressPrealloc.argtypes = [
+        ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_size_t, ctypes.c_void_p]
+    a = load("asyoulik.txt")
+    comp = compress(a, quality=9)
+    dec = ctypes.create_string_buffer(len(a) + 64)
+    info = L.BrotliDecoderDecompressWithReturnInfo(
+        len(comp), ctypes.c_char_p(bytes(comp)), len(dec), dec)
+    assert info.result == 1 and info.code == 1
+    assert dec.raw[:info.decoded_size] == a
+    scratch = (ctypes.c_uint32 * (1 << 23))()
+    info = L.BrotliDecoderDecompressPrealloc(
+        len(comp), ctypes.c_char_p(bytes(comp)), len(dec), dec,
+        0, None, 1 << 23, scratch, 0, None)
+    assert info.result == 1
+    assert dec.raw[:info.decoded_size] == a
+    # error paths carry a message and a negative/None-success code
+    bad = bytes(comp[:10]) + b"\xff" * 30
+    info = L.BrotliDecoderDecompressWithReturnInfo(
+        len(bad), ctypes.c_char_p(bad), len(dec), dec)
+    assert info.result != 1 and info.error
+    # undersized scratch is rejected, not crashed
+    tiny = (ctypes.c_uint32 * 16)()
+    info = L.BrotliDecoderDecompressPrealloc(
+        len(comp), ctypes.c_char_p(bytes(comp)), len(dec), dec,
+        0, None, 16, tiny, 0, None)
+    assert info.result == 0 and info.code < 0
