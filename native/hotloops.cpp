@@ -1961,7 +1961,10 @@ struct ParseStats {
     uint64_t cyc_hash = 0;
 };
 bool g_stats_on = false;
-thread_local ParseStats g_stats;
+// global, not thread_local: the single-stream pipeline runs exactly
+// one parse worker, and the main thread reads after joining.  (Opt-in
+// profiling only — concurrent CompressMulti parses would interleave.)
+ParseStats g_stats;
 
 inline uint64_t rdtsc_now() {
 #if defined(__x86_64__)
@@ -2012,6 +2015,10 @@ struct CombinedCtx {
     // mod.rs:1942: stop paying for dictionary probes on data where
     // they never hit — probe only while lookups/128 <= matches)
     int64_t dict_lookups = 0, dict_matches = 0;
+    // per-tier probe depth (the reference probes TWO Hash14 items per
+    // miss, mod.rs:1942; the full 12-slot index is a quality-tier
+    // luxury — at speed tiers it dominates miss-position cost)
+    int64_t dict_max_slots = 64;
     // dictionary index
     const int64_t* dict_table;
     int64_t dict_hash_bits, dict_slots;
@@ -2082,24 +2089,32 @@ struct CombinedCtx {
         insert_upto(stop);
     }
 
-    // search at absolute position i (candidates strictly before i)
-    SearchResult search(int64_t i, const int64_t* cache) {
+    // search at absolute position i (candidates strictly before i).
+    // gate_len: the lazy re-search passes the current best length —
+    // candidates that cannot exceed it skip their probe entirely (the
+    // reference seeds FindLongestMatch with best_len_in the same way,
+    // mod.rs:2438)
+    SearchResult search(int64_t i, const int64_t* cache,
+                        int64_t gate_len = 0) {
         if (__builtin_expect(!g_stats_on, 1))
-            return basic ? basic_search(i, cache)
-                         : search_impl(i, cache);
+            return basic ? basic_search(i, cache, gate_len)
+                         : search_impl(i, cache, gate_len);
         g_stats.positions++;
         uint64_t t0 = rdtsc_now();
-        SearchResult r = basic ? basic_search(i, cache)
-                               : search_impl(i, cache);
+        SearchResult r = basic ? basic_search(i, cache, gate_len)
+                               : search_impl(i, cache, gate_len);
         g_stats.cyc_search += rdtsc_now() - t0;
         return r;
     }
 
-    SearchResult search_impl(int64_t i, const int64_t* cache) {
+    SearchResult search_impl(int64_t i, const int64_t* cache,
+                             int64_t gate_len = 0) {
         SearchResult sr;
         insert_upto(i);
         if (i + 4 > n) return sr;
         int64_t limit = n - i;
+        int64_t gl = std::min(gate_len, limit - 1);
+        if (gl < 0) gl = 0;
         // prefetch everything the probes below will touch: the two
         // ring bucket rows and the data at each cache-candidate
         // source.  The probe loops otherwise serialize these misses.
@@ -2118,11 +2133,16 @@ struct CombinedCtx {
         // cache[idx]+delta with last-distance penalties); n_cache is
         // 4 for speed tiers, 16 for quality tiers.  A candidate can
         // only win if it matches one byte past the current best.
+        uint32_t v4g = load32(data + i);
         for (int c = 0; c < n_cache; c++) {
             int64_t d = cache[kSCIdx[c]] + kSCDelta[c];
             if (d <= 0 || d > i || d > window) continue;
-            if (sr.len > 0 && (sr.len >= limit ||
-                data[i - d + sr.len] != data[i + sr.len])) continue;
+            // cheap 4-byte gate first: only length >= 4 cache matches
+            // count, so a first-word mismatch can never win
+            if (load32(data + i - d) != v4g) continue;
+            int64_t g = sr.len > gl ? sr.len : gl;
+            if (g > 0 && (g >= limit ||
+                data[i - d + g] != data[i + g])) continue;
             if (__builtin_expect(g_stats_on, 0)) g_stats.cache_probes++;
             int64_t ml = probe_len(data, i - d, i, limit);
             if (ml >= 4) {
@@ -2156,8 +2176,9 @@ struct CombinedCtx {
                 if ((uint32_t)(e >> 32) != v4) continue;
                 // a candidate can only beat the best if it matches at
                 // least one byte past it (reference mod.rs:1714)
-                if (sr.len > 0 && (sr.len >= limit ||
-                    data[cand + sr.len] != data[i + sr.len])) continue;
+                int64_t g = sr.len > gl ? sr.len : gl;
+                if (g > 0 && (g >= limit ||
+                    data[cand + g] != data[i + g])) continue;
                 if (__builtin_expect(g_stats_on, 0)) g_stats.t4_probed++;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
@@ -2182,8 +2203,9 @@ struct CombinedCtx {
                 int64_t dist = i - cand;
                 if (dist > window) break;
                 if ((uint32_t)(e >> 32) != v4) continue;
-                if (sr.len > 0 && (sr.len >= limit ||
-                    data[cand + sr.len] != data[i + sr.len])) continue;
+                int64_t g = sr.len > gl ? sr.len : gl;
+                if (g > 0 && (g >= limit ||
+                    data[cand + g] != data[i + g])) continue;
                 if (__builtin_expect(g_stats_on, 0)) g_stats.t8_probed++;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
@@ -2209,7 +2231,8 @@ struct CombinedCtx {
         dict_lookups++;
         if (__builtin_expect(g_stats_on, 0)) g_stats.dict_probes++;
         uint32_t hd = (v4 * 0x1E35A7BDu) >> (32 - dict_hash_bits);
-        for (int64_t s = 0; s < dict_slots; s++) {
+        int64_t nslots = std::min(dict_slots, dict_max_slots);
+        for (int64_t s = 0; s < nslots; s++) {
             int64_t e = dict_table[hd * dict_slots + s];
             if (e < 0) continue;
             int64_t L = dict_wlen[e];
@@ -2287,16 +2310,20 @@ struct CombinedCtx {
         basic_insert_upto(stop);
     }
 
-    SearchResult basic_search(int64_t i, const int64_t* cache) {
+    SearchResult basic_search(int64_t i, const int64_t* cache,
+                              int64_t gate_len = 0) {
         SearchResult sr;
         basic_insert_upto(i);
         if (i + 4 > n) return sr;
         int64_t limit = n - i;
+        int64_t gl = std::min(gate_len, limit - 1);
+        if (gl < 0) gl = 0;
         uint32_t v4 = load32(data + i);
         // last-distance probe (BasicHasher checks one cache slot)
         {
             int64_t d = cache[0];
-            if (d > 0 && d <= i && d <= window) {
+            if (d > 0 && d <= i && d <= window &&
+                load32(data + i - d) == v4) {
                 if (__builtin_expect(g_stats_on, 0))
                     g_stats.cache_probes++;
                 int64_t ml = probe_len(data, i - d, i, limit);
@@ -2308,7 +2335,7 @@ struct CombinedCtx {
         }
         if (i + (hash_len4 == 5 ? 8 : 4) <= n) {
             uint32_t h = bucket_hash(data + i, hash_len4, shift4);
-            const uint64_t* row = ring4 + (int64_t)h * cap4;
+            uint64_t* row = ring4 + (int64_t)h * cap4;
             if (__builtin_expect(g_stats_on, 0))
                 g_stats.t4_scanned += cap4;
             for (int64_t s = 0; s < cap4; s++) {
@@ -2318,8 +2345,9 @@ struct CombinedCtx {
                 if (dist <= 0) continue;
                 if (dist > window) break;  // slots are recency-ordered
                 if ((uint32_t)(e >> 32) != v4) continue;
-                if (sr.len > 0 && (sr.len >= limit ||
-                    data[cand + sr.len] != data[i + sr.len])) continue;
+                int64_t g = sr.len > gl ? sr.len : gl;
+                if (g > 0 && (g >= limit ||
+                    data[cand + g] != data[i + g])) continue;
                 if (__builtin_expect(g_stats_on, 0)) g_stats.t4_probed++;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
@@ -2329,6 +2357,20 @@ struct CombinedCtx {
                     sr.wire = ml; sr.isdict = false;
                 }
             }
+            // insert this position with the hash already in hand (the
+            // probe ran on the pre-insert table, so candidates stay
+            // strictly before i); later insert_upto calls skip it via
+            // ins_pos — one hash computation per position instead of
+            // two (the reference's H2 search/store share the hash the
+            // same way)
+            uint64_t e = ((uint64_t)v4 << 32) | (uint32_t)i;
+            if (cap4 == 1) {
+                row[0] = e;
+            } else {
+                row[1] = row[0];
+                row[0] = e;
+            }
+            if (ins_pos == i) ins_pos = i + 1;
         }
         dict_probe(i, v4, sr);
         return sr;
@@ -2472,12 +2514,15 @@ int64_t parse_session_next(void* vs, int64_t boundary_rel,
         SearchResult sr = cx.search(pos, cache);
         if (sr.score <= 100) {
             // sparse skip over incompressible spreads
-            // (LiteralSpreeLengthForSparseSearch, mod.rs:150)
+            // (LiteralSpreeLengthForSparseSearch, mod.rs:150); deep
+            // into a spree the skipped positions are not inserted
+            // either — the reference advances without storing them
             int64_t step = 1;
             if (misses > 512) step = 4;
             else if (misses > 64) step = 2;
             misses++;
             pos += step;
+            if (step > 1 && cx.ins_pos < pos) cx.ins_pos = pos;
             continue;
         }
         // lazy matching: defer up to 4 times (skipped after a long
@@ -2486,6 +2531,9 @@ int64_t parse_session_next(void* vs, int64_t boundary_rel,
         int defers = 0;
         while (sr.len < cx.lazy_gate && defers < 4 &&
                pos + 1 + 4 <= boundary) {
+            // no length gate on the lazy re-search: a same-length
+            // nearer candidate can legally clear the +175 margin
+            // (measured: gating on sr.len costs 0.6% size at q5)
             SearchResult sr2 = cx.search(pos + 1, cache);
             if (sr2.score > sr.score + 175) {
                 pos++; sr = sr2; defers++;
@@ -2576,6 +2624,7 @@ void* parse_session_begin(
     // found nothing at all (the reference's BasicHasher dictionary
     // condition); the ring tiers use the len<10 gate
     if (cx.basic) cx.dict_gate = 4;
+    cx.dict_max_slots = cx.basic ? 2 : (cx.n_cache <= 4 ? 4 : 64);
     cx.ring4 = fit(S.ring4, nb4 * cx.cap4);
     cx.cnt4 = fit(S.cnt4, nb4);
     std::memset(cx.cnt4, 0, nb4 * sizeof(uint16_t));
