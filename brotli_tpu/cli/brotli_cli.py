@@ -38,7 +38,8 @@ def usage() -> str:
 
 def main(argv=None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
-    opts = dict(compress=False, quality=11, q9_5=False, lgwin=22,
+    opts = dict(compress=False, quality=11, q9_5=False,
+                q10_deep=False, lgwin=22,
                 lgblock=0, threads=1, bench=0, catable=False,
                 appendable=False, bare=False, byte_align=False,
                 magic=False, dictionary=b"", mode=0, large_window=False,
@@ -57,8 +58,15 @@ def main(argv=None) -> int:
             opts["ir_dump"] = True
             opts["compress"] = True
         elif a in ("-q9.5", "-q9.5x", "-q9.5y"):
-            opts["quality"] = 10 if a == "-q9.5" else 11
+            # reference mapping (bin/brotli.rs:658-680): 9.5 -> q10,
+            # 9.5x -> q11, 9.5y -> q12 (a deeper refinement tier)
+            opts["quality"] = {"-q9.5": 10, "-q9.5x": 11,
+                               "-q9.5y": 12}[a]
             opts["q9_5"] = True
+            opts["compress"] = True
+        elif a == "-q10deep":
+            opts["quality"] = 10
+            opts["q10_deep"] = True
             opts["compress"] = True
         elif a.startswith("-q"):
             opts["quality"] = int(float(a[2:]))
@@ -222,6 +230,7 @@ def _run_one(data: bytes, opts) -> bytes:
             magic_number=opts["magic"],
             custom_dictionary=opts["dictionary"],
             large_window=opts["large_window"], q9_5=opts["q9_5"],
+            q10_deep=opts["q10_deep"],
             literal_byte_score=opts["byte_score"],
             avoid_distance_prefix_search=opts["avoid_dps"])
     if opts["validate"]:

@@ -41,6 +41,7 @@ def compress(data, quality: int = 11, lgwin: int = 22, lgblock: int = 0,
              bare: bool = False, byte_align: bool = False,
              magic_number: bool = False, large_window: bool = False,
              custom_dictionary: bytes = b"", q9_5: bool = False,
+             q10_deep: bool = False,
              literal_byte_score: int = 540,
              avoid_distance_prefix_search: bool = False,
              disable_literal_context_modeling: bool = False,
@@ -59,7 +60,7 @@ def compress(data, quality: int = 11, lgwin: int = 22, lgblock: int = 0,
         quality=quality, lgwin=lgwin, lgblock=lgblock, mode=mode,
         catable=catable, appendable=appendable, bare=bare,
         byte_align=byte_align, magic_number=magic_number,
-        large_window=large_window, q9_5=q9_5,
+        large_window=large_window, q9_5=q9_5, q10_deep=q10_deep,
         literal_byte_score=literal_byte_score,
         avoid_distance_prefix_search=avoid_distance_prefix_search,
         disable_literal_context_modeling=disable_literal_context_modeling,
@@ -366,7 +367,17 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         # while metablock g's DP + store run
         from concurrent.futures import ThreadPoolExecutor
         zex = ThreadPoolExecutor(max_workers=1)
-    zopfli_iters = 1 if params.q9_5 else None
+    # refinement depth: the 9.5 family runs one iteration (two for
+    # -q9.5y, quality 12 — a distinct deeper tier, bin/brotli.rs:658);
+    # plain q10 defaults to one iteration too (the reference maps
+    # one-shot q10 to 9.5, encode.rs:1470-1482) unless q10_deep asks
+    # for the full 2-iteration refinement
+    if params.q9_5:
+        zopfli_iters = 2 if params.quality >= 12 else 1
+    elif params.quality == 10 and not params.q10_deep:
+        zopfli_iters = 1
+    else:
+        zopfli_iters = None
 
     def _zopfli_region(idx):
         s0 = start if idx == 0 else boundaries[idx - 1]

@@ -14,7 +14,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 
 MIN_QUALITY = 0
-MAX_QUALITY = 11
+# 12 = the -q9.5y tier (reference bin/brotli.rs:658-680 maps 9.5y to
+# quality 12: one refinement deeper than 9.5x)
+MAX_QUALITY = 12
 MIN_WINDOW_BITS = 10
 MAX_WINDOW_BITS = 24
 LARGE_MAX_WINDOW_BITS = 30
@@ -44,6 +46,10 @@ class DistanceParams:
 class EncoderParams:
     quality: int = 11
     q9_5: bool = False            # the "9.5" pseudo-quality family
+    q10_deep: bool = False        # q10 with the full 2-iteration
+    #                               refinement (default q10 runs one
+    #                               pass, like the reference's one-shot
+    #                               q10 -> 9.5 mapping, encode.rs:1470)
     lgwin: int = 22
     lgblock: int = 0              # 0 = auto (ComputeLgBlock)
     mode: int = MODE_GENERIC

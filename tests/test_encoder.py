@@ -215,13 +215,21 @@ def test_golden_sizes():
     # greedy tiers now beat it (wide-and-shallow 4-byte primary table)
     assert len(compress(data, quality=5)) == 52_244
     assert len(compress(data, quality=9)) == 51_046
-    # q10 runs the q11 candidate architecture (deep rings + exact
-    # dictionary candidates + iteration-0 prior) with 2 refinement
-    # iterations — beats C's q10 golden (47,488) by 3%
-    assert len(compress(data, quality=10)) == 46_080
+    # q10 default runs ONE refinement iteration on the top-K rows (the
+    # reference maps one-shot q10 to the 9.5 tier, encode.rs:1470) —
+    # still beats C's q10 golden (47,488); q10_deep keeps the full
+    # 2-iteration q11-architecture refinement
+    assert len(compress(data, quality=10)) == 46_878
+    assert len(compress(data, quality=10, q10_deep=True)) == 46_080
     # beats the reference's own q11 golden (46,493) since the exact
     # sorted-output dictionary index restored full transform coverage
     assert len(compress(data, quality=11)) == 45_907
+    # the 9.5 family: -q9.5y (quality 12) runs one refinement deeper
+    # than -q9.5x (quality 11) and produces distinct output
+    # (reference bin/brotli.rs:658-680)
+    x = compress(data, quality=11, q9_5=True)
+    y = compress(data, quality=12, q9_5=True)
+    assert x != y and len(y) <= len(x)
 
 
 def test_lgblock_changes_metablock_spans():
