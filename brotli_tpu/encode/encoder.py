@@ -148,6 +148,23 @@ def _quality_knobs(params: EncoderParams):
     return dict(k=24, bucket_bits=18, k8=12)
 
 
+def _serial_segments(nb, full, params, boundaries, dlen, start,
+                     cache, knobs):
+    """In-thread form of _pipelined_segments (no prefetch worker)."""
+    sess = nb.ParseSession(
+        full, params.window_size, dict_len=dlen, pos0=start,
+        initial_cache=cache,
+        literal_byte_score=params.literal_byte_score,
+        use_dictionary=not params.catable, **knobs)
+    try:
+        prev = start
+        for b in boundaries:
+            yield sess.next(b, (b - prev) // 2 + 2)
+            prev = b
+    finally:
+        sess.close()
+
+
 def _pipelined_segments(nb, full, params, boundaries, dlen, start,
                         cache, knobs):
     """Generator over parse segments, prefetched one boundary ahead on
@@ -203,7 +220,8 @@ def _pipelined_fragment_segments(nb, full, params, boundaries, start):
 def compress_with_params(data: np.ndarray, params: EncoderParams,
                          custom_dictionary: bytes = b"",
                          metablock_callback=None,
-                         literal_probabilities=None) -> bytes:
+                         literal_probabilities=None,
+                         pipeline: bool = True) -> bytes:
     n = len(data)
     w = BitWriter()
     # only catable+bare streams omit the window header (reference
@@ -277,9 +295,18 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
             # parse(metablock g+1) overlaps serialization(g) — both
             # native calls release the GIL — with output byte-
             # identical to the single whole-input parse.
-            segments = _pipelined_segments(
-                nb, full, params, boundaries, dlen, start,
-                tuple(cache), knobs)
+            if pipeline:
+                segments = _pipelined_segments(
+                    nb, full, params, boundaries, dlen, start,
+                    tuple(cache), knobs)
+            else:
+                # CompressMulti workers run unpipelined: every core
+                # already carries one shard, and a prefetch thread per
+                # worker would oversubscribe (reference workers are
+                # single-threaded too, threading/mod.rs:337)
+                segments = _serial_segments(
+                    nb, full, params, boundaries, dlen, start,
+                    tuple(cache), knobs)
         else:
             best_len, best_dist, best_score, best_isdict, best_wire = \
                 find_best_matches(

@@ -43,12 +43,13 @@ def compress_part(data: np.ndarray, i: int, n_parts: int,
         p = EncoderParams(
             quality=params.quality, lgwin=params.lgwin, mode=params.mode,
             appendable=True).sanitize(len(part))
-        return compress_with_params(part, p)
+        return compress_with_params(part, p, pipeline=False)
     p = EncoderParams(
         quality=params.quality, lgwin=params.lgwin, mode=params.mode,
         catable=True).sanitize(len(part))
     prefix = data[:lo].tobytes()
-    return compress_with_params(part, p, custom_dictionary=prefix)
+    return compress_with_params(part, p, custom_dictionary=prefix,
+                                pipeline=False)
 
 
 def _compress_part_shared(raw, i, n_parts, params, best):

@@ -19,6 +19,7 @@
 #include <vector>
 #include <mutex>
 #include <thread>
+#include <atomic>
 
 extern "C" {
 
@@ -2385,6 +2386,11 @@ namespace {
 // Owned buffers (not thread_local) so begin() and next() may run on
 // different threads; a one-deep global pool recycles the ~17MB of
 // scratch across compress calls.
+// live parse sessions: with several concurrent (CompressMulti
+// workers) the per-call h8 helper thread oversubscribes the cores —
+// hash inline instead
+std::atomic<int> g_active_sessions{0};
+
 struct ParseSession {
     CombinedCtx cx;
     std::vector<uint64_t> ring4, ring8;
@@ -2410,30 +2416,40 @@ struct ParseSession {
         uint32_t* h4buf = h4.data();
         uint32_t* h8buf = nullptr;
         std::thread h8_thread;
+        bool h8_inline = g_active_sessions.load(
+            std::memory_order_relaxed) > 1;
         if (c.k8) {
             if ((int64_t)h8.size() < span) h8.resize(span);
             h8buf = h8.data();
             const uint8_t* data = c.data;
             int64_t n = c.n;
             uint32_t shift8 = c.shift8;
-            h8_thread = std::thread([=] {
-                int64_t m8 = std::min(to, n - 8);
-                for (int64_t i = from; i <= m8; i++)
+            auto h8_fill = [=] {
+                // exclusive end, capped at `to`: the buffer holds
+                // exactly to-from entries (an inclusive bound wrote
+                // one past the end whenever the boundary sat >= 8
+                // bytes before the input end — heap corruption under
+                // CompressMulti's allocation pattern)
+                int64_t e8 = std::min(to, n - 8 + 1);
+                for (int64_t i = from; i < e8; i++)
                     h8buf[i - from] = (uint32_t)(
                         (load64(data + i) * 0x1FE35A7BD3579BD3ull)
                         >> shift8);
-                for (int64_t i = std::max(from, m8 + 1); i < to; i++)
+                for (int64_t i = std::max(from, e8); i < to; i++)
                     h8buf[i - from] = 0;
-            });
+            };
+            if (h8_inline) h8_fill();
+            else h8_thread = std::thread(h8_fill);
         }
         {
-            int64_t m4 = std::min(to, c.n - (hash_len == 5 ? 8 : 4));
-            for (int64_t i = from; i <= m4; i++)
+            int64_t e4 = std::min(to,
+                                  c.n - (hash_len == 5 ? 8 : 4) + 1);
+            for (int64_t i = from; i < e4; i++)
                 h4buf[i - from] = bucket_hash(c.data + i, hash_len,
                                               c.shift4);
             // tail positions hash into bucket 0 (harmless: min match
             // length 4 gates real use)
-            for (int64_t i = std::max(from, m4 + 1); i < to; i++)
+            for (int64_t i = std::max(from, e4); i < to; i++)
                 h4buf[i - from] = 0;
         }
         if (h8_thread.joinable()) h8_thread.join();
@@ -2448,6 +2464,7 @@ std::mutex g_sess_mtx;
 ParseSession* g_sess_spare = nullptr;
 
 ParseSession* session_pool_get() {
+    g_active_sessions.fetch_add(1, std::memory_order_relaxed);
     std::lock_guard<std::mutex> lk(g_sess_mtx);
     if (g_sess_spare) {
         ParseSession* s = g_sess_spare;
@@ -2458,6 +2475,7 @@ ParseSession* session_pool_get() {
 }
 
 void session_pool_put(ParseSession* s) {
+    g_active_sessions.fetch_sub(1, std::memory_order_relaxed);
     std::lock_guard<std::mutex> lk(g_sess_mtx);
     if (g_sess_spare) { delete s; return; }
     g_sess_spare = s;

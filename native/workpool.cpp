@@ -140,13 +140,37 @@ static int compress_multi_impl(WorkPool* pool, const MultiParams& p,
                                       input, encoded_size,
                                       encoded_buffer);
     }
+    // one shard per thread: oversplitting (1.5-2x) raises queue-level
+    // balance (measured width 2.8 -> 3.7) but every extra shard pays
+    // a full prefix re-hash, +43% total cpu at 2x — a net wall-clock
+    // LOSS on hosts whose cores are already saturated
     size_t nt = num_threads;
     std::vector<std::vector<uint8_t>> parts(nt);
     std::vector<int> ok(nt, 0);
     std::vector<std::function<void()>> batch;
+    // load-balanced ranges: shard i>0 must hash its whole prefix
+    // before encoding, so equal byte ranges (the reference's
+    // get_range, threading/mod.rs:333) leave the LAST shard gating
+    // the wall clock.  Weight shard i by 1/(1 + beta*i): later shards
+    // get fewer bytes to offset their larger prefix-hash bill
+    // (beta from the measured strided-prefix-hash/encode cost ratio)
+    std::vector<size_t> cuts(nt + 1, 0);
+    {
+        double beta = 0.22;
+        double wsum = 0;
+        std::vector<double> w(nt);
+        for (size_t i = 0; i < nt; i++)
+            wsum += (w[i] = 1.0 / (1.0 + beta * (double)i));
+        double acc = 0;
+        for (size_t i = 0; i < nt; i++) {
+            acc += w[i];
+            cuts[i + 1] = (size_t)((double)input_size * acc / wsum);
+        }
+        cuts[nt] = input_size;
+    }
     for (size_t i = 0; i < nt; i++) {
-        size_t lo = input_size * i / nt;
-        size_t hi = input_size * (i + 1) / nt;
+        size_t lo = cuts[i];
+        size_t hi = cuts[i + 1];
         batch.push_back([&, i, lo, hi] {
             size_t cap = (hi - lo) + ((hi - lo) >> 10) + 1024;
             parts[i].resize(cap);
