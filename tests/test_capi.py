@@ -699,3 +699,23 @@ def test_decoder_return_info_and_prealloc():
         len(comp), ctypes.c_char_p(bytes(comp)), len(dec), dec,
         0, None, 16, tiny, 0, None)
     assert info.result == 0 and info.code < 0
+
+
+def test_go_binding_compiles_and_passes(tmp_path):
+    """Runs `go test` on bindings/go when a Go toolchain exists —
+    the reference ships a full Go binding (c/go/brotli/brotli.go) with
+    reader/writer/multi/broccoli surfaces; ours mirrors it over the
+    compiled C ABI.  Skipped (with reason) when `go` is absent."""
+    import shutil
+    go = shutil.which("go")
+    if go is None:
+        import pytest as _pytest
+        _pytest.skip("no Go toolchain in this image; the same ABI "
+                     "surface is exercised from C (examples/c_demo.c) "
+                     "and ctypes (this file)")
+    gosrc = os.path.join(REPO, "bindings", "go")
+    env = dict(os.environ)
+    env["LD_LIBRARY_PATH"] = os.path.join(REPO, "native")
+    r = subprocess.run([go, "test", "."], cwd=gosrc, env=env,
+                       capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()
