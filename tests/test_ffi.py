@@ -209,3 +209,56 @@ def test_external_literal_probability_rides_ir():
                  c for c in ir if isinstance(c, Literal)))
     assert seen and all(c.probs is not None and
                         len(c.probs) == len(c.data) for c in seen)
+
+
+def test_entropy_pyramid_regional_strides():
+    """Multi-resolution stride detection (reference EntropyPyramid/
+    EntropyTally, find_stride.rs:182-860): a file that switches from
+    text to stride-4 float-like records mid-way gets per-region stride
+    picks the flat scorer blurs together."""
+    import numpy as np
+
+    from brotli_tpu.utils.analysis import (analyze, entropy_pyramid,
+                                           pyramid_stride_regions)
+    rng = np.random.default_rng(3)
+    with open(f"{TESTDATA}/alice29.txt", "rb") as f:
+        text = np.frombuffer(f.read()[:32768], np.uint8).copy()
+    # stride-4 structure: constant-ish channel bytes (e.g. low-entropy
+    # exponents every 4th byte)
+    rec = rng.integers(0, 256, 32768, dtype=np.uint8)
+    rec[::4] = 0x3F
+    rec[1::4] = (np.arange(len(rec[1::4])) % 7).astype(np.uint8)
+    data = np.concatenate([text, rec])
+    pyr = entropy_pyramid(data, levels=3)
+    assert 0 in pyr and 3 in pyr
+    assert pyr[3].shape == (8, 8)
+    region_len, strides = pyramid_stride_regions(data, levels=3)
+    assert region_len == len(data) // 8
+    # the first (text) regions pick stride 1; the record regions pick
+    # a multiple-of-4 stride
+    assert strides[0] == 1
+    assert strides[-1] in (4, 8)
+    rep = analyze(data.tobytes(), stride_detection_quality=2)
+    assert rep.region_strides is not None
+    assert len(rep.region_strides) >= 8
+
+
+def test_stride_eval_per_block_type():
+    """Per-block-type stride evaluation (reference StrideEval,
+    stride_eval.rs:93-210): each literal block type gets its own
+    stride winner."""
+    import numpy as np
+
+    from brotli_tpu.utils.analysis import stride_eval_per_block
+    rng = np.random.default_rng(5)
+    text = np.frombuffer(b"abcdefgh" * 2048, np.uint8).copy()
+    rec = rng.integers(0, 256, 16384, dtype=np.uint8)
+    rec[::2] = 0x41  # stride-2 structure
+    lits = np.concatenate([text, rec])
+    types = np.concatenate([np.zeros(len(text), np.int64),
+                            np.ones(len(rec), np.int64)])
+    best, costs = stride_eval_per_block(lits, types, 2)
+    assert costs.shape == (2, 8)
+    assert best[1] in (2, 4, 6, 8)   # the structured type
+    # and type 0's winner must actually be cheapest for type 0
+    assert costs[0, best[0] - 1] == costs[0].min()
