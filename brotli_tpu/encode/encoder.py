@@ -286,6 +286,29 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         elif params.quality <= 1 and nb.available() and dlen == 0:
             segments = _pipelined_fragment_segments(
                 nb, full, params, boundaries, start)
+        elif (params.quality <= 3 and nb.available() and dlen == 0
+                and start == 0 and metablock_callback is None
+                and params.stream_offset == 0
+                and not params.disable_literal_context_modeling):
+            # q2/q3 basic tier: the whole metablock loop (basic-tier
+            # parse worker + trivial store + bit assembly) runs in ONE
+            # native call, like the q0/q1 fragment pipeline — the
+            # Python-orchestrated loop paid per-metablock ctypes
+            # marshalling + GIL handoffs
+            suppress = params.appendable or params.byte_align
+            res = nb.compress_session_pipeline(
+                full, params.window_size, span, params.quality,
+                suppress, tuple(cache), bit_phase=w.bitpos,
+                use_dictionary=not params.catable, **knobs)
+            if res is not None:
+                words, nbits, cache = res
+                w.append_packed_phased(words, nbits, w.bitpos)
+                if suppress:
+                    _write_trailer(w, params)
+                return w.getvalue()
+            segments = _pipelined_segments(
+                nb, full, params, boundaries, dlen, start,
+                tuple(cache), knobs)
         elif nb.available():
             # one-pass native search+parse (the reference's
             # CreateBackwardReferences shape: search only at parse

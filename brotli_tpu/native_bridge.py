@@ -221,6 +221,7 @@ def _bind(_lib) -> None:
     _lib.fragment_parse_native.restype = ctypes.c_int64
     _lib.fragment_parse_seg_native.restype = ctypes.c_int64
     _lib.compress_fragment_pipeline_native.restype = ctypes.c_int64
+    _lib.compress_session_pipeline_native.restype = ctypes.c_int64
     _lib.zopfli_dp_cands_native.restype = None
     _lib.zopfli_backtrack_native.restype = ctypes.c_int64
     _lib.store_metablock_native.restype = ctypes.c_int64
@@ -991,6 +992,44 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
     if want_top2:
         return base + (b2l[sl], b2d[sl])
     return base
+
+
+def compress_session_pipeline(data, window_size, span, quality,
+                              suppress_last, initial_cache,
+                              bit_phase=0, use_dictionary=True,
+                              k=1, bucket_bits=16, k8=0,
+                              bucket_bits8=15, hash_len=4, n_cache=1,
+                              literal_byte_score=540):
+    """Whole-stream q2/q3 encode (compress_session_pipeline_native):
+    basic-tier parse session on a worker thread, trivial store +
+    bit-level assembly on the caller thread, no Python per metablock
+    (the basic-tier analog of compress_fragment_pipeline).  Returns
+    (words, nbits, cache) like compress_fragment_pipeline, or None on
+    overflow."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(data)
+    cap_bits = 9 * n + (1 << 18)
+    words = _scratch("sess_words", cap_bits // 64 + 2, np.uint64)
+    words[:] = 0
+    cache_io = np.asarray(initial_cache, dtype=np.int64).copy()
+    dict_args, dict_refs = _dict_index_args(use_dictionary)
+    U64 = ctypes.POINTER(ctypes.c_uint64)
+    r = lib.compress_session_pipeline_native(
+        _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(window_size),
+        ctypes.c_int64(span), ctypes.c_int64(quality),
+        ctypes.c_int64(k), ctypes.c_int64(bucket_bits),
+        ctypes.c_int64(k8), ctypes.c_int64(bucket_bits8),
+        ctypes.c_int64(hash_len), ctypes.c_int64(n_cache),
+        ctypes.c_int64(literal_byte_score // 4),
+        *dict_args,
+        ctypes.c_int64(int(suppress_last)),
+        ctypes.c_int64(bit_phase & 7), _ptr(cache_io),
+        words.ctypes.data_as(U64), ctypes.c_int64(cap_bits))
+    del dict_refs
+    if r < 0:
+        return None
+    return words, int(r), cache_io.tolist()
 
 
 def _dict_index_args(use_dictionary):

@@ -2239,8 +2239,19 @@ struct CombinedCtx {
             int64_t L = dict_wlen[e];
             const uint8_t* wptr = dict_words + e * 24;
             int64_t avail = std::min<int64_t>(L, n - i);
+            // u64 XOR compare (word rows are 24-byte padded; avail
+            // <= n - i bounds the data read) — the byte loop ran up
+            // to 24 iterations on every probe
             int64_t m = 0;
-            while (m < avail && data[i + m] == wptr[m]) m++;
+            while (m + 8 <= avail) {
+                uint64_t x = load64(data + i + m) ^ load64(wptr + m);
+                if (x) { m += __builtin_ctzll(x) >> 3; break; }
+                m += 8;
+            }
+            if (m + 8 > avail && !(m < avail &&
+                                   data[i + m] != wptr[m])) {
+                while (m < avail && data[i + m] == wptr[m]) m++;
+            }
             if (m < 4) continue;
             int64_t omit = L - m;
             int64_t transform;

@@ -2363,3 +2363,120 @@ extern "C" int64_t compress_fragment_pipeline_native(
     }
     return pos;
 }
+
+// ---------------------------------------------------------------------------
+// fully-native q2-q3 pipeline: basic-tier parse session (worker
+// thread) + trivial store + bit-level stream assembly — the
+// basic-tier analog of compress_fragment_pipeline_native above.  The
+// Python-orchestrated loop pays per-metablock ctypes transitions +
+// numpy marshalling (~0.3ms x 23 metablocks on a 3MB input at 128KiB
+// spans) and GIL handoffs between the parse worker and the store;
+// this driver keeps the whole metablock loop native.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+void* parse_session_begin(
+    const uint8_t*, int64_t, int64_t, int64_t, int64_t, int64_t,
+    int64_t, int64_t, int64_t, int64_t, int64_t,
+    const int64_t*, int64_t, int64_t, const uint8_t*, const int64_t*,
+    const int64_t*, const int64_t*, const int64_t*, int64_t,
+    const int64_t*);
+int64_t parse_session_next(void*, int64_t, int64_t*, int64_t*,
+                           int64_t*, int64_t*, int64_t);
+void parse_session_end(void*);
+}
+
+extern "C" int64_t compress_session_pipeline_native(
+    const uint8_t* data, int64_t n, int64_t window_size, int64_t span,
+    int64_t quality,
+    int64_t k, int64_t bucket_bits, int64_t k8, int64_t bucket_bits8,
+    int64_t hash_len, int64_t n_cache, int64_t lbs,
+    const int64_t* dict_table, int64_t dict_hash_bits,
+    int64_t dict_slots, const uint8_t* dict_words_flat,
+    const int64_t* dict_word_len, const int64_t* dict_word_idx,
+    const int64_t* dict_size_bits, const int64_t* omit_ids,
+    int64_t suppress_last, int64_t bit0, int64_t* cache_io,
+    uint64_t* out_words, int64_t cap_bits)
+{
+    std::vector<int64_t> bounds;
+    for (int64_t b = span; b < n; b += span) bounds.push_back(b);
+    bounds.push_back(n);
+    int nseg = (int)bounds.size();
+
+    void* sess = parse_session_begin(
+        data, n, 0, window_size, k, bucket_bits, k8, bucket_bits8,
+        hash_len, n_cache, lbs, dict_table, dict_hash_bits, dict_slots,
+        dict_words_flat, dict_word_len, dict_word_idx, dict_size_bits,
+        omit_ids, 0, cache_io);
+
+    struct Slot {
+        std::vector<int64_t> ins, cps, dst, adv;
+        int64_t cnt = 0;
+    };
+    static thread_local Slot slots[2];
+    auto parse_seg = [&](int g, Slot& s) {
+        int64_t pos0 = g == 0 ? 0 : bounds[g - 1];
+        int64_t bound = bounds[g];
+        int64_t cap = (bound - pos0) / 2 + 16;
+        if ((int64_t)s.ins.size() < cap) {
+            s.ins.resize(cap); s.cps.resize(cap);
+            s.dst.resize(cap); s.adv.resize(cap);
+        }
+        s.cnt = parse_session_next(sess, bound, s.ins.data(),
+                                   s.cps.data(), s.dst.data(),
+                                   s.adv.data(), cap);
+    };
+
+    static const int64_t kZeroMap2[64] = {0};
+    static const uint8_t kZeroLut2[256] = {0};
+    int64_t pos = bit0 & 7;
+    std::future<void> fut;
+    parse_seg(0, slots[0]);
+    int64_t seg_start = 0;
+    int64_t rc = 0;
+    for (int g = 0; g < nseg; g++) {
+        if (g + 1 < nseg)
+            fut = std::async(std::launch::async, parse_seg, g + 1,
+                             std::ref(slots[(g + 1) & 1]));
+        Slot& s = slots[g & 1];
+        int64_t mlen = bounds[g] - seg_start;
+        bool is_final = g == nseg - 1;
+        bool mark_last = is_final && !suppress_last;
+        int64_t mb_cap = 8 * mlen + 4096;
+        if (pos + mb_cap + 64 > cap_bits) {
+            if (fut.valid()) fut.get();
+            rc = -1;
+            break;
+        }
+        int64_t base_w = pos >> 6;
+        int64_t phase = pos & 63;
+        int64_t cache_snap[4] = {cache_io[0], cache_io[1], cache_io[2],
+                                 cache_io[3]};
+        int64_t r = encode_metablock_native(
+            data, seg_start, mlen, mark_last ? 1 : 0, s.cnt,
+            s.ins.data(), s.cps.data(), s.dst.data(), s.adv.data(),
+            cache_io, window_size, 0, 0, 64, quality, 0, 1, kZeroMap2,
+            kZeroLut2, kZeroLut2, 0, nullptr, 0, out_words + base_w,
+            mb_cap + phase, phase);
+        int64_t take = r >= 0 ? r - phase : -1;
+        if (take > 8 * mlen + 40) take = -1;
+        if (take >= 0) {
+            pos += take;
+        } else {
+            // expansion fallback: raw block, decoder cache untouched
+            for (int c = 0; c < 4; c++) cache_io[c] = cache_snap[c];
+            out_words[base_w] &= phase ? (1ull << phase) - 1 : 0;
+            std::memset(out_words + base_w + 1, 0,
+                        (size_t)((mb_cap + phase) / 64 + 1) * 8);
+            put_uncompressed(out_words, pos, data + seg_start, mlen);
+            if (mark_last) {
+                put_bits(out_words, pos, 1, 1);  // ISLAST
+                put_bits(out_words, pos, 1, 1);  // ISLASTEMPTY
+            }
+        }
+        seg_start = bounds[g];
+        if (fut.valid()) fut.get();
+    }
+    parse_session_end(sess);
+    return rc < 0 ? rc : pos;
+}
