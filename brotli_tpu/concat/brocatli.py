@@ -339,17 +339,14 @@ class BroCatli:
     def finish(self, out: bytearray) -> BroCatliResult:
         self._out = out
         if self.new_stream_pending is not None:
-            # stream ended right after new_brotli_file with data pending
-            res = self._flush_previous_stream()
-            if res != BroCatliResult.Success:
-                return res
-            p = self.new_stream_pending
-            if p["read"] > 0:
-                res = self._shift_new_stream_header()
-                if res != BroCatliResult.Success:
-                    return res
-            else:
-                self.new_stream_pending = None
+            # a pending that never reached sufficiency is a complete
+            # tiny stream, and only EMPTY-content streams fit in < 4
+            # bytes — drop it like the reference does (its finish,
+            # concat/mod.rs:581, never touches the pending; shifting a
+            # fully-buffered 2-byte stream here would split its
+            # trailing '11' across the held byte and the emitted one
+            # and then fail sanitization)
+            self.new_stream_pending = None
         if not self.last_byte_sanitized:
             res = self._flush_previous_stream()
             if res != BroCatliResult.Success:

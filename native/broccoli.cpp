@@ -324,14 +324,12 @@ struct Engine {
         if (finish_done) return finish_result;
         finish_done = true;
         if (has_pending) {
-            int r = flush_previous_stream();
-            if (r != kSuccess) return finish_result = r;
-            if (p_read > 0) {
-                int r2 = shift_new_stream_header();
-                if (r2 != kSuccess) return finish_result = r2;
-            } else {
-                has_pending = false;
-            }
+            // a pending that never reached sufficiency is a complete
+            // tiny (empty-content) stream — drop it, matching the
+            // reference's finish (concat/mod.rs:581 never touches the
+            // pending; see brocatli.py finish for the sanitization
+            // failure shifting it would cause)
+            has_pending = false;
         }
         if (!last_byte_sanitized) {
             int r = flush_previous_stream();

@@ -212,3 +212,27 @@ def test_compress_batch_serving_path():
     # error propagation: a bad quality raises after all workers drain
     with _pytest.raises(Exception):
         compress_batch([text, object()], threads=2, quality=9)
+
+
+def test_concat_empty_and_tiny_streams_all_positions():
+    """Empty/1-byte payloads in every position (reference
+    test_broccoli.rs empty/one_byte/two_byte cases): a pending header
+    that never reaches sufficiency is a complete empty-content stream
+    and is dropped at the next file / at finish, like the reference's
+    finish (concat/mod.rs:581) — shifting it would split its trailing
+    '11' across the held byte and fail sanitization."""
+    from brotli_tpu import compress, decompress
+    from brotli_tpu.concat.brocatli import concatenate
+    big = b"the quick brown fox jumps " * 300
+    for lgwin in (10, 16, 22):
+        for a, b in ((b"", b""), (b"", big), (big, b""), (b"x", b""),
+                     (b"", b"y"), (b"a", b"b")):
+            c1 = compress(a, quality=5, lgwin=lgwin, appendable=True)
+            c2 = compress(b, quality=5, lgwin=lgwin, catable=True)
+            out = concatenate([c1, c2])
+            assert decompress(out) == a + b, (lgwin, len(a), len(b))
+    for mid in (b"", b"z"):
+        out = concatenate([compress(big, quality=9, appendable=True),
+                           compress(mid, quality=2, catable=True),
+                           compress(big[::-1], quality=5, catable=True)])
+        assert decompress(out) == big + mid + big[::-1]
