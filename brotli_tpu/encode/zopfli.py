@@ -510,25 +510,34 @@ def _backtrack(n, lcp_l, cost, prev_start, prev_len, prev_wire,
     return ins, cps, dst, adv
 
 
+_collect_toggle = __import__("threading").local()
+
+
 def _collect_candidates(full, window_size, dict_len, literal_byte_score,
-                        use_dictionary):
+                        use_dictionary, fast=False):
     """Per-position candidate rows: deep hash-4, deep hash-8, dict.
     The three table passes are independent native calls (ctypes drops
     the GIL) with small rings (16MB deep / 2MB shallow — unlike the
     q11 dense-ring passes whose ~200MB working sets thrash the LLC
     when overlapped), so they run on a 3-thread pool: measured 1.9x
-    on the 9.5-tier collection on a 4-vCPU host."""
+    on the 9.5-tier collection on a 4-vCPU host.
+
+    fast (the single-iteration q10/9.5 default): a k=32 deep table and
+    no second shallow pass — measured +0.3% size for ~1.5x collection
+    speed on the 512K text+code slice."""
     from concurrent.futures import ThreadPoolExecutor
 
     from .. import native_bridge as nb
     outs = []
     if nb.available():
+        deep_k = 32 if fast else 64
+
         def deep():
             # deep table with runner-up (2 diverse rows from one pass)
             return nb.find_best_matches(
                 full, window_size, dict_len=dict_len,
                 literal_byte_score=literal_byte_score,
-                k=64, bucket_bits=15, k8=0, use_dictionary=False,
+                k=deep_k, bucket_bits=15, k8=0, use_dictionary=False,
                 want_top2=True)
 
         def shallow(kw):
@@ -536,10 +545,12 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
                 full, window_size, dict_len=dict_len,
                 literal_byte_score=literal_byte_score, **kw)
 
-        shallow_kws = (dict(k=12, bucket_bits=14, k8=0,
-                            use_dictionary=False),
-                       dict(k=1, bucket_bits=17, k8=24,
-                            use_dictionary=use_dictionary))
+        shallow_kws = (dict(k=1, bucket_bits=17, k8=16,
+                            use_dictionary=use_dictionary),) \
+            if fast else \
+            (dict(k=12, bucket_bits=14, k8=0, use_dictionary=False),
+             dict(k=1, bucket_bits=17, k8=24,
+                  use_dictionary=use_dictionary))
         with ThreadPoolExecutor(max_workers=3) as ex:
             futs = [ex.submit(deep)] + [ex.submit(shallow, kw)
                                         for kw in shallow_kws]
@@ -549,6 +560,31 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
             for f in futs[1:]:
                 bl, bd, bs, isd, bw = f.result()
                 outs.append((bl, bd, isd, bw))
+        # assemble into pooled row matrices: np.stack allocates ~67MB
+        # of fresh pages per 512K segment and was 40% of the fast
+        # tier's wall clock (page faults, not copying).  DOUBLE
+        # buffered: all collects run serially (one prefetch worker),
+        # and segment g's rows are read by its DP while collect(g+1)
+        # runs — buffer A is only rewritten at collect(g+2), after
+        # DP(g) finished (prefetch depth is 1)
+        from .. import native_bridge as _nb
+        t = _collect_toggle.__dict__["v"] = \
+            1 - _collect_toggle.__dict__.get("v", 0)
+        m, n_ = len(outs), len(outs[0][0])
+        cand_lens = _nb._scratch(f"zc_lens{t}", m * n_,
+                                 np.int64).reshape(m, n_)
+        cand_dists = _nb._scratch(f"zc_dists{t}", m * n_,
+                                  np.int64).reshape(m, n_)
+        cand_isdict = _nb._scratch(f"zc_isd{t}", m * n_,
+                                   np.bool_).reshape(m, n_)
+        cand_wire = _nb._scratch(f"zc_wire{t}", m * n_,
+                                 np.int64).reshape(m, n_)
+        for r, (rl, rd, ri, rw) in enumerate(outs):
+            cand_lens[r] = rl
+            cand_dists[r] = rd
+            cand_isdict[r] = ri
+            cand_wire[r] = rw
+        return cand_lens, cand_dists, cand_isdict, cand_wire
     else:
         bl, bd, bs, isd, bw = find_best_matches(
             full, window_size, dict_len=dict_len,
@@ -568,6 +604,7 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
     cand_isdict = np.stack([o[2] for o in outs])
     cand_wire = np.stack([o[3] for o in outs])
     return cand_lens, cand_dists, cand_isdict, cand_wire
+    # (pure-Python fallback keeps the simple stack)
 
 
 def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
@@ -603,14 +640,26 @@ def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
             cm = nb.collect_matches(full, window_size,
                                     dict_len=dict_len,
                                     k=96, k8=48, max_per_pos=16)
+        fut_cd = None
         if params.quality >= 10 and not params.catable:
             # the whole optimal-parse family prices exact dictionary
             # candidates (reference hq.rs feeds Zopfli dict matches at
-            # q10+ too)
+            # q10+ too; dropping them from the fast tier was measured
+            # at +2.8% size on alice — they stay).  On the fast tier
+            # it overlaps the row scans below (independent inputs; the
+            # q11 tier keeps it serial — its dense-ring pass already
+            # saturates the LLC, the round-2 measurement)
             from .static_dict import (collect_dict_matches,
                                       sorted_dict_index)
             sorted_dict_index()  # warm the lru_cache serially
-            cd = collect_dict_matches(full, dict_len, window_size)
+            if use_prior:
+                cd = collect_dict_matches(full, dict_len, window_size)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                _cd_ex = ThreadPoolExecutor(max_workers=1)
+                fut_cd = _cd_ex.submit(collect_dict_matches, full,
+                                       dict_len, window_size)
+                _cd_ex.shutdown(wait=False)
         el = estimate_literal_costs(full[dict_len:])
     # q10/q11 take ALL their window candidates from the deep
     # all-matches collection (k=96 ring + k8=48 long ring,
@@ -624,7 +673,7 @@ def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
         (cand_lens, cand_dists, cand_isdict,
          cand_wire) = _collect_candidates(
             full, window_size, dict_len, params.literal_byte_score,
-            not params.catable)
+            not params.catable, fast=True)
         cand_lens = cand_lens.copy()
         cand_wire = cand_wire.copy()
         # exact lengths for cap-hit matches, with amortized skipping:
@@ -657,16 +706,15 @@ def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
         cand_isdict = np.zeros((0, n), dtype=bool)
         cand_wire = np.zeros((0, n), dtype=np.int64)
 
+    if nb.available() and fut_cd is not None:
+        cd = fut_cd.result()
     extra = None
     if params.quality >= 10:
         xs = []
         if cm is not None:
             mp, ml, md = cm
             xs.append((mp, ml, md, np.zeros(len(mp), bool), ml))
-        if not params.catable:
-            if cd is None:
-                from .static_dict import collect_dict_matches
-                cd = collect_dict_matches(full, dict_len, window_size)
+        if not params.catable and cd is not None:
             dp_, dl_, dd_, dw_ = cd
             xs.append((dp_, dl_, dd_, np.ones(len(dp_), bool), dw_))
         if xs:

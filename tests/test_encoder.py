@@ -219,7 +219,7 @@ def test_golden_sizes():
     # reference maps one-shot q10 to the 9.5 tier, encode.rs:1470) —
     # still beats C's q10 golden (47,488); q10_deep keeps the full
     # 2-iteration q11-architecture refinement
-    assert len(compress(data, quality=10)) == 46_878
+    assert len(compress(data, quality=10)) == 46_943
     assert len(compress(data, quality=10, q10_deep=True)) == 46_080
     # beats the reference's own q11 golden (46,493) since the exact
     # sorted-output dictionary index restored full transform coverage
