@@ -51,6 +51,13 @@ int64_t decode_native(
 int64_t decode_stream_step_native(
     int64_t*, const uint8_t*, int64_t, int64_t*, const uint8_t*,
     int64_t, uint8_t*, int64_t, int64_t, int32_t*, int64_t);
+void* stream_decoder_create(int64_t);
+void stream_decoder_destroy(void*);
+int64_t stream_decoder_finished(void*);
+int64_t stream_decoder_window_size(void*);
+int64_t stream_decoder_step(
+    void*, const uint8_t*, int64_t, int64_t*, const uint8_t*, int64_t,
+    uint8_t*, int64_t, int32_t*, int64_t);
 void decoder_set_dictionary(
     const uint8_t*, const int64_t*, const int64_t*, const uint8_t*,
     const int64_t*, const uint8_t*, const int64_t*, const int64_t*,
@@ -780,10 +787,12 @@ BrotliDecoderReturnInfo BrotliDecoderDecompressPrealloc(
 // ---- streaming decoder instance (buffering facade) ----
 
 struct BrotliDecoderStateStruct {
-    std::vector<uint8_t> in;      // unconsumed input tail
+    std::vector<uint8_t> in;      // undigested input tail (bounded by
+    //                               one partial phase: <= a metablock
+    //                               header, usually a few bytes)
     int64_t bit_pos = 0;          // bit offset into `in`
-    // decode_stream_step_native state: header_done, finished, wbits,
-    // unused, distance cache x4
+    void* mb = nullptr;           // resumable MbDecoder engine
+    // legacy decode_stream_step_native state (kept for introspection)
     int64_t st[8] = {0, 0, 0, 0, 4, 11, 15, 16};
     std::vector<uint8_t> hist;    // retained window
     std::vector<uint8_t> out;     // decoded, not yet drained
@@ -797,7 +806,9 @@ struct BrotliDecoderStateStruct {
     bool large_window = false;
     int64_t err_code = 0;
     std::vector<int32_t> tmem;
-    bool finished() const { return st[1] != 0; }
+    bool finished() const {
+        return mb ? stream_decoder_finished(mb) != 0 : st[1] != 0;
+    }
 };
 typedef struct BrotliDecoderStateStruct BrotliDecoderState;
 
@@ -805,7 +816,10 @@ BrotliDecoderState* BrotliDecoderCreateInstance(void*, void*, void*) {
     capi::ensure_decoder_dict();
     return new BrotliDecoderStateStruct();
 }
-void BrotliDecoderDestroyInstance(BrotliDecoderState* s) { delete s; }
+void BrotliDecoderDestroyInstance(BrotliDecoderState* s) {
+    if (s->mb) stream_decoder_destroy(s->mb);
+    delete s;
+}
 
 int BrotliDecoderSetParameter(BrotliDecoderState* s, uint32_t param,
                               uint32_t value) {
@@ -847,32 +861,27 @@ BrotliDecoderResult BrotliDecoderDecompressStream(
         *available_in = 0;
     }
     if (!s->finished()) {
-        // decode all whole metablocks present in the buffered input
-        // (decode_stream_step_native rolls back to the last block
-        // boundary when input runs out mid-block); memory stays
-        // bounded: retained window + one metablock + unconsumed input
+        // resumable engine: suspends at ANY input byte (true
+        // mid-symbol resume), so the undigested tail stays bounded by
+        // one partial phase and total state is O(window)
         if (s->tmem.size() < (1u << 23)) s->tmem.resize(1u << 23);
+        if (!s->mb)
+            s->mb = stream_decoder_create(s->large_window ? 1 : 0);
         for (;;) {
             s->step_out.resize((size_t)s->step_cap);
-            int64_t r = decode_stream_step_native(
-                s->st, s->in.data(), (int64_t)s->in.size(),
+            int64_t bits_before = s->bit_pos;
+            int64_t r = stream_decoder_step(
+                s->mb, s->in.data(), (int64_t)s->in.size(),
                 &s->bit_pos, s->hist.data(), (int64_t)s->hist.size(),
-                s->step_out.data(), s->step_cap,
-                s->large_window ? 1 : 0, s->tmem.data(),
+                s->step_out.data(), s->step_cap, s->tmem.data(),
                 (int64_t)s->tmem.size());
-            if (r == -3) {
-                // one metablock larger than the step buffer (<= 16MiB
-                // by the format) — grow and retry
-                s->step_cap = std::min<int64_t>(s->step_cap * 4,
-                                                (16ll << 20) + 65536);
-                continue;
-            }
-            if (r < 0) {
+            if (r == -2) {
                 s->error = true;
                 s->err_code = r;
                 return BROTLI_DECODER_RESULT_ERROR;
             }
-            if (r > 0) {
+            int64_t emitted = r > 0 ? r : 0;
+            if (emitted > 0) {
                 // compact drained output before appending
                 if (s->out_off) {
                     s->out.erase(s->out.begin(),
@@ -880,19 +889,21 @@ BrotliDecoderResult BrotliDecoderDecompressStream(
                     s->out_off = 0;
                 }
                 s->out.insert(s->out.end(), s->step_out.data(),
-                              s->step_out.data() + r);
+                              s->step_out.data() + emitted);
                 // retained window := tail of (hist + step output)
-                int64_t w = (1ll << s->st[2]) - 16;
-                if (r >= w) {
-                    s->hist.assign(s->step_out.data() + r - w,
-                                   s->step_out.data() + r);
+                int64_t w = stream_decoder_window_size(s->mb);
+                if (w <= 0) w = 1ll << 24;
+                if (emitted >= w) {
+                    s->hist.assign(
+                        s->step_out.data() + emitted - w,
+                        s->step_out.data() + emitted);
                 } else {
                     int64_t keep = std::min<int64_t>(
-                        (int64_t)s->hist.size(), w - r);
+                        (int64_t)s->hist.size(), w - emitted);
                     s->hist.erase(s->hist.begin(),
                                   s->hist.end() - keep);
                     s->hist.insert(s->hist.end(), s->step_out.data(),
-                                   s->step_out.data() + r);
+                                   s->step_out.data() + emitted);
                 }
             }
             // drop consumed whole bytes of input
@@ -901,10 +912,10 @@ BrotliDecoderResult BrotliDecoderDecompressStream(
                 s->in.erase(s->in.begin(), s->in.begin() + drop);
                 s->bit_pos &= 7;
             }
-            // a step that filled its output buffer mid-input (-3 with
-            // progress) leaves decodable blocks buffered — keep
-            // stepping until no progress or finished
-            if (r > 0 && !s->finished()) continue;
+            if (s->finished()) break;
+            // keep stepping while progress is being made (output
+            // emitted, or the step filled its buffer exactly)
+            if (emitted > 0 || s->bit_pos != bits_before) continue;
             break;
         }
     }

@@ -1163,3 +1163,579 @@ extern "C" int64_t decode_stream_step_native(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Resumable streaming decoder: suspends at ANY input byte (reference
+// BrotliDecompressStream contract, src/ffi/decompressor.rs:4-180).
+// Unlike decode_stream_step_native above (metablock-granular
+// rollback), this engine checkpoints per phase — metablock header,
+// command head, literal refill-batch, distance, copy chunk — so the
+// undigested input tail is bounded by ONE partial phase (<= a
+// metablock header, typically <= 8 bytes) and total state is
+// O(window): retained window + parsed tables + <100 bytes of
+// counters.  The one-shot decode_loop stays untouched (it is the hot
+// path and the oracle-pinned one).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MbDecoder {
+    // stream level
+    int header_done = 0;
+    int finished = 0;
+    int wbits = 0;
+    int large_window = 0;
+    int64_t window_size = 0;
+    int max_distbits = 24;
+    int64_t dist_cache[4] = {4, 11, 15, 16};
+    int64_t err = 0;  // sticky corrupt (-2)
+
+    enum Phase {
+        MB_HEADER = 0, CMD_HEAD, LITERALS, DIST, COPY, DICT_FLUSH,
+        UNCOMP, META
+    };
+    int phase = MB_HEADER;
+    int islast = 0;
+    int64_t mlen = 0;       // remaining metablock bytes
+    int64_t skip_left = 0;  // metadata bytes (META) / raw bytes (UNCOMP)
+
+    // parsed metablock state (CMDS family phases)
+    BlockCat L, I, D;
+    int npostfix = 0, ndirect = 0;
+    int ntrees_l = 0, ntrees_d = 0;
+    uint8_t modes[256];
+    uint8_t cmap_l[256 * 64];
+    uint8_t cmap_d[256 * 4];
+    PrefixTable lit_pt[256], cmd_pt[256], dist_pt[256];
+    int dist_alpha = 0;
+    uint8_t p1 = 0, p2 = 0;
+
+    // mid-command state
+    int64_t pend_insert = 0;
+    int64_t pend_copy_total = 0;  // copy_len as parsed (for dctx)
+    int64_t pend_copy = 0;        // copy bytes still to emit
+    int64_t pend_dist = 0;
+    int pend_implicit0 = 0;
+    // dictionary word flush
+    uint8_t word_buf[64];
+    int64_t word_len = 0, word_off = 0;
+
+    // total output emitted across all calls (for max_distance before
+    // the window fills; the facade's hist is capped at the window)
+    int64_t total_out = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* stream_decoder_create(int64_t large_window) {
+    MbDecoder* d = new MbDecoder();
+    d->large_window = large_window ? 1 : 0;
+    d->max_distbits = large_window ? 62 : 24;
+    return d;
+}
+
+void stream_decoder_destroy(void* p) { delete (MbDecoder*)p; }
+
+int64_t stream_decoder_finished(void* p) {
+    return ((MbDecoder*)p)->finished;
+}
+
+// Returns bytes written to `out` (>= 0) with *bit_pos_io advanced to
+// the first unconsumed bit; -2 corrupt (sticky); -3 needs more output
+// space (only when ZERO bytes fit this call — with progress the byte
+// count is returned instead, and out_len == out_cap tells the caller
+// to drain and call again).  A short count with input remaining means
+// more input is needed; -1 = needs input with zero progress.
+// table_mem must be the SAME buffer across calls (the parsed prefix
+// tables live in it between suspensions).
+int64_t stream_decoder_step(
+    void* pd, const uint8_t* in, int64_t in_len, int64_t* bit_pos_io,
+    const uint8_t* hist, int64_t hist_len, uint8_t* out,
+    int64_t out_cap, int32_t* table_mem, int64_t table_mem_size)
+{
+    MbDecoder& d = *(MbDecoder*)pd;
+    if (d.err) return d.err;
+    BitReader br{in, in_len, *bit_pos_io};
+    int64_t out_len = 0;
+    uint8_t scratch[1200];
+    uint8_t big_scratch[1 << 11];
+    TableArena arena{table_mem, table_mem_size, 0};
+
+    auto fail = [&](int64_t code) {
+        if (code == -2) d.err = -2;
+        return code;
+    };
+    auto suspend_in = [&](int64_t ck_pos) {
+        *bit_pos_io = ck_pos;
+        return out_len > 0 ? out_len : -1;
+    };
+    // literal source byte k positions back (facade hist covers the
+    // window before this call's output)
+    auto prev_byte = [&](int64_t k) -> uint8_t {
+        if (out_len >= k) return out[out_len - k];
+        int64_t i = hist_len - (k - out_len);
+        return i >= 0 ? hist[i] : 0;
+    };
+
+    for (;;) {
+        if (d.finished) { *bit_pos_io = br.pos; return out_len; }
+        switch (d.phase) {
+        case MbDecoder::MB_HEADER: {
+            int64_t ck = br.pos;
+            br.avail = 0;
+            if (!d.header_done) {
+                int wb;
+                int64_t r = parse_stream_header(br, d.large_window,
+                                                &wb);
+                if (r == -1) return suspend_in(ck);
+                if (r) return fail(r);
+                d.header_done = 1;
+                d.wbits = wb;
+                d.window_size = (1ll << wb) - 16;
+                ck = br.pos;
+            }
+            int64_t islast = br.read(1);
+            if (br.over()) return suspend_in(ck);
+            if (islast && br.read(1)) {  // ISLASTEMPTY
+                if (br.over()) return suspend_in(ck);
+                d.finished = 1;
+                *bit_pos_io = br.pos;
+                return out_len;
+            }
+            if (br.over()) return suspend_in(ck);
+            int64_t mnibbles = br.read(2);
+            if (mnibbles == 3) {  // metadata
+                if (br.read(1)) {
+                    if (br.over()) return suspend_in(ck);
+                    return fail(-2);
+                }
+                int64_t mskip = br.read(2);
+                int64_t skip = 0;
+                if (mskip) {
+                    int64_t val = br.read((int)(8 * mskip));
+                    if (br.over()) return suspend_in(ck);
+                    if (mskip > 1 &&
+                        (val >> (8 * (mskip - 1))) == 0)
+                        return fail(-2);
+                    skip = val + 1;
+                }
+                if (br.over()) return suspend_in(ck);
+                if (!br.align_ok())
+                    return br.over() ? suspend_in(ck) : fail(-2);
+                d.islast = (int)islast;
+                d.skip_left = skip;
+                d.phase = MbDecoder::META;
+                break;
+            }
+            int64_t mlen = br.read((int)(16 + 4 * mnibbles)) + 1;
+            if (br.over()) return suspend_in(ck);
+            if (mnibbles > 0 &&
+                ((mlen - 1) >> (16 + 4 * (mnibbles - 1))) == 0) {
+                if (br.over()) return suspend_in(ck);
+                return fail(-2);
+            }
+            if (!islast && br.read(1)) {  // ISUNCOMPRESSED
+                if (br.over()) return suspend_in(ck);
+                int nal = (int)((-br.pos) & 7);
+                br.read(nal);  // tolerated padding
+                if (br.over()) return suspend_in(ck);
+                d.islast = 0;
+                d.skip_left = mlen;
+                d.phase = MbDecoder::UNCOMP;
+                break;
+            }
+            if (br.over()) return suspend_in(ck);
+            // ---- full metablock header: block cats, dist params,
+            // context maps, trees (one checkpoint for the lot) ----
+            arena.used = 0;
+            int r;
+            auto hdr_r = [&](int rr) {
+                // corrupt results derived from padded bits are
+                // truncation, not corruption
+                return (rr == -1 || br.over()) ? 1 : (rr ? 2 : 0);
+            };
+            if ((r = hdr_r(read_block_header(br, d.L, arena, scratch))))
+                return r == 1 ? suspend_in(ck) : fail(-2);
+            if ((r = hdr_r(read_block_header(br, d.I, arena, scratch))))
+                return r == 1 ? suspend_in(ck) : fail(-2);
+            if ((r = hdr_r(read_block_header(br, d.D, arena, scratch))))
+                return r == 1 ? suspend_in(ck) : fail(-2);
+            d.npostfix = (int)br.read(2);
+            d.ndirect = (int)br.read(4) << d.npostfix;
+            for (int t = 0; t < d.L.num_types; t++)
+                d.modes[t] = (uint8_t)br.read(2);
+            if (br.over()) return suspend_in(ck);
+            d.ntrees_l = read_count_code(br);
+            if ((r = hdr_r(read_context_map(br, 64 * d.L.num_types,
+                                            d.ntrees_l, d.cmap_l,
+                                            arena, scratch))))
+                return r == 1 ? suspend_in(ck) : fail(-2);
+            d.ntrees_d = read_count_code(br);
+            if ((r = hdr_r(read_context_map(br, 4 * d.D.num_types,
+                                            d.ntrees_d, d.cmap_d,
+                                            arena, scratch))))
+                return r == 1 ? suspend_in(ck) : fail(-2);
+            d.dist_alpha = 16 + d.ndirect +
+                (d.max_distbits << (d.npostfix + 1));
+            for (int t = 0; t < d.ntrees_l; t++) {
+                d.lit_pt[t] = PrefixTable();
+                if ((r = hdr_r(read_prefix_code(br, big_scratch, 256,
+                                                d.lit_pt[t], arena,
+                                                10))))
+                    return r == 1 ? suspend_in(ck) : fail(-2);
+            }
+            for (int t = 0; t < d.I.num_types; t++) {
+                d.cmd_pt[t] = PrefixTable();
+                if ((r = hdr_r(read_prefix_code(br, big_scratch, 704,
+                                                d.cmd_pt[t], arena,
+                                                10))))
+                    return r == 1 ? suspend_in(ck) : fail(-2);
+            }
+            for (int t = 0; t < d.ntrees_d; t++) {
+                d.dist_pt[t] = PrefixTable();
+                if ((r = hdr_r(read_prefix_code(br, big_scratch,
+                                                d.dist_alpha,
+                                                d.dist_pt[t], arena,
+                                                10))))
+                    return r == 1 ? suspend_in(ck) : fail(-2);
+            }
+            // final gate: any helper above that "succeeded" on
+            // zero-padded bits shows up here as over()
+            if (br.over()) return suspend_in(ck);
+            d.islast = (int)islast;
+            d.mlen = mlen;
+            d.p1 = prev_byte(1);
+            d.p2 = prev_byte(2);
+            d.phase = MbDecoder::CMD_HEAD;
+            *bit_pos_io = br.pos;
+            break;
+        }
+        case MbDecoder::META: {
+            // skip metadata bytes (byte-aligned already)
+            int64_t have = in_len - (br.pos >> 3);
+            int64_t take = std::min(d.skip_left, have);
+            br.skip_bulk(8 * take);
+            d.skip_left -= take;
+            *bit_pos_io = br.pos;
+            if (d.skip_left > 0) return suspend_in(br.pos);
+            if (d.islast) d.finished = 1;
+            else d.phase = MbDecoder::MB_HEADER;
+            break;
+        }
+        case MbDecoder::UNCOMP: {
+            int64_t have = in_len - (br.pos >> 3);
+            int64_t space = out_cap - out_len;
+            if (space <= 0) {
+                *bit_pos_io = br.pos;
+                return out_len > 0 ? out_len : -3;
+            }
+            int64_t take = std::min({d.skip_left, have, space});
+            std::memcpy(out + out_len, in + (br.pos >> 3),
+                        (size_t)take);
+            out_len += take;
+            d.total_out += take;
+            br.skip_bulk(8 * take);
+            d.skip_left -= take;
+            *bit_pos_io = br.pos;
+            if (d.skip_left > 0) {
+                if (out_cap - out_len <= 0)
+                    return out_len > 0 ? out_len : -3;
+                return suspend_in(br.pos);
+            }
+            d.phase = MbDecoder::MB_HEADER;
+            break;
+        }
+        case MbDecoder::CMD_HEAD: {
+            if (d.mlen <= 0) {
+                if (d.islast) d.finished = 1;
+                else d.phase = MbDecoder::MB_HEADER;
+                break;
+            }
+            // checkpoint: command symbol + both length extras +
+            // an I-block switch — all rolled back together
+            int64_t ck = br.pos;
+            BlockCat ckI = d.I;
+            br.avail = 0;
+            if (d.I.remaining == 0) {
+                int r = switch_block(br, d.I);
+                if (r == -1 || br.over()) {
+                    d.I = ckI;
+                    return suspend_in(ck);
+                }
+                if (r) return fail(-2);
+            }
+            d.I.remaining--;
+            int cmd = decode_tab10(br, d.cmd_pt[d.I.cur].tab);
+            if (br.over()) { d.I = ckI; return suspend_in(ck); }
+            if (cmd >= 704) return fail(-2);
+            uint32_t cd = kCmdLut[cmd];
+            int ins_code = (int)(cd & 255);
+            int copy_code = (int)((cd >> 8) & 255);
+            d.pend_implicit0 = (cd >> 16) != 0;
+            int64_t ins_len = kInsertBase[ins_code] +
+                (int64_t)br.read(kInsertExtra[ins_code]);
+            int64_t copy_len = kCopyBase[copy_code] +
+                (int64_t)br.read(kCopyExtra[copy_code]);
+            if (br.over()) { d.I = ckI; return suspend_in(ck); }
+            if (ins_len > d.mlen) return fail(-2);
+            d.pend_insert = ins_len;
+            d.pend_copy_total = copy_len;
+            d.phase = MbDecoder::LITERALS;
+            *bit_pos_io = br.pos;
+            break;
+        }
+        case MbDecoder::LITERALS: {
+            while (d.pend_insert > 0) {
+                // block switch under its own checkpoint
+                if (d.L.remaining == 0) {
+                    int64_t ck = br.pos;
+                    BlockCat ckL = d.L;
+                    br.avail = 0;
+                    int r = switch_block(br, d.L);
+                    // a switch that "succeeded" on zero-padded bits
+                    // past the input end would commit a garbage block
+                    // length — over() outranks the result code
+                    if (r == -1 || br.over()) {
+                        d.L = ckL;
+                        return suspend_in(ck);
+                    }
+                    if (r) return fail(-2);
+                }
+                if (out_len >= out_cap) {
+                    *bit_pos_io = br.pos;
+                    return out_len > 0 ? out_len : -3;
+                }
+                // one refill-batch of literals (checkpointed: a batch
+                // re-decodes at most one 57-bit window on truncation)
+                int64_t ck = br.pos;
+                int64_t ck_out = out_len;
+                uint8_t ck_p1 = d.p1, ck_p2 = d.p2;
+                int64_t ck_Lrem = d.L.remaining;
+                const uint8_t* l0 =
+                    g_dict.ctx_lut0 + d.modes[d.L.cur] * 256;
+                const uint8_t* l1 =
+                    g_dict.ctx_lut1 + d.modes[d.L.cur] * 256;
+                const uint8_t* lrow =
+                    d.cmap_l + ((int64_t)d.L.cur << 6);
+                int64_t take = std::min({d.pend_insert,
+                                         d.L.remaining,
+                                         out_cap - out_len});
+                br.avail = 0;
+                br.refill();
+                uint64_t w = br.bits;
+                int64_t amax = br.avail;
+                int consumed = 0;
+                int64_t done = 0;
+                while (done < take && consumed + 15 <= amax) {
+                    int ctx = l0[d.p1] | l1[d.p2];
+                    const int32_t* tab = d.lit_pt[lrow[ctx]].tab;
+                    int32_t e = tab[w & 1023];
+                    int l = e & 15;
+                    if (__builtin_expect(l > 10, 0)) {
+                        e = tab[(e >> 4) +
+                                ((w >> 10) & ((1u << (l - 10)) - 1))];
+                        l = e & 15;
+                    }
+                    d.p2 = d.p1;
+                    d.p1 = (uint8_t)(e >> 4);
+                    out[out_len++] = d.p1;
+                    w >>= l;
+                    consumed += l;
+                    done++;
+                }
+                br.skip(consumed);
+                if (br.over()) {
+                    // partial batch past the input end: roll the
+                    // whole batch back (<= 57 bits of re-decode)
+                    out_len = ck_out;
+                    d.p1 = ck_p1;
+                    d.p2 = ck_p2;
+                    d.L.remaining = ck_Lrem;
+                    return suspend_in(ck);
+                }
+                d.pend_insert -= done;
+                d.L.remaining -= done;
+                d.mlen -= done;
+                d.total_out += done;
+                *bit_pos_io = br.pos;
+                if (done == 0 && take > 0) {
+                    // could not decode a single literal: need input
+                    return suspend_in(br.pos);
+                }
+            }
+            if (d.mlen == 0) {
+                // trailing-insert command: no copy part
+                d.phase = MbDecoder::CMD_HEAD;
+                break;
+            }
+            d.phase = MbDecoder::DIST;
+            break;
+        }
+        case MbDecoder::DIST: {
+            int64_t ck = br.pos;
+            BlockCat ckD = d.D;
+            br.avail = 0;
+            int64_t copy_len = d.pend_copy_total;
+            int64_t pos_total = d.total_out;
+            int64_t max_distance = std::min(pos_total, d.window_size);
+            int64_t distance;
+            int dcode = 0;
+            if (d.pend_implicit0) {
+                distance = d.dist_cache[0];
+            } else {
+                if (d.D.remaining == 0) {
+                    int r = switch_block(br, d.D);
+                    if (r == -1 || br.over()) {
+                        d.D = ckD;
+                        return suspend_in(ck);
+                    }
+                    if (r) return fail(-2);
+                }
+                d.D.remaining--;
+                int dctx = (int)std::min<int64_t>(
+                    std::max<int64_t>(copy_len, 2), 5) - 2;
+                const uint8_t* drow = d.cmap_d +
+                    ((int64_t)d.D.cur << 2);
+                dcode = decode_tab10(br, d.dist_pt[drow[dctx]].tab);
+                if (br.over()) { d.D = ckD; return suspend_in(ck); }
+                if (dcode == 0) {
+                    distance = d.dist_cache[0];
+                } else if (dcode < 16) {
+                    distance = d.dist_cache[kDistShortIdx[dcode]] +
+                               kDistShortDelta[dcode];
+                    if (distance <= 0) {
+                        if (br.over()) { d.D = ckD;
+                                         return suspend_in(ck); }
+                        return fail(-2);
+                    }
+                } else if (dcode < 16 + d.ndirect) {
+                    distance = dcode - 16 + 1;
+                } else {
+                    int64_t h = dcode - d.ndirect - 16;
+                    int64_t hcode = h >> d.npostfix;
+                    int64_t lcode = h & ((1 << d.npostfix) - 1);
+                    int nbits = (int)(1 + (hcode >> 1));
+                    int64_t offset = ((2 + (hcode & 1)) << nbits) - 4;
+                    int64_t extra = (int64_t)br.read_long(nbits);
+                    if (br.over()) { d.D = ckD; return suspend_in(ck); }
+                    distance = ((offset + extra) << d.npostfix) +
+                               lcode + d.ndirect + 1;
+                }
+            }
+            if (br.over()) { d.D = ckD; return suspend_in(ck); }
+            *bit_pos_io = br.pos;
+            static const bool mb_trace = getenv("MBDEC_TRACE");
+            if (__builtin_expect(mb_trace, 0))
+                fprintf(stderr,
+                        "[mb] tot=%lld cp=%lld d=%lld imp=%d Lr=%lld "
+                        "Ir=%lld Dr=%lld\n",
+                        (long long)d.total_out, (long long)copy_len,
+                        (long long)distance, d.pend_implicit0,
+                        (long long)d.L.remaining,
+                        (long long)d.I.remaining,
+                        (long long)d.D.remaining);
+            if (distance > max_distance) {
+                // static dictionary reference
+                if (copy_len < 4 || copy_len > 24) return fail(-2);
+                int64_t word_id = distance - max_distance - 1;
+                int64_t sb = g_dict.size_bits_by_length[copy_len];
+                int64_t idx = word_id & ((1ll << sb) - 1);
+                int64_t transform = word_id >> sb;
+                int64_t wl = transform_word(copy_len, idx, transform,
+                                            d.word_buf);
+                if (wl < 0 || wl > d.mlen) return fail(-2);
+                d.word_len = wl;
+                d.word_off = 0;
+                d.phase = MbDecoder::DICT_FLUSH;
+            } else {
+                if (copy_len > d.mlen) return fail(-2);
+                d.pend_copy = copy_len;
+                d.pend_dist = distance;
+                if (!d.pend_implicit0 && dcode != 0) {
+                    d.dist_cache[3] = d.dist_cache[2];
+                    d.dist_cache[2] = d.dist_cache[1];
+                    d.dist_cache[1] = d.dist_cache[0];
+                    d.dist_cache[0] = distance;
+                }
+                d.phase = MbDecoder::COPY;
+            }
+            break;
+        }
+        case MbDecoder::DICT_FLUSH: {
+            int64_t space = out_cap - out_len;
+            if (space <= 0) {
+                *bit_pos_io = br.pos;
+                return out_len > 0 ? out_len : -3;
+            }
+            int64_t take = std::min(d.word_len - d.word_off, space);
+            std::memcpy(out + out_len, d.word_buf + d.word_off,
+                        (size_t)take);
+            out_len += take;
+            d.word_off += take;
+            d.mlen -= take;
+            d.total_out += take;
+            if (d.word_off < d.word_len) {
+                *bit_pos_io = br.pos;
+                return out_len > 0 ? out_len : -3;
+            }
+            d.p1 = prev_byte(1);
+            d.p2 = prev_byte(2);
+            d.phase = MbDecoder::CMD_HEAD;
+            break;
+        }
+        case MbDecoder::COPY: {
+            int64_t space = out_cap - out_len;
+            if (space <= 0) {
+                *bit_pos_io = br.pos;
+                return out_len > 0 ? out_len : -3;
+            }
+            int64_t take = std::min(d.pend_copy, space);
+            int64_t dist = d.pend_dist;
+            for (int64_t j = 0; j < take; j++) {
+                int64_t src = out_len - dist;
+                uint8_t b;
+                if (src >= 0) {
+                    b = out[src];
+                } else {
+                    int64_t hi = hist_len + src;
+                    if (hi < 0) return fail(-2);
+                    b = hist[hi];
+                }
+                out[out_len++] = b;
+            }
+            d.pend_copy -= take;
+            d.mlen -= take;
+            d.total_out += take;
+            if (d.pend_copy > 0) {
+                *bit_pos_io = br.pos;
+                return out_len > 0 ? out_len : -3;
+            }
+            d.p1 = prev_byte(1);
+            d.p2 = prev_byte(2);
+            d.phase = MbDecoder::CMD_HEAD;
+            break;
+        }
+        }
+    }
+}
+
+}  // extern "C"
+
+extern "C" void stream_decoder_debug(void* pd, int64_t* out8) {
+    MbDecoder& d = *(MbDecoder*)pd;
+    out8[0] = d.phase;
+    out8[1] = d.mlen;
+    out8[2] = d.pend_insert;
+    out8[3] = d.pend_copy;
+    out8[4] = d.total_out;
+    out8[5] = d.L.remaining;
+    out8[6] = d.I.remaining;
+    out8[7] = d.D.remaining;
+}
+
+extern "C" int64_t stream_decoder_window_size(void* pd) {
+    MbDecoder& d = *(MbDecoder*)pd;
+    return d.header_done ? d.window_size : 0;
+}

@@ -719,3 +719,144 @@ def test_go_binding_compiles_and_passes(tmp_path):
     r = subprocess.run([go, "test", "."], cwd=gosrc, env=env,
                        capture_output=True, timeout=600)
     assert r.returncode == 0, r.stderr.decode()
+
+
+def test_streaming_decoder_mid_metablock_delivery():
+    """The ABI streaming decoder resumes at ANY input byte (reference
+    BrotliDecompressStream contract, ffi/decompressor.rs:4-180): a
+    single large metablock fed in small chunks must deliver output
+    long before its input completes (the round-2 facade buffered until
+    the metablock boundary), and the undigested state stays O(window),
+    not O(compressed metablock)."""
+    from brotli_tpu import compress
+    L = lib()
+    L.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    base = load("alice29.txt") * 40  # ~6 MB, one metablock at lgblock 24
+    comp = compress(base, quality=5, lgblock=24)
+    st = ctypes.c_void_p(L.BrotliDecoderCreateInstance(None, None,
+                                                       None))
+    try:
+        total = bytearray()
+        fed = 0
+        first_output_at = None
+        chunk = 4096
+        outbuf = ctypes.create_string_buffer(1 << 20)
+        while fed < len(comp):
+            piece = bytes(comp[fed:fed + chunk])
+            fed += len(piece)
+            avail_in = ctypes.c_size_t(len(piece))
+            next_in = ctypes.cast(ctypes.c_char_p(piece),
+                                  ctypes.POINTER(ctypes.c_uint8))
+            while True:
+                avail_out = ctypes.c_size_t(len(outbuf))
+                next_out = ctypes.cast(outbuf,
+                                       ctypes.POINTER(ctypes.c_uint8))
+                r = L.BrotliDecoderDecompressStream(
+                    st, ctypes.byref(avail_in), ctypes.byref(next_in),
+                    ctypes.byref(avail_out), ctypes.byref(next_out),
+                    None)
+                got = len(outbuf) - avail_out.value
+                if got:
+                    total += outbuf.raw[:got]
+                    if first_output_at is None:
+                        first_output_at = fed
+                assert r != 0, "decoder error"
+                if r != 3:  # not NEEDS_MORE_OUTPUT
+                    break
+        assert bytes(total) == base
+        # output must start while most of the metablock's input is
+        # still unseen (mid-metablock delivery)
+        assert first_output_at is not None
+        assert first_output_at < len(comp) // 4, first_output_at
+    finally:
+        L.BrotliDecoderDestroyInstance(st)
+
+
+def _abi_drip_decode(L, comp, chunks, expect_error=False):
+    L.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    st = ctypes.c_void_p(L.BrotliDecoderCreateInstance(None, None,
+                                                       None))
+    total = bytearray()
+    outbuf = ctypes.create_string_buffer(1 << 18)
+    try:
+        pos = 0
+        for csz in chunks:
+            piece = bytes(comp[pos:pos + csz])
+            pos += csz
+            avail_in = ctypes.c_size_t(len(piece))
+            next_in = ctypes.cast(ctypes.c_char_p(piece),
+                                  ctypes.POINTER(ctypes.c_uint8))
+            while True:
+                avail_out = ctypes.c_size_t(len(outbuf))
+                next_out = ctypes.cast(outbuf,
+                                       ctypes.POINTER(ctypes.c_uint8))
+                r = L.BrotliDecoderDecompressStream(
+                    st, ctypes.byref(avail_in), ctypes.byref(next_in),
+                    ctypes.byref(avail_out), ctypes.byref(next_out),
+                    None)
+                got = len(outbuf) - avail_out.value
+                if got:
+                    total += outbuf.raw[:got]
+                if r == 0:
+                    assert expect_error, "unexpected decoder error"
+                    return None
+                if r == 1:
+                    return bytes(total)
+                if r != 3:
+                    break
+        return None  # input exhausted, not finished
+    finally:
+        L.BrotliDecoderDestroyInstance(st)
+
+
+def test_streaming_decoder_drip_matrix():
+    """Byte-at-a-time and random-chunk feeds through the ABI decoder
+    reproduce the one-shot output on our streams, the upstream C
+    engine's streams, and pre-compressed fixtures (mid-symbol resume,
+    reference BrotliDecompressStream)."""
+    import random
+
+    from brotli_tpu import compress
+    L = lib()
+    rng = random.Random(11)
+    cases = [
+        (compress(load("alice29.txt"), quality=9),
+         load("alice29.txt")),
+        (load("asyoulik.txt.compressed"), load("asyoulik.txt")),
+    ]
+    if oracle.available():
+        b = load("monkey") * 200
+        cases.append((oracle.compress(b, quality=9), b))
+    for comp, plain in cases:
+        for pat in ("byte", "random"):
+            if pat == "byte":
+                chunks = [1] * len(comp)
+            else:
+                chunks, left = [], len(comp)
+                while left:
+                    c = min(left, rng.choice([1, 3, 7, 100, 4096]))
+                    chunks.append(c)
+                    left -= c
+            got = _abi_drip_decode(L, comp, chunks)
+            assert got == plain, (len(comp), pat)
+
+
+def test_streaming_decoder_corruption_no_crash():
+    """Bit-flipped and truncated streams fed byte-at-a-time error (or
+    stall awaiting input), never crash or loop."""
+    import random
+
+    from brotli_tpu import compress
+    L = lib()
+    rng = random.Random(13)
+    comp = bytearray(compress(load("asyoulik.txt"), quality=9))
+    for _ in range(24):
+        bad = bytearray(comp)
+        bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        _abi_drip_decode(L, bytes(bad), [37] * (len(bad) // 37 + 1),
+                         expect_error=True)
+    # truncations: every result is "needs more input" or error
+    for frac in (0.1, 0.5, 0.9):
+        cut = comp[:int(len(comp) * frac)]
+        _abi_drip_decode(L, bytes(cut), [101] * (len(cut) // 101 + 1),
+                         expect_error=True)
