@@ -5,12 +5,12 @@
  * (/root/reference/c/brotli/encode.h:256-457, decode.h:146-330); decls
  * written against that documented surface, not copied.
  *
- * Documented divergences: both streaming directions are incremental
- * and bounded-memory at METABLOCK granularity (the decoder rolls back
- * to the last block boundary on input exhaustion; the encoder emits
- * per metablock-sized chunk and supports FLUSH byte-alignment) rather
- * than resumable mid-symbol.  Qualities 10/11 run the native optimal
- * parse (zopfli_hq.cpp) — same output quality as the host pipeline.
+ * The streaming decoder suspends at ANY input byte (mid-symbol
+ * resume; state is O(window) plus one partial phase).  Documented
+ * divergence: the streaming ENCODER emits per metablock-sized chunk
+ * with FLUSH byte-alignment rather than per input byte.  Qualities
+ * 10/11 run the native optimal parse (zopfli_hq.cpp) — same output
+ * quality as the host pipeline.
  */
 #ifndef BROTLI_TPU_H_
 #define BROTLI_TPU_H_

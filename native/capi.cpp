@@ -14,11 +14,10 @@
 //    including the exact sorted (word x transform) dictionary index
 //    built from the embedded tables; the greedy tiers do not search
 //    the static dictionary on this path.
-//  - both streaming directions are incremental and bounded-memory at
-//    METABLOCK granularity: the decoder resumes at the last block
-//    boundary (decode_stream_step_native), the encoder emits per
-//    metablock-sized chunk and supports FLUSH byte-alignment — not
-//    resumable mid-symbol.
+//  - the streaming DECODER resumes at ANY input byte (the resumable
+//    MbDecoder engine; state is O(window) + one partial phase); the
+//    streaming ENCODER emits per metablock-sized chunk and supports
+//    FLUSH byte-alignment.
 
 #include <cstdint>
 #include <cstring>
