@@ -860,3 +860,27 @@ def test_streaming_decoder_corruption_no_crash():
         cut = comp[:int(len(comp) * frac)]
         _abi_drip_decode(L, bytes(cut), [101] * (len(cut) // 101 + 1),
                          expect_error=True)
+
+
+def test_encode_steady_state_allocation_free():
+    """After one warmup call, repeated same-shape encodes reuse the
+    pooled session scratch and ring tables: steady-state RSS growth
+    over 30 iterations stays within noise (the operational analog of
+    the reference's preallocated/no-alloc mode,
+    declare_stack_allocator_struct! / combined_alloc.rs:33 — the
+    decoder side has true prealloc via DecompressPrealloc)."""
+    import resource
+
+    from brotli_tpu import compress
+    data = (load("alice29.txt") + load("asyoulik.txt"))[: 1 << 20]
+    for q in (2, 5, 9):
+        compress(data, quality=q)  # warm pools
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    for _ in range(30):
+        for q in (2, 5, 9):
+            compress(data, quality=q)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KB on Linux; 90 encodes of 1MB must not grow peak
+    # RSS by more than a few MB (fresh per-call allocation would add
+    # tens of MB of churn here)
+    assert rss1 - rss0 < 8 * 1024, (rss0, rss1)
