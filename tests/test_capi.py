@@ -884,3 +884,45 @@ def test_encode_steady_state_allocation_free():
     # RSS by more than a few MB (fresh per-call allocation would add
     # tens of MB of churn here)
     assert rss1 - rss0 < 8 * 1024, (rss0, rss1)
+
+
+def test_streaming_decoder_large_window():
+    """lgwin > 24 streams through the ABI streaming decoder (the
+    resumable engine sizes its distance alphabet from the
+    LARGE_WINDOW parameter, reference decode.h
+    BROTLI_DECODER_PARAM_LARGE_WINDOW)."""
+    from brotli_tpu import compress
+    L = lib()
+    L.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    data = load("alice29.txt") * 3
+    comp = compress(data, quality=9, large_window=True, lgwin=26)
+    st = ctypes.c_void_p(L.BrotliDecoderCreateInstance(None, None,
+                                                       None))
+    try:
+        L.BrotliDecoderSetParameter(st, 1, 1)  # LARGE_WINDOW on
+        total = bytearray()
+        outbuf = ctypes.create_string_buffer(1 << 18)
+        pos = 0
+        while pos < len(comp):
+            piece = bytes(comp[pos:pos + 977])
+            pos += len(piece)
+            avail_in = ctypes.c_size_t(len(piece))
+            next_in = ctypes.cast(ctypes.c_char_p(piece),
+                                  ctypes.POINTER(ctypes.c_uint8))
+            while True:
+                avail_out = ctypes.c_size_t(len(outbuf))
+                next_out = ctypes.cast(outbuf,
+                                       ctypes.POINTER(ctypes.c_uint8))
+                r = L.BrotliDecoderDecompressStream(
+                    st, ctypes.byref(avail_in), ctypes.byref(next_in),
+                    ctypes.byref(avail_out), ctypes.byref(next_out),
+                    None)
+                got = len(outbuf) - avail_out.value
+                if got:
+                    total += outbuf.raw[:got]
+                assert r != 0
+                if r != 3:
+                    break
+        assert bytes(total) == data
+    finally:
+        L.BrotliDecoderDestroyInstance(st)
