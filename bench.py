@@ -87,12 +87,17 @@ N = 5 << 20
 sl0 = build_corpus()[:N]
 d0 = jax.device_put(jnp.asarray(np.frombuffer(sl0, np.uint8)))
 W = (1 << 22) - 16
-@partial(jax.jit, static_argnames=("k", "k8", "rounds"))
-def step(d, k, k8, rounds):
-    p = best_matches_exact(d, W, k=k, k8=k8, rounds=rounds)
+from brotli_tpu.ops.matching import best_matches_exact8
+@partial(jax.jit, static_argnames=("k", "k8", "rounds", "variant"))
+def step(d, k, k8, rounds, variant="exact"):
+    if variant == "exact8":
+        p = best_matches_exact8(d, W, k=k, rounds=rounds)
+    else:
+        p = best_matches_exact(d, W, k=k, k8=k8, rounds=rounds)
     return d ^ (p == -123456789).astype(jnp.uint8), p[:128]
 onchip = {}
 for name, kn in (("greedy_tier", _device_knobs(5)),
+                 ("q7_tier", _device_knobs(7)),
                  ("q9_tier", _device_knobs(9))):
     d = d0
     d, ps = step(d, **kn)

@@ -36,15 +36,20 @@ _MAX_INFLIGHT = 3
 
 
 @partial(__import__("jax").jit,
-         static_argnames=("window_size", "halo", "k", "k8", "rounds"))
+         static_argnames=("window_size", "halo", "k", "k8", "rounds",
+                          "variant"))
 def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
-                 k8: int, rounds: int):
+                 k8: int, rounds: int, variant: str = "exact"):
     """Device kernel: packed (len << 26 | dist) per shard position.
-    Content-sorted exact matcher (ops.matching.best_matches_exact):
-    one fused XLA program — multi-operand sort, stencil fold, one
-    scatter.  The host extends length-capped matches exactly from
-    base 4 (bytes 0-4 of every reported match are key-attested)."""
-    from ..ops.matching import best_matches_exact
+    Content-sorted exact matchers (ops.matching): one fused XLA
+    program — multi-operand sort(s), stencil fold, one scatter.  The
+    host extends length-capped matches exactly (every reported byte
+    is key- or value-attested)."""
+    from ..ops.matching import best_matches_exact, best_matches_exact8
+    if variant == "exact8":
+        return best_matches_exact8(row, window_size, k=k,
+                                   rounds=rounds, min_pos=min_pos,
+                                   len_shift=LEN_SHIFT)[halo:]
     return best_matches_exact(row, window_size, k=k, k8=k8,
                               rounds=rounds, min_pos=min_pos,
                               len_shift=LEN_SHIFT)[halo:]
@@ -53,13 +58,16 @@ def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
 def _device_knobs(quality: int):
     """Per-tier device matcher knobs, chosen from the measured on-chip
     speed/ratio grid (RESULTS.md): extra fold WIDTH (k) is nearly free
-    — the sorts dominate — so the greedy tier runs one wide exact fold
-    (~87 MB/s on a v5e at 5M rows, size 0.996x the host q5 path) and
-    the q7-9 tier adds the 8-byte-hash fold for long-match recency on
-    text (~26 MB/s, size 1.003x host q9)."""
+    — the sorts dominate.  The measured curve at 5M rows on a v5e:
+    greedy tier (wide single fold) 78 MB/s at 0.991x host-q5 size;
+    q7/q8 (single two-key sort, exact 8-byte recency) 82 MB/s at
+    1.015x; q9 (two folds: exact 4-byte + hashed 8-byte) 26 MB/s at
+    1.002x."""
     if quality <= 6:
-        return dict(k=32, k8=0, rounds=4)
-    return dict(k=16, k8=8, rounds=4)
+        return dict(k=32, k8=0, rounds=4, variant="exact")
+    if quality <= 8:
+        return dict(k=16, k8=0, rounds=4, variant="exact8")
+    return dict(k=16, k8=8, rounds=4, variant="exact")
 
 
 def _extract_literals(region, dlen, ins, adv):

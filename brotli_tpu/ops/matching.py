@@ -375,6 +375,87 @@ def best_matches_exact(data: jnp.ndarray, window_size: int,
     return best[0]
 
 
+def best_matches_exact8(data: jnp.ndarray, window_size: int,
+                        k: int = 16, rounds: int = 4,
+                        literal_byte_score: int = 540, min_pos=0,
+                        len_shift: int = 26) -> jnp.ndarray:
+    """Single-sort variant of best_matches_exact: ONE stable sort by
+    the TWO leading chunk values (num_keys=2) replaces both tables.
+    Within an exact 8-byte-prefix group, neighbors are position-
+    ordered, so the k left neighbors are the k most recent 8-byte
+    matches (the long-match table, exact instead of hashed); at group
+    edges, same-v0/different-v1 neighbors contribute 4-7 byte matches
+    ordered by (v1, pos) rather than recency, so both scan directions
+    are checked and candidates require dist > 0 explicitly.
+
+    One sort instead of two — ~1.7x the two-fold q9 tier's on-chip
+    speed — at a small ratio cost on short (4-7 byte) matches, whose
+    candidate set loses recency preference.
+    """
+    if 4 * rounds >= (1 << (31 - len_shift)):
+        raise ValueError("length cap overflows the int32 packing")
+    n = data.shape[0]
+    v = [u32_values_at(data, 4 * r) for r in range(max(rounds, 2))]
+    lbs = literal_byte_score // 4
+    pos = jnp.arange(n, dtype=jnp.int32)
+    ops = jax.lax.sort((v[0], v[1], pos) + tuple(v[2:rounds]),
+                       num_keys=2, is_stable=True)
+    v0s, v1s, pos_s = ops[0], ops[1], ops[2]
+    vs_s = ops[3:]
+
+    kpad = k
+    p0 = jnp.pad(v0s, (kpad, kpad))
+    p1 = jnp.pad(v1s, (kpad, kpad))
+    pp = jnp.pad(pos_s, (kpad, kpad),
+                 constant_values=np.int32(-(1 << 30)))
+    vps = [jnp.pad(vv, (kpad, kpad)) for vv in vs_s]
+    limit_s = n - pos_s
+
+    s_score = jnp.zeros(n, jnp.int32)
+    s_packed = jnp.zeros(n, jnp.int32)
+    offs = [j for j in range(1, k + 1)] + \
+        [-j for j in range(1, k // 2 + 1)]
+    for j in offs:
+        sl = kpad - j
+        same4 = p0[sl:sl + n] == v0s
+        same8 = same4 & (p1[sl:sl + n] == v1s)
+        cand = pp[sl:sl + n]
+        dist = pos_s - cand
+        # length: 4 if only v0 matches (+ctz of the v1 diff), 8 +
+        # tail-chunk ctz chain when v1 matches too
+        x1 = v1s ^ p1[sl:sl + n]
+        nz1 = x1 != 0
+        low1 = x1 & (~x1 + np.uint32(1))
+        ctz1 = jax.lax.population_count(low1 - np.uint32(1))
+        m1 = jnp.where(nz1, (ctz1 >> np.uint32(3)).astype(jnp.int32),
+                       4)
+        total = jnp.where(same4, 4 + m1, 0)
+        alive = same8
+        for vv_s, vv_p in zip(vs_s, vps):
+            x = vv_s ^ vv_p[sl:sl + n]
+            nz = x != 0
+            low = x & (~x + np.uint32(1))
+            ctz = jax.lax.population_count(low - np.uint32(1))
+            m = jnp.where(nz, (ctz >> np.uint32(3)).astype(jnp.int32),
+                          4)
+            total = total + jnp.where(alive, m, 0)
+            alive = alive & (m == 4)
+        ml = jnp.minimum(total, limit_s)
+        valid = same4 & (dist > 0) & (dist <= window_size) \
+            & (ml >= 4) & (cand >= min_pos)
+        ml = jnp.where(valid, ml, 0)
+        logd = 31 - jax.lax.clz(jnp.maximum(dist, 1))
+        sc = jnp.where(ml > 0, lbs * ml - DISTANCE_BIT_PENALTY * logd,
+                       0)
+        upd = sc > s_score
+        s_score = jnp.where(upd, sc, s_score)
+        s_packed = jnp.where(upd, (ml << len_shift) | dist, s_packed)
+
+    gate = s_score > MIN_SCORE_DELTA
+    s_packed = jnp.where(gate, s_packed, 0)
+    return jnp.zeros(n, jnp.int32).at[pos_s].set(s_packed)
+
+
 def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
                        bucket_bits: int = 17, k8: int = 4,
                        bucket_bits8: int = 18,

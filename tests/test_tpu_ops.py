@@ -263,3 +263,33 @@ def test_compress_mesh_large_input_gated():
     data = data + noise.tobytes()  # 256 MiB total
     out = compress_mesh(data, mesh=make_mesh(8), quality=5)
     assert decompress(out) == data
+
+
+def test_exact8_kernel_valid_and_roundtrips():
+    """Single-sort two-key matcher (ops.matching.best_matches_exact8,
+    the q7/q8 offload tier): every reported match is byte-attested,
+    and the offload path round-trips at that tier."""
+    rng = np.random.default_rng(21)
+    parts = []
+    for _ in range(40):
+        parts.append(rng.integers(0, 256, rng.integers(80, 300),
+                                  dtype=np.uint8))
+        if rng.random() < 0.5 and len(parts) > 1:
+            parts.append(parts[rng.integers(0, len(parts))])
+    data = np.concatenate(parts)[:16384]
+    from brotli_tpu.ops.matching import best_matches_exact8
+    packed = np.asarray(best_matches_exact8(
+        jnp.asarray(data), 1 << 16, k=16, rounds=4))
+    bl = packed >> 26
+    bd = packed & ((1 << 26) - 1)
+    sel = np.nonzero(bl > 0)[0]
+    assert len(sel) > 100
+    for i in sel[:: max(1, len(sel) // 200)]:
+        l, d = int(bl[i]), int(bd[i])
+        assert 4 <= l <= 16 and 0 < d <= i
+        assert np.array_equal(data[i:i + l], data[i - d:i - d + l])
+    from brotli_tpu import decompress
+    from brotli_tpu.encode.tpu_path import compress_tpu
+    raw = load("alice29.txt")
+    out = compress_tpu(raw, quality=7, span=1 << 16)
+    assert decompress(out) == raw
