@@ -87,11 +87,15 @@ N = 5 << 20
 sl0 = build_corpus()[:N]
 d0 = jax.device_put(jnp.asarray(np.frombuffer(sl0, np.uint8)))
 W = (1 << 22) - 16
-from brotli_tpu.ops.matching import best_matches_exact8
+from brotli_tpu.ops.matching import (best_matches_exact8,
+                                     best_matches_exact9)
 @partial(jax.jit, static_argnames=("k", "k8", "rounds", "variant"))
 def step(d, k, k8, rounds, variant="exact"):
     if variant == "exact8":
         p = best_matches_exact8(d, W, k=k, rounds=rounds)
+    elif variant == "exact9":
+        p = best_matches_exact9(d, W, k=k, k_short=max(k8, 8),
+                                rounds=rounds)
     else:
         p = best_matches_exact(d, W, k=k, k8=k8, rounds=rounds)
     return d ^ (p == -123456789).astype(jnp.uint8), p[:128]

@@ -45,10 +45,17 @@ def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
     program — multi-operand sort(s), stencil fold, one scatter.  The
     host extends length-capped matches exactly (every reported byte
     is key- or value-attested)."""
-    from ..ops.matching import best_matches_exact, best_matches_exact8
+    from ..ops.matching import (best_matches_exact,
+                                best_matches_exact8,
+                                best_matches_exact9)
     if variant == "exact8":
         return best_matches_exact8(row, window_size, k=k,
                                    rounds=rounds, min_pos=min_pos,
+                                   len_shift=LEN_SHIFT)[halo:]
+    if variant == "exact9":
+        return best_matches_exact9(row, window_size, k=k,
+                                   k_short=max(k8, 8), rounds=rounds,
+                                   min_pos=min_pos,
                                    len_shift=LEN_SHIFT)[halo:]
     return best_matches_exact(row, window_size, k=k, k8=k8,
                               rounds=rounds, min_pos=min_pos,
@@ -61,13 +68,13 @@ def _device_knobs(quality: int):
     — the sorts dominate.  The measured curve at 5M rows on a v5e:
     greedy tier (wide single fold) 78 MB/s at 0.991x host-q5 size;
     q7/q8 (single two-key sort, exact 8-byte recency) 82 MB/s at
-    1.015x; q9 (two folds: exact 4-byte + hashed 8-byte) 26 MB/s at
-    1.002x."""
+    1.015x; q9 (exact8 + a 3-operand exact short-match fold) 28 MB/s
+    at 1.0006x."""
     if quality <= 6:
         return dict(k=32, k8=0, rounds=4, variant="exact")
     if quality <= 8:
         return dict(k=16, k8=0, rounds=4, variant="exact8")
-    return dict(k=16, k8=8, rounds=4, variant="exact")
+    return dict(k=16, k8=16, rounds=4, variant="exact9")
 
 
 def _extract_literals(region, dlen, ins, adv):

@@ -378,7 +378,8 @@ def best_matches_exact(data: jnp.ndarray, window_size: int,
 def best_matches_exact8(data: jnp.ndarray, window_size: int,
                         k: int = 16, rounds: int = 4,
                         literal_byte_score: int = 540, min_pos=0,
-                        len_shift: int = 26) -> jnp.ndarray:
+                        len_shift: int = 26,
+                        _with_score: bool = False):
     """Single-sort variant of best_matches_exact: ONE stable sort by
     the TWO leading chunk values (num_keys=2) replaces both tables.
     Within an exact 8-byte-prefix group, neighbors are position-
@@ -453,7 +454,36 @@ def best_matches_exact8(data: jnp.ndarray, window_size: int,
 
     gate = s_score > MIN_SCORE_DELTA
     s_packed = jnp.where(gate, s_packed, 0)
-    return jnp.zeros(n, jnp.int32).at[pos_s].set(s_packed)
+    s_score = jnp.where(gate, s_score, 0)
+    p_packed = jnp.zeros(n, jnp.int32).at[pos_s].set(s_packed)
+    if not _with_score:
+        return p_packed
+    return p_packed, jnp.zeros(n, jnp.int32).at[pos_s].set(s_score)
+
+
+def best_matches_exact9(data: jnp.ndarray, window_size: int,
+                        k: int = 16, k_short: int = 16,
+                        rounds: int = 4,
+                        literal_byte_score: int = 540, min_pos=0,
+                        len_shift: int = 26) -> jnp.ndarray:
+    """Hybrid q9-tier matcher: the exact8 two-key sort (exact 8-byte
+    recency — the long-match table, better than the hashed fold) merged
+    with a 3-operand short-match fold (key = v0 itself, one tail
+    value: exact 4-byte recency capped at 8, host-extended).  Same
+    on-chip cost as the two-fold form (sorts carry a large fixed cost
+    that payload width barely moves) at -0.16% size on the 3-corpus
+    q9 mix (1.0006 vs 1.0022 of the host path)."""
+    best = best_matches_exact8(data, window_size, k=k, rounds=rounds,
+                               literal_byte_score=literal_byte_score,
+                               min_pos=min_pos, len_shift=len_shift,
+                               _with_score=True)
+    v0 = u32_values(data)
+    v1 = u32_values_at(data, 4)
+    lbs = literal_byte_score // 4
+    best = _fold_fused(v0.astype(jnp.int32), k_short, [v1],
+                       window_size, lbs, best, min_pos, len_shift,
+                       base_len=4)
+    return best[0]
 
 
 def best_matches_block(data: jnp.ndarray, window_size: int, k: int = 8,
