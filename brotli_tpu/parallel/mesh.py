@@ -110,7 +110,8 @@ def match_pipeline(mesh: Mesh, window_size: int, k: int = 4,
 
 
 def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
-                  k8: int = 4, rounds: int = 2):
+                  k8: int = 4, rounds: int = 2,
+                  variant: str = "exact"):
     """Jitted multi-chip match finding over halo-extended shards.
 
     Each row is [halo + shard_len] bytes: the shard preceded by the
@@ -120,13 +121,20 @@ def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
     part of row 0's halo.  Compact candidates for the shard region only
     cross the link; counts psum over ICI.
     """
-    from ..ops.matching import best_matches_exact
+    from ..ops.matching import best_matches_exact, best_matches_exact9
 
     def per_shard(block, min_pos):
         data = block[0]
         n = data.shape[0]
-        packed = best_matches_exact(data, window_size, k=k, k8=k8,
-                                    rounds=rounds, min_pos=min_pos[0])
+        if variant == "exact9":
+            packed = best_matches_exact9(data, window_size, k=k,
+                                         k_short=max(k8, 8),
+                                         rounds=rounds,
+                                         min_pos=min_pos[0])
+        else:
+            packed = best_matches_exact(data, window_size, k=k, k8=k8,
+                                        rounds=rounds,
+                                        min_pos=min_pos[0])
         best_len = packed >> 26
         best_dist = packed & ((1 << 26) - 1)
         pos = jnp.arange(n, dtype=jnp.int32)
@@ -209,8 +217,8 @@ def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
 
     sharded = jax.device_put(rows, NamedSharding(mesh, P("shard", None)))
     mp = jax.device_put(min_pos, NamedSharding(mesh, P("shard")))
-    kdev = dict(k=8, k8=4, rounds=2) if params.quality <= 6 \
-        else dict(k=16, k8=8, rounds=4)
+    kdev = dict(k=32, k8=0, rounds=4) if params.quality <= 6 \
+        else dict(k=16, k8=16, rounds=4, variant="exact9")
     step = halo_pipeline(mesh, params.window_size, halo, **kdev)
     cpos, clen, cdist, counts, _total = step(sharded, mp)
     cpos = np.asarray(cpos)
