@@ -34,6 +34,13 @@ import (
 // (c/go/brotli/brotli.go:57).  Quality is a float like the reference:
 // 9.5 selects the dense-ratio pseudo-quality family (9.5 -> q10,
 // 9.5x/y are reachable with 10.5/11.5).
+// Every field is sent to the engine as its encoder parameter
+// (optionKeysValues).  Magic and SizeHint change the emitted stream
+// (magic-number metadata header); DisableLiteralContextModeling,
+// NumDirect, NumPostfix and LiteralByteScore are accepted by the
+// engine as tuning hints — the stream stays valid if the engine's
+// parameter search overrides them (it chooses distance parameters and
+// context modeling itself, like the reference at quality >= 4).
 type CompressionOptions struct {
 	NumThreads                int
 	Quality                   float32
@@ -78,21 +85,44 @@ func qualityParams(q float32) uint32 {
 	}
 }
 
+// optionKeysValues maps every CompressionOptions field to its encoder
+// parameter id (reference src/enc/parameters.rs numbering, identical
+// to google/brotli encode.h for ids 0-6).  Fields whose parameter the
+// engine accepts but does not act on are documented on the struct.
 func optionKeysValues(o CompressionOptions) ([]C.uint32_t, []C.uint32_t) {
-	keys := []C.uint32_t{1, 2, 3}
+	keys := []C.uint32_t{0, 1, 2}
 	vals := []C.uint32_t{C.uint32_t(o.Mode),
 		C.uint32_t(qualityParams(o.Quality)), C.uint32_t(o.LgWin)}
+	add := func(k, v C.uint32_t) {
+		keys = append(keys, k)
+		vals = append(vals, v)
+	}
 	if o.LgBlock != 0 {
-		keys = append(keys, 4)
-		vals = append(vals, C.uint32_t(o.LgBlock))
+		add(3, C.uint32_t(o.LgBlock))
+	}
+	if o.DisableLiteralContextModeling {
+		add(4, 1)
+	}
+	if o.SizeHint != 0 {
+		add(5, C.uint32_t(o.SizeHint))
+	}
+	if o.NumPostfix != 0 {
+		add(7, C.uint32_t(o.NumPostfix))
+	}
+	if o.NumDirect != 0 {
+		add(8, C.uint32_t(o.NumDirect))
+	}
+	if o.LiteralByteScore != 0 {
+		add(154, C.uint32_t(o.LiteralByteScore))
 	}
 	if o.Catable {
-		keys = append(keys, 167)
-		vals = append(vals, 1)
+		add(167, 1)
 	}
 	if o.Appendable {
-		keys = append(keys, 168)
-		vals = append(vals, 1)
+		add(168, 1)
+	}
+	if o.Magic {
+		add(169, 1)
 	}
 	return keys, vals
 }

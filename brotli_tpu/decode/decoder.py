@@ -193,7 +193,10 @@ class Decoder:
             if mnibbles > 0 and (mlen - 1) >> (16 + 4 * (mnibbles - 1)) == 0:
                 raise BrotliDecodeError("non-minimal MNIBBLES")
             if not islast and reader.read(1):  # ISUNCOMPRESSED
-                reader.align_to_byte()
+                # RFC 7932 §9.2: alignment bits must be zero
+                if reader.align_to_byte() != 0:
+                    raise BrotliDecodeError(
+                        "nonzero padding before uncompressed block")
                 out += reader.read_bytes(mlen)
                 continue
 

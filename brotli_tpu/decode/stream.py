@@ -193,7 +193,10 @@ class StreamDecoder:
                 return True
             mlen = r.read(16 + 4 * mnibbles) + 1
             if not islast and r.read(1):  # ISUNCOMPRESSED
-                r.align_to_byte()
+                # RFC 7932 §9.2: alignment bits must be zero
+                if r.align_to_byte() != 0:
+                    raise BrotliDecodeError(
+                        "nonzero padding before uncompressed block")
                 self._uncomp_left = mlen
                 return True
             st = dec._parse_metablock_header(r, mlen)

@@ -435,6 +435,10 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
         keep = min(region_start, params.window_size)
         return full[region_start - keep:dlen + boundaries[idx]], keep
 
+    # NOTE: collection results contain live views into a 2-slot
+    # toggled scratch (_collect_candidates) — prefetch depth must stay
+    # EXACTLY 1: one pending future, .result() before the next submit.
+    # Deepening the prefetch silently corrupts candidate distances.
     if zex is not None:
         from .zopfli import zopfli_collect
         r0, k0 = _zopfli_region(0)

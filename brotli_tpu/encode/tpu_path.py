@@ -165,6 +165,14 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
         cap = 4 * knobs["rounds"]
         if nb.available():
             capped = bl >= cap
+            if knobs["variant"] == "exact9":
+                # the exact9 short-match fold caps its lengths at 8
+                # (base 4 + one payload round): a winning 8-capped
+                # short-fold match may really be longer, so len == 8
+                # is an extension candidate too (extension is an exact
+                # byte compare, so extending a genuinely-8 match from
+                # the main fold is merely a no-op)
+                capped |= bl == 8
             if capped.any():
                 pos_c = np.nonzero(capped)[0]
                 ext = nb.extend_caps(row[:halo + real], 0,

@@ -566,7 +566,18 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
         # buffered: all collects run serially (one prefetch worker),
         # and segment g's rows are read by its DP while collect(g+1)
         # runs — buffer A is only rewritten at collect(g+2), after
-        # DP(g) finished (prefetch depth is 1)
+        # DP(g) finished (prefetch depth is 1).
+        #
+        # INVARIANT (load-bearing): the returned cand_dists/cand_isdict
+        # are LIVE VIEWS into this 2-slot toggled scratch (only
+        # lens/wire are copied by zopfli_collect, which mutates them).
+        # Correctness requires collection prefetch depth EXACTLY 1:
+        # a caller that ever holds two pending collects, or reads a
+        # collect's rows after two further collects, silently corrupts
+        # candidate distances.  encoder.py's zopfli loop guarantees
+        # this by construction (a single `zopfli_pending` future,
+        # .result() before the next submit); keep it that way or copy
+        # the rows here.
         from .. import native_bridge as _nb
         t = _collect_toggle.__dict__["v"] = \
             1 - _collect_toggle.__dict__.get("v", 0)

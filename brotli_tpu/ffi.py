@@ -28,16 +28,19 @@ BROTLI_PARAM_LARGE_WINDOW = 6
 BROTLI_PARAM_NPOSTFIX = 7
 BROTLI_PARAM_NDIRECT = 8
 BROTLI_PARAM_STREAM_OFFSET = 9
-# Dropbox extensions (parameters.rs:150+)
+# Dropbox extensions (parameters.rs:150+; ids match the reference
+# enum exactly so FFI callers compiled against either header agree)
 BROTLI_PARAM_Q9_5 = 150
 BROTLI_PARAM_METABLOCK_CALLBACK = 151
+BROTLI_PARAM_LITERAL_BYTE_SCORE = 154
+BROTLI_PARAM_AVOID_DISTANCE_PREFIX_SEARCH = 166
 BROTLI_PARAM_CATABLE = 167
 BROTLI_PARAM_APPENDABLE = 168
 BROTLI_PARAM_MAGIC_NUMBER = 169
-BROTLI_PARAM_FAVOR_EFFICIENCY = 170
-BROTLI_PARAM_BARE_STREAM = 171
-BROTLI_PARAM_LITERAL_BYTE_SCORE = 172
-BROTLI_PARAM_BYTE_ALIGN = 173
+BROTLI_PARAM_NO_DICTIONARY = 170
+BROTLI_PARAM_FAVOR_EFFICIENCY = 171
+BROTLI_PARAM_BYTE_ALIGN = 172
+BROTLI_PARAM_BARE_STREAM = 173
 
 # BrotliEncoderOperation (reference encode.rs:1380-1385)
 BROTLI_OPERATION_PROCESS = 0
@@ -83,8 +86,12 @@ class BrotliEncoderState:
     def _ensure(self):
         if self._compressor is None:
             p = self._params
+            q = p.get(BROTLI_PARAM_QUALITY, 11)
+            if p.get(BROTLI_PARAM_Q9_5, 0) and q < 10:
+                q = 10  # the 9.5 family rides the q10 tier
             self._compressor = Compressor(
-                quality=p.get(BROTLI_PARAM_QUALITY, 11),
+                quality=q,
+                lgblock=p.get(BROTLI_PARAM_LGBLOCK, 0),
                 lgwin=p.get(BROTLI_PARAM_LGWIN, 22),
                 mode=p.get(BROTLI_PARAM_MODE, 0),
                 catable=bool(p.get(BROTLI_PARAM_CATABLE, 0)),

@@ -244,6 +244,10 @@ def compress_mesh(data, mesh: Mesh | None = None, n_shards: int = None,
         # exact extension of cap-hit matches
         if nb.available() and len(pos):
             capped = lens >= 4 * kdev["rounds"]
+            if kdev.get("variant") == "exact9":
+                # exact9's short-match fold caps lengths at 8; len==8
+                # winners may be longer (see tpu_path.compress_tpu)
+                capped |= lens == 8
             if capped.any():
                 ext = nb.extend_caps(row[:halo + real], 0,
                                      pos[capped] + halo, dists[capped],

@@ -108,7 +108,7 @@ int main(int argc, char** argv) {
     /* multithreaded encode over a persistent worker pool (the analog
      * of the reference's c/multiexample.c) */
     void* pool = BrotliEncoderCreateWorkPool(4, NULL, NULL, NULL);
-    uint32_t keys[1] = {2 /* BROTLI_PARAM_QUALITY */};
+    uint32_t keys[1] = {1 /* BROTLI_PARAM_QUALITY */};
     uint32_t vals[1] = {(uint32_t)quality};
     size_t multi_size = enc_cap;
     uint8_t* multi = malloc(enc_cap);

@@ -93,16 +93,23 @@ typedef enum {
     BROTLI_OPERATION_EMIT_METADATA = 3
 } BrotliEncoderOperation;
 
-/* parameter ids (reference src/enc/parameters.rs) */
+/* parameter ids (reference src/enc/parameters.rs:3-35; ids 0-6 are
+ * identical to google/brotli encode.h, so callers compiled against
+ * either header set the same parameters) */
 typedef enum {
-    BROTLI_PARAM_MODE = 1,
-    BROTLI_PARAM_QUALITY = 2,
-    BROTLI_PARAM_LGWIN = 3,
-    BROTLI_PARAM_LGBLOCK = 4,
+    BROTLI_PARAM_MODE = 0,
+    BROTLI_PARAM_QUALITY = 1,
+    BROTLI_PARAM_LGWIN = 2,
+    BROTLI_PARAM_LGBLOCK = 3,
+    BROTLI_PARAM_DISABLE_LITERAL_CONTEXT_MODELING = 4,
+    BROTLI_PARAM_SIZE_HINT = 5,
+    BROTLI_PARAM_LARGE_WINDOW = 6,
+    BROTLI_PARAM_Q9_5 = 150,
     BROTLI_PARAM_CATABLE = 167,
     BROTLI_PARAM_APPENDABLE = 168,
-    BROTLI_PARAM_BARE_STREAM = 169,
-    BROTLI_PARAM_BYTE_ALIGN = 170
+    BROTLI_PARAM_MAGIC_NUMBER = 169,
+    BROTLI_PARAM_BYTE_ALIGN = 172,
+    BROTLI_PARAM_BARE_STREAM = 173
 } BrotliEncoderParameter;
 
 typedef struct BrotliEncoderStateStruct BrotliEncoderState;

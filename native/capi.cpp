@@ -171,6 +171,35 @@ static void write_mlen(ByteBW& w, int64_t mlen) {
 
 static void write_empty_last(ByteBW& w) { w.put(3, 2); }
 
+// Dropbox magic-number header: a metadata block after the window
+// header carrying magic + version + base-128 size hint (reference
+// BrotliWriteMetadataMetaBlock, brotli_bit_stream.rs:2869; port of
+// encode/bitstream.py write_magic_number)
+static void write_magic_number(ByteBW& w, uint32_t size_hint,
+                               bool catable, bool appendable) {
+    uint8_t hint[8];
+    int hn = 0;
+    uint32_t v = size_hint;
+    do {
+        hint[hn] = (uint8_t)(v & 0x7F);
+        v >>= 7;
+        if (v) hint[hn] |= 0x80;
+        hn++;
+    } while (v);
+    w.put(0, 1);             // ISLAST
+    w.put(3, 2);             // MNIBBLES == 0 -> metadata
+    w.put(0, 1);             // reserved
+    w.put(1, 2);             // MSKIPBYTES = 1
+    w.put((uint64_t)(3 + hn), 8);  // MSKIPLEN - 1
+    w.align();
+    uint8_t magic[4] = {0xE1, 0x97,
+                        (uint8_t)(catable ? 0x81
+                                  : appendable ? 0x82 : 0x80),
+                        1 /* FORMAT_VERSION, reference src/lib.rs:67 */};
+    w.put_bytes(magic, 4);
+    w.put_bytes(hint, hn);
+}
+
 static void write_padding_block(ByteBW& w) {
     w.put(0, 1); w.put(3, 2); w.put(0, 1); w.put(0, 2);
     w.align();
@@ -867,6 +896,14 @@ BrotliDecoderResult BrotliDecoderDecompressStream(
         if (!s->mb)
             s->mb = stream_decoder_create(s->large_window ? 1 : 0);
         for (;;) {
+            // backpressure: suspend decoding once the undrained
+            // backlog exceeds a bound, so a small high-ratio input
+            // cannot balloon internal memory to O(decoded size); the
+            // caller drains (NEEDS_MORE_OUTPUT) and the next
+            // DecompressStream call resumes right here (the reference
+            // likewise suspends when the caller's output is full)
+            if ((int64_t)(s->out.size() - s->out_off) > s->step_cap)
+                break;
             s->step_out.resize((size_t)s->step_cap);
             int64_t bits_before = s->bit_pos;
             int64_t r = stream_decoder_step(
@@ -954,7 +991,8 @@ struct BrotliEncoderStateStruct {
     int lgwin = 22;
     int mode = 0;
     bool catable = false, appendable = false, bare = false,
-         byte_align = false;
+         byte_align = false, magic = false;
+    uint32_t size_hint = 0;
     std::vector<uint8_t> in;      // unencoded input tail
     std::vector<uint8_t> hist;    // retained window (LZ77 prefix)
     std::vector<uint8_t> dict;    // custom dictionary
@@ -982,6 +1020,11 @@ struct BrotliEncoderStateStruct {
         if (!header_written) {
             if (!(bare && catable))
                 capi::write_stream_header(w, lgwin);
+            if (magic)
+                capi::write_magic_number(
+                    w, size_hint ? size_hint
+                                 : (uint32_t)(in.size()),
+                    catable, appendable);
             header_written = true;
         }
         if (first_block) {
@@ -1041,18 +1084,27 @@ BrotliEncoderState* BrotliEncoderCreateInstance(void*, void*, void*) {
 }
 void BrotliEncoderDestroyInstance(BrotliEncoderState* s) { delete s; }
 
-// parameter ids per reference src/enc/parameters.rs
+// parameter ids per reference src/enc/parameters.rs:3-35 (identical
+// to google/brotli's encode.h for ids 0-6; 7-9 are accepted for
+// google/brotli callers)
 int BrotliEncoderSetParameter(BrotliEncoderState* s, uint32_t param,
                               uint32_t value) {
     switch (param) {
-        case 1: s->mode = (int)value; return 1;          // MODE
-        case 2: s->quality = (int)value; return 1;       // QUALITY
-        case 3: s->lgwin = (int)value; return 1;         // LGWIN
-        case 4: return 1;                                // LGBLOCK
+        case 0: s->mode = (int)value; return 1;          // MODE
+        case 1: s->quality = (int)value; return 1;       // QUALITY
+        case 2: s->lgwin = (int)value; return 1;         // LGWIN
+        case 3: return 1;                                // LGBLOCK
+        case 4: return 1;  // DISABLE_LITERAL_CONTEXT_MODELING (hint)
+        case 5: s->size_hint = value; return 1;          // SIZE_HINT
+        case 6: return 1;                                // LARGE_WINDOW
+        //        (lgwin > 24 is honored directly; the flag is a
+        //         permission bit in google/brotli, redundant here)
+        case 150: if (value) s->quality = 10; return 1;  // Q9_5
         case 167: s->catable = value != 0; return 1;     // CATABLE
         case 168: s->appendable = value != 0; return 1;  // APPENDABLE
-        case 169: s->bare = value != 0; return 1;        // BARE
-        case 170: s->byte_align = value != 0; return 1;  // BYTE_ALIGN
+        case 169: s->magic = value != 0; return 1;       // MAGIC_NUMBER
+        case 172: s->byte_align = value != 0; return 1;  // BYTE_ALIGN
+        case 173: s->bare = value != 0; return 1;        // BARE_STREAM
         default: return 1;  // accepted, inert
     }
 }

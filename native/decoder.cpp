@@ -700,8 +700,9 @@ static int64_t decode_loop(
         if (mnibbles > 0 && ((mlen - 1) >> (16 + 4 * (mnibbles - 1))) == 0)
             return br.over() ? -1 : -2;
         if (!islast && br.read(1)) {  // ISUNCOMPRESSED
-            int n = (int)((-br.pos) & 7);
-            if (br.read(n) != 0) { /* tolerated padding */ }
+            // RFC 7932 §9.2: alignment bits before the raw bytes MUST
+            // be zero (same check as the META path)
+            if (!br.align_ok()) return br.over() ? -1 : -2;
             if (!br.at_least(8 * mlen)) return -1;
             if (out_len + mlen > out_cap) return -3;
             std::memcpy(out + out_len, br.data + (br.pos >> 3),
@@ -1338,9 +1339,11 @@ int64_t stream_decoder_step(
             }
             if (!islast && br.read(1)) {  // ISUNCOMPRESSED
                 if (br.over()) return suspend_in(ck);
-                int nal = (int)((-br.pos) & 7);
-                br.read(nal);  // tolerated padding
+                // RFC 7932 §9.2: alignment bits must be zero (same
+                // check as the META path)
+                bool alz = br.align_ok();
                 if (br.over()) return suspend_in(ck);
+                if (!alz) return fail(-2);
                 d.islast = 0;
                 d.skip_left = mlen;
                 d.phase = MbDecoder::UNCOMP;

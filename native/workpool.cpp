@@ -111,11 +111,12 @@ struct MultiParams {
 static MultiParams parse_params(size_t n, const uint32_t* keys,
                                 const uint32_t* vals) {
     MultiParams p;
+    // ids per reference src/enc/parameters.rs (== google/brotli)
     for (size_t i = 0; i < n; i++) {
         switch (keys[i]) {
-            case 1: p.mode = (int)vals[i]; break;
-            case 2: p.quality = (int)vals[i]; break;
-            case 3: p.lgwin = (int)vals[i]; break;
+            case 0: p.mode = (int)vals[i]; break;
+            case 1: p.quality = (int)vals[i]; break;
+            case 2: p.lgwin = (int)vals[i]; break;
             default: break;
         }
     }

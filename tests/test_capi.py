@@ -425,7 +425,7 @@ def test_capi_streaming_encode_incremental_and_flush():
 
     data = load("alice29.txt") * 16  # ~2.4MiB, > 2 chunks at q5
     es = ctypes.c_void_p(L.BrotliEncoderCreateInstance(None, None, None))
-    L.BrotliEncoderSetParameter(es, 2, 5)
+    L.BrotliEncoderSetParameter(es, 1, 5)  # QUALITY=5 (google ids)
     obuf = ctypes.create_string_buffer(1 << 20)
     out = bytearray()
 
@@ -538,6 +538,32 @@ def test_capi_streaming_decode_large_window():
     L.BrotliDecoderDestroyInstance(st2)
 
 
+def _abi_stream_encode(L, data, params):
+    es = ctypes.c_void_p(
+        L.BrotliEncoderCreateInstance(None, None, None))
+    for k, v in params:
+        L.BrotliEncoderSetParameter(es, k, v)
+    out = bytearray()
+    obuf = ctypes.create_string_buffer(1 << 20)
+    for op, chunk in ((0, data), (2, b"")):
+        avail_in = ctypes.c_size_t(len(chunk))
+        pin = ctypes.cast(ctypes.c_char_p(bytes(chunk)),
+                          ctypes.POINTER(ctypes.c_uint8))
+        while True:
+            avail_out = ctypes.c_size_t(len(obuf))
+            pout = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
+            assert L.BrotliEncoderCompressStream(
+                es, op, ctypes.byref(avail_in), ctypes.pointer(pin),
+                ctypes.byref(avail_out), ctypes.pointer(pout),
+                None) == 1
+            out.extend(obuf.raw[:len(obuf) - avail_out.value])
+            if avail_in.value == 0 and avail_out.value > 0:
+                break
+    assert L.BrotliEncoderIsFinished(es)
+    L.BrotliEncoderDestroyInstance(es)
+    return bytes(out)
+
+
 def test_capi_streaming_encode_catable_concatenates():
     """Facade-encoded appendable + catable streams must concatenate
     losslessly (catable implies appendable shaping — no ISLAST on
@@ -546,37 +572,35 @@ def test_capi_streaming_encode_catable_concatenates():
     L = lib()
     L.BrotliEncoderCreateInstance.restype = ctypes.c_void_p
 
-    def stream_encode(data, params):
-        es = ctypes.c_void_p(
-            L.BrotliEncoderCreateInstance(None, None, None))
-        for k, v in params:
-            L.BrotliEncoderSetParameter(es, k, v)
-        out = bytearray()
-        obuf = ctypes.create_string_buffer(1 << 20)
-        for op, chunk in ((0, data), (2, b"")):
-            avail_in = ctypes.c_size_t(len(chunk))
-            pin = ctypes.cast(ctypes.c_char_p(bytes(chunk)),
-                              ctypes.POINTER(ctypes.c_uint8))
-            while True:
-                avail_out = ctypes.c_size_t(len(obuf))
-                pout = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
-                assert L.BrotliEncoderCompressStream(
-                    es, op, ctypes.byref(avail_in), ctypes.pointer(pin),
-                    ctypes.byref(avail_out), ctypes.pointer(pout),
-                    None) == 1
-                out.extend(obuf.raw[:len(obuf) - avail_out.value])
-                if avail_in.value == 0 and avail_out.value > 0:
-                    break
-        assert L.BrotliEncoderIsFinished(es)
-        L.BrotliEncoderDestroyInstance(es)
-        return bytes(out)
-
     a = load("alice29.txt")
     b = load("asyoulik.txt")
-    first = stream_encode(a, [(2, 9), (168, 1)])   # appendable
-    second = stream_encode(b, [(2, 9), (167, 1)])  # catable
+    first = _abi_stream_encode(L, a, [(1, 9), (168, 1)])   # appendable
+    second = _abi_stream_encode(L, b, [(1, 9), (167, 1)])  # catable
     joined = concatenate([first, second])
     assert decompress(joined) == a + b
+
+
+def test_capi_magic_number_parameter():
+    """BROTLI_PARAM_MAGIC_NUMBER (169) emits the Dropbox magic-number
+    metadata header (reference BrotliWriteMetadataMetaBlock,
+    brotli_bit_stream.rs:2869); decoders skip metadata, so the stream
+    stays valid for both our decoder and the upstream C oracle."""
+    from brotli_tpu import decompress
+    L = lib()
+    L.BrotliEncoderCreateInstance.restype = ctypes.c_void_p
+
+    data = load("alice29.txt")
+    out = _abi_stream_encode(L, data, [(1, 5), (169, 1),
+                                       (5, len(data))])
+    # stream header is <= 2 bytes, the aligned magic follows
+    assert b"\xe1\x97\x80\x01" in out[:8]
+    assert decompress(out) == data
+    if oracle.available():
+        assert oracle.decompress(out, max_size_hint=len(data)) == data
+    # plain encode of the same input carries no magic
+    plain = _abi_stream_encode(L, data, [(1, 5)])
+    assert b"\xe1\x97" not in plain[:8]
+    assert len(out) > len(plain)
 
 
 class _BroccoliState(ctypes.Structure):
