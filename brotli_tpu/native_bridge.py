@@ -149,7 +149,19 @@ def _pgo_train() -> None:
     recs[noise_idx] = rng.integers(0, 256, size=len(noise_idx),
                                    dtype=_np.uint8)
     binary = recs.tobytes()[:1 << 20]
-    for data in (text, binary):
+    # real machine code when available: ELF sections drive the decoder
+    # through many live context trees and short far copies — a shape
+    # the synthetic corpora miss (branch layout for the context-literal
+    # path trains on it)
+    workloads = [text, binary]
+    for elf in ("/lib/x86_64-linux-gnu/libc.so.6", "/usr/bin/python3"):
+        try:
+            with open(elf, "rb") as f:
+                workloads.append(f.read(1 << 20))
+            break
+        except OSError:
+            continue
+    for data in workloads:
         for q in (1, 5, 9):
             out = compress(data, quality=q)
             assert decompress(out) == data

@@ -227,6 +227,22 @@ static int read_clcode_len(BitReader& br) {
 }
 
 // build flat decode table from code lengths; returns false on corrupt
+static const uint8_t kRev8[256] = {
+#define R2(n) n, n + 2 * 64, n + 1 * 64, n + 3 * 64
+#define R4(n) R2(n), R2(n + 2 * 16), R2(n + 1 * 16), R2(n + 3 * 16)
+#define R6(n) R4(n), R4(n + 2 * 4), R4(n + 1 * 4), R4(n + 3 * 4)
+    R6(0), R6(2), R6(1), R6(3)
+#undef R2
+#undef R4
+#undef R6
+};
+
+static inline uint32_t rev_bits(uint32_t c, int l) {
+    // reverse the low l bits (l <= 15)
+    uint32_t r = ((uint32_t)kRev8[c & 255] << 8) | kRev8[(c >> 8) & 255];
+    return r >> (16 - l);
+}
+
 static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
                         TableArena& arena, int root_bits = 9) {
     const int root_size = 1 << root_bits;
@@ -247,8 +263,10 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
         pt.max_len = 0;
         pt.tab = arena.alloc(root_size);
         if (!pt.tab) return false;
-        for (int i = 0; i < root_size; i++)
-            pt.tab[i] = (int32_t)(single << 4);
+        const int64_t v2 =
+            (int64_t)(uint32_t)(single << 4) * 0x100000001ll;
+        int64_t* t8 = (int64_t*)pt.tab;
+        for (int i = 0; i < root_size / 2; i++) t8[i] = v2;
         return true;
     }
     if (space != (1ll << 15)) return false;  // not Kraft-complete
@@ -271,13 +289,15 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
     bool any_long = maxlen > root_bits;
     if (any_long)
         std::memset(sub_bits, 0, root_size * sizeof(int));
-    std::vector<std::pair<int32_t, int32_t>> longs;  // (rev_code, sym)
+    // worst-case alphabet: large-window distances,
+    // 16 + ndirect + (62 << (npostfix+1)) <= 1128
+    std::pair<int32_t, int32_t> longs[1136];  // (rev_code, sym)
+    int n_longs = 0;
     for (int i = 0; i < n; i++) {
         int l = lengths[i];
         if (!l) continue;
-        int64_t c = next_code[l]++;
-        int64_t r = 0;
-        for (int b = 0; b < l; b++) r |= ((c >> b) & 1) << (l - 1 - b);
+        uint32_t c = (uint32_t)next_code[l]++;
+        uint32_t r = rev_bits(c, l);
         if (l <= root_bits) {
             int64_t step = 1ll << l;
             for (int64_t idx = r; idx < root_size; idx += step)
@@ -285,7 +305,7 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
         } else {
             int p = (int)(r & (root_size - 1));
             sub_bits[p] = std::max(sub_bits[p], l - root_bits);
-            longs.push_back({(int32_t)r, (int32_t)i});
+            longs[n_longs++] = {(int32_t)r, (int32_t)i};
         }
     }
     if (any_long) {
@@ -297,7 +317,8 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
             sub_base[p] = (int32_t)(sub - pt.tab);
             pt.tab[p] = (sub_base[p] << 4) | (root_bits + sub_bits[p]);
         }
-        for (auto& [r, sym] : longs) {
+        for (int li = 0; li < n_longs; li++) {
+            auto& [r, sym] = longs[li];
             int l = lengths[sym];
             int p = r & (root_size - 1);
             int sb = sub_bits[p];
