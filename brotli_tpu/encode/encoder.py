@@ -130,14 +130,16 @@ def _quality_knobs(params: EncoderParams):
         return dict(k=16, bucket_bits=15, k8=8, bucket_bits8=15,
                     hash_len=4, n_cache=16)
     if q <= 6:
-        # 4-byte primary hash in a wide (2^17) table: wide-and-shallow
-        # beats the 5-byte hash here — length-4/5 matches stay findable
-        # through the table (the 5-byte hash loses them) and the wide
-        # table keeps collision chains short; a tiny 8-byte table
-        # covers long matches (measured on the mixed corpus: 1.0044 ->
-        # 1.0001 vs C at equal speed)
-        return dict(k=8, bucket_bits=17, k8=2, bucket_bits8=15,
-                    hash_len=4)
+        # 4-byte primary hash, 2^16 buckets x 8 slots: the speed-tier
+        # search is LATENCY-bound on ring-row loads, so the table must
+        # sit in the 2MB/core L2 — with the compact u32 ring entries
+        # this geometry is 2.25MB and the round-4 interleaved A/B
+        # moved q5 from 0.75x to ~0.89x C at size 0.9994 (the wider
+        # 2^17 table's extra candidates bought only 0.02% size).
+        # n_cache=2 probes two short codes (4 cost ~7% speed for
+        # +0.04% size); the 8-byte table covers long matches
+        return dict(k=8, bucket_bits=16, k8=2, bucket_bits8=16,
+                    hash_len=4, n_cache=2)
     if q <= 9:
         # the full 16-candidate short-code probe set (reference H9
         # kNumLastDistancesToCheck=16, mod.rs:598); same

@@ -2003,6 +2003,28 @@ struct CombinedCtx {
     // traffic of the speed-tier search loop)
     uint64_t* ring4; uint16_t* cnt4;
     uint64_t* ring8; uint16_t* cnt8;
+    // compact ring mode (window < 2^24, ring tiers only): u32 entries
+    // (tag8 << 24 | pos24).  Halves the table footprint — the q5-q9
+    // search is latency-bound on ring-row loads, and the smaller
+    // tables keep rows in L2.  The tag is 8 product bits just below
+    // the bucket id; a tag hit is verified by probe_len's exact byte
+    // compare (ml < 4 rejects), so the candidate set that can WIN is
+    // identical to the u64 gate's and output is bit-identical for
+    // inputs < 16 MiB (beyond that, a >16MiB-stale slot can alias to
+    // a nearer position; any emitted match is still byte-verified).
+    bool small_ring = false;
+    uint32_t* r4 = nullptr; uint32_t* r8 = nullptr;
+    int64_t row4_bytes = 0, row8_bytes = 0;  // for prefetch arithmetic
+
+    static inline uint32_t tag_of(uint32_t v4) {
+        return ((v4 * 0x1E35A7BDu) >> 8) & 0xFFu;
+    }
+    inline const char* base4() const {
+        return small_ring ? (const char*)r4 : (const char*)ring4;
+    }
+    inline const char* base8() const {
+        return small_ring ? (const char*)r8 : (const char*)ring8;
+    }
     // precomputed bucket ids (straight vectorizable passes), covering
     // absolute positions [hash_base, hash_base + coverage); the
     // session slides this window per metablock so hash scratch stays
@@ -2010,6 +2032,7 @@ struct CombinedCtx {
     const uint32_t* H4 = nullptr;
     const uint32_t* H8 = nullptr;
     int64_t hash_base = 0;
+    int64_t hash_limit = 0;   // absolute end of H4/H8 coverage
     int hash_len4 = 4;
     int64_t ins_pos = 0;      // next absolute position to insert
     // adaptive dictionary gating (reference SearchInStaticDictionary,
@@ -2031,8 +2054,20 @@ struct CombinedCtx {
 
     inline void insert_one(int64_t i) {
         if (i + 4 > n) return;
-        uint64_t e = ((uint64_t)load32(data + i) << 32) | (uint32_t)i;
+        uint32_t v4 = load32(data + i);
         uint32_t h4 = H4[i - hash_base];
+        if (small_ring) {
+            uint32_t e = (tag_of(v4) << 24) | ((uint32_t)i & 0xFFFFFFu);
+            r4[h4 * cap4 + (cnt4[h4] & mask4)] = e;
+            cnt4[h4]++;
+            if (k8 && i + 8 <= n && (k8 > 4 || !(i & 1))) {
+                uint32_t h8 = H8[i - hash_base];
+                r8[h8 * cap8 + (cnt8[h8] & mask8)] = e;
+                cnt8[h8]++;
+            }
+            return;
+        }
+        uint64_t e = ((uint64_t)v4 << 32) | (uint32_t)i;
         ring4[h4 * cap4 + (cnt4[h4] & mask4)] = e;
         cnt4[h4]++;
         if (k8 && i + 8 <= n && (k8 > 4 || !(i & 1))) {
@@ -2051,9 +2086,23 @@ struct CombinedCtx {
     inline void insert_one_inline(int64_t i) {
         if (i + 4 > n) return;
         // tail positions land in bucket 0, matching the buffer fill
-        uint64_t e = ((uint64_t)load32(data + i) << 32) | (uint32_t)i;
+        uint32_t v4 = load32(data + i);
         uint32_t h4 = i + (hash_len4 == 5 ? 8 : 4) <= n
             ? bucket_hash(data + i, hash_len4, shift4) : 0;
+        if (small_ring) {
+            uint32_t e = (tag_of(v4) << 24) | ((uint32_t)i & 0xFFFFFFu);
+            r4[h4 * cap4 + (cnt4[h4] & mask4)] = e;
+            cnt4[h4]++;
+            if (k8 && i + 8 <= n && (k8 > 4 || !(i & 1))) {
+                uint32_t h8 = (uint32_t)(
+                    (load64(data + i) * 0x1FE35A7BD3579BD3ull)
+                    >> shift8);
+                r8[h8 * cap8 + (cnt8[h8] & mask8)] = e;
+                cnt8[h8]++;
+            }
+            return;
+        }
+        uint64_t e = ((uint64_t)v4 << 32) | (uint32_t)i;
         ring4[h4 * cap4 + (cnt4[h4] & mask4)] = e;
         cnt4[h4]++;
         if (k8 && i + 8 <= n && (k8 > 4 || !(i & 1))) {
@@ -2064,17 +2113,33 @@ struct CombinedCtx {
         }
     }
 
+    // insert loop with a 6-position prefetch pipeline: every insert
+    // writes one random ring row (an RFO miss on a cold line); H4 is
+    // precomputed, so the rows for upcoming positions can be pulled
+    // while earlier inserts retire
+    inline void insert_run(int64_t from, int64_t stop) {
+        int64_t pf_end = std::min(stop, hash_limit);
+        const char* b4 = base4();
+        for (int64_t i = from; i < stop; i++) {
+            int64_t p = i + 6;
+            if (p < pf_end && p + 4 <= n)
+                __builtin_prefetch(
+                    b4 + (int64_t)H4[p - hash_base] * row4_bytes, 1, 1);
+            insert_one(i);
+        }
+    }
+
     inline void insert_upto(int64_t stop) {
         if (__builtin_expect(g_stats_on, 0)) {
             uint64_t t0 = rdtsc_now();
             int64_t from = ins_pos;
-            for (int64_t i = ins_pos; i < stop; i++) insert_one(i);
+            insert_run(ins_pos, stop);
             if (stop > ins_pos) ins_pos = stop;
             g_stats.inserts += stop > from ? stop - from : 0;
             g_stats.cyc_insert += rdtsc_now() - t0;
             return;
         }
-        for (int64_t i = ins_pos; i < stop; i++) insert_one(i);
+        insert_run(ins_pos, stop);
         if (stop > ins_pos) ins_pos = stop;
     }
 
@@ -2119,15 +2184,29 @@ struct CombinedCtx {
         // prefetch everything the probes below will touch: the two
         // ring bucket rows and the data at each cache-candidate
         // source.  The probe loops otherwise serialize these misses.
-        __builtin_prefetch(ring4 + (int64_t)H4[i - hash_base] * cap4,
-                           0, 1);
+        __builtin_prefetch(
+            base4() + (int64_t)H4[i - hash_base] * row4_bytes, 0, 1);
         if (k8 && i + 8 <= n)
-            __builtin_prefetch(ring8 + (int64_t)H8[i - hash_base] * cap8,
-                               0, 1);
+            __builtin_prefetch(
+                base8() + (int64_t)H8[i - hash_base] * row8_bytes, 0, 1);
         for (int c = 0; c < n_cache; c++) {
             int64_t d = cache[kSCIdx[c]] + kSCDelta[c];
             if (d > 0 && d <= i && d <= window)
                 __builtin_prefetch(data + i - d, 0, 1);
+        }
+        // software pipeline: also start the NEXT positions' ring-row
+        // loads now.  The walk almost always searches i+1 next (lazy
+        // re-search after a hit, advance-by-one after a miss), and
+        // these rows miss L2 — issuing the loads a full search early
+        // hides most of the L3 latency behind the current probe work.
+        for (int64_t nx = i + 1; nx <= i + 2; nx++) {
+            if (nx >= hash_limit || nx + 4 > n) break;
+            __builtin_prefetch(
+                base4() + (int64_t)H4[nx - hash_base] * row4_bytes, 0, 1);
+            if (k8 && nx + 8 <= n)
+                __builtin_prefetch(
+                    base8() + (int64_t)H8[nx - hash_base] * row8_bytes,
+                    0, 1);
         }
         // distance-cache candidates: the full short-code set
         // (reference H9 kNumLastDistancesToCheck=16, mod.rs:598 —
@@ -2156,6 +2235,70 @@ struct CombinedCtx {
             }
         }
         uint32_t v4 = load32(data + i);
+        if (small_ring) {
+            // compact-ring scan: tag gate, probe_len verifies (ml < 4
+            // rejects a tag false-positive — the winning candidate
+            // set is identical to the u64 gate's)
+            uint32_t tag = tag_of(v4);
+            uint32_t h4 = H4[i - hash_base];
+            int32_t c = cnt4[h4];
+            int32_t m = (int32_t)std::min<int64_t>(
+                std::min<int64_t>(c, k), 64);
+            const uint32_t* row = r4 + h4 * cap4;
+            if (__builtin_expect(g_stats_on, 0)) g_stats.t4_scanned += m;
+            for (int32_t j = 0; j < m; j++) {
+                uint32_t e = row[(c - 1 - j) & mask4];
+                int64_t dist = (int64_t)((uint32_t)(i - e) & 0xFFFFFFu);
+                if (dist == 0) continue;
+                if (dist > window) break;
+                if ((e >> 24) != tag) continue;
+                int64_t cand = i - dist;
+                int64_t g = sr.len > gl ? sr.len : gl;
+                if (g > 0 && (g >= limit ||
+                    data[cand + g] != data[i + g])) continue;
+                if (__builtin_expect(g_stats_on, 0)) g_stats.t4_probed++;
+                int64_t ml = probe_len(data, cand, i, limit);
+                if (ml < 4) continue;
+                int64_t sc = lbs * ml - 30 * log2floor(dist);
+                if (sc > sr.score) {
+                    sr.score = sc; sr.len = ml; sr.dist = dist;
+                    sr.wire = ml; sr.isdict = false;
+                    if (ml >= 72) break;  // good enough; stop probing
+                }
+            }
+            if (k8 && i + 8 <= n && sr.len < 72) {
+                uint32_t h8 = H8[i - hash_base];
+                int32_t c8 = cnt8[h8];
+                int32_t m8 = (int32_t)std::min<int64_t>(
+                    std::min<int64_t>(c8, k8), 64);
+                const uint32_t* row8 = r8 + h8 * cap8;
+                if (__builtin_expect(g_stats_on, 0))
+                    g_stats.t8_scanned += m8;
+                for (int32_t j = 0; j < m8; j++) {
+                    uint32_t e = row8[(c8 - 1 - j) & mask8];
+                    int64_t dist =
+                        (int64_t)((uint32_t)(i - e) & 0xFFFFFFu);
+                    if (dist == 0) continue;
+                    if (dist > window) break;
+                    if ((e >> 24) != tag) continue;
+                    int64_t cand = i - dist;
+                    int64_t g = sr.len > gl ? sr.len : gl;
+                    if (g > 0 && (g >= limit ||
+                        data[cand + g] != data[i + g])) continue;
+                    if (__builtin_expect(g_stats_on, 0))
+                        g_stats.t8_probed++;
+                    int64_t ml = probe_len(data, cand, i, limit);
+                    if (ml < 4) continue;
+                    int64_t sc = lbs * ml - 30 * log2floor(dist);
+                    if (sc > sr.score) {
+                        sr.score = sc; sr.len = ml; sr.dist = dist;
+                        sr.wire = ml; sr.isdict = false;
+                    }
+                }
+            }
+            dict_probe(i, v4, sr);
+            return sr;
+        }
         {
             uint32_t h4 = H4[i - hash_base];
             int32_t c = cnt4[h4];
@@ -2404,7 +2547,8 @@ std::atomic<int> g_active_sessions{0};
 
 struct ParseSession {
     CombinedCtx cx;
-    std::vector<uint64_t> ring4, ring8;
+    std::vector<uint64_t> ring4, ring8;   // wide mode + basic tier
+    std::vector<uint32_t> ring4s, ring8s; // compact (tag) mode
     std::vector<uint16_t> cnt4, cnt8;
     std::vector<uint32_t> h4, h8;
     int64_t cache[4] = {0, 0, 0, 0};
@@ -2467,6 +2611,7 @@ struct ParseSession {
         c.H4 = h4buf;
         c.H8 = h8buf;
         c.hash_base = from;
+        c.hash_limit = to;
         hash_end = to;
     }
 };
@@ -2539,6 +2684,15 @@ int64_t parse_session_next(void* vs, int64_t boundary_rel,
     int64_t insert_start = S.insert_start;
     int64_t* cache = S.cache;
     int64_t seg_start_count = 0;
+    static const int kMaxDefers =
+        getenv("BROTLI_TPU_DEFERS") ? atoi(getenv("BROTLI_TPU_DEFERS"))
+                                    : 4;
+    static const int64_t kSkip1 =
+        getenv("BROTLI_TPU_SKIP1") ? atoll(getenv("BROTLI_TPU_SKIP1"))
+                                   : 64;
+    static const int64_t kSkip2 =
+        getenv("BROTLI_TPU_SKIP2") ? atoll(getenv("BROTLI_TPU_SKIP2"))
+                                   : 512;
     while (pos + 2 <= boundary) {
         SearchResult sr = cx.search(pos, cache);
         if (sr.score <= 100) {
@@ -2547,8 +2701,8 @@ int64_t parse_session_next(void* vs, int64_t boundary_rel,
             // into a spree the skipped positions are not inserted
             // either — the reference advances without storing them
             int64_t step = 1;
-            if (misses > 512) step = 4;
-            else if (misses > 64) step = 2;
+            if (misses > kSkip2) step = 4;
+            else if (misses > kSkip1) step = 2;
             misses++;
             pos += step;
             if (step > 1 && cx.ins_pos < pos) cx.ins_pos = pos;
@@ -2558,7 +2712,7 @@ int64_t parse_session_next(void* vs, int64_t boundary_rel,
         // match at speed tiers — a one-later restart can't beat it by
         // the 175 margin often enough to pay for the search)
         int defers = 0;
-        while (sr.len < cx.lazy_gate && defers < 4 &&
+        while (sr.len < cx.lazy_gate && defers < kMaxDefers &&
                pos + 1 + 4 <= boundary) {
             // no length gate on the lazy re-search: a same-length
             // nearer candidate can legally clear the +175 margin
@@ -2654,12 +2808,24 @@ void* parse_session_begin(
     // condition); the ring tiers use the len<10 gate
     if (cx.basic) cx.dict_gate = 4;
     cx.dict_max_slots = cx.basic ? 2 : (cx.n_cache <= 4 ? 4 : 64);
-    cx.ring4 = fit(S.ring4, nb4 * cx.cap4);
+    // compact (u32 tag) rings when every in-window distance fits 24
+    // bits; the basic tier keeps u64 slots (empty-slot semantics)
+    cx.small_ring = !cx.basic && window_size < (int64_t(1) << 24);
+    if (cx.small_ring) {
+        cx.r4 = fit(S.ring4s, nb4 * cx.cap4);
+        cx.r8 = k8 ? fit(S.ring8s, nb8 * cx.cap8) : nullptr;
+        cx.row4_bytes = cx.cap4 * 4;
+        cx.row8_bytes = cx.cap8 * 4;
+    } else {
+        cx.ring4 = fit(S.ring4, nb4 * cx.cap4);
+        cx.ring8 = k8 ? fit(S.ring8, nb8 * cx.cap8) : nullptr;
+        cx.row4_bytes = cx.cap4 * 8;
+        cx.row8_bytes = cx.cap8 * 8;
+    }
     cx.cnt4 = fit(S.cnt4, nb4);
     std::memset(cx.cnt4, 0, nb4 * sizeof(uint16_t));
     if (cx.basic)
         std::memset(cx.ring4, 0, nb4 * cx.cap4 * sizeof(uint64_t));
-    cx.ring8 = k8 ? fit(S.ring8, nb8 * cx.cap8) : nullptr;
     cx.cnt8 = k8 ? fit(S.cnt8, nb8) : nullptr;
     if (k8) std::memset(cx.cnt8, 0, nb8 * sizeof(uint16_t));
     // bucket ids are computed per metablock by ensure_hashes (a
