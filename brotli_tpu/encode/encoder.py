@@ -110,11 +110,12 @@ def _quality_knobs(params: EncoderParams):
     if q <= 3:
         # the native basic tier (reference H2/H3 BasicHasher shape:
         # direct-mapped 2^16 buckets, no counters, last-distance cache
-        # probe only) with a 4-byte hash — unlike the reference's
-        # 5-byte hash it keeps length-4 matches findable, which beats
-        # it on ratio at equal speed; q2 sweeps 1 slot, q3 sweeps 2
+        # probe only) with the reference's 5-byte hash — round-4 A/B
+        # reversed the earlier 4-byte finding: at this geometry h5 is
+        # smaller on BOTH text and the mixed corpus (alice q3 0.9765 ->
+        # 0.9685 vs C) at equal speed; q2 sweeps 1 slot, q3 sweeps 2
         return dict(k=1 if q == 2 else 2, bucket_bits=16, k8=0,
-                    n_cache=1, hash_len=4)
+                    n_cache=1, hash_len=5)
     if params.lgwin <= 16 and q >= 4:
         # small-window presets (the H40/H41/H42 'forgetful chain'
         # selection, reference ChooseHasher encode.rs:855-862): tiny

@@ -1982,6 +1982,35 @@ struct SearchResult {
     bool isdict = false;
 };
 
+// Packed static-dictionary gate: (first-4-bytes-of-word << 32) |
+// (word_id + 1) per index slot, 0 = empty.  A probe then rejects on
+// one sequential row load instead of chasing word bytes + metadata —
+// EXACT: every transform here is omit-last, so an m >= 4 match
+// requires word[0..4] == data[i..i+4].  Built once per distinct index
+// pointer; old tables are intentionally kept (a handful per process)
+// so concurrent sessions never see a freed buffer.
+std::mutex g_dictpack_mtx;
+std::vector<std::pair<const int64_t*, std::vector<uint64_t>*>>
+    g_dictpack_tabs;
+
+const uint64_t* dict_packed_gate(const int64_t* table,
+                                 int64_t hash_bits, int64_t slots,
+                                 const uint8_t* words_flat) {
+    std::lock_guard<std::mutex> lk(g_dictpack_mtx);
+    for (auto& p : g_dictpack_tabs)
+        if (p.first == table) return p.second->data();
+    int64_t total = (int64_t(1) << hash_bits) * slots;
+    auto* v = new std::vector<uint64_t>(total, 0);
+    for (int64_t i = 0; i < total; i++) {
+        int64_t e = table[i];
+        if (e < 0) continue;
+        uint32_t v4 = load32(words_flat + e * 24);
+        (*v)[i] = ((uint64_t)v4 << 32) | (uint64_t)(e + 1);
+    }
+    g_dictpack_tabs.push_back({table, v});
+    return v->data();
+}
+
 struct CombinedCtx {
     const uint8_t* data;
     int64_t n_cache = 4;   // short-code candidates probed per search
@@ -2044,6 +2073,7 @@ struct CombinedCtx {
     // luxury — at speed tiers it dominates miss-position cost)
     int64_t dict_max_slots = 64;
     // dictionary index
+    const uint64_t* dict_pack = nullptr;  // packed 4-byte gate rows
     const int64_t* dict_table;
     int64_t dict_hash_bits, dict_slots;
     const uint8_t* dict_words;
@@ -2368,17 +2398,22 @@ struct CombinedCtx {
         return sr;
     }
 
+    int dict_economy = 7;  // probe while lookups/2^e <= matches
     inline void dict_probe(int64_t i, uint32_t v4, SearchResult& sr) {
         if (!(dict_table && i >= dict_len && sr.len < dict_gate &&
-              (dict_lookups >> 7) <= dict_matches))
+              (dict_lookups >> dict_economy) <= dict_matches))
             return;
         dict_lookups++;
         if (__builtin_expect(g_stats_on, 0)) g_stats.dict_probes++;
         uint32_t hd = (v4 * 0x1E35A7BDu) >> (32 - dict_hash_bits);
         int64_t nslots = std::min(dict_slots, dict_max_slots);
+        const uint64_t* prow = dict_pack + hd * dict_slots;
         for (int64_t s = 0; s < nslots; s++) {
-            int64_t e = dict_table[hd * dict_slots + s];
-            if (e < 0) continue;
+            // packed 4-byte gate: one sequential row load rejects a
+            // slot without touching word bytes or metadata
+            uint64_t pe = prow[s];
+            if ((uint32_t)(pe >> 32) != v4 || pe == 0) continue;
+            int64_t e = (int64_t)(uint32_t)pe - 1;
             int64_t L = dict_wlen[e];
             const uint8_t* wptr = dict_words + e * 24;
             int64_t avail = std::min<int64_t>(L, n - i);
@@ -2808,6 +2843,14 @@ void* parse_session_begin(
     // condition); the ring tiers use the len<10 gate
     if (cx.basic) cx.dict_gate = 4;
     cx.dict_max_slots = cx.basic ? 2 : (cx.n_cache <= 4 ? 4 : 64);
+    // probe economy env-overridable for A/B (default = the
+    // reference's 1-in-128, mod.rs:1942; affordable now that the
+    // packed 4-byte gate rejects most probes on one row load)
+    if (const char* e = getenv("BROTLI_TPU_DICT_ECON"))
+        cx.dict_economy = atoi(e);
+    if (dict_table)
+        cx.dict_pack = dict_packed_gate(dict_table, dict_hash_bits,
+                                        dict_slots, dict_words_flat);
     // compact (u32 tag) rings when every in-window distance fits 24
     // bits; the basic tier keeps u64 slots (empty-slot semantics)
     cx.small_ring = !cx.basic && window_size < (int64_t(1) << 24);
