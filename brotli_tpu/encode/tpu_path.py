@@ -41,25 +41,27 @@ _MAX_INFLIGHT = 3
 def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
                  k8: int, rounds: int, variant: str = "exact"):
     """Device kernel: packed (len << 26 | dist) per shard position.
-    Content-sorted exact matchers (ops.matching): one fused XLA
-    program — multi-operand sort(s), stencil fold, one scatter.  The
-    host extends length-capped matches exactly (every reported byte
-    is key- or value-attested)."""
-    from ..ops.matching import (best_matches_exact,
-                                best_matches_exact8,
-                                best_matches_exact9)
+    Content-sorted exact matchers with the Pallas VMEM fold
+    (ops.fold_pallas): multi-operand sort(s), one fused fold kernel,
+    permutation-apply inversion.  Bit-identical to the ops.matching
+    XLA folds (tests assert equality); ~2x on-chip.  The host extends
+    length-capped matches exactly (every reported byte is key- or
+    value-attested)."""
+    from ..ops.fold_pallas import (best_matches_exact_p,
+                                   best_matches_exact8_p,
+                                   best_matches_exact9_p)
     if variant == "exact8":
-        return best_matches_exact8(row, window_size, k=k,
-                                   rounds=rounds, min_pos=min_pos,
-                                   len_shift=LEN_SHIFT)[halo:]
+        return best_matches_exact8_p(row, window_size, k=k,
+                                     rounds=rounds, min_pos=min_pos,
+                                     len_shift=LEN_SHIFT)[halo:]
     if variant == "exact9":
-        return best_matches_exact9(row, window_size, k=k,
-                                   k_short=max(k8, 8), rounds=rounds,
-                                   min_pos=min_pos,
-                                   len_shift=LEN_SHIFT)[halo:]
-    return best_matches_exact(row, window_size, k=k, k8=k8,
-                              rounds=rounds, min_pos=min_pos,
-                              len_shift=LEN_SHIFT)[halo:]
+        return best_matches_exact9_p(row, window_size, k=k,
+                                     k_short=max(k8, 8), rounds=rounds,
+                                     min_pos=min_pos,
+                                     len_shift=LEN_SHIFT)[halo:]
+    return best_matches_exact_p(row, window_size, k=k,
+                                rounds=rounds, min_pos=min_pos,
+                                len_shift=LEN_SHIFT)[halo:]
 
 
 def _device_knobs(quality: int):

@@ -42,6 +42,14 @@ ROWS = 128           # rows per grid step; tile = ROWS x 128 elements
 TILE = ROWS * 128
 
 
+def _resolve_interpret(interpret):
+    """None -> interpreter mode everywhere but real TPU (the CPU/test
+    backend has no Mosaic compiler)."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() != "tpu"
+
+
 def _shifted(x, xprev, xnext, j, lane):
     """value at flat index (i - j) of the tile, j static (may be <0);
     xprev/xnext are the tiles shifted one ROW down/up (row r holds
@@ -234,12 +242,13 @@ def best_matches_exact_p(data: jnp.ndarray, window_size: int,
                          k: int = 32, rounds: int = 2,
                          literal_byte_score: int = 540, min_pos=0,
                          len_shift: int = 26, invert: bool = True,
-                         interpret: bool = False):
+                         interpret: bool | None = None):
     """Greedy-tier matcher (ops.matching.best_matches_exact semantics,
     k8=0): content sort by v0 + Pallas fold + permutation-apply sort.
 
     invert=False returns (pos_s, packed_s) in sorted space — the host
     production path inverts for free inside its pull loop."""
+    interpret = _resolve_interpret(interpret)
     n = data.shape[0]
     v = [u32_values_at(data, 4 * r) for r in range(rounds)]
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -261,10 +270,11 @@ def best_matches_exact8_p(data: jnp.ndarray, window_size: int,
                           k: int = 16, rounds: int = 4,
                           literal_byte_score: int = 540, min_pos=0,
                           len_shift: int = 26, invert: bool = True,
-                          interpret: bool = False,
+                          interpret: bool | None = None,
                           _with_score: bool = False):
     """q7/q8-tier matcher (best_matches_exact8 semantics): one two-key
     content sort + bidirectional Pallas fold."""
+    interpret = _resolve_interpret(interpret)
     n = data.shape[0]
     # exact8 sorts the raw u32 chunk values (UNSIGNED key order, like
     # best_matches_exact8 — the cross-group neighbor set depends on it)
@@ -288,10 +298,11 @@ def best_matches_exact9_p(data: jnp.ndarray, window_size: int,
                           rounds: int = 4,
                           literal_byte_score: int = 540, min_pos=0,
                           len_shift: int = 26, invert: bool = True,
-                          interpret: bool = False):
+                          interpret: bool | None = None):
     """q9-tier matcher (best_matches_exact9 semantics): exact8 fold
     merged with an exact 4-byte-recency short fold (key = v0, one
     payload, capped at 8 — the host extends len==8 winners)."""
+    interpret = _resolve_interpret(interpret)
     n = data.shape[0]
     p8, s8 = best_matches_exact8_p(
         data, window_size, k=k, rounds=rounds,

@@ -920,6 +920,36 @@ static int64_t decode_loop(
                 } else {
                     p1 = prev_byte(1); p2 = prev_byte(2);
                 }
+            } else if (ins_len > 0 && ins_len <= 3 &&
+                       L.remaining >= ins_len) {
+                // short-insert context path: q5-grade streams average
+                // ~2 literals per command, so the general path's batch
+                // machinery (block-run split, per-batch avail
+                // accounting) is pure overhead there.  3 symbols at
+                // max depth 15 fit one 45-bit window: one refill, one
+                // skip, no inner bookkeeping.
+                L.remaining -= ins_len;
+                if (br.avail < 45) br.refill();
+                uint64_t w0 = br.bits;
+                int consumed = 0;
+                for (int64_t j = 0; j < ins_len; j++) {
+                    int ctx = l0[p1] | l1[p2];
+                    const int32_t* tab = ctx_tabs[ctx];
+                    uint64_t w = w0 >> consumed;
+                    int32_t e = tab[w & 1023];
+                    int l = e & 15;
+                    if (__builtin_expect(l > 10, 0)) {
+                        e = tab[(e >> 4) +
+                                ((w >> 10) & ((1u << (l - 10)) - 1))];
+                        l = e & 15;
+                    }
+                    p2 = p1;
+                    p1 = (uint8_t)(e >> 4);
+                    out[out_len++] = p1;
+                    consumed += l;
+                }
+                br.skip(consumed);
+                if (br.over()) return -1;
             } else {
                 // general path in runs bounded by the literal block
                 // count: mode LUTs and the context-map row stay in

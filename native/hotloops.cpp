@@ -1829,10 +1829,14 @@ void find_matches_native(
     const uint64_t HASH_MUL64 = 0x1FE35A7BD3579BD3ull;
     int64_t nbuckets4 = int64_t(1) << bucket_bits;
     int64_t nbuckets8 = int64_t(1) << bucket_bits8;
-    // ring buffers of recent positions (+count)
-    int32_t* ring4 = new int32_t[nbuckets4 * k];
+    // ring buffers of recent positions, packed (first-4-bytes << 32 |
+    // pos) so the 4-byte gate is a sequential row read instead of a
+    // random data[cand] load per scanned candidate (stored v4 ==
+    // load32(data+cand) always, so gate outcomes and output are
+    // byte-identical to the position-only rings)
+    uint64_t* ring4 = new uint64_t[nbuckets4 * k];
     int32_t* cnt4 = new int32_t[nbuckets4]();
-    int32_t* ring8 = k8 ? new int32_t[nbuckets8 * k8] : nullptr;
+    uint64_t* ring8 = k8 ? new uint64_t[nbuckets8 * k8] : nullptr;
     int32_t* cnt8 = k8 ? new int32_t[nbuckets8]() : nullptr;
 
     auto score_of = [&](int64_t len, int64_t dist) -> int64_t {
@@ -1858,20 +1862,22 @@ void find_matches_native(
                 b2s = sc; b2l = ml; b2d = dist;
             }
         };
+        uint64_t ent = ((uint64_t)v4 << 32) | (uint32_t)i;
         // 4-byte table: iterate most-recent first
         {
             int32_t c = cnt4[h4];
             int32_t m = (int32_t)std::min<int64_t>(c, k);
             for (int32_t j = 0; j < m; j++) {
-                int64_t cand = ring4[h4 * k + ((c - 1 - j) % k + k) % k];
+                uint64_t e = ring4[h4 * k + ((c - 1 - j) % k + k) % k];
+                int64_t cand = (int64_t)(uint32_t)e;
                 int64_t dist = i - cand;
                 if (dist > window_size) break;
-                if (load32(data + cand) != v4) continue;
+                if ((uint32_t)(e >> 32) != v4) continue;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
                 consider(ml, dist, score_of(ml, dist));
             }
-            ring4[h4 * k + (cnt4[h4] % k)] = (int32_t)i;
+            ring4[h4 * k + (cnt4[h4] % k)] = ent;
             cnt4[h4]++;
         }
         // 8-byte table
@@ -1882,16 +1888,17 @@ void find_matches_native(
             int32_t c = cnt8[h8];
             int32_t m = (int32_t)std::min<int64_t>(c, k8);
             for (int32_t j = 0; j < m; j++) {
-                int64_t cand = ring8[h8 * k8 + ((c - 1 - j) % k8 + k8)
-                                     % k8];
+                uint64_t e = ring8[h8 * k8 + ((c - 1 - j) % k8 + k8)
+                                   % k8];
+                int64_t cand = (int64_t)(uint32_t)e;
                 int64_t dist = i - cand;
                 if (dist > window_size) break;
-                if (load32(data + cand) != v4) continue;
+                if ((uint32_t)(e >> 32) != v4) continue;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
                 consider(ml, dist, score_of(ml, dist));
             }
-            ring8[h8 * k8 + (cnt8[h8] % k8)] = (int32_t)i;
+            ring8[h8 * k8 + (cnt8[h8] % k8)] = ent;
             cnt8[h8]++;
         }
         bool isdict = false;

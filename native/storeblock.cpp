@@ -627,13 +627,42 @@ struct Split {
     std::vector<std::pair<int, int>> blocks; // (type, length)
 };
 
+// exact log2 of small integers (the reference's kLog2Table shape,
+// util.rs): histogram counts are overwhelmingly < 4096, and the table
+// value IS std::log2 of the integer, so results are bit-identical —
+// this removes the libm call chain that was ~8% of a q10 store
+static const double* log2_int_table() {
+    static double t[4096];
+    static bool init = [] {
+        t[0] = 0.0;
+        for (int i = 1; i < 4096; i++) t[i] = std::log2((double)i);
+        return true;
+    }();
+    (void)init;
+    return t;
+}
+static const double* const kLog2Int = log2_int_table();
+static inline double fast_log2u(uint64_t v) {
+    return v < 4096 ? kLog2Int[v] : std::log2((double)v);
+}
+
 static double entropy_of(const double* h, int alpha) {
     double s = 0, t = 0;
     for (int i = 0; i < alpha; i++) {
         double v = h[i];
-        if (v > 0) { s += v; t += v * std::log2(v); }
+        // chunk histograms hold integer counts; route through the
+        // exact table when the double is a small integer
+        if (v > 0) {
+            uint64_t iv = (uint64_t)v;
+            double lv = ((double)iv == v) ? fast_log2u(iv)
+                                          : std::log2(v);
+            s += v; t += v * lv;
+        }
     }
-    return s > 0 ? s * std::log2(s) - t : 0.0;
+    if (s <= 0) return 0.0;
+    uint64_t is = (uint64_t)s;
+    double ls = ((double)is == s) ? fast_log2u(is) : std::log2(s);
+    return s * ls - t;
 }
 
 static Split split_symbols(const int64_t* syms, int64_t n, int alpha,
@@ -829,7 +858,9 @@ static const HqSplitParams HQ_CMD = {530, 50, 40, 13.5, 500.0};
 static const HqSplitParams HQ_DIST = {544, 50, 40, 14.6, 600.0};
 
 static inline double bit_cost_of(double count) {
-    return count == 0.0 ? -2.0 : std::log2(count);
+    if (count == 0.0) return -2.0;
+    uint64_t iv = (uint64_t)count;
+    return ((double)iv == count) ? fast_log2u(iv) : std::log2(count);
 }
 
 // coded size of one histogram: payload entropy + an estimate of its
@@ -859,11 +890,11 @@ static double population_cost(const uint32_t* h, int alpha,
     double bits = 0.0;
     int max_depth = 1;
     uint32_t depth_histo[18] = {0};
-    double log2total = std::log2((double)total);
+    double log2total = fast_log2u(total);
     int i = 0;
     while (i < alpha) {
         if (h[i]) {
-            double log2p = log2total - std::log2((double)h[i]);
+            double log2p = log2total - fast_log2u(h[i]);
             int depth = std::min((int)(log2p + 0.5), 15);
             bits += h[i] * log2p;
             if (depth > max_depth) max_depth = depth;
@@ -892,9 +923,9 @@ static double population_cost(const uint32_t* h, int alpha,
     for (int j = 0; j < 18; j++)
         if (depth_histo[j]) {
             sum += depth_histo[j];
-            e -= depth_histo[j] * std::log2((double)depth_histo[j]);
+            e -= depth_histo[j] * fast_log2u(depth_histo[j]);
         }
-    if (sum) e += sum * std::log2((double)sum);
+    if (sum) e += sum * fast_log2u(sum);
     if (e < (double)sum) e = (double)sum;  // BitsEntropy floor
     return bits + e;
 }
@@ -921,9 +952,9 @@ struct HistSet {
 };
 
 static double cluster_cost_diff(uint32_t a, uint32_t b) {
-    auto l2 = [](double x) { return x > 0 ? std::log2(x) : 0.0; };
-    double c = (double)a + b;
-    return a * l2(a) + b * l2(b) - c * l2(c);
+    auto l2 = [](uint64_t x) { return x > 0 ? fast_log2u(x) : 0.0; };
+    uint64_t c = (uint64_t)a + b;
+    return a * l2(a) + b * l2(b) - (double)c * l2(c);
 }
 
 static void compare_and_push_pair(HistSet& hs,
@@ -1167,7 +1198,7 @@ static void hq_find_blocks(const int64_t* syms, int64_t n,
         for (int s = 0; s < alpha; s++) tot += hist[(size_t)j * alpha + s];
         // FastLog2(0) == 0 in the reference: an empty histogram prices
         // every symbol at +2 bits, it must not become attractive
-        double lt = tot > 0 ? std::log2(tot) : 0.0;
+        double lt = tot > 0 ? fast_log2u((uint64_t)tot) : 0.0;
         for (int s = 0; s < alpha; s++)
             insert_cost[(size_t)s * k + j] =
                 (float)(lt - bit_cost_of(hist[(size_t)j * alpha + s]));
