@@ -226,7 +226,8 @@ def _compress_multi_workpool(raw: np.ndarray, num_parts: int,
     if _workpool is None:
         _workpool = lib.BrotliEncoderCreateWorkPool(
             ctypes.c_size_t(MAX_THREADS - 1), None, None, None)
-    keys = (ctypes.c_uint32 * 3)(1, 2, 3)   # MODE, QUALITY, LGWIN
+    # reference ids (parameters.rs / ffi.py): MODE=0, QUALITY=1, LGWIN=2
+    keys = (ctypes.c_uint32 * 3)(0, 1, 2)
     vals = (ctypes.c_uint32 * 3)(mode, quality, lgwin)
     data = raw.tobytes()
     cap = int(lib.BrotliEncoderMaxCompressedSize(

@@ -2860,7 +2860,8 @@ void* parse_session_begin(
                                         dict_slots, dict_words_flat);
     // compact (u32 tag) rings when every in-window distance fits 24
     // bits; the basic tier keeps u64 slots (empty-slot semantics)
-    cx.small_ring = !cx.basic && window_size < (int64_t(1) << 24);
+    cx.small_ring = !cx.basic && window_size < (int64_t(1) << 24)
+        && !getenv("BROTLI_TPU_WIDE_RING");
     if (cx.small_ring) {
         cx.r4 = fit(S.ring4s, nb4 * cx.cap4);
         cx.r8 = k8 ? fit(S.ring8s, nb8 * cx.cap8) : nullptr;
@@ -2910,10 +2911,25 @@ void* parse_session_begin(
             for (int64_t i = mid_from; i < dense_from; i += 2)
                 cx.basic_insert(i);
         } else {
-            for (int64_t i = 0; i < mid_from; i += 8)
+            // prefetch the ring row 4 strides ahead: priming is one
+            // random RFO per position, and this loop is the serial
+            // head of every CompressMulti shard
+            const uint8_t* d = cx.data;
+            auto pf = [&](int64_t p) {
+                if (p + 8 <= cx.n)
+                    __builtin_prefetch(
+                        cx.base4() + (int64_t)bucket_hash(
+                            d + p, cx.hash_len4, cx.shift4)
+                            * cx.row4_bytes, 1, 1);
+            };
+            for (int64_t i = 0; i < mid_from; i += 8) {
+                pf(i + 32);
                 cx.insert_one_inline(i);
-            for (int64_t i = mid_from; i < dense_from; i += 2)
+            }
+            for (int64_t i = mid_from; i < dense_from; i += 2) {
+                pf(i + 8);
                 cx.insert_one_inline(i);
+            }
         }
         cx.ins_pos = dense_from;
     }

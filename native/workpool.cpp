@@ -157,7 +157,10 @@ static int compress_multi_impl(WorkPool* pool, const MultiParams& p,
     // (beta from the measured strided-prefix-hash/encode cost ratio)
     std::vector<size_t> cuts(nt + 1, 0);
     {
-        double beta = 0.22;
+        static const double beta =
+            getenv("BROTLI_TPU_MULTI_BETA")
+                ? atof(getenv("BROTLI_TPU_MULTI_BETA"))
+                : 0.22;
         double wsum = 0;
         std::vector<double> w(nt);
         for (size_t i = 0; i < nt; i++)

@@ -70,7 +70,7 @@ def test_workpool_compress_multi_abi():
     pool = L.BrotliEncoderCreateWorkPool(ctypes.c_size_t(3), None, None,
                                          None)
     assert pool
-    keys = (ctypes.c_uint32 * 2)(2, 3)    # QUALITY, LGWIN
+    keys = (ctypes.c_uint32 * 2)(1, 2)    # QUALITY, LGWIN (ref ids)
     vals = (ctypes.c_uint32 * 2)(9, 22)
     cap = int(L.BrotliEncoderMaxCompressedSize(ctypes.c_size_t(len(data))))
     enc = ctypes.create_string_buffer(cap)
@@ -84,6 +84,13 @@ def test_workpool_compress_multi_abi():
     assert decompress(out) == data
     if oracle.available():
         assert oracle.decompress(out, max_size_hint=len(data)) == data
+    # ratio guard: a key/quality mismatch once made shards silently run
+    # at q0/lgwin9 (1.34x size) while every round-trip stayed green —
+    # sharding overhead at q9 must stay within a few % of single-stream
+    from brotli_tpu import compress as _compress
+    single = _compress(data, quality=9)
+    assert len(out) <= int(len(single) * 1.05), \
+        (len(out), len(single))
     L.BrotliEncoderDestroyWorkPool(pool)
 
 
