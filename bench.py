@@ -82,22 +82,23 @@ from brotli_tpu import decompress
 # tunneled dev link is ~30 MB/s up / ~10 down and would swamp it)
 import jax, jax.numpy as jnp
 from functools import partial
-from brotli_tpu.ops.matching import best_matches_exact
 N = 5 << 20
 sl0 = build_corpus()[:N]
 d0 = jax.device_put(jnp.asarray(np.frombuffer(sl0, np.uint8)))
 W = (1 << 22) - 16
-from brotli_tpu.ops.matching import (best_matches_exact8,
-                                     best_matches_exact9)
+# PRODUCTION kernels (ops.fold_pallas — what compress_tpu dispatches)
+from brotli_tpu.ops.fold_pallas import (best_matches_exact_p,
+                                        best_matches_exact8_p,
+                                        best_matches_exact9_p)
 @partial(jax.jit, static_argnames=("k", "k8", "rounds", "variant"))
 def step(d, k, k8, rounds, variant="exact"):
     if variant == "exact8":
-        p = best_matches_exact8(d, W, k=k, rounds=rounds)
+        p = best_matches_exact8_p(d, W, k=k, rounds=rounds)
     elif variant == "exact9":
-        p = best_matches_exact9(d, W, k=k, k_short=max(k8, 8),
-                                rounds=rounds)
+        p = best_matches_exact9_p(d, W, k=k, k_short=max(k8, 8),
+                                  rounds=rounds)
     else:
-        p = best_matches_exact(d, W, k=k, k8=k8, rounds=rounds)
+        p = best_matches_exact_p(d, W, k=k, rounds=rounds)
     return d ^ (p == -123456789).astype(jnp.uint8), p[:128]
 onchip = {}
 for name, kn in (("greedy_tier", _device_knobs(5)),
@@ -121,13 +122,21 @@ sl = sl0[: 4 << 20]
 out = compress_tpu(sl, quality=9, span=1 << 20)   # compile + warm
 assert decompress(out) == sl
 best = 0.0
+stats = {}
 for _ in range(2):
+    st = {}
     t0 = time.perf_counter()
-    compress_tpu(sl, quality=9, span=1 << 20)
+    compress_tpu(sl, quality=9, span=1 << 20, stats=st)
     dt = time.perf_counter() - t0
-    best = max(best, len(sl) / dt / 1e6)
+    if len(sl) / dt / 1e6 > best:
+        best = len(sl) / dt / 1e6
+        stats = st
 print(json.dumps({"tpu_q9_enc_MBps": round(best, 2),
                   "tpu_q9_size": len(out),
+                  "tpu_device_fraction": round(
+                      stats.get("device_fraction", 0.0), 3),
+                  "tpu_host_busy_s": round(
+                      stats.get("host_busy_s", 0.0), 3),
                   "tpu_kernel_onchip_MBps": onchip}))
 """ % os.path.dirname(os.path.abspath(__file__))
     try:

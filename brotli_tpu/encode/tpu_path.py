@@ -55,6 +55,10 @@ def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
                                      rounds=rounds, min_pos=min_pos,
                                      len_shift=LEN_SHIFT)[halo:]
     if variant == "exact9":
+        # two-sort form: the fused single-pass variant was measured
+        # ratio-neutral vs plain exact8 (v0-only candidates are never
+        # near their position in (v0,v1) adjacency), so the q9 tier
+        # keeps the separate v0-recency short fold
         return best_matches_exact9_p(row, window_size, k=k,
                                      k_short=max(k8, 8), rounds=rounds,
                                      min_pos=min_pos,
@@ -65,17 +69,16 @@ def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
 
 
 def _device_knobs(quality: int):
-    """Per-tier device matcher knobs, chosen from the measured on-chip
-    speed/ratio grid (RESULTS.md): extra fold WIDTH (k) is nearly free
-    — the sorts dominate.  The measured curve at 5M rows on a v5e:
-    greedy tier (wide single fold) 78 MB/s at 0.991x host-q5 size;
-    q7/q8 (single two-key sort, exact 8-byte recency) 82 MB/s at
-    1.015x; q9 (exact8 + a 3-operand exact short-match fold) 28 MB/s
-    at 1.0006x."""
+    """Per-tier device matcher knobs from the round-4 Pallas sweep
+    (research/tpu_tier_sweep.py, 5M rows on a v5e): the speed tiers
+    run rounds=2 (attest 8 bytes, host extends at the cap) — +49%
+    on-chip for ~+0.9% size — while q9 keeps rounds=4 for ratio.
+    Measured: greedy k32/r2 241 MB/s, exact8 k16/r2 245 MB/s,
+    exact9 (two-sort) k16/r4 86.5 MB/s at 1.004x host size."""
     if quality <= 6:
-        return dict(k=32, k8=0, rounds=4, variant="exact")
+        return dict(k=32, k8=0, rounds=2, variant="exact")
     if quality <= 8:
-        return dict(k=16, k8=0, rounds=4, variant="exact8")
+        return dict(k=16, k8=0, rounds=2, variant="exact8")
     return dict(k=16, k8=16, rounds=4, variant="exact9")
 
 
@@ -97,9 +100,16 @@ def _extract_literals(region, dlen, ins, adv):
 
 
 def compress_tpu(data, quality: int = 9, lgwin: int = 22,
-                 mode: int = 0, span: int | None = None) -> bytes:
+                 mode: int = 0, span: int | None = None,
+                 stats: dict | None = None) -> bytes:
     """One-shot TPU-path compress for q2-q9 (q0/1 use the trivial-tier
-    fast path; q10/11's optimal parse stays on host)."""
+    fast path; q10/11's optimal parse stays on host).
+
+    stats: pass a dict to receive the pipeline shape — wall_s,
+    host_busy_s (serialization leg), device_wait_s (blocked on the
+    chip/link), and device_fraction = device_wait / wall."""
+    import time as _time
+
     import jax
 
     from .. import native_bridge as nb
@@ -152,8 +162,12 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
         dispatch(j)
 
     cache = list(C.INITIAL_DISTANCE_CACHE)
+    t_start = _time.perf_counter()
+    device_wait = 0.0
     for j, s0 in enumerate(starts):
+        t0 = _time.perf_counter()
         packed = np.asarray(inflight.pop(j))  # blocks on this shard only
+        device_wait += _time.perf_counter() - t0
         if j + _MAX_INFLIGHT < len(starts):
             dispatch(j + _MAX_INFLIGHT)
         real = min(span, n - s0)
@@ -276,4 +290,10 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
                     bs.write_empty_last_meta_block(w)
             else:
                 cache = new_cache
+    if stats is not None:
+        wall = _time.perf_counter() - t_start
+        stats["wall_s"] = wall
+        stats["device_wait_s"] = device_wait
+        stats["host_busy_s"] = wall - device_wait
+        stats["device_fraction"] = device_wait / wall if wall else 0.0
     return w.getvalue()

@@ -86,7 +86,7 @@ def _ctz_bytes(x):
 
 def _make_kernel(n_keys: int, n_pay: int, k_fwd: int, k_back: int,
                  window: int, lbs: int, len_shift: int, n_real: int,
-                 n_pad: int):
+                 n_pad: int, fuse_short: bool = False):
     """Kernel over sorted operands: keys (1 or 2 u32 arrays), pos, and
     n_pay payload u32 arrays.  Key equality attests 4*n_keys bytes;
     payloads refine the length by 4 bytes per round."""
@@ -119,6 +119,14 @@ def _make_kernel(n_keys: int, n_pay: int, k_fwd: int, k_back: int,
 
         best_score = jnp.zeros((ROWS, 128), jnp.int32)
         best_packed = jnp.zeros((ROWS, 128), jnp.int32)
+        if fuse_short:
+            # fused q9 short fold: v0-only gate, length 4 + ctz of the
+            # v1 diff capped at 8 (the host extends len==8 winners).
+            # Shares every roll/compare with the main fold; candidates
+            # come from (v0,v1)-sorted adjacency instead of the
+            # separate v0-recency sort (ratio validated end-to-end)
+            short_score = jnp.zeros((ROWS, 128), jnp.int32)
+            short_packed = jnp.zeros((ROWS, 128), jnp.int32)
 
         offs = [j for j in range(1, k_fwd + 1)] + \
             [-j for j in range(1, k_back + 1)]
@@ -145,9 +153,9 @@ def _make_kernel(n_keys: int, n_pay: int, k_fwd: int, k_back: int,
                 total = total + jnp.where(alive, m, 0)
                 alive = alive & (m == 4)
             ml = jnp.minimum(total, limit)
-            valid = same & in_range & (dist > 0) \
-                & (dist <= jnp.int32(window)) & (ml >= 4) \
-                & (cand >= minpos)
+            base_ok = same & in_range & (dist > 0) \
+                & (dist <= jnp.int32(window)) & (cand >= minpos)
+            valid = base_ok & (ml >= 4)
             ml = jnp.where(valid, ml, 0)
             logd = 31 - jax.lax.clz(jnp.maximum(dist, 1))
             sc = jnp.where(
@@ -158,7 +166,28 @@ def _make_kernel(n_keys: int, n_pay: int, k_fwd: int, k_back: int,
             best_score = jnp.where(upd, sc, best_score)
             best_packed = jnp.where(
                 upd, (ml << jnp.int32(len_shift)) | dist, best_packed)
+            if fuse_short and j > 0:
+                # v0-only candidate: same gate chain minus the v1 key
+                # equality; length = 4 + ctz(v1 diff) capped at 8
+                mls = jnp.minimum(jnp.minimum(total, 8), limit)
+                valid_s = base_ok & (mls >= 4)
+                mls = jnp.where(valid_s, mls, 0)
+                scs = jnp.where(
+                    mls > 0,
+                    jnp.int32(lbs) * mls
+                    - jnp.int32(DISTANCE_BIT_PENALTY) * logd, 0)
+                upds = scs > short_score
+                short_score = jnp.where(upds, scs, short_score)
+                short_packed = jnp.where(
+                    upds, (mls << jnp.int32(len_shift)) | dist,
+                    short_packed)
 
+        if fuse_short:
+            # exact9 merge rule: the short candidate wins only when
+            # strictly better (mirrors the host-side `ss > s8` merge)
+            swin = short_score > best_score
+            best_score = jnp.where(swin, short_score, best_score)
+            best_packed = jnp.where(swin, short_packed, best_packed)
         gate = best_score > jnp.int32(MIN_SCORE_DELTA)
         out_packed[...] = jnp.where(gate, best_packed, 0)
         out_score[...] = jnp.where(gate, best_score, 0)
@@ -169,11 +198,12 @@ def _make_kernel(n_keys: int, n_pay: int, k_fwd: int, k_back: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_keys", "k_fwd", "k_back", "window", "lbs",
-                     "len_shift", "n_real", "interpret"))
+                     "len_shift", "n_real", "interpret", "fuse_short"))
 def fold_sorted_pallas(ops_sorted, min_pos, n_keys: int, k_fwd: int,
                        k_back: int, window: int, lbs: int,
                        len_shift: int, n_real: int,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       fuse_short: bool = False):
     """Fold over sorted operands [keys..., pos, payloads...]; returns
     (packed, score) in SORTED space, sliced to the input length.
 
@@ -215,7 +245,8 @@ def fold_sorted_pallas(ops_sorted, min_pos, n_keys: int, k_fwd: int,
         inputs += [x, x, x]
 
     kernel = _make_kernel(n_keys, n_pay, k_fwd, k_back, window, lbs,
-                          len_shift, n_real, n_pad)
+                          len_shift, n_real, n_pad,
+                          fuse_short=fuse_short)
     packed, score = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -324,3 +355,36 @@ def best_matches_exact9_p(data: jnp.ndarray, window_size: int,
     if not invert:
         raise ValueError("exact9_p merges in position space")
     return merged
+
+
+def best_matches_exact9_fused(data: jnp.ndarray, window_size: int,
+                              k: int = 16, rounds: int = 4,
+                              literal_byte_score: int = 540, min_pos=0,
+                              len_shift: int = 26, invert: bool = True,
+                              interpret: bool | None = None):
+    """q9-tier matcher, single-pass form: the cap-8 short fold runs
+    INSIDE the exact8 kernel (fuse_short), sharing its sort, rolls and
+    compares — one two-key sort + one fold + one inversion, ~exact8
+    cost (the two-sort best_matches_exact9_p was ~2x slower on-chip).
+
+    Semantics deviation vs best_matches_exact9_p: short-fold
+    candidates come from (v0,v1)-sorted adjacency instead of the
+    separate v0-recency sort.  Every reported length is still
+    byte-attested (key equality + ctz of the v1 diff, capped at 8 —
+    the host extends len==8 winners), so streams stay exact; the
+    candidate-set drift is ratio-validated end-to-end
+    (research/tpu_tier_sweep.py)."""
+    interpret = _resolve_interpret(interpret)
+    n = data.shape[0]
+    v = [u32_values_at(data, 4 * r) for r in range(max(rounds, 2))]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    ops = jax.lax.sort((v[0], v[1], pos) + tuple(v[2:rounds]),
+                       num_keys=2, is_stable=True)
+    packed_s, _ = fold_sorted_pallas(
+        ops, min_pos, n_keys=2, k_fwd=k, k_back=k // 2,
+        window=window_size, lbs=literal_byte_score // 4,
+        len_shift=len_shift, n_real=n, interpret=interpret,
+        fuse_short=True)
+    if not invert:
+        return ops[2], packed_s
+    return _invert(ops[2], packed_s)

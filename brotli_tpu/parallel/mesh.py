@@ -121,20 +121,23 @@ def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
     part of row 0's halo.  Compact candidates for the shard region only
     cross the link; counts psum over ICI.
     """
-    from ..ops.matching import best_matches_exact, best_matches_exact9
+    # per-chip matchers are the production Pallas kernels (interpreter
+    # mode off-TPU so the virtual CPU mesh still runs them)
+    from ..ops.fold_pallas import (best_matches_exact_p,
+                                   best_matches_exact9_p)
 
     def per_shard(block, min_pos):
         data = block[0]
         n = data.shape[0]
         if variant == "exact9":
-            packed = best_matches_exact9(data, window_size, k=k,
-                                         k_short=max(k8, 8),
-                                         rounds=rounds,
-                                         min_pos=min_pos[0])
+            packed = best_matches_exact9_p(data, window_size, k=k,
+                                           k_short=max(k8, 8),
+                                           rounds=rounds,
+                                           min_pos=min_pos[0])
         else:
-            packed = best_matches_exact(data, window_size, k=k, k8=k8,
-                                        rounds=rounds,
-                                        min_pos=min_pos[0])
+            packed = best_matches_exact_p(data, window_size, k=k,
+                                          rounds=rounds,
+                                          min_pos=min_pos[0])
         best_len = packed >> 26
         best_dist = packed & ((1 << 26) - 1)
         pos = jnp.arange(n, dtype=jnp.int32)
@@ -156,6 +159,9 @@ def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
         in_specs=(P("shard", None), P("shard")),
         out_specs=(P("shard", None), P("shard", None),
                    P("shard", None), P("shard"), P()),
+        # pallas_call outputs carry no vma annotation; the per-shard
+        # kernel is trivially shard-varying
+        check_vma=False,
     )
     return jax.jit(shmapped)
 

@@ -164,6 +164,37 @@ def test_pallas_match_kernel_matches_jax():
     assert np.array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_fused_exact9_byte_attested():
+    """best_matches_exact9_fused (single-pass q9 kernel): every
+    reported (len, dist) is a true byte match and len >= 4; its match
+    coverage stays within a few % of the two-sort exact9."""
+    import jax.numpy as jnp
+    from brotli_tpu.ops.fold_pallas import (best_matches_exact9_fused,
+                                            best_matches_exact9_p)
+    base = np.frombuffer(load("alice29.txt")[:32768], np.uint8)
+    d = jnp.asarray(base)
+    W = 1 << 16
+    pf = np.asarray(best_matches_exact9_fused(d, W, k=8, rounds=4))
+    p2 = np.asarray(best_matches_exact9_p(d, W, k=8, k_short=8,
+                                          rounds=4))
+    LEN_SHIFT = 26
+
+    def check(p):
+        ln = p >> LEN_SHIFT
+        dist = p & ((1 << LEN_SHIFT) - 1)
+        idx = np.nonzero(ln > 0)[0]
+        for i in idx:
+            li, dd = int(ln[i]), int(dist[i])
+            assert li >= 4 and 0 < dd <= i
+            assert np.array_equal(base[i:i + li],
+                                  base[i - dd:i - dd + li])
+        return len(idx)
+
+    n_fused = check(pf)
+    n_two = check(p2)
+    assert n_fused >= int(n_two * 0.9)
+
+
 def test_device_split_planner_quality():
     """The device Lloyd split planner (ops/split.py: chunk histograms
     + matmul-shaped cost iterations on the device) produces a literal
