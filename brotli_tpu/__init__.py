@@ -42,6 +42,7 @@ _tune_malloc()
 from .concat.brocatli import BroCatli, BroCatliResult, concatenate
 from .decode.decoder import BrotliDecodeError, Decoder, decompress
 from .decode.batch import decompress_batch
+from .decode.batch_tpu import decompress_batch_tpu
 from .encode.batch import compress_batch
 from .decode.stream import StreamDecoder
 from .encode.encoder import compress
@@ -72,4 +73,5 @@ __all__ = [
     "decompress",
     "compress_batch",
     "decompress_batch",
+    "decompress_batch_tpu",
 ]

@@ -164,6 +164,48 @@ def test_pallas_match_kernel_matches_jax():
     assert np.array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_batch_decode_tpu_roundtrip():
+    """Device symbol-layer batch decode (ops/decode_tpu while_loop on
+    the CPU backend here): q2/q3 streams — including static-dictionary
+    references, whose output lengths the device tracks via the
+    transform table — round-trip bit-exactly, with most lanes decoded
+    on the device path; ineligible streams fall back to the host."""
+    from brotli_tpu import compress
+    from brotli_tpu.decode.batch_tpu import decompress_batch_tpu
+    libc_path = "/usr/lib/x86_64-linux-gnu/libc.so.6"
+    try:
+        with open(libc_path, "rb") as f:
+            libc = f.read(16384)
+    except OSError:
+        libc = load("asyoulik.txt")
+    alice = load("alice29.txt")
+    rng = np.random.default_rng(5)
+    payloads = [libc[:4096], alice[:3000], libc[:1024] * 2,
+                bytes(rng.integers(0, 256, 2048, dtype=np.uint8))]
+    for q in (2, 3):
+        streams = [compress(p, quality=q) for p in payloads]
+        outs, ndev = decompress_batch_tpu(streams)
+        for o, p in zip(outs, payloads):
+            assert o == p
+        # text + binary single-tree streams decode on the device
+        assert ndev >= 2
+
+
+def test_batch_decode_tpu_fixture_fallback():
+    """The batch API never corrupts: upstream fixtures (multi-tree,
+    context-modeled — ineligible for the device) fall back to the
+    host decoder and still decode exactly."""
+    from brotli_tpu.decode.batch_tpu import decompress_batch_tpu
+    names = ["alice29.txt", "asyoulik.txt"]
+    streams, want = [], []
+    for nm in names:
+        with open(f"{TESTDATA}/{nm}.compressed", "rb") as f:
+            streams.append(f.read())
+        want.append(load(nm))
+    outs, _ = decompress_batch_tpu(streams)
+    assert outs == want
+
+
 def test_fused_exact9_byte_attested():
     """best_matches_exact9_fused (single-pass q9 kernel): every
     reported (len, dist) is a true byte match and len >= 4; its match
