@@ -173,6 +173,34 @@ def BrotliEncoderCompress(quality: int, lgwin: int, mode: int,
         return None
 
 
+def BrotliEncoderCompressPrealloc(quality: int, lgwin: int, mode: int,
+                                  data: bytes, scratch=None):
+    """Fully-preallocated encode (reference stack-allocator mode,
+    combined_alloc.rs): q0/q1, all big scratch from the caller's
+    arena, zero heap allocations after BrotliEncoderPreallocWarmup.
+    Returns the compressed bytes or None (unsupported quality /
+    arena too small)."""
+    import ctypes
+
+    from . import native_bridge as nb
+    lib = nb.get_lib()
+    if lib is None:
+        return None
+    lib.BrotliEncoderPreallocScratchSize.restype = ctypes.c_size_t
+    need = int(lib.BrotliEncoderPreallocScratchSize(
+        ctypes.c_size_t(len(data))))
+    if scratch is None:
+        scratch = ctypes.create_string_buffer(need)
+    elif len(scratch) < need:
+        return None
+    enc = ctypes.create_string_buffer(len(data) + (1 << 16))
+    esz = ctypes.c_size_t(len(enc))
+    ok = lib.BrotliEncoderCompressPrealloc(
+        quality, lgwin, mode, ctypes.c_size_t(len(data)), bytes(data),
+        ctypes.byref(esz), enc, ctypes.c_size_t(len(scratch)), scratch)
+    return enc.raw[:esz.value] if ok == 1 else None
+
+
 def BrotliEncoderCompressStream(state, op, data=b"",
                                 metadata=b"") -> bool:
     return state.compress_stream(op, data, metadata)

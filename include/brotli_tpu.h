@@ -127,6 +127,18 @@ BROTLI_BOOL BrotliEncoderCompress(
     int quality, int lgwin, int mode, size_t input_size,
     const uint8_t* input_buffer, size_t* encoded_size,
     uint8_t* encoded_buffer);
+/* Fully-preallocated encode (the reference's stack-allocator /
+   seccomp mode, combined_alloc.rs): q0/q1, single-threaded, all big
+   scratch carved from the caller's arena.  Call
+   BrotliEncoderPreallocWarmup(max_input) once per thread BEFORE a
+   jail so the small per-thread store pools are sized; compresses
+   after that perform zero heap allocations. */
+size_t BrotliEncoderPreallocScratchSize(size_t input_size);
+BROTLI_BOOL BrotliEncoderPreallocWarmup(size_t max_input_size);
+BROTLI_BOOL BrotliEncoderCompressPrealloc(
+    int quality, int lgwin, int mode, size_t input_size,
+    const uint8_t* input_buffer, size_t* encoded_size,
+    uint8_t* encoded_buffer, size_t scratch_size, uint8_t* scratch);
 BROTLI_BOOL BrotliEncoderCompressStream(
     BrotliEncoderState* state, BrotliEncoderOperation op,
     size_t* available_in, const uint8_t** next_in,

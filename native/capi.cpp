@@ -679,6 +679,108 @@ size_t BrotliEncoderMaxCompressedSize(size_t input_size) {
     return input_size + 2 + 4 * num_blocks + 3 + 1 + 16;
 }
 
+// ---- fully-preallocated encode (reference combined_alloc.rs
+// declare_stack_allocator mode / README seccomp example) ----
+extern int64_t compress_fragment_prealloc_native(
+    const uint8_t*, int64_t, int64_t, int64_t, uint8_t*, int64_t,
+    uint64_t*, int64_t);
+
+size_t BrotliEncoderPreallocScratchSize(size_t input_size) {
+    // table (256KB) + 4 command arrays for a 256KB metablock (8MB)
+    // + the 64-bit output staging words (9n bits) + slack
+    return (4u << 16) + 4 * ((1u << 18) / 4 + 16) * 8 +
+           (9 * input_size + (1u << 18)) / 8 + 4096;
+}
+
+// warm THIS thread's small store pools (histogram/length/command
+// scratch in thread_local vectors) so subsequent prealloc compresses
+// perform zero heap allocations — run before entering a jail, like
+// the reference example constructs its StackAllocator up front.
+// Two passes: a synthetic command stream at the COMMAND-COUNT CEILING
+// (every command advances 3 bytes; any real fragment parse advances
+// >= 4 per command) sizes the per-command pools, and a literal-heavy
+// real encode sizes everything else.
+extern "C" int64_t encode_metablock_native(
+    const uint8_t*, int64_t, int64_t, int64_t, int64_t,
+    const int64_t*, const int64_t*, const int64_t*, const int64_t*,
+    int64_t*, int64_t, int64_t, int64_t, int64_t, int64_t, int64_t,
+    int64_t, const int64_t*, const uint8_t*, const uint8_t*, int64_t,
+    const int32_t*, int64_t, uint64_t*, int64_t, int64_t);
+
+int BrotliEncoderPreallocWarmup(size_t max_input_size) {
+    size_t span = std::min<size_t>(max_input_size, size_t(1) << 18);
+    span = std::max<size_t>(span, 4096);
+    // pass 1: command-ceiling synthetic metablock
+    {
+        std::vector<uint8_t> data(span);
+        for (size_t i = 0; i < span; i++) data[i] = (uint8_t)(i & 1);
+        int64_t n_cmds = (int64_t)(span - 1) / 3;
+        std::vector<int64_t> ins(n_cmds, 1), cps(n_cmds, 2),
+            dst(n_cmds, 2), adv(n_cmds, 2);
+        ins[0] = 2;
+        // total advance: sum(ins) + sum(copy) = 3*n_cmds + 1 <= span
+        int64_t mlen = 3 * n_cmds + 1;
+        static const int64_t kZeroMap[64] = {0};
+        static const uint8_t kZeroLut[256] = {0};
+        int64_t cache_io[4] = {4, 11, 15, 16};
+        std::vector<uint64_t> words(mlen / 4 + 4096);
+        encode_metablock_native(
+            data.data(), 0, std::min<int64_t>(mlen, (int64_t)span), 1,
+            n_cmds, ins.data(), cps.data(), dst.data(), adv.data(),
+            cache_io, (int64_t(1) << 22) - 16, 0, 0, 64, 1, 0, 1,
+            kZeroMap, kZeroLut, kZeroLut, 0, nullptr, 0, words.data(),
+            (int64_t)(words.size() * 64 - 128), 0);
+    }
+    // pass 2: literal-heavy real encode through the prealloc driver
+    size_t ss = BrotliEncoderPreallocScratchSize(max_input_size);
+    std::vector<uint8_t> scratch(ss);
+    std::vector<uint8_t> dummy(max_input_size);
+    uint32_t x = 0x12345678u;
+    for (size_t i = 0; i < max_input_size; i++) {
+        x = x * 1664525u + 1013904223u;
+        dummy[i] = (uint8_t)(x >> 24);
+    }
+    std::vector<uint64_t> words(ss / 8 + 16);
+    int64_t r = compress_fragment_prealloc_native(
+        dummy.data(), (int64_t)max_input_size, 22, 1, scratch.data(),
+        (int64_t)ss, words.data(), (int64_t)(words.size() * 64 - 128));
+    return r >= 0 ? 1 : 0;
+}
+
+// one-shot encode using ONLY the caller's scratch arena (q0/q1, the
+// fragment tier): no threads, and — after PreallocWarmup on this
+// thread — no heap allocation (mallinfo-gated in tests)
+int BrotliEncoderCompressPrealloc(
+    int quality, int lgwin, int mode, size_t input_size,
+    const uint8_t* input, size_t* encoded_size, uint8_t* encoded_buffer,
+    size_t scratch_size, uint8_t* scratch) {
+    (void)mode;
+    if (!encoded_size || !encoded_buffer || (!input && input_size))
+        return 0;
+    if (quality < 0) quality = 0;
+    if (quality > 1) return 0;  // no-alloc mode covers the fast tier
+    if (!scratch ||
+        scratch_size < BrotliEncoderPreallocScratchSize(input_size))
+        return 0;
+    // carve the staging words from the arena TAIL (8-byte aligned)
+    size_t words_bytes = (9 * input_size + (1u << 18)) / 8 + 256;
+    words_bytes &= ~size_t(7);
+    if (scratch_size < words_bytes + (5u << 16)) return 0;
+    size_t arena_sz = scratch_size - words_bytes;
+    auto* words = reinterpret_cast<uint64_t*>(
+        scratch + ((arena_sz + 7) & ~size_t(7)));
+    size_t words_n = (scratch_size - ((arena_sz + 7) & ~size_t(7))) / 8;
+    int64_t bits = compress_fragment_prealloc_native(
+        input, (int64_t)input_size, lgwin, quality, scratch,
+        (int64_t)arena_sz, words, (int64_t)(words_n * 64 - 128));
+    if (bits < 0) return 0;
+    size_t out_bytes = (size_t)((bits + 7) / 8);
+    if (out_bytes > *encoded_size) return 0;
+    std::memcpy(encoded_buffer, words, out_bytes);
+    *encoded_size = out_bytes;
+    return 1;
+}
+
 int BrotliEncoderCompress(int quality, int lgwin, int mode,
                           size_t input_size, const uint8_t* input_buffer,
                           size_t* encoded_size, uint8_t* encoded_buffer) {

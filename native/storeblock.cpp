@@ -211,7 +211,8 @@ static void huffman_lengths(const int64_t* hist, int n, int max_bits,
     std::memset(lengths, 0, n);
     if (nz == 0) return;            // caller guards (safe-hist)
     if (nz == 1) { lengths[last] = 1; return; }
-    std::vector<int64_t> counts(n);
+    static thread_local std::vector<int64_t> counts;
+    counts.assign(n, 0);
     int64_t limit = 1;
     for (;;) {
         for (int i = 0; i < n; i++)
@@ -257,7 +258,9 @@ static void optimize_rle(int64_t* counts, int n) {
     int length = n;
     while (length && counts[length - 1] == 0) length--;
     if (length == 0) return;
-    std::vector<int64_t> nzv;
+    static thread_local std::vector<int64_t> nzv = [] {
+        std::vector<int64_t> v; v.reserve(768); return v; }();
+    nzv.clear();
     for (int i = 0; i < length; i++)
         if (counts[i] != 0) nzv.push_back(counts[i]);
     if ((int)nzv.size() < 5) return;
@@ -274,7 +277,9 @@ static void optimize_rle(int64_t* counts, int n) {
     }
     if ((int)nzv.size() < 28) return;
 
-    std::vector<uint8_t> good(length + 1, 0);
+    static thread_local std::vector<uint8_t> good = [] {
+        std::vector<uint8_t> v; v.reserve(768); return v; }();
+    good.assign(length + 1, 0);
     {
         int i = 0;
         while (i < length) {
@@ -428,7 +433,9 @@ static void write_prefix_code(BW& bw, const uint8_t* lengths, int n) {
         return;
     }
     // complex
-    std::vector<Tok> tokens;
+    static thread_local std::vector<Tok> tokens = [] {
+        std::vector<Tok> v; v.reserve(1024); return v; }();
+    tokens.clear();
     rle_encode_lengths(lengths, n, tokens);
     int64_t hist[18] = {0};
     for (const Tok& t : tokens) hist[t.sym]++;
@@ -1714,7 +1721,15 @@ extern "C" int64_t store_metablock_native(
     mark("dists");
     // ---- block splits ----
     static thread_local std::vector<int64_t> lit64;
-    Split lit_split, cmd_split, dist_split;
+    // thread_local with explicit reset: the trivial tier's
+    // one-element blocks assignments then reuse capacity (the
+    // prealloc no-alloc mode is mallinfo-gated on this)
+    static thread_local Split lit_split, cmd_split, dist_split;
+    for (Split* sp : {&lit_split, &cmd_split, &dist_split}) {
+        sp->num_types = 1;
+        sp->types.clear();
+        sp->blocks.clear();
+    }
     if (ext_lit_types && ext_lit_ntypes > 1) {
         // externally planned literal split (the device Lloyd planner,
         // ops/split.py) — command/distance splits still computed here
@@ -1783,9 +1798,9 @@ extern "C" int64_t store_metablock_native(
     } else {
         // single-type splits: .types stays empty (every consumer
         // below treats num_types == 1 as type 0 without the array)
-        lit_split.blocks = {{0, (int)n_lit}};
-        cmd_split.blocks = {{0, (int)n_cmds}};
-        dist_split.blocks = {{0, (int)dist_syms.size()}};
+        lit_split.blocks.assign(1, {0, (int)n_lit});
+        cmd_split.blocks.assign(1, {0, (int)n_cmds});
+        dist_split.blocks.assign(1, {0, (int)dist_syms.size()});
     }
     while ((int64_t)lit_split.num_types * num_lit_ctx > 256)
         num_lit_ctx = 1;
@@ -1794,8 +1809,9 @@ extern "C" int64_t store_metablock_native(
     // ---- context maps + per-tree histograms ----
     bool dynamic_ctx = quality >= 10 && n_lit > 512;
     int ntrees_l, ntrees_d;
-    std::vector<int64_t> cmap_l((size_t)lit_split.num_types * 64, 0);
-    std::vector<int64_t> cmap_d((size_t)dist_split.num_types * 4, 0);
+    static thread_local std::vector<int64_t> cmap_l, cmap_d;
+    cmap_l.assign((size_t)lit_split.num_types * 64, 0);
+    cmap_d.assign((size_t)dist_split.num_types * 4, 0);
     // per-symbol tree ids are only consulted by the multi-tree emit
     // loop; skip the zeroed multi-MB allocations in the single-tree
     // tiers (thread_local so the capacity persists across metablocks)
@@ -1806,7 +1822,9 @@ extern "C" int64_t store_metablock_native(
     bool multi_d = dynamic_ctx || dist_split.num_types > 1;
     lit_tree.assign(multi_l ? n_lit : 0, 0);
     dist_tree.assign(multi_d ? dist_syms.size() : 0, 0);
-    std::vector<int64_t> lit_h, dist_h;
+    static thread_local std::vector<int64_t> lit_h, dist_h;
+    lit_h.clear();
+    dist_h.clear();
 
     if (dynamic_ctx) {
         int nbuck_l = lit_split.num_types * 64;
@@ -1920,7 +1938,8 @@ extern "C" int64_t store_metablock_native(
     }
 
     int nct = cmd_split.num_types;
-    std::vector<int64_t> cmd_h((size_t)nct * 704, 0);
+    static thread_local std::vector<int64_t> cmd_h;
+    cmd_h.assign((size_t)nct * 704, 0);
     if (nct == 1) {
         for (int64_t c = 0; c < n_cmds; c++) cmd_h[cmd_sym[c]]++;
     } else {
@@ -1933,7 +1952,8 @@ extern "C" int64_t store_metablock_native(
     auto tree_lengths = [&](std::vector<int64_t>& hists, int ntrees,
                             int alpha, std::vector<uint8_t>& lengths) {
         lengths.assign((size_t)ntrees * alpha, 0);
-        std::vector<int64_t> tmp(alpha);
+        static thread_local std::vector<int64_t> tmp;
+        tmp.assign(alpha, 0);
         for (int t = 0; t < ntrees; t++) {
             int64_t* h = &hists[(size_t)t * alpha];
             int64_t s = 0;
@@ -1945,7 +1965,8 @@ extern "C" int64_t store_metablock_native(
                             &lengths[(size_t)t * alpha]);
         }
     };
-    std::vector<uint8_t> lit_lengths, cmd_lengths, dist_lengths;
+    static thread_local std::vector<uint8_t> lit_lengths,
+        cmd_lengths, dist_lengths;
     tree_lengths(lit_h, ntrees_l, 256, lit_lengths);
     tree_lengths(cmd_h, nct, 704, cmd_lengths);
     tree_lengths(dist_h, ntrees_d, (int)dist_alpha, dist_lengths);
@@ -1991,7 +2012,10 @@ extern "C" int64_t store_metablock_native(
         write_context_map(bw, cmap_d.data(),
                           dist_split.num_types * 4, ntrees_d);
 
-    std::vector<Enc> lit_enc(ntrees_l), cmd_enc(nct), dist_enc(ntrees_d);
+    static thread_local std::vector<Enc> lit_enc, cmd_enc, dist_enc;
+    lit_enc.resize(ntrees_l);
+    cmd_enc.resize(nct);
+    dist_enc.resize(ntrees_d);
     for (int t = 0; t < ntrees_l; t++) {
         write_prefix_code(bw, &lit_lengths[(size_t)t * 256], 256);
         lit_enc[t].build(&lit_lengths[(size_t)t * 256], 256);
@@ -2422,6 +2446,111 @@ extern "C" int64_t compress_fragment_pipeline_native(
 // ---------------------------------------------------------------------------
 // fully-native q2-q3 pipeline: basic-tier parse session (worker
 // thread) + trivial store + bit-level stream assembly — the
+// ---------------------------------------------------------------------------
+// fully-preallocated encode (the reference's declare_stack_allocator
+// mode, src/enc/combined_alloc.rs:33-57 / README seccomp example):
+// the caller provides one scratch arena for the tier's table and
+// command buffers, the driver runs single-threaded (no std::async —
+// jails forbid clone), and after BrotliEncoderPreallocWarmup() has
+// sized this thread's small store pools, a compress call performs
+// ZERO heap allocations (mallinfo-gated in tests/test_capi.py).
+// Supported tier: q0/q1 (the fragment tier — the reference's own
+// no-alloc examples live in this speed class).
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t compress_fragment_prealloc_native(
+    const uint8_t* data, int64_t n, int64_t lgwin, int64_t quality,
+    uint8_t* scratch, int64_t scratch_size,
+    uint64_t* out_words, int64_t cap_bits)
+{
+    if (lgwin < 10) lgwin = 10;
+    if (lgwin > 24) lgwin = 24;
+    int64_t window = (int64_t(1) << lgwin) - 16;
+    int64_t table_bits = quality <= 0 ? 15 : 16;
+    // modest metablocks keep the command arena small (~2MB) — the
+    // no-alloc mode trades a sliver of ratio for a bounded footprint
+    int64_t span = std::min<int64_t>(int64_t(1) << lgwin,
+                                     int64_t(1) << 18);
+
+    // carve the arena: table, then one command-slot set
+    int64_t used = 0;
+    auto carve = [&](int64_t bytes) -> uint8_t* {
+        int64_t off = (used + 63) & ~int64_t(63);
+        if (off + bytes > scratch_size) return nullptr;
+        used = off + bytes;
+        return scratch + off;
+    };
+    int64_t tbytes = (int64_t(4) << table_bits);
+    int64_t cap_cmds = span / 4 + 16;
+    auto* table = reinterpret_cast<int32_t*>(carve(tbytes));
+    auto* oi = reinterpret_cast<int64_t*>(carve(cap_cmds * 8));
+    auto* oc = reinterpret_cast<int64_t*>(carve(cap_cmds * 8));
+    auto* od = reinterpret_cast<int64_t*>(carve(cap_cmds * 8));
+    auto* oa = reinterpret_cast<int64_t*>(carve(cap_cmds * 8));
+    if (!table || !oa) return -2;  // arena too small
+    std::memset(table, 0, (size_t)tbytes);
+    std::memset(out_words, 0, (size_t)(cap_bits / 64 + 1) * 8);
+
+    int64_t pos = 0;
+    {   // stream header (RFC WBITS)
+        uint64_t hb;
+        int hn;
+        if (lgwin == 16) { hb = 0; hn = 1; }
+        else if (lgwin == 17) { hb = 1; hn = 7; }
+        else if (lgwin > 17) { hb = ((uint64_t)(lgwin - 17) << 1) | 1;
+                               hn = 4; }
+        else { hb = ((uint64_t)(lgwin - 8) << 4) | 1; hn = 7; }
+        put_bits(out_words, pos, hb, hn);
+    }
+
+    static const int64_t kZeroMap[64] = {0};
+    static const uint8_t kZeroLut[256] = {0};
+    int64_t cache_io[4] = {4, 11, 15, 16};
+    if (n == 0) {
+        put_bits(out_words, pos, 1, 1);  // ISLAST
+        put_bits(out_words, pos, 1, 1);  // ISLASTEMPTY
+        return pos;
+    }
+    int64_t seg_start = 0;
+    while (seg_start < n) {
+        int64_t bound = std::min(seg_start + span, n);
+        int64_t mlen = bound - seg_start;
+        bool is_last = bound == n;
+        int64_t segc = 0;
+        int64_t cnt = fragment_parse_core(
+            data, n, seg_start, window, table_bits, table, &bound, 1,
+            oi, oc, od, oa, &segc, cap_cmds);
+        int64_t mb_cap = 8 * mlen + 4096;
+        if (pos + mb_cap + 64 > cap_bits) return -1;
+        int64_t base_w = pos >> 6;
+        int64_t phase = pos & 63;
+        int64_t cache_snap[4] = {cache_io[0], cache_io[1],
+                                 cache_io[2], cache_io[3]};
+        int64_t r = encode_metablock_native(
+            data, seg_start, mlen, is_last ? 1 : 0, cnt, oi, oc, od,
+            oa, cache_io, window, 0, 0, 64, quality, 0, 1, kZeroMap,
+            kZeroLut, kZeroLut, 0, nullptr, 0, out_words + base_w,
+            mb_cap + phase, phase);
+        int64_t take = r >= 0 ? r - phase : -1;
+        if (take > 8 * mlen + 40) take = -1;
+        if (take >= 0) {
+            pos += take;
+        } else {
+            for (int c = 0; c < 4; c++) cache_io[c] = cache_snap[c];
+            out_words[base_w] &= phase ? (1ull << phase) - 1 : 0;
+            std::memset(out_words + base_w + 1, 0,
+                        (size_t)((mb_cap + phase) / 64 + 1) * 8);
+            put_uncompressed(out_words, pos, data + seg_start, mlen);
+            if (is_last) {
+                put_bits(out_words, pos, 1, 1);
+                put_bits(out_words, pos, 1, 1);
+            }
+        }
+        seg_start = bound;
+    }
+    return pos;
+}
+
 // basic-tier analog of compress_fragment_pipeline_native above.  The
 // Python-orchestrated loop pays per-metablock ctypes transitions +
 // numpy marshalling (~0.3ms x 23 metablocks on a 3MB input at 128KiB

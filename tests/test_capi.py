@@ -467,6 +467,116 @@ def test_capi_streaming_encode_incremental_and_flush():
     L.BrotliEncoderDestroyInstance(es)
 
 
+def test_capi_prealloc_encode_zero_alloc():
+    """BrotliEncoderCompressPrealloc (reference stack-allocator /
+    seccomp mode, combined_alloc.rs:33-57): after
+    BrotliEncoderPreallocWarmup, a compress call using ONLY the
+    caller's scratch arena performs ZERO heap allocations —
+    mallinfo2-gated, not just RSS — and its stream decodes through
+    both our decoder and the upstream C library."""
+    from brotli_tpu import decompress
+    L = lib()
+    libc = ctypes.CDLL(None)
+
+    class MallInfo2(ctypes.Structure):
+        _fields_ = [(n, ctypes.c_size_t) for n in
+                    ("arena", "ordblks", "smblks", "hblks", "hblkhd",
+                     "usmblks", "fsmblks", "uordblks", "fordblks",
+                     "keepcost")]
+    try:
+        libc.mallinfo2.restype = MallInfo2
+    except AttributeError:
+        pytest.skip("mallinfo2 unavailable")
+
+    data = load("asyoulik.txt") * 8  # ~1MB
+    L.BrotliEncoderPreallocScratchSize.restype = ctypes.c_size_t
+    ss = int(L.BrotliEncoderPreallocScratchSize(
+        ctypes.c_size_t(len(data))))
+    assert L.BrotliEncoderPreallocWarmup(
+        ctypes.c_size_t(len(data))) == 1
+    scratch = ctypes.create_string_buffer(ss)
+    enc = ctypes.create_string_buffer(len(data) + (1 << 16))
+
+    fn = L.BrotliEncoderCompressPrealloc
+    c_len = ctypes.c_size_t(len(data))
+    c_ss = ctypes.c_size_t(ss)
+    esz = ctypes.c_size_t(len(enc))
+    # warm the ctypes call path itself (libffi caches per signature)
+    fn(1, 22, 0, ctypes.c_size_t(1 << 16), data[: 1 << 16],
+       ctypes.byref(esz), enc, c_ss, scratch)
+    # measure ONLY the raw foreign call: pytest's assertion rewriting
+    # allocates Python objects, so no Python work sits in the window
+    import gc
+    gc.disable()
+    try:
+        esz.value = len(enc)
+        before = libc.mallinfo2().uordblks
+        ok = fn(1, 22, 0, c_len, data, ctypes.byref(esz), enc, c_ss,
+                scratch)
+        after = libc.mallinfo2().uordblks
+    finally:
+        gc.enable()
+    assert ok == 1
+    assert after == before, f"allocated {after - before} bytes"
+    blob = enc.raw[:esz.value]
+    assert decompress(blob) == data
+    if oracle.available():
+        assert oracle.decompress(blob, max_size_hint=len(data)) == data
+
+
+def test_capi_streaming_encode_tiny_output_buffer_drain():
+    """The streaming encoder hands out output in ARBITRARY caller
+    buffer sizes — a 4 KiB output buffer drains a multi-metablock
+    stream mid-metablock, many calls per metablock, and the result is
+    byte-identical to a large-buffer run (reference
+    compress_stream/take_output contract, encode.rs:2873-3006).
+    Internal memory stays O(window + metablock), matching the
+    reference's ringbuffer bound."""
+    from brotli_tpu import decompress
+    L = lib()
+    L.BrotliEncoderCreateInstance.restype = ctypes.c_void_p
+    data = load("alice29.txt") * 16
+
+    def run(bufsize):
+        es = ctypes.c_void_p(
+            L.BrotliEncoderCreateInstance(None, None, None))
+        L.BrotliEncoderSetParameter(es, 1, 5)  # QUALITY
+        obuf = ctypes.create_string_buffer(bufsize)
+        out = bytearray()
+        calls = 0
+
+        def pump(op, chunk):
+            nonlocal calls
+            avail_in = ctypes.c_size_t(len(chunk))
+            pin = ctypes.cast(ctypes.c_char_p(bytes(chunk)),
+                              ctypes.POINTER(ctypes.c_uint8))
+            while True:
+                avail_out = ctypes.c_size_t(bufsize)
+                pout = ctypes.cast(obuf, ctypes.POINTER(ctypes.c_uint8))
+                assert L.BrotliEncoderCompressStream(
+                    es, op, ctypes.byref(avail_in), ctypes.pointer(pin),
+                    ctypes.byref(avail_out), ctypes.pointer(pout),
+                    None) == 1
+                calls += 1
+                out.extend(obuf.raw[:bufsize - avail_out.value])
+                if avail_in.value == 0 and avail_out.value > 0:
+                    break
+
+        pump(0, data)
+        pump(2, b"")  # FINISH
+        assert L.BrotliEncoderIsFinished(es)
+        L.BrotliEncoderDestroyInstance(es)
+        return bytes(out), calls
+
+    small, n_small = run(4096)
+    big, _ = run(1 << 22)
+    assert small == big
+    # a q5 metablock is ~100KB+ compressed here: the 4KiB buffer must
+    # have drained each metablock across MANY calls
+    assert n_small > len(small) // 4096
+    assert decompress(small) == data
+
+
 def test_capi_streaming_decode_header_edge_fixtures():
     """The upstream header-edge fixtures (metadata blocks, window
     codes, ISLASTEMPTY forms) must decode byte-at-a-time through the
