@@ -882,7 +882,14 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                 C.INSERT_EXTRA, _CMD_SYM.reshape(-1),
                 _CMD_SYM_LAST.reshape(-1), full, dict_len, window_size,
                 np.asarray(initial_cache, dtype=np.int64),
-                n_starts=_FINAL_STARTS if it == last_it else 2,
+                # the single-iteration FAST tier (plain q10 / 9.5)
+                # runs the narrow queue + 4 short-code probes: round-4
+                # A/B on the 512K text+code slice measured +16% encode
+                # speed for +0.11% size (0.9868 -> 0.9879 vs C); the
+                # refining tiers (q10_deep/q11, tight size gates) keep
+                # the wide queue
+                n_starts=(min(_FINAL_STARTS, 4) if iters == 1
+                          else _FINAL_STARTS) if it == last_it else 2,
                 cand_cap=0 if it == last_it else _EARLY_CAND_CAP,
                 max_zopfli_len=150 if params.quality <= 10 else 325)
             end_cost = (min(float(cost[n]),

@@ -220,7 +220,9 @@ def test_golden_sizes():
     # reference maps one-shot q10 to the 9.5 tier, encode.rs:1470) —
     # still beats C's q10 golden (47,488); q10_deep keeps the full
     # 2-iteration q11-architecture refinement
-    assert len(compress(data, quality=10)) == 46_943
+    # re-pinned in round 4: the q10 fast tier runs the narrow start
+    # queue (+16% speed for +33 bytes on alice; still beats C's 47,488)
+    assert len(compress(data, quality=10)) == 46_976
     assert len(compress(data, quality=10, q10_deep=True)) == 46_080
     # beats the reference's own q11 golden (46,493) since the exact
     # sorted-output dictionary index restored full transform coverage
