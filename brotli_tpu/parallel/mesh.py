@@ -121,10 +121,14 @@ def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
     part of row 0's halo.  Compact candidates for the shard region only
     cross the link; counts psum over ICI.
     """
-    # per-chip matchers are the production Pallas kernels (interpreter
-    # mode off-TPU so the virtual CPU mesh still runs them)
+    # per-chip matchers are the production Pallas kernels.  Interpret
+    # mode is resolved from the MESH's device platform, not
+    # jax.default_backend(): with the axon plugin loaded a virtual
+    # CPU mesh (the driver's multichip dryrun) still reports a TPU
+    # default backend, and Mosaic cannot lower for CPU devices.
     from ..ops.fold_pallas import (best_matches_exact_p,
                                    best_matches_exact9_p)
+    interp = np.asarray(mesh.devices).ravel()[0].platform != "tpu"
 
     def per_shard(block, min_pos):
         data = block[0]
@@ -133,11 +137,13 @@ def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
             packed = best_matches_exact9_p(data, window_size, k=k,
                                            k_short=max(k8, 8),
                                            rounds=rounds,
-                                           min_pos=min_pos[0])
+                                           min_pos=min_pos[0],
+                                           interpret=interp)
         else:
             packed = best_matches_exact_p(data, window_size, k=k,
                                           rounds=rounds,
-                                          min_pos=min_pos[0])
+                                          min_pos=min_pos[0],
+                                          interpret=interp)
         best_len = packed >> 26
         best_dist = packed & ((1 << 26) - 1)
         pos = jnp.arange(n, dtype=jnp.int32)
