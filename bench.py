@@ -316,6 +316,8 @@ def main():
             "batch_decode4_MBps": batch_mbps,
             "tpu_offload_q9_enc_MBps": tpu_enc,
             "tpu_offload_q9_size": tpu.get("tpu_q9_size", 0),
+            "tpu_device_fraction": tpu.get("tpu_device_fraction", 0.0),
+            "tpu_host_busy_s": tpu.get("tpu_host_busy_s", 0.0),
             "tpu_kernel_onchip_MBps":
                 tpu.get("tpu_kernel_onchip_MBps", {}),
         },
