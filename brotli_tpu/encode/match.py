@@ -142,7 +142,7 @@ def find_best_matches(data: np.ndarray, window_size: int,
                       hash_len: int = 4, min_length: int = 4,
                       literal_byte_score: int = LITERAL_BYTE_SCORE,
                       dict_len: int = 0, use_dictionary: bool = True,
-                      n_cache: int = 4):
+                      n_cache: int = 4, miss_economy: bool = False):
     """Best (length, distance, score) per position, vectorized.
 
     Two candidate tables, like the reference's tiered hashers: 4-byte
@@ -170,7 +170,8 @@ def find_best_matches(data: np.ndarray, window_size: int,
             bucket_bits8=bucket_bits8, hash_len=hash_len,
             min_length=min_length,
             literal_byte_score=literal_byte_score, dict_len=dict_len,
-            use_dictionary=use_dictionary, match_cap=MATCH_CAP)
+            use_dictionary=use_dictionary, match_cap=MATCH_CAP,
+            miss_economy=miss_economy)
 
     best_len = np.zeros(n, dtype=np.int64)
     best_dist = np.zeros(n, dtype=np.int64)

@@ -533,12 +533,15 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
         deep_k = 32 if fast else 64
 
         def deep():
-            # deep table with runner-up (2 diverse rows from one pass)
+            # deep table with runner-up (2 diverse rows from one pass);
+            # miss_economy backs the scan depth off over matchless
+            # spans (collection-only knob: rows lost there are empty
+            # anyway — size A/B'd on the mixed 512K slice)
             return nb.find_best_matches(
                 full, window_size, dict_len=dict_len,
                 literal_byte_score=literal_byte_score,
                 k=deep_k, bucket_bits=15, k8=0, use_dictionary=False,
-                want_top2=True)
+                want_top2=True, miss_economy=True)
 
         def shallow(kw):
             return find_best_matches(
@@ -546,7 +549,8 @@ def _collect_candidates(full, window_size, dict_len, literal_byte_score,
                 literal_byte_score=literal_byte_score, **kw)
 
         shallow_kws = (dict(k=1, bucket_bits=17, k8=16,
-                            use_dictionary=use_dictionary),) \
+                            use_dictionary=use_dictionary,
+                            miss_economy=True),) \
             if fast else \
             (dict(k=12, bucket_bits=14, k8=0, use_dictionary=False),
              dict(k=1, bucket_bits=17, k8=24,

@@ -951,10 +951,13 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
                       bucket_bits8=18, hash_len=4, min_length=4,
                       literal_byte_score=540, dict_len=0,
                       use_dictionary=True, match_cap=320,
-                      want_top2=False):
+                      want_top2=False, miss_economy=False):
     """Native match finder; same contract as match.find_best_matches.
     With want_top2, also returns the runner-up (len, dist) arrays
-    (distinct distance) for Zopfli candidate diversity."""
+    (distinct distance) for Zopfli candidate diversity.
+    miss_economy enables the incompressible-span scan economy (scan
+    depth backs off over matchless runs — collection callers only; it
+    deviates from the numpy oracle on sparse spans)."""
     lib = get_lib()
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(data)
@@ -996,7 +999,8 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
         _ptr(best_len), _ptr(best_dist), _ptr(best_score),
         _ptr(best_isdict, U8), _ptr(best_wire),
         _ptr(b2l) if want_top2 else I64(),
-        _ptr(b2d) if want_top2 else I64())
+        _ptr(b2d) if want_top2 else I64(),
+        ctypes.c_int64(1 if miss_economy else 0))
     ibd = best_isdict.astype(bool)
     sl = slice(dict_len, None) if dict_len else slice(None)
     base = (best_len[sl], best_dist[sl], best_score[sl], ibd[sl],

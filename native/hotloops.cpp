@@ -1823,7 +1823,8 @@ void find_matches_native(
     const int64_t* dict_size_bits, const int64_t* omit_ids,
     int64_t* best_len, int64_t* best_dist, int64_t* best_score,
     uint8_t* best_isdict, int64_t* best_wire,
-    int64_t* best2_len, int64_t* best2_dist)
+    int64_t* best2_len, int64_t* best2_dist,
+    int64_t miss_economy)
 {
     const uint32_t HASH_MUL32 = 0x1E35A7BDu;
     const uint64_t HASH_MUL64 = 0x1FE35A7BD3579BD3ull;
@@ -1843,6 +1844,19 @@ void find_matches_native(
         return lbs * len - 30 * log2floor(dist);
     };
 
+    // incompressible-span economy (opt-in, the collection analog of
+    // the parse's sparse-skip, reference hq.rs:984-1045 shape): deep
+    // rows are a waste over spans where nothing matches — after 128
+    // matchless positions the scan depth drops to 8/4, and after 1024
+    // it also probes only every other position (inserts continue at
+    // every position, so the candidate tables stay exact; the only
+    // loss is a candidate ROW at a skipped position, which a run of
+    // misses says is empty anyway).  One hit resets the run.
+    // miss_economy=0 (the default, and every oracle-equivalence
+    // caller) keeps the exhaustive walk.
+    int64_t miss_run = 0;
+    const int64_t economy_at = miss_economy ? 128 : INT64_MAX;
+    const int64_t stride_at = miss_economy ? 1024 : INT64_MAX;
     for (int64_t i = 0; i < n; i++) {
         best_len[i] = 0; best_dist[i] = 0; best_score[i] = 0;
         best_isdict[i] = 0; best_wire[i] = 0;
@@ -1850,7 +1864,45 @@ void find_matches_native(
         uint32_t v4 = load32(data + i);
         uint32_t h4 = bucket_hash(data + i, hash_len,
                                   (uint32_t)(32 - bucket_bits));
+        // software pipeline: the rows are random addresses into a
+        // table far bigger than L2, and the walk is strictly i+1 — so
+        // the row loads for upcoming positions can start now (same
+        // trick as search_impl's next-position prefetch; k=32 rows
+        // span 4 lines, pull the first two)
+        if (i + 6 + (hash_len == 5 ? 8 : 4) <= n) {
+            uint32_t hn = bucket_hash(data + i + 6, hash_len,
+                                      (uint32_t)(32 - bucket_bits));
+            const char* rp = (const char*)(ring4 + hn * k);
+            __builtin_prefetch(rp, 1, 1);
+            if (k > 8) __builtin_prefetch(rp + 64, 0, 1);
+            if (k8 && i + 6 + 8 <= n) {
+                uint64_t v8n = load64(data + i + 6);
+                uint32_t h8n = (uint32_t)((v8n * HASH_MUL64)
+                                          >> (64 - bucket_bits8));
+                __builtin_prefetch(ring8 + h8n * k8, 1, 1);
+            }
+        }
         int64_t limit = std::min(n - i, match_cap);
+        int64_t k_eff = k, k8_eff = k8;
+        if (miss_run > economy_at) {
+            if (miss_run > stride_at && (i & 1)) {
+                // stride-2 probe: insert only
+                uint64_t ent = ((uint64_t)v4 << 32) | (uint32_t)i;
+                ring4[h4 * k + (cnt4[h4] % k)] = ent;
+                cnt4[h4]++;
+                if (k8 && i + 8 <= n) {
+                    uint64_t v8 = load64(data + i);
+                    uint32_t h8 = (uint32_t)((v8 * HASH_MUL64)
+                                             >> (64 - bucket_bits8));
+                    ring8[h8 * k8 + (cnt8[h8] % k8)] = ent;
+                    cnt8[h8]++;
+                }
+                miss_run++;
+                continue;
+            }
+            k_eff = std::min<int64_t>(k, 8);
+            k8_eff = std::min<int64_t>(k8, 4);
+        }
 
         int64_t bl = 0, bd = 0, bs = 0;
         int64_t b2l = 0, b2d = 0, b2s = 0;
@@ -1866,13 +1918,22 @@ void find_matches_native(
         // 4-byte table: iterate most-recent first
         {
             int32_t c = cnt4[h4];
-            int32_t m = (int32_t)std::min<int64_t>(c, k);
+            int32_t m = (int32_t)std::min<int64_t>(c, k_eff);
             for (int32_t j = 0; j < m; j++) {
                 uint64_t e = ring4[h4 * k + ((c - 1 - j) % k + k) % k];
                 int64_t cand = (int64_t)(uint32_t)e;
                 int64_t dist = i - cand;
                 if (dist > window_size) break;
                 if ((uint32_t)(e >> 32) != v4) continue;
+                // one-byte domination gate (exact): candidates arrive
+                // distance-increasing and best/b2 were set within this
+                // scan, so entering the top 2 requires extending past
+                // min(bl, b2l) — a mismatch there prunes the whole
+                // probe (same gate as search_impl / collect_matches;
+                // without top2 tracking the bound is bl itself)
+                int64_t g = best2_len ? std::min(bl, b2l) : bl;
+                if (g > 0 && (g >= limit ||
+                    data[cand + g] != data[i + g])) continue;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
                 consider(ml, dist, score_of(ml, dist));
@@ -1886,7 +1947,16 @@ void find_matches_native(
             uint32_t h8 = (uint32_t)((v8 * HASH_MUL64)
                                      >> (64 - bucket_bits8));
             int32_t c = cnt8[h8];
-            int32_t m = (int32_t)std::min<int64_t>(c, k8);
+            int32_t m = (int32_t)std::min<int64_t>(c, k8_eff);
+            // the same domination gate, but LOCAL to this scan: the
+            // global best may carry a larger distance than an 8-table
+            // candidate (the tables restart at small distances), so
+            // only lengths of candidates seen in THIS scan bound what
+            // a later candidate must exceed.  A pruned candidate is
+            // dominated by two already-considered distinct-distance
+            // locals, so the global top 2 is unchanged (exact).
+            int64_t l_bl = 0, l_bd = 0, l_bs = 0, l_b2l = 0,
+                    l_b2s = 0;
             for (int32_t j = 0; j < m; j++) {
                 uint64_t e = ring8[h8 * k8 + ((c - 1 - j) % k8 + k8)
                                    % k8];
@@ -1894,9 +1964,19 @@ void find_matches_native(
                 int64_t dist = i - cand;
                 if (dist > window_size) break;
                 if ((uint32_t)(e >> 32) != v4) continue;
+                int64_t g = best2_len ? std::min(l_bl, l_b2l) : l_bl;
+                if (g > 0 && (g >= limit ||
+                    data[cand + g] != data[i + g])) continue;
                 int64_t ml = probe_len(data, cand, i, limit);
                 if (ml < 4) continue;
-                consider(ml, dist, score_of(ml, dist));
+                int64_t sc = score_of(ml, dist);
+                if (sc > l_bs) {
+                    if (l_bd != dist) { l_b2l = l_bl; l_b2s = l_bs; }
+                    l_bs = sc; l_bl = ml; l_bd = dist;
+                } else if (sc > l_b2s && dist != l_bd) {
+                    l_b2s = sc; l_b2l = ml;
+                }
+                consider(ml, dist, sc);
             }
             ring8[h8 * k8 + (cnt8[h8] % k8)] = ent;
             cnt8[h8]++;
@@ -1935,6 +2015,7 @@ void find_matches_native(
         best_isdict[i] = isdict ? 1 : 0;
         best_wire[i] = isdict ? bwire : bl;
         if (best2_len) { best2_len[i] = b2l; best2_dist[i] = b2d; }
+        miss_run = bl >= 4 ? 0 : miss_run + 1;
     }
     delete[] ring4; delete[] cnt4;
     delete[] ring8; delete[] cnt8;

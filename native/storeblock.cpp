@@ -16,6 +16,7 @@
 #include <cmath>
 #include <algorithm>
 #include <vector>
+#include <thread>
 #include <queue>
 #include <chrono>
 #include <cstdio>
@@ -1767,13 +1768,32 @@ extern "C" int64_t store_metablock_native(
     } else if (enable_splits) {
         lit64.assign(literals.begin(), literals.end());
         if (quality >= 10) {
-            // per-symbol Viterbi splitter (reference SplitByteVector)
+            // per-symbol Viterbi splitter (reference SplitByteVector).
+            // The three categories are independent pure passes and the
+            // literal one (k<=100 lanes over ~0.6 symbol/byte)
+            // dominates the whole q10 store — run cmd+dist on helper
+            // threads under it.  CAREFUL: cmd_split/dist_split and the
+            // symbol vectors are thread_local, so inside a helper
+            // lambda those NAMES would resolve to the helper's empty
+            // instances — evaluate every pointer on this thread and
+            // write results to plain locals
+            const int64_t* ds_ptr = dist_syms.data();
+            int64_t ds_n = (int64_t)dist_syms.size();
+            Split cmd_sp, dist_sp;
+            std::thread t_cmd([&cmd_sp, cmd_sym, n_cmds] {
+                cmd_sp = split_symbols_hq(cmd_sym, n_cmds, 704,
+                                          HQ_CMD);
+            });
+            std::thread t_dist([&dist_sp, ds_ptr, ds_n, dist_alpha] {
+                dist_sp = split_symbols_hq(ds_ptr, ds_n,
+                                           (int)dist_alpha, HQ_DIST);
+            });
             lit_split = split_symbols_hq(lit64.data(), n_lit, 256,
                                          HQ_LIT);
-            cmd_split = split_symbols_hq(cmd_sym, n_cmds, 704, HQ_CMD);
-            dist_split = split_symbols_hq(dist_syms.data(),
-                                          (int64_t)dist_syms.size(),
-                                          (int)dist_alpha, HQ_DIST);
+            t_cmd.join();
+            t_dist.join();
+            cmd_split = std::move(cmd_sp);
+            dist_split = std::move(dist_sp);
         } else {
             bool fast_split = quality < 7;
             // literal trees = block types x static contexts must fit
