@@ -207,6 +207,13 @@ class Decoder:
                 raise BrotliDecodeError("output limit exceeded")
             if islast:
                 break
+        # RFC 7932 §9.2: the padding bits after the last metablock up
+        # to the next byte boundary must be zero (the reference
+        # decoder rejects nonzero final padding; trailing BYTES after
+        # the aligned boundary stay tolerated)
+        if reader.align_to_byte() != 0:
+            raise BrotliDecodeError("nonzero padding after last "
+                                    "metablock")
         return bytes(out)
 
     def _parse_metablock_header(self, reader, mlen):

@@ -1151,6 +1151,10 @@ static int64_t decode_loop(
         if (islast) { *finished = 1; break; }
         if (single_block) break;
     }
+    // RFC 7932 §9.2: the padding bits after the last metablock must
+    // be zero (the reference decoder rejects nonzero final padding;
+    // trailing BYTES after the aligned boundary stay tolerated)
+    if (*finished && !br.align_ok()) return br.over() ? -1 : -2;
     *out_len_io = out_len;
     return 0;
 }
@@ -1352,6 +1356,10 @@ int64_t stream_decoder_step(
             if (br.over()) return suspend_in(ck);
             if (islast && br.read(1)) {  // ISLASTEMPTY
                 if (br.over()) return suspend_in(ck);
+                // RFC 7932 §9.2: final padding bits must be zero
+                bool alz = br.align_ok();
+                if (br.over()) return suspend_in(ck);
+                if (!alz) return fail(-2);
                 d.finished = 1;
                 *bit_pos_io = br.pos;
                 return out_len;
@@ -1503,8 +1511,15 @@ int64_t stream_decoder_step(
         }
         case MbDecoder::CMD_HEAD: {
             if (d.mlen <= 0) {
-                if (d.islast) d.finished = 1;
-                else d.phase = MbDecoder::MB_HEADER;
+                if (d.islast) {
+                    // RFC 7932 §9.2: final padding bits must be zero
+                    int64_t ck = br.pos;
+                    br.avail = 0;
+                    bool alz = br.align_ok();
+                    if (br.over()) return suspend_in(ck);
+                    if (!alz) return fail(-2);
+                    d.finished = 1;
+                } else d.phase = MbDecoder::MB_HEADER;
                 break;
             }
             // checkpoint: command symbol + both length extras +

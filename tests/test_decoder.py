@@ -86,6 +86,38 @@ def test_garbage_fails():
         decompress(b"\x13\x37" * 50)
 
 
+def test_nonzero_final_padding_rejected():
+    """RFC 7932 §9.2: bits after the last metablock up to the byte
+    boundary must be zero — the reference decoder rejects them (the
+    one-byte stream 0xFF parses as wbits=24 + ISLASTEMPTY with 1s in
+    the padding).  Trailing garbage BYTES stay tolerated."""
+    if not oracle.available():
+        pytest.skip("system brotli unavailable")
+    # bare ISLASTEMPTY with dirty padding
+    with pytest.raises(Exception):
+        decompress(b"\xff")
+    # dirty padding after a real final metablock
+    payload = read("alice29.txt")
+    comp = bytearray(oracle.compress(payload, quality=5))
+    comp[-1] ^= 0x80
+    with pytest.raises(Exception):
+        decompress(bytes(comp))
+    # zero padding + trailing garbage bytes: still accepted
+    good = oracle.compress(payload, quality=5)
+    assert decompress(good + b"\x00junk") == payload
+    # native facade agrees
+    from brotli_tpu import native_bridge as nb
+    if nb.available():
+        import ctypes
+        lib = nb.get_lib()
+        out = ctypes.create_string_buffer(len(payload) + 64)
+        sz = ctypes.c_size_t(len(payload) + 64)
+        bad = bytes(comp)
+        r = lib.BrotliDecoderDecompress(
+            ctypes.c_size_t(len(bad)), bad, ctypes.byref(sz), out)
+        assert r != 1
+
+
 def test_c_engine_mode_matrix():
     """Decoder conformance across the C engine's quality/mode/window
     matrix (text/font context modes, all window encodings)."""
