@@ -168,6 +168,29 @@ def _pgo_train() -> None:
         out = compress(data[:1 << 17], quality=11)
         assert decompress(out) == data[:1 << 17]
 
+    # decode branch layout must also train on the SYSTEM encoder's
+    # streams: C q5 output averages ~2 literals/command (short-insert
+    # path) with different command/context statistics than our own
+    # streams, and the production decode A/B runs on exactly those
+    def _c_compress(payload: bytes, quality: int) -> bytes | None:
+        try:
+            enc = ctypes.CDLL("libbrotlienc.so.1")
+        except OSError:
+            return None
+        enc.BrotliEncoderCompress.restype = ctypes.c_int
+        ms = len(payload) + (len(payload) >> 2) + 1024
+        buf = ctypes.create_string_buffer(ms)
+        osz = ctypes.c_size_t(ms)
+        ok = enc.BrotliEncoderCompress(quality, 22, 0, len(payload),
+                                       payload, ctypes.byref(osz), buf)
+        return buf.raw[:osz.value] if ok else None
+
+    for data in workloads:
+        for q in (5, 9):
+            cs = _c_compress(bytes(data), q)
+            if cs is not None:
+                assert decompress(cs) == data
+
 
 def get_lib():
     global _lib, _tried

@@ -37,6 +37,21 @@ namespace {
 // switches
 static int64_t* dec_ctr = nullptr;
 static int64_t dec_ctr_store[8];
+// opt-in per-section cycle split (BROTLI_TPU_DEC_CTR=2): [0] command
+// head, [1] literals, [2] distance, [3] copy.  rdtsc pairs around the
+// sections distort the measurement (~10-20%) but the RATIOS locate
+// the expensive leg per content class
+static uint64_t dec_cyc[4];
+static int dec_cyc_on = 0;
+static inline uint64_t dec_tsc() {
+#if defined(__x86_64__)
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+#else
+    return 0;
+#endif
+}
 
 struct BitReader {
     const uint8_t* data;
@@ -618,10 +633,15 @@ int64_t decode_native(
     int64_t large_window,
     int32_t* table_mem, int64_t table_mem_size)
 {
-    static int want_ctr = getenv("BROTLI_TPU_DEC_CTR") ? 1 : 0;
+    static int want_ctr = getenv("BROTLI_TPU_DEC_CTR")
+                              ? atoi(getenv("BROTLI_TPU_DEC_CTR")) : 0;
     if (want_ctr) {
         dec_ctr = dec_ctr_store;
         memset(dec_ctr_store, 0, sizeof(dec_ctr_store));
+        if (want_ctr >= 2) {
+            dec_cyc_on = 1;
+            memset(dec_cyc, 0, sizeof(dec_cyc));
+        }
     }
     BitReader br{in, in_len, 0};
     int wbits;
@@ -640,10 +660,22 @@ int64_t decode_native(
     if (dec_ctr)
         fprintf(stderr,
                 "[decctr] cmds %lld lit_triv %lld lit_ctx %lld "
-                "dists %lld dictrefs %lld cmd_switches %lld\n",
+                "dists %lld dictrefs %lld cmd_switches %lld "
+                "lit_sub %lld\n",
                 (long long)dec_ctr[0], (long long)dec_ctr[1],
                 (long long)dec_ctr[2], (long long)dec_ctr[3],
-                (long long)dec_ctr[4], (long long)dec_ctr[5]);
+                (long long)dec_ctr[4], (long long)dec_ctr[5],
+                (long long)dec_ctr[6]);
+    if (dec_cyc_on) {
+        uint64_t tot = dec_cyc[0] + dec_cyc[1] + dec_cyc[2] +
+                       dec_cyc[3];
+        fprintf(stderr,
+                "[deccyc] cmd %.1f%% lit %.1f%% dist %.1f%% "
+                "copy %.1f%% (tot %llu Mcyc)\n",
+                100.0 * dec_cyc[0] / tot, 100.0 * dec_cyc[1] / tot,
+                100.0 * dec_cyc[2] / tot, 100.0 * dec_cyc[3] / tot,
+                (unsigned long long)(tot >> 20));
+    }
     return out_len;
 }
 
@@ -831,6 +863,9 @@ static int64_t decode_loop(
 
         while (mlen > 0) {
             if (__builtin_expect(dec_ctr != nullptr, 0)) dec_ctr[0]++;
+            uint64_t _t0 = __builtin_expect(dec_cyc_on, 0) ? dec_tsc()
+                                                           : 0;
+            uint64_t _t1 = 0;
             if (__builtin_expect(I.remaining == 0, 0)) {
                 if ((r = switch_block(br, I))) return r;
                 cmd_tab = cmd_pt[I.cur].tab;
@@ -874,6 +909,10 @@ static int64_t decode_loop(
                     (int64_t)br.read(ceb);
             }
             if (br.over()) return -1;
+            if (__builtin_expect(dec_cyc_on, 0)) {
+                _t1 = dec_tsc();
+                dec_cyc[0] += _t1 - _t0;
+            }
 
             if (ins_len > mlen) return br.over() ? -1 : -2;
             if (out_len + ins_len > out_cap) return -3;
@@ -939,6 +978,8 @@ static int64_t decode_loop(
                     int32_t e = tab[w & 1023];
                     int l = e & 15;
                     if (__builtin_expect(l > 10, 0)) {
+                        if (__builtin_expect(dec_ctr != nullptr, 0))
+                            dec_ctr[6]++;
                         e = tab[(e >> 4) +
                                 ((w >> 10) & ((1u << (l - 10)) - 1))];
                         l = e & 15;
@@ -980,6 +1021,9 @@ static int64_t decode_loop(
                             int32_t e = tab[w & 1023];
                             int l = e & 15;
                             if (__builtin_expect(l > 10, 0)) {
+                                if (__builtin_expect(
+                                        dec_ctr != nullptr, 0))
+                                    dec_ctr[6]++;
                                 e = tab[(e >> 4) +
                                         ((w >> 10) &
                                          ((1u << (l - 10)) - 1))];
@@ -996,6 +1040,11 @@ static int64_t decode_loop(
                     }
                     if (br.over()) return -1;
                 }
+            }
+            if (__builtin_expect(dec_cyc_on, 0)) {
+                uint64_t t = dec_tsc();
+                dec_cyc[1] += t - _t1;
+                _t1 = t;
             }
             mlen -= ins_len;
             if (mlen == 0) break;
@@ -1063,6 +1112,11 @@ static int64_t decode_loop(
                 }
             }
 
+            if (__builtin_expect(dec_cyc_on, 0)) {
+                uint64_t t = dec_tsc();
+                dec_cyc[2] += t - _t1;
+                _t1 = t;
+            }
             DBG("ins=%ld copy=%ld dist=%ld dcode=%d maxd=%ld pos=%ld ovf=%d\n",
                 ins_len, copy_len, distance, dcode, max_distance,
                 br.pos, (int)br.over());
@@ -1147,6 +1201,8 @@ static int64_t decode_loop(
                 p1 = prev_byte(1);
                 p2 = prev_byte(2);
             }
+            if (__builtin_expect(dec_cyc_on, 0))
+                dec_cyc[3] += dec_tsc() - _t1;
         }
         if (islast) { *finished = 1; break; }
         if (single_block) break;
