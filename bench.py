@@ -90,16 +90,25 @@ W = (1 << 22) - 16
 from brotli_tpu.ops.fold_pallas import (best_matches_exact_p,
                                         best_matches_exact8_p,
                                         best_matches_exact9_p)
+# production form: sorted-space output (invert=False) — the host pull
+# loop applies the permutation natively (invert_perm32/invert_merge32)
+# under the pipeline overlap, so the chip's critical path is sort+fold
 @partial(jax.jit, static_argnames=("k", "k8", "rounds", "variant"))
 def step(d, k, k8, rounds, variant="exact"):
     if variant == "exact8":
-        p = best_matches_exact8_p(d, W, k=k, rounds=rounds)
+        ps, p, _ = best_matches_exact8_p(d, W, k=k, rounds=rounds,
+                                         invert=False)
     elif variant == "exact9":
-        p = best_matches_exact9_p(d, W, k=k, k_short=max(k8, 8),
-                                  rounds=rounds)
+        ps, p, _, ps2, p2, _ = best_matches_exact9_p(
+            d, W, k=k, k_short=max(k8, 8), rounds=rounds,
+            invert=False)
+        p = p ^ p2
+        ps = ps ^ ps2
     else:
-        p = best_matches_exact_p(d, W, k=k, rounds=rounds)
-    return d ^ (p == -123456789).astype(jnp.uint8), p[:128]
+        ps, p = best_matches_exact_p(d, W, k=k, rounds=rounds,
+                                     invert=False)
+    return (d ^ (p == -123456789).astype(jnp.uint8)
+              ^ (ps == -987654).astype(jnp.uint8), p[:128])
 onchip = {}
 for name, kn in (("greedy_tier", _device_knobs(5)),
                  ("q7_tier", _device_knobs(7)),
@@ -109,6 +118,7 @@ for name, kn in (("greedy_tier", _device_knobs(5)),
     np.asarray(ps)  # compile+warm
     t0 = time.perf_counter()
     d, ps = step(d0, **kn)
+    np.asarray(ps)  # BLOCK: async dispatch would inflate per-step 4/3
     t1 = time.perf_counter()
     d = d0
     for _ in range(7):

@@ -37,9 +37,10 @@ _MAX_INFLIGHT = 3
 
 @partial(__import__("jax").jit,
          static_argnames=("window_size", "halo", "k", "k8", "rounds",
-                          "variant"))
+                          "variant", "device_invert"))
 def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
-                 k8: int, rounds: int, variant: str = "exact"):
+                 k8: int, rounds: int, variant: str = "exact",
+                 device_invert: bool = False):
     """Device kernel: packed (len << 26 | dist) per shard position.
     Content-sorted exact matchers with the Pallas VMEM fold
     (ops.fold_pallas): multi-operand sort(s), one fused fold kernel,
@@ -50,10 +51,33 @@ def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
     from ..ops.fold_pallas import (best_matches_exact_p,
                                    best_matches_exact8_p,
                                    best_matches_exact9_p)
+    # production form: CONTENT-SORTED space (invert=False) — the
+    # on-chip inversion sort (~9 ms per 5M rows per fold) moves to the
+    # host pull loop as a native radix permutation-apply that overlaps
+    # the next shard's device work — greedy/exact8 241/245 -> ~370
+    # MB/s on-chip, exact9 86.5 -> ~115 (the two folds' sorted outputs
+    # merge on host).  device_invert=True keeps the old on-device
+    # inversion: it transfers one span-sized array instead of 2-6
+    # full-row arrays, which wins when the host link is the bottleneck
+    # (this rig's tunneled chip: BROTLI_TPU_DEVICE_INVERT=1)
+    if device_invert:
+        if variant == "exact8":
+            return (best_matches_exact8_p(
+                row, window_size, k=k, rounds=rounds, min_pos=min_pos,
+                len_shift=LEN_SHIFT)[halo:],)
+        if variant == "exact9":
+            return (best_matches_exact9_p(
+                row, window_size, k=k, k_short=max(k8, 8),
+                rounds=rounds, min_pos=min_pos,
+                len_shift=LEN_SHIFT)[halo:],)
+        return (best_matches_exact_p(
+            row, window_size, k=k, rounds=rounds, min_pos=min_pos,
+            len_shift=LEN_SHIFT)[halo:],)
     if variant == "exact8":
-        return best_matches_exact8_p(row, window_size, k=k,
-                                     rounds=rounds, min_pos=min_pos,
-                                     len_shift=LEN_SHIFT)[halo:]
+        pos_s, packed_s, _ = best_matches_exact8_p(
+            row, window_size, k=k, rounds=rounds, min_pos=min_pos,
+            len_shift=LEN_SHIFT, invert=False)
+        return pos_s, packed_s
     if variant == "exact9":
         # two-sort form: the fused single-pass variant was measured
         # ratio-neutral vs plain exact8 (v0-only candidates are never
@@ -62,10 +86,43 @@ def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
         return best_matches_exact9_p(row, window_size, k=k,
                                      k_short=max(k8, 8), rounds=rounds,
                                      min_pos=min_pos,
-                                     len_shift=LEN_SHIFT)[halo:]
+                                     len_shift=LEN_SHIFT,
+                                     invert=False)
     return best_matches_exact_p(row, window_size, k=k,
                                 rounds=rounds, min_pos=min_pos,
-                                len_shift=LEN_SHIFT)[halo:]
+                                len_shift=LEN_SHIFT, invert=False)
+
+
+_link_cache: dict = {}
+
+
+def _pick_device_invert(dev) -> bool:
+    """Transfer-aware config: the sorted-space form (host applies the
+    permutation) minimizes CHIP time but ships 2-6 full-row arrays
+    back; the on-device inversion ships one span-sized array.  On a
+    normal PCIe/ICI attachment (GB/s) sorted-space wins — the chip is
+    the scarce resource; on a slow link (this rig's tunneled dev chip,
+    ~4-12 MB/s d2h) the transfer dominates and device_invert wins.
+    Probed once per process; BROTLI_TPU_DEVICE_INVERT=0/1 overrides."""
+    import os as _os
+    ev = _os.environ.get("BROTLI_TPU_DEVICE_INVERT")
+    if ev is not None and ev != "":
+        return ev not in ("0", "false", "no")
+    if "di" not in _link_cache:
+        import time as _t
+
+        import jax as _jax
+        try:
+            probe = np.zeros(1 << 20, np.uint8)
+            d = _jax.device_put(probe, dev)
+            np.asarray(d)  # warm
+            t0 = _t.perf_counter()
+            np.asarray(_jax.device_put(probe, dev))
+            bw = (1 << 20) / max(_t.perf_counter() - t0, 1e-9) / 1e6
+            _link_cache["di"] = bw < 200.0  # MB/s round-trip
+        except Exception:
+            _link_cache["di"] = False
+    return _link_cache["di"]
 
 
 def _device_knobs(quality: int):
@@ -153,10 +210,14 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
     # async pipeline: keep a few dispatches in flight
     inflight = {}
 
+    device_invert = _pick_device_invert(dev)
+
     def dispatch(j):
         row_d = jax.device_put(rows[j], dev)
         inflight[j] = _match_dense(row_d, np.int32(min_pos[j]),
-                                   params.window_size, halo, **knobs)
+                                   params.window_size, halo,
+                                   device_invert=device_invert,
+                                   **knobs)
 
     for j in range(min(_MAX_INFLIGHT, len(starts))):
         dispatch(j)
@@ -166,12 +227,21 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
     device_wait = 0.0
     for j, s0 in enumerate(starts):
         t0 = _time.perf_counter()
-        packed = np.asarray(inflight.pop(j))  # blocks on this shard only
+        # blocks on this shard only; device results arrive in
+        # content-sorted space (pos_s, packed_s[, score_s] per fold)
+        sorted_out = [np.asarray(a) for a in inflight.pop(j)]
         device_wait += _time.perf_counter() - t0
         if j + _MAX_INFLIGHT < len(starts):
             dispatch(j + _MAX_INFLIGHT)
         real = min(span, n - s0)
-        packed = packed[:real].astype(np.int64)
+        if len(sorted_out) == 1:   # device_invert: position space
+            packed = sorted_out[0][:real].astype(np.int64)
+        else:
+            if len(sorted_out) == 6:  # exact9: two folds, host merge
+                packed = nb.invert_merge32(*sorted_out)
+            else:
+                packed = nb.invert_perm32(*sorted_out)
+            packed = packed[halo:halo + real].astype(np.int64)
         bl = packed >> LEN_SHIFT
         bd = packed & ((1 << LEN_SHIFT) - 1)
         row = rows[j]

@@ -1285,3 +1285,34 @@ def zopfli_dp(n, lcp, cost_cmd, edge_off, e_len, e_wire, e_dist,
         _ptr(cost, F64), _ptr(prev_start), _ptr(prev_len),
         _ptr(prev_wire), _ptr(prev_dist))
     return cost, prev_start, prev_len, prev_wire, prev_dist
+
+
+def invert_perm32(pos_s, val_s):
+    """Apply a device-returned permutation on the host: out[pos_s[j]]
+    = val_s[j] (two-pass radix over L1-resident regions; pos_s is an
+    exact permutation of [0, n))."""
+    lib = get_lib()
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    pos_s = np.ascontiguousarray(pos_s, np.int32)
+    val_s = np.ascontiguousarray(val_s, np.int32)
+    n = len(pos_s)
+    out = _scratch("invperm_out", n, np.int32)
+    lib.invert_perm32_native(_ptr(pos_s, I32), _ptr(val_s, I32),
+                             ctypes.c_int64(n), _ptr(out, I32))
+    return out
+
+
+def invert_merge32(pos_a, val_a, sc_a, pos_b, val_b, sc_b):
+    """Merged double inversion for the exact9 two-fold device form:
+    apply permutation A, then B where B's score strictly wins."""
+    lib = get_lib()
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    args = [np.ascontiguousarray(a, np.int32)
+            for a in (pos_a, val_a, sc_a, pos_b, val_b, sc_b)]
+    n = len(args[0])
+    out_val = _scratch("invmerge_val", n, np.int32)
+    out_sc = _scratch("invmerge_sc", n, np.int32)
+    lib.invert_merge32_native(
+        *[_ptr(a, I32) for a in args], ctypes.c_int64(n),
+        _ptr(out_val, I32), _ptr(out_sc, I32))
+    return out_val

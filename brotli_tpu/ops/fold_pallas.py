@@ -335,6 +335,27 @@ def best_matches_exact9_p(data: jnp.ndarray, window_size: int,
     payload, capped at 8 — the host extends len==8 winners)."""
     interpret = _resolve_interpret(interpret)
     n = data.shape[0]
+    if not invert:
+        # sorted-space form: BOTH folds return (pos_s, packed_s,
+        # score_s) and the HOST applies the two permutations and the
+        # score merge (native invert_merge32 inside the offload pull
+        # loop, where it overlaps the next shard's device work) — the
+        # two on-chip inversion sorts (~9 ms each at 5M) disappear
+        # from the device critical path
+        pos8_s, packed8_s, score8_s = best_matches_exact8_p(
+            data, window_size, k=k, rounds=rounds,
+            literal_byte_score=literal_byte_score, min_pos=min_pos,
+            len_shift=len_shift, invert=False, interpret=interpret)
+        v0 = u32_values(data).astype(jnp.int32)
+        v1 = u32_values_at(data, 4)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        ops = jax.lax.sort((v0, pos, v1), num_keys=1, is_stable=True)
+        packed_s, score_s = fold_sorted_pallas(
+            ops, min_pos, n_keys=1, k_fwd=k_short, k_back=0,
+            window=window_size, lbs=literal_byte_score // 4,
+            len_shift=len_shift, n_real=n, interpret=interpret)
+        return (pos8_s, packed8_s, score8_s,
+                ops[1], packed_s, score_s)
     p8, s8 = best_matches_exact8_p(
         data, window_size, k=k, rounds=rounds,
         literal_byte_score=literal_byte_score, min_pos=min_pos,
@@ -352,8 +373,6 @@ def best_matches_exact9_p(data: jnp.ndarray, window_size: int,
     ps, ss = _invert(ops[1], packed_s, score_s)
     upd = ss > s8
     merged = jnp.where(upd, ps, p8)
-    if not invert:
-        raise ValueError("exact9_p merges in position space")
     return merged
 
 

@@ -3138,3 +3138,66 @@ extern "C" int64_t zopfli_backtrack_native(
     }
     return cnt;
 }
+
+// ---------------------------------------------------------------------------
+// permutation application for the TPU offload pull loop: the device
+// matchers return results in CONTENT-SORTED space (pos_s[j] says which
+// position row j belongs to) because the on-chip inversion sort costs
+// ~9 ms per 5M rows — applying the permutation here rides under the
+// pipeline overlap with the next shard's device work.  pos_s is a
+// permutation, so every target index is written exactly once and the
+// scatter parallelizes race-free across input ranges (a two-pass
+// radix was measured SLOWER than the direct scatter on this host:
+// the ~20 MB working set is L3-resident).
+// ---------------------------------------------------------------------------
+
+namespace {
+template <typename F>
+void inv_parallel(int64_t n, F body) {
+    int nt = (int)std::thread::hardware_concurrency();
+    if (nt > 4) nt = 4;
+    if (nt < 2 || n < (1 << 18)) { body(0, n); return; }
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 1; t < nt; t++) {
+        int64_t lo = t * chunk;
+        if (lo >= n) break;
+        ts.emplace_back(body, lo, std::min(n, lo + chunk));
+    }
+    body(0, std::min(n, chunk));
+    for (auto& th : ts) th.join();
+}
+}  // namespace
+
+extern "C" {
+
+void invert_perm32_native(const int32_t* pos, const int32_t* val,
+                          int64_t n, int32_t* out) {
+    inv_parallel(n, [=](int64_t lo, int64_t hi) {
+        for (int64_t j = lo; j < hi; j++) out[pos[j]] = val[j];
+    });
+}
+
+// merged inversion for the exact9 two-fold form: apply permutation A,
+// then B where B\'s score strictly wins (same tie-break as the device
+// merge: upd = score_b > score_a)
+void invert_merge32_native(
+    const int32_t* pos_a, const int32_t* val_a, const int32_t* sc_a,
+    const int32_t* pos_b, const int32_t* val_b, const int32_t* sc_b,
+    int64_t n, int32_t* out_val, int32_t* out_sc) {
+    inv_parallel(n, [=](int64_t lo, int64_t hi) {
+        for (int64_t j = lo; j < hi; j++) {
+            int32_t p = pos_a[j];
+            out_val[p] = val_a[j];
+            out_sc[p] = sc_a[j];
+        }
+    });
+    inv_parallel(n, [=](int64_t lo, int64_t hi) {
+        for (int64_t j = lo; j < hi; j++) {
+            int32_t p = pos_b[j];
+            if (sc_b[j] > out_sc[p]) out_val[p] = val_b[j];
+        }
+    });
+}
+
+}  // extern "C"

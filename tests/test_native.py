@@ -399,3 +399,33 @@ def test_q9_small_lgblock_roundtrip():
         assert decompress(out) == data
         if oracle.available():
             assert oracle.decompress(out, max_size_hint=len(data)) == data
+
+
+def test_invert_perm32_matches_numpy():
+    """Native radix permutation-apply == numpy scatter, including the
+    merged two-fold form (exact9's host merge: B wins on sc_b > sc_a)."""
+    from brotli_tpu import native_bridge as nb
+    if not nb.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(7)
+    for n in (5, 8192, 8193, 100_000, 1 << 18):
+        pos_a = rng.permutation(n).astype(np.int32)
+        val_a = rng.integers(-2**31, 2**31, n, dtype=np.int32)
+        out = np.array(nb.invert_perm32(pos_a, val_a))
+        ref = np.empty(n, np.int32)
+        ref[pos_a] = val_a
+        assert (out == ref).all()
+
+        sc_a = rng.integers(0, 1 << 30, n, dtype=np.int32)
+        pos_b = rng.permutation(n).astype(np.int32)
+        val_b = rng.integers(-2**31, 2**31, n, dtype=np.int32)
+        sc_b = rng.integers(0, 1 << 30, n, dtype=np.int32)
+        got = np.array(nb.invert_merge32(pos_a, val_a, sc_a,
+                                         pos_b, val_b, sc_b))
+        rv = np.empty(n, np.int32); rs = np.empty(n, np.int32)
+        rv[pos_a] = val_a; rs[pos_a] = sc_a
+        bv = np.empty(n, np.int32); bs_ = np.empty(n, np.int32)
+        bv[pos_b] = val_b; bs_[pos_b] = sc_b
+        upd = bs_ > rs
+        rv[upd] = bv[upd]
+        assert (got == rv).all()
