@@ -436,6 +436,30 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
     bounds.push_back(n);
 
     Knobs kn = quality_knobs(quality);
+    if (catable && bare && dict_len > 0) {
+        // CompressMulti shard (prefix-dict catable continuation): 4+
+        // concurrent shards at the single-stream geometry put ~40MB
+        // of ring tables on the shared LLC and the search goes
+        // latency-bound on evictions — shrink the per-shard tables
+        // (the shard only SEARCHES its own slice; candidates it loses
+        // are the far tail of the prefix, and the multi size gate is
+        // pinned by test at <= 1.05x single)
+        // defaults from the round-4 sweep: bbd=1/kd=1 is 2.2 -> ~2.6x
+        // on 4 cores at multi/single size 1.009 -> 1.014 (bbd=2 gave
+        // no more speed at 1.019)
+        static const int bbd = getenv("BROTLI_TPU_MULTI_BBD")
+                                   ? atoi(getenv("BROTLI_TPU_MULTI_BBD"))
+                                   : 1;
+        static const int kd = getenv("BROTLI_TPU_MULTI_KD")
+                                  ? atoi(getenv("BROTLI_TPU_MULTI_KD"))
+                                  : 1;
+        kn.bb = std::max(12, (int)kn.bb - bbd);
+        kn.bb8 = std::max(12, (int)kn.bb8 - bbd);
+        if (kd) {
+            kn.k = std::max<int64_t>(4, kn.k >> kd);
+            if (kn.k8) kn.k8 = std::max<int64_t>(2, kn.k8 >> kd);
+        }
+    }
     int64_t max_cmds = n / 2 + (int64_t)bounds.size() + 2;
     std::vector<int64_t> oi(max_cmds), oc(max_cmds), od(max_cmds),
         oa(max_cmds), segc(bounds.size());
