@@ -128,7 +128,16 @@ def _reconstruct(lane: _Lane, prefix: bytes, lits: np.ndarray,
                  nlit: int, cmds: np.ndarray, ncmd: int) -> bytes:
     # seeded with preceding metablock output: distances may reach back
     # across metablock boundaries (the device already validated them
-    # against out_prefix + local position)
+    # against out_prefix + local position).  Native LZ execution when
+    # available — the per-command Python loop was the batch path's
+    # bottleneck once the device leg shrank
+    from .. import native_bridge as nb
+    if nb.available():
+        body = nb.lz_execute(prefix, lits[:nlit], cmds[:ncmd], ncmd,
+                             lane.window, lane.mlen)
+        if body is None:
+            raise BrotliDecodeError("device metablock length mismatch")
+        return body
     out = bytearray(prefix)
     p0 = len(prefix)
     li = 0
@@ -228,11 +237,24 @@ def decompress_batch_tpu(streams, interpret: bool | None = None):
                         jnp.int32),
             jnp.int32(3 * mlen_max + 64),
             s_lit=s_lit, s_cmd=s_cmd)
-        lits = np.asarray(lits)
+        # pull the tiny count vectors first, then transfer only the
+        # realized prefix of the wide buffers (power-of-two bucketed
+        # so the slice executable is reused): the full-width lits/cmds
+        # staging is sized for the worst case and would dominate d2h
         nlit = np.asarray(nlit)
-        cmds = np.asarray(cmds)
         ncmd = np.asarray(ncmd)
         status = np.asarray(status)
+
+        def bucket(v, cap):
+            b = 64
+            while b < v:
+                b <<= 1
+            return min(b, cap)
+
+        wl = bucket(int(nlit.max(initial=0)), s_lit)
+        wc = bucket(int(ncmd.max(initial=0)), s_cmd)
+        lits = np.asarray(lits[:, :wl])
+        cmds = np.asarray(cmds[:, :wc])
 
         for j, ln in enumerate(lanes):
             if int(status[j]) != 4:  # PH_DONE

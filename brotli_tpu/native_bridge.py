@@ -1316,3 +1316,24 @@ def invert_merge32(pos_a, val_a, sc_a, pos_b, val_b, sc_b):
         *[_ptr(a, I32) for a in args], ctypes.c_int64(n),
         _ptr(out_val, I32), _ptr(out_sc, I32))
     return out_val
+
+
+def lz_execute(prefix, lits, cmds, ncmd, window, mlen):
+    """Apply device-decoded (literals, commands) over the retained
+    prefix (native memcpy-speed LZ execution for the TPU batch
+    decoder).  Returns the body bytes, or None on inconsistency."""
+    lib = get_lib()
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    lits = np.ascontiguousarray(lits, np.uint8)
+    cmds = np.ascontiguousarray(cmds, np.int32)
+    buf = np.empty(len(prefix) + int(mlen) + 64, np.uint8)
+    if len(prefix):
+        buf[:len(prefix)] = np.frombuffer(prefix, np.uint8)
+    r = lib.lz_execute_native(
+        _ptr(lits, U8), ctypes.c_int64(len(lits)),
+        _ptr(cmds, I32), ctypes.c_int64(int(ncmd)),
+        ctypes.c_int64(len(prefix)), ctypes.c_int64(int(window)),
+        ctypes.c_int64(int(mlen)), _ptr(buf, U8))
+    if r != mlen:
+        return None
+    return buf[len(prefix):len(prefix) + int(mlen)].tobytes()

@@ -181,6 +181,25 @@ def batch_decode_device(data, bit0, mlen, window, npostfix, ndirect,
         return jnp.where(k > 0, (w_lo >> k) | (w_hi << (32 - k)),
                          w_lo)
 
+    def shifted64(w_lo, w_hi, k):
+        """bits starting k (<= 57) positions in (>= 64-7-k valid)."""
+        k32 = k >= 32
+        lo = jnp.where(k32, w_hi, w_lo)
+        hi = jnp.where(k32, jnp.zeros_like(w_hi), w_hi)
+        kk = (k & 31).astype(jnp.uint32)
+        return jnp.where(kk > 0, (lo >> kk) | (hi << (32 - kk)), lo)
+
+    def shifted_pair(w_lo, w_hi, k):
+        """(lo, hi) 64-bit view starting k (<= 57) bits in; bits past
+        64-7-k are garbage — callers bound their reads."""
+        k32 = k >= 32
+        lo = jnp.where(k32, w_hi, w_lo)
+        hi = jnp.where(k32, jnp.zeros_like(w_hi), w_hi)
+        kk = (k & 31).astype(jnp.uint32)
+        lo2 = jnp.where(kk > 0, (lo >> kk) | (hi << (32 - kk)), lo)
+        hi2 = jnp.where(kk > 0, hi >> kk, hi)
+        return lo2, hi2
+
     def mask(v, nb):
         return v & ((jnp.uint32(1) << nb.astype(jnp.uint32)) - 1)
 
@@ -206,6 +225,9 @@ def batch_decode_device(data, bit0, mlen, window, npostfix, ndirect,
         live = phase < PH_DONE
         w_lo, w_hi = window64(st["bit"])
 
+        is_cmd0 = live & (phase == PH_CMD)
+        is_ext0 = live & (phase == PH_EXTRAS)
+
         # --- CMD ---
         c_sym, c_bits, c_bad = _tree_decode(cmd_tree, w_lo)
         c_sym = jnp.clip(c_sym, 0, 703)
@@ -213,100 +235,159 @@ def batch_decode_device(data, bit0, mlen, window, npostfix, ndirect,
         n_cpy = cmd2cpy[c_sym]
         n_impl = implicit0[c_sym]
 
-        # --- EXTRAS ---
-        ieb = ins_base[st["ins_code"]], ins_extra[st["ins_code"]]
-        ceb = cpy_base[st["cpy_code"]], cpy_extra[st["cpy_code"]]
-        v_ins = mask(w_lo, ieb[1]).astype(I32)
-        x = shifted(w_lo, w_hi, ieb[1])
-        v_cpy = mask(x, ceb[1]).astype(I32)
-        e_ins_len = ieb[0] + v_ins
-        e_cpy_len = ceb[0] + v_cpy
-        e_bits = ieb[1] + ceb[1]
+        # --- EXTRAS, fused with CMD when the 57-bit window covers
+        # cmd symbol + both extras (all but huge-length commands: a
+        # separate EXTRAS step then drains them) ---
+        ic_eff = jnp.where(is_cmd0, n_ins, st["ins_code"])
+        cc_eff = jnp.where(is_cmd0, n_cpy, st["cpy_code"])
+        base_off = jnp.where(is_cmd0, c_bits, 0).astype(I32)
+        iebits = ins_extra[ic_eff]
+        cebits = cpy_extra[cc_eff]
+        fits = (base_off + iebits + cebits) <= 57
+        we1 = shifted64(w_lo, w_hi, base_off)
+        v_ins = mask(we1, iebits).astype(I32)
+        we2 = shifted64(w_lo, w_hi, base_off + iebits)
+        v_cpy = mask(we2, cebits).astype(I32)
+        e_ins_len = ins_base[ic_eff] + v_ins
+        e_cpy_len = cpy_base[cc_eff] + v_cpy
+        e_bits = iebits + cebits
 
-        # --- LIT ---
+        # --- LIT (up to 3 per step from one window: 3 x 15 bits
+        # fit the guaranteed 57) ---
         l_sym, l_bits, l_bad = _tree_decode(lit_tree, w_lo)
+        w2 = shifted64(w_lo, w_hi, l_bits)
+        l_sym2, l_bits2, l_bad2 = _tree_decode(lit_tree, w2)
+        w3 = shifted64(w_lo, w_hi, l_bits + l_bits2)
+        l_sym3, l_bits3, l_bad3 = _tree_decode(lit_tree, w3)
 
-        # --- DIST (symbol + short/direct/extra fused) ---
-        d_sym, d_bits0, d_bad = _tree_decode(dist_tree, w_lo)
-        dcode = jnp.clip(d_sym, 0, dist_tree["syms"].shape[1] - 1)
+        # --- DIST (symbol + short/direct/extra fused), evaluated at a
+        # per-lane bit offset so it can ALSO run inside a CMD step
+        # (copy-only command) or the final LIT step — saving the
+        # dedicated PH_DIST round trip for most commands ---
         cache = st["cache"]
-        short_d = cache[lane, jnp.clip(sc_idx[jnp.clip(dcode, 0, 15)],
-                                       0, 3)] \
-            + sc_delta[jnp.clip(dcode, 0, 15)]
-        direct_d = dcode - 16 + 1
-        h = jnp.maximum(dcode - ndirect - 16, 0)
-        hcode = h >> npostfix
-        lcode = h & ((1 << npostfix) - 1)
-        nbits_raw = (1 + (hcode >> 1)).astype(I32)
-        nbits = jnp.clip(nbits_raw, 0, 24)  # >24 = malformed, flagged
-        offs = ((2 + (hcode & 1)) << nbits) - 4
-        xd = shifted(w_lo, w_hi, d_bits0)
-        extra = mask(xd, nbits).astype(I32)
-        long_d = ((offs + extra) << npostfix) + lcode + ndirect + 1
-        is_short = dcode < 16
-        is_direct = (~is_short) & (dcode < 16 + ndirect)
-        distance = jnp.where(is_short, short_d,
-                             jnp.where(is_direct, direct_d, long_d))
-        d_bits = jnp.where(is_short | is_direct, d_bits0,
+
+        def dist_decode(wl, wh):
+            d_sym, d_bits0, d_bad = _tree_decode(dist_tree, wl)
+            dcode = jnp.clip(d_sym, 0,
+                             dist_tree["syms"].shape[1] - 1)
+            short_d = cache[lane,
+                            jnp.clip(sc_idx[jnp.clip(dcode, 0, 15)],
+                                     0, 3)] \
+                + sc_delta[jnp.clip(dcode, 0, 15)]
+            direct_d = dcode - 16 + 1
+            h = jnp.maximum(dcode - ndirect - 16, 0)
+            hcode = h >> npostfix
+            lcode = h & ((1 << npostfix) - 1)
+            nbits_raw = (1 + (hcode >> 1)).astype(I32)
+            nbits = jnp.clip(nbits_raw, 0, 24)  # >24 = malformed
+            offs = ((2 + (hcode & 1)) << nbits) - 4
+            xd = shifted(wl, wh, d_bits0)
+            extra = mask(xd, nbits).astype(I32)
+            long_d = ((offs + extra) << npostfix) + lcode \
+                + ndirect + 1
+            is_short = dcode < 16
+            is_direct = (~is_short) & (dcode < 16 + ndirect)
+            dd = jnp.where(is_short, short_d,
+                           jnp.where(is_direct, direct_d, long_d))
+            db = jnp.where(is_short | is_direct, d_bits0,
                            d_bits0 + nbits)
-        d_bad = d_bad | (is_short & (distance <= 0)) \
-            | (~is_short & ~is_direct & (nbits_raw > 24))
+            d_bad = d_bad | (is_short & (dd <= 0)) \
+                | (~is_short & ~is_direct & (nbits_raw > 24))
+            return dd, db, d_bad, dcode
+
+        distance, d_bits, d_bad, dcode = dist_decode(w_lo, w_hi)
 
         # ------- select per phase -------
-        is_cmd = live & (phase == PH_CMD)
-        is_ext = live & (phase == PH_EXTRAS)
+        is_cmd = is_cmd0
+        is_ext = is_ext0
         is_lit = live & (phase == PH_LIT)
         is_dst = live & (phase == PH_DIST)
+        # ext_eff: this step delivered the extras — either the fused
+        # CMD window covered them or a dedicated EXTRAS step ran
+        ext_eff = (is_cmd & fits) | is_ext
+
+        # literal batch: how many of the up-to-3 decodes apply
+        take2 = is_lit & (st["ins_rem"] >= 2)
+        take3 = is_lit & (st["ins_rem"] >= 3)
+        nl = is_lit.astype(I32) + take2.astype(I32) + take3.astype(I32)
+        lit_bits = l_bits + jnp.where(take2, l_bits2, 0) \
+            + jnp.where(take3, l_bits3, 0)
 
         consumed = jnp.where(
-            is_cmd, c_bits,
+            is_cmd, c_bits + jnp.where(fits, e_bits, 0),
             jnp.where(is_ext, e_bits,
-                      jnp.where(is_lit, l_bits,
+                      jnp.where(is_lit, lit_bits,
                                 jnp.where(is_dst, d_bits, 0))))
         bit = st["bit"] + consumed
-        bad = (is_cmd & c_bad) | (is_lit & l_bad) | (is_dst & d_bad)
+        bad = (is_cmd & c_bad) | (is_lit & l_bad) \
+            | (take2 & l_bad2) | (take3 & l_bad3) | (is_dst & d_bad)
 
         out_len = st["out_len"]
         mrem = mlen - out_len
 
-        # CMD -> stash codes, go EXTRAS
+        # CMD -> stash codes (consumed by the rare unfused EXTRAS step)
         ins_code = jnp.where(is_cmd, n_ins, st["ins_code"])
         cpy_code = jnp.where(is_cmd, n_cpy, st["cpy_code"])
         impl = jnp.where(is_cmd, n_impl, st["impl"])
 
         # EXTRAS -> ins_rem/copy_len; overruns flag fallback
-        e_over = is_ext & (e_ins_len > mrem)
-        ins_rem = jnp.where(is_ext, e_ins_len, st["ins_rem"])
-        cur_ins = jnp.where(is_ext, e_ins_len, st["cur_ins"])
-        copy_len = jnp.where(is_ext, e_cpy_len, st["copy_len"])
+        e_over = ext_eff & (e_ins_len > mrem)
+        ins_rem = jnp.where(ext_eff, e_ins_len, st["ins_rem"])
+        cur_ins = jnp.where(ext_eff, e_ins_len, st["cur_ins"])
+        copy_len = jnp.where(ext_eff, e_cpy_len, st["copy_len"])
 
-        # LIT -> emit byte
-        lit_i = jnp.clip(st["nlit"], 0, s_lit - 1)
-        lits = st["lits"].at[lane, lit_i].set(
+        # LIT -> emit up to 3 bytes
+        li0 = jnp.clip(st["nlit"], 0, s_lit - 1)
+        li1 = jnp.clip(st["nlit"] + 1, 0, s_lit - 1)
+        li2 = jnp.clip(st["nlit"] + 2, 0, s_lit - 1)
+        lits = st["lits"]
+        lits = lits.at[lane, li0].set(
             jnp.where(is_lit, l_sym.astype(jnp.uint8),
-                      st["lits"][lane, lit_i]))
-        nlit = st["nlit"] + is_lit.astype(I32)
-        out_len = out_len + is_lit.astype(I32)
-        ins_rem = ins_rem - is_lit.astype(I32)
+                      lits[lane, li0]))
+        lits = lits.at[lane, li1].set(
+            jnp.where(take2, l_sym2.astype(jnp.uint8),
+                      lits[lane, li1]))
+        lits = lits.at[lane, li2].set(
+            jnp.where(take3, l_sym3.astype(jnp.uint8),
+                      lits[lane, li2]))
+        nlit = st["nlit"] + nl
+        out_len = out_len + nl
+        ins_rem = ins_rem - nl
 
-        # after literals (or EXTRAS with 0 inserts): where do we go?
-        lit_done = (is_lit & (ins_rem == 0)) | (is_ext & ~e_over &
+        # after literals (or extras with 0 inserts): where do we go?
+        lit_done = (is_lit & (ins_rem == 0)) | (ext_eff & ~e_over &
                                                 (e_ins_len == 0))
         block_end = lit_done & (out_len == mlen)
         # implicit-dist0 copy: emitted without a DIST phase
         use_impl = lit_done & ~block_end & (impl == 1)
         impl_dist = cache[:, 0]
+        # fused explicit distance: lanes whose literals (or extras
+        # with 0 inserts) finished THIS step still hold the distance
+        # symbol+extras in the current window — decode at the per-lane
+        # offset and skip the PH_DIST round trip.  Lanes whose window
+        # can't cover it (offset > 42, or offset+bits past the 57
+        # guaranteed-valid bits, or a spuriously-bad decode from
+        # garbage tail bits) fall through to PH_DIST as before.
+        f_off = jnp.where(is_cmd, c_bits + e_bits,
+                          jnp.where(is_ext, e_bits,
+                                    lit_bits)).astype(I32)
+        fl, fh = shifted_pair(w_lo, w_hi, f_off)
+        f_dist, f_bits, f_bad, f_dcode = dist_decode(fl, fh)
+        want_f = lit_done & ~block_end & (impl == 0)
+        is_fdst = want_f & ~f_bad & (f_off <= 42) & \
+            (f_off + f_bits <= 57)
         # distances may reach into PREVIOUS metablock output: the
         # total position is out_prefix + metablock-local out_len
         max_dist = jnp.minimum(out_len + out_prefix, window)
 
-        # unified copy emit (implicit or DIST phase): window copies
-        # advance out_len by copy_len; static-dictionary references
-        # (distance beyond max_dist) advance it by the TRANSFORM
-        # OUTPUT length — content-independent, tabulated per
+        # unified copy emit (implicit, fused, or DIST phase): window
+        # copies advance out_len by copy_len; static-dictionary
+        # references (distance beyond max_dist) advance it by the
+        # TRANSFORM OUTPUT length — content-independent, tabulated per
         # (transform, word length) — the host resolves the bytes
-        is_copy = use_impl | is_dst
-        eff_dist = jnp.where(is_dst, distance, impl_dist)
+        is_copy = use_impl | is_dst | is_fdst
+        eff_dist = jnp.where(is_dst, distance,
+                             jnp.where(is_fdst, f_dist, impl_dist))
         is_dictref = is_copy & (eff_dist > max_dist)
         word_id = eff_dist - max_dist - 1
         cl_ok = (copy_len >= 4) & (copy_len <= 24)
@@ -335,10 +416,13 @@ def batch_decode_device(data, bit0, mlen, window, npostfix, ndirect,
         out_len = out_len + copy_adds
 
         # ring cache: push on explicit non-dictionary non-zero codes
-        push = is_dst & ~is_dictref & ~c_over & (dcode != 0)
+        push = ((is_dst & (dcode != 0)) | (is_fdst & (f_dcode != 0))) \
+            & ~is_dictref & ~c_over
         new_cache = jnp.stack(
-            [distance, cache[:, 0], cache[:, 1], cache[:, 2]], axis=1)
+            [eff_dist, cache[:, 0], cache[:, 1], cache[:, 2]], axis=1)
         cache = jnp.where(push[:, None], new_cache, cache)
+        # fused-dist lanes consumed their distance bits in this step
+        bit = bit + jnp.where(is_fdst, f_bits, 0)
 
         # fallback: malformed codes/refs, overruns, output overflow
         bad = bad | e_over | dict_bad | c_over \
@@ -346,8 +430,8 @@ def batch_decode_device(data, bit0, mlen, window, npostfix, ndirect,
 
         done_now = emit_cmd & (out_len == mlen)
         nphase = jnp.where(
-            is_cmd, PH_EXTRAS,
-            jnp.where(is_ext & ~lit_done, PH_LIT,
+            is_cmd & ~fits, PH_EXTRAS,
+            jnp.where(ext_eff & ~lit_done, PH_LIT,
                       jnp.where(lit_done & ~block_end & (impl == 0),
                                 PH_DIST, phase)))
         nphase = jnp.where(is_copy & ~dict_bad & ~c_over & ~done_now,

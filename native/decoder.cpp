@@ -1864,3 +1864,58 @@ extern "C" int64_t stream_decoder_window_size(void* pd) {
     MbDecoder& d = *(MbDecoder*)pd;
     return d.header_done ? d.window_size : 0;
 }
+
+// ---------------------------------------------------------------------------
+// LZ execution for the TPU batched symbol-layer decoder: the chip
+// returns (literal bytes, commands); this applies them over the
+// retained prefix at memcpy speed (the Python per-command loop was
+// the batch path's wall-clock bottleneck once the device leg shrank).
+// cmds rows are (insert_len, copy_len, distance); a distance past the
+// window resolves a static-dictionary word exactly like the stream
+// decoder.  Returns body length (== mlen) or -2.
+// ---------------------------------------------------------------------------
+extern "C" int64_t lz_execute_native(
+    const uint8_t* lits, int64_t nlit,
+    const int32_t* cmds, int64_t ncmd,
+    int64_t prefix_len, int64_t window, int64_t mlen,
+    uint8_t* out /* prefix already at out[0..prefix_len) */)
+{
+    uint8_t word_buf[64];
+    int64_t n = prefix_len;
+    int64_t li = 0;
+    const int64_t end = prefix_len + mlen;
+    for (int64_t k = 0; k < ncmd; k++) {
+        int64_t ins = cmds[3 * k], cpy = cmds[3 * k + 1],
+                dist = cmds[3 * k + 2];
+        if (ins) {
+            if (li + ins > nlit || n + ins > end) return -2;
+            std::memcpy(out + n, lits + li, (size_t)ins);
+            n += ins;
+            li += ins;
+        }
+        if (cpy) {
+            int64_t max_dist = std::min(n, window);
+            if (dist > max_dist) {
+                int64_t word_id = dist - max_dist - 1;
+                if (cpy < 4 || cpy > 24 || word_id < 0) return -2;
+                int64_t sb = g_dict.size_bits_by_length[cpy];
+                int64_t idx = word_id & ((int64_t(1) << sb) - 1);
+                int64_t transform = word_id >> sb;
+                int64_t wl = transform_word(cpy, idx, transform,
+                                            word_buf);
+                if (wl < 0 || n + wl > end) return -2;
+                std::memcpy(out + n, word_buf, (size_t)wl);
+                n += wl;
+            } else if (dist <= 0 || n + cpy > end) {
+                return -2;
+            } else if (dist >= cpy) {
+                std::memcpy(out + n, out + n - dist, (size_t)cpy);
+                n += cpy;
+            } else {
+                for (int64_t j = 0; j < cpy; j++, n++)
+                    out[n] = out[n - dist];
+            }
+        }
+    }
+    return n - prefix_len == mlen ? mlen : -2;
+}

@@ -15,11 +15,20 @@ def main():
     from brotli_tpu import compress
     from brotli_tpu.decode.batch_tpu import decompress_batch_tpu
 
-    with open("/usr/lib/x86_64-linux-gnu/libc.so.6", "rb") as f:
-        libc = f.read()
+    blob = b""
+    for p in ("/usr/lib/x86_64-linux-gnu/libc.so.6",
+              "/usr/lib/x86_64-linux-gnu/libstdc++.so.6",
+              "/usr/bin/python3", "/usr/bin/g++"):
+        try:
+            import os
+            with open(os.path.realpath(p), "rb") as f:
+                blob += f.read()
+        except OSError:
+            pass
     n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     seg = 64 << 10
-    payloads = [libc[i * seg:(i + 1) * seg] for i in range(n_streams)]
+    assert len(blob) >= n_streams * seg, "corpus too small"
+    payloads = [blob[i * seg:(i + 1) * seg] for i in range(n_streams)]
     streams = [compress(p, quality=3) for p in payloads]
     total = sum(len(p) for p in payloads)
 
