@@ -137,10 +137,12 @@ def _quality_knobs(params: EncoderParams):
         # this geometry is 2.25MB and the round-4 interleaved A/B
         # moved q5 from 0.75x to ~0.89x C at size 0.9994 (the wider
         # 2^17 table's extra candidates bought only 0.02% size).
-        # n_cache=2 probes two short codes (4 cost ~7% speed for
-        # +0.04% size); the 8-byte table covers long matches
-        return dict(k=8, bucket_bits=16, k8=2, bucket_bits8=16,
-                    hash_len=4, n_cache=2)
+        # round-4 re-sweep: k=7 (one slot fewer, -12% row scan) paid
+        # back with n_cache=4 short-code probes (cheap: one 4-byte
+        # gate each) — size stays 0.9998x C on the mixed corpus; the
+        # 8-byte table covers long matches
+        return dict(k=7, bucket_bits=16, k8=2, bucket_bits8=16,
+                    hash_len=4, n_cache=4)
     if q <= 9:
         # the full 16-candidate short-code probe set (reference H9
         # kNumLastDistancesToCheck=16, mod.rs:598); same

@@ -212,9 +212,10 @@ def test_golden_sizes():
         pytest.skip("goldens pin the native production path")
     data = load("alice29.txt")
     # C engine at the same qualities: q5 52,809 / q9 51,054 — both
-    # greedy tiers beat it (q5 re-pinned in round 4: the L2-resident
-    # 2^16x8 compact-ring geometry is faster AND smaller on alice)
-    assert len(compress(data, quality=5)) == 52_175
+    # greedy tiers beat it (q5 re-pinned twice in round 4: first the
+    # L2-resident 2^16x8 compact-ring geometry, then the k=7/n_cache=4
+    # re-sweep — -12% row scan for +91 bytes on alice, still beats C)
+    assert len(compress(data, quality=5)) == 52_266
     assert len(compress(data, quality=9)) == 51_046
     # q10 default runs ONE refinement iteration on the top-K rows (the
     # reference maps one-shot q10 to the 9.5 tier, encode.rs:1470) —
