@@ -33,6 +33,12 @@ _EARLY_CAND_CAP = int(os.environ.get("BROTLI_TPU_EARLY_CAND_CAP", "6"))
 #: insert-start queue width of the final iteration (reference
 #: StartPosQueue holds 8, hq.rs:185)
 _FINAL_STARTS = int(os.environ.get("BROTLI_TPU_FINAL_STARTS", "5"))
+#: candidate rows visited per position by the FAST tier's single DP
+#: iteration (0 = unlimited, the refining tiers' final-iteration
+#: setting).  8 produces byte-identical output on the mixed/text/
+#: binary A/B corpora — the collector's prefix-min ladder makes rows
+#: 9+ dominated — at strictly less DP work
+_FAST_CAND_CAP = int(os.environ.get("BROTLI_TPU_FAST_CAND_CAP", "8"))
 
 Q11_ITERS = int(os.environ.get("BROTLI_TPU_Q11_ITERS", "5"))
                # cost-model refinement rounds at q11 (reference runs 2;
@@ -894,7 +900,8 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                 # the wide queue
                 n_starts=(min(_FINAL_STARTS, 4) if iters == 1
                           else _FINAL_STARTS) if it == last_it else 2,
-                cand_cap=0 if it == last_it else _EARLY_CAND_CAP,
+                cand_cap=((_FAST_CAND_CAP if iters == 1 else 0)
+                          if it == last_it else _EARLY_CAND_CAP),
                 max_zopfli_len=150 if params.quality <= 10 else 325)
             end_cost = (min(float(cost[n]),
                             float((cost[:n] - lcp[:n]).min() + lcp[n]))

@@ -547,21 +547,46 @@ int64_t collect_matches_native(
             }
         };
 
+        // two-pass row scans (same trick as find_matches_native): a
+        // branch-free gate pass in storage order builds a hit
+        // bitmask, probes then walk only hits in recency order;
+        // k <= 128 always holds for the collection geometries
+        // (q11: 96/48), guarded anyway
+        auto scan_row = [&](const uint64_t* row, int32_t c,
+                            int64_t kcap) {
+            int32_t kk = (int32_t)std::min<int64_t>(c, kcap);
+            if (kcap > 128) {
+                for (int32_t j = 0; j < kk && per < max_per_pos; j++)
+                    emit(row[((c - 1 - j) % kcap + kcap) % kcap]);
+                return;
+            }
+            int32_t valid = c < (int32_t)kcap ? c : (int32_t)kcap;
+            uint64_t gm[2] = {0, 0};
+            for (int32_t s = 0; s < valid; s++) {
+                uint64_t e = row[s];
+                uint64_t hit = ((uint32_t)(e >> 32) == v4) &
+                    ((uint64_t)(i - (int64_t)(uint32_t)e) <=
+                     (uint64_t)window_size);
+                gm[s >> 6] |= hit << (s & 63);
+            }
+            if (!(gm[0] | gm[1])) return;
+            for (int32_t j = 0; j < kk && per < max_per_pos; j++) {
+                int32_t s = (int32_t)(((c - 1 - j) % (int32_t)kcap
+                                       + (int32_t)kcap)
+                                      % (int32_t)kcap);
+                if (!((gm[s >> 6] >> (s & 63)) & 1)) continue;
+                emit(row[s]);
+            }
+        };
         {
             uint32_t h = (v4 * 0x1E35A7BDu) >> shift4;
-            int32_t c = cnt4[h];
-            int32_t kk = (int32_t)std::min<int64_t>(c, k);
-            for (int32_t j = 0; j < kk && per < max_per_pos; j++)
-                emit(ring4[h * k + ((c - 1 - j) % k + k) % k]);
+            scan_row(ring4 + (int64_t)h * k, cnt4[h], k);
         }
         if (k8 && i + 8 <= n) {
             uint64_t v8 = load64(data + i);
             uint32_t h8 = (uint32_t)((v8 * 0x1FE35A7BD3579BD3ull)
                                      >> shift8);
-            int32_t c = cnt8[h8];
-            int32_t kk = (int32_t)std::min<int64_t>(c, k8);
-            for (int32_t j = 0; j < kk && per < max_per_pos; j++)
-                emit(ring8[h8 * k8 + ((c - 1 - j) % k8 + k8) % k8]);
+            scan_row(ring8 + (int64_t)h8 * k8, cnt8[h8], k8);
         }
         // long-match skip-ahead (matches stay in the tables via
         // insert_upto; reference hq.rs:1339 skips after >325 matches)
@@ -1919,24 +1944,44 @@ void find_matches_native(
         {
             int32_t c = cnt4[h4];
             int32_t m = (int32_t)std::min<int64_t>(c, k_eff);
-            for (int32_t j = 0; j < m; j++) {
-                uint64_t e = ring4[h4 * k + ((c - 1 - j) % k + k) % k];
-                int64_t cand = (int64_t)(uint32_t)e;
-                int64_t dist = i - cand;
-                if (dist > window_size) break;
-                if ((uint32_t)(e >> 32) != v4) continue;
-                // one-byte domination gate (exact): candidates arrive
-                // distance-increasing and best/b2 were set within this
-                // scan, so entering the top 2 requires extending past
-                // min(bl, b2l) — a mismatch there prunes the whole
-                // probe (same gate as search_impl / collect_matches;
-                // without top2 tracking the bound is bl itself)
-                int64_t g = best2_len ? std::min(bl, b2l) : bl;
-                if (g > 0 && (g >= limit ||
-                    data[cand + g] != data[i + g])) continue;
-                int64_t ml = probe_len(data, cand, i, limit);
-                if (ml < 4) continue;
-                consider(ml, dist, score_of(ml, dist));
+            const uint64_t* row = ring4 + h4 * k;
+            // two-pass scan: a branch-free vectorizable gate pass
+            // over the row in STORAGE order (the 4-byte equality and
+            // the window bound don't care about recency), then probes
+            // walk only the gate hits in recency order.  k <= 64 so
+            // one u64 bitmask covers the row.
+            uint64_t gatemask = 0;
+            int32_t valid = c < (int32_t)k ? c : (int32_t)k;
+            for (int32_t s = 0; s < valid; s++) {
+                uint64_t e = row[s];
+                uint64_t hit = ((uint32_t)(e >> 32) == v4) &
+                               ((uint64_t)(i - (int64_t)(uint32_t)e)
+                                <= (uint64_t)window_size);
+                gatemask |= hit << s;
+            }
+            if (gatemask) {
+                for (int32_t j = 0; j < m; j++) {
+                    int32_t s = (int32_t)(((c - 1 - j) % (int32_t)k
+                                           + (int32_t)k) % (int32_t)k);
+                    if (!((gatemask >> s) & 1)) continue;
+                    uint64_t e = row[s];
+                    int64_t cand = (int64_t)(uint32_t)e;
+                    int64_t dist = i - cand;
+                    if (dist > window_size) break;
+                    // one-byte domination gate (exact): candidates
+                    // arrive distance-increasing and best/b2 were set
+                    // within this scan, so entering the top 2 requires
+                    // extending past min(bl, b2l) — a mismatch there
+                    // prunes the whole probe (same gate as
+                    // search_impl / collect_matches; without top2
+                    // tracking the bound is bl itself)
+                    int64_t g = best2_len ? std::min(bl, b2l) : bl;
+                    if (g > 0 && (g >= limit ||
+                        data[cand + g] != data[i + g])) continue;
+                    int64_t ml = probe_len(data, cand, i, limit);
+                    if (ml < 4) continue;
+                    consider(ml, dist, score_of(ml, dist));
+                }
             }
             ring4[h4 * k + (cnt4[h4] % k)] = ent;
             cnt4[h4]++;
