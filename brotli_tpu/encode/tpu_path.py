@@ -93,6 +93,53 @@ def _match_dense(row, min_pos, window_size: int, halo: int, k: int,
                                 len_shift=LEN_SHIFT, invert=False)
 
 
+@partial(__import__("jax").jit,
+         static_argnames=("window_size", "halo", "k", "rounds"))
+def _match_parse_dense(row, min_pos, window_size: int, halo: int,
+                       k: int, rounds: int):
+    """max_device form: match AND commit the greedy parse on the chip
+    (ops.parse.committed_parse pointer doubling over 4096 sub-blocks).
+    Returns (visited, take, dist) for the [halo:] span — the host's
+    only work is vectorized command assembly + the native store
+    (serialization glue).  Trades ratio for device fraction: copies
+    cap at 4*rounds bytes (no host extension pass), parses truncate at
+    sub-block seams, and the static dictionary is off — measured
+    ~+11% vs host q5 on the mixed corpus at device fraction ~0.97
+    (research/max_device_mode.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.fold_pallas import best_matches_exact_p
+    from ..ops.parse import committed_parse
+    packed = best_matches_exact_p(row, window_size, k=k,
+                                  rounds=rounds, min_pos=min_pos,
+                                  len_shift=LEN_SHIFT)[halo:]
+    bl = (packed >> LEN_SHIFT).astype(jnp.int32)
+    bd = (packed & ((1 << LEN_SHIFT) - 1)).astype(jnp.int32)
+    logd = 31 - jax.lax.clz(jnp.maximum(bd, 1).astype(jnp.int32))
+    score = jnp.where(bl > 0, 135 * bl - 30 * logd, 0)
+    visited, take = committed_parse(bl, score, 4096)
+    return visited, take, bd
+
+
+def _commands_from_parse(visited, take, dist, real):
+    """Vectorized (ins, cps, dst, adv) from a device commitment."""
+    vis = np.nonzero(visited[:real])[0]
+    tk = take[vis]
+    cp = tk >= 2
+    cp_pos = vis[cp].astype(np.int64)
+    cp_len = tk[cp].astype(np.int64)
+    cp_dist = dist[cp_pos].astype(np.int64)
+    prev_end = np.concatenate([[0], cp_pos + cp_len])
+    ins = cp_pos - prev_end[:-1]
+    tail = real - (prev_end[-1] if len(cp_pos) else 0)
+    if tail > 0:
+        ins = np.concatenate([ins, [tail]])
+        cp_len = np.concatenate([cp_len, [0]])
+        cp_dist = np.concatenate([cp_dist, [1]])
+    return ins, cp_len, cp_dist, cp_len.copy()
+
+
 _link_cache: dict = {}
 
 
@@ -158,13 +205,20 @@ def _extract_literals(region, dlen, ins, adv):
 
 def compress_tpu(data, quality: int = 9, lgwin: int = 22,
                  mode: int = 0, span: int | None = None,
-                 stats: dict | None = None) -> bytes:
+                 stats: dict | None = None,
+                 max_device: bool = False) -> bytes:
     """One-shot TPU-path compress for q2-q9 (q0/1 use the trivial-tier
     fast path; q10/11's optimal parse stays on host).
 
     stats: pass a dict to receive the pipeline shape — wall_s,
     host_busy_s (serialization leg), device_wait_s (blocked on the
-    chip/link), and device_fraction = device_wait / wall."""
+    chip/link), and device_fraction = device_wait / wall.
+
+    max_device: commit the greedy parse ON THE CHIP too
+    (_match_parse_dense) — host work drops to command assembly + the
+    native store, device fraction ~0.97, at a measured ratio cost
+    (~+11% vs host q5 on the mixed corpus: copies cap at 4*rounds
+    bytes, sub-block parse seams, no static dictionary)."""
     import time as _time
 
     import jax
@@ -214,10 +268,15 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
 
     def dispatch(j):
         row_d = jax.device_put(rows[j], dev)
-        inflight[j] = _match_dense(row_d, np.int32(min_pos[j]),
-                                   params.window_size, halo,
-                                   device_invert=device_invert,
-                                   **knobs)
+        if max_device:
+            inflight[j] = _match_parse_dense(
+                row_d, np.int32(min_pos[j]), params.window_size, halo,
+                k=knobs["k"], rounds=max(knobs["rounds"], 4))
+        else:
+            inflight[j] = _match_dense(row_d, np.int32(min_pos[j]),
+                                       params.window_size, halo,
+                                       device_invert=device_invert,
+                                       **knobs)
 
     for j in range(min(_MAX_INFLIGHT, len(starts))):
         dispatch(j)
@@ -234,7 +293,17 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
         if j + _MAX_INFLIGHT < len(starts):
             dispatch(j + _MAX_INFLIGHT)
         real = min(span, n - s0)
-        if len(sorted_out) == 1:   # device_invert: position space
+        if max_device:
+            # device commitment: host = command assembly + store only
+            vis, tk, dd = sorted_out
+            ins, cps, dst, adv = _commands_from_parse(vis, tk, dd,
+                                                      real)
+            mp0 = int(min_pos[j])
+            dlen = halo - mp0
+            row = rows[j]
+            region = row[mp0:halo + real]
+            segs = [(ins, cps, dst, adv)]
+        elif len(sorted_out) == 1:   # device_invert: position space
             packed = sorted_out[0][:real].astype(np.int64)
         else:
             if len(sorted_out) == 6:  # exact9: two folds, host merge
@@ -242,65 +311,66 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
             else:
                 packed = nb.invert_perm32(*sorted_out)
             packed = packed[halo:halo + real].astype(np.int64)
-        bl = packed >> LEN_SHIFT
-        bd = packed & ((1 << LEN_SHIFT) - 1)
-        row = rows[j]
-        # exact extension of device length-capped matches (every
-        # reported length is byte-attested by the kernel's exact
-        # chunk-value payloads, so extension resumes at the cap)
-        cap = 4 * knobs["rounds"]
-        if nb.available():
-            capped = bl >= cap
-            if knobs["variant"] == "exact9":
-                # the exact9 short-match fold caps its lengths at 8
-                # (base 4 + one payload round): a winning 8-capped
-                # short-fold match may really be longer, so len == 8
-                # is an extension candidate too (extension is an exact
-                # byte compare, so extending a genuinely-8 match from
-                # the main fold is merely a no-op)
-                capped |= bl == 8
-            if capped.any():
-                pos_c = np.nonzero(capped)[0]
-                ext = nb.extend_caps(row[:halo + real], 0,
-                                     pos_c + halo, bd[pos_c],
-                                     bl[pos_c])
-                bl[pos_c] = ext
-        with np.errstate(divide="ignore"):
-            bsc = np.where(
-                bl > 0,
-                135 * bl - 30 * np.floor(
-                    np.log2(np.maximum(bd, 2))).astype(np.int64),
-                0)
-        # drop the zero-filled part of the halo on host: with
-        # dlen = halo - min_pos (== min(s0, halo)) every row-local
-        # position maps exactly to its absolute stream position (the
-        # halo covers the window, so both clamp to the window beyond
-        # it) — the walk's max_distance tests and dictionary
-        # pseudo-distances are absolute-exact for every shard
-        mp0 = int(min_pos[j])
-        dlen = halo - mp0
-        region = row[mp0:halo + real]
-        # union static-dictionary candidates on host (the device
-        # kernel searches the window only)
-        isd = np.zeros(real, bool)
-        bwire = bl.copy()
-        from .static_dict import add_dictionary_matches
-        fl = np.zeros(dlen + real, np.int64)
-        fd = np.zeros(dlen + real, np.int64)
-        fs = np.zeros(dlen + real, np.int64)
-        fi = np.zeros(dlen + real, bool)
-        fw = np.zeros(dlen + real, np.int64)
-        fl[dlen:] = bl; fd[dlen:] = bd; fs[dlen:] = bsc
-        fw[dlen:] = bwire
-        add_dictionary_matches(region, dlen, params.window_size,
-                               135, fl, fd, fs, fi, fw)
-        bl, bd, bsc = fl[dlen:], fd[dlen:], fs[dlen:]
-        isd, bwire = fi[dlen:], fw[dlen:]
-        segs = greedy_parse(region, bl, bd, bsc, [real], dict_len=dlen,
-                            pos0=0, initial_cache=tuple(cache),
-                            best_isdict=isd,
-                            window_size=params.window_size,
-                            best_wire=bwire)
+        if not max_device:
+            bl = packed >> LEN_SHIFT
+            bd = packed & ((1 << LEN_SHIFT) - 1)
+            row = rows[j]
+            # exact extension of device length-capped matches (every
+            # reported length is byte-attested by the kernel's exact
+            # chunk-value payloads, so extension resumes at the cap)
+            cap = 4 * knobs["rounds"]
+            if nb.available():
+                capped = bl >= cap
+                if knobs["variant"] == "exact9":
+                    # the exact9 short-match fold caps its lengths at 8
+                    # (base 4 + one payload round): a winning 8-capped
+                    # short-fold match may really be longer, so len == 8
+                    # is an extension candidate too (extension is an exact
+                    # byte compare, so extending a genuinely-8 match from
+                    # the main fold is merely a no-op)
+                    capped |= bl == 8
+                if capped.any():
+                    pos_c = np.nonzero(capped)[0]
+                    ext = nb.extend_caps(row[:halo + real], 0,
+                                         pos_c + halo, bd[pos_c],
+                                         bl[pos_c])
+                    bl[pos_c] = ext
+            with np.errstate(divide="ignore"):
+                bsc = np.where(
+                    bl > 0,
+                    135 * bl - 30 * np.floor(
+                        np.log2(np.maximum(bd, 2))).astype(np.int64),
+                    0)
+            # drop the zero-filled part of the halo on host: with
+            # dlen = halo - min_pos (== min(s0, halo)) every row-local
+            # position maps exactly to its absolute stream position (the
+            # halo covers the window, so both clamp to the window beyond
+            # it) — the walk's max_distance tests and dictionary
+            # pseudo-distances are absolute-exact for every shard
+            mp0 = int(min_pos[j])
+            dlen = halo - mp0
+            region = row[mp0:halo + real]
+            # union static-dictionary candidates on host (the device
+            # kernel searches the window only)
+            isd = np.zeros(real, bool)
+            bwire = bl.copy()
+            from .static_dict import add_dictionary_matches
+            fl = np.zeros(dlen + real, np.int64)
+            fd = np.zeros(dlen + real, np.int64)
+            fs = np.zeros(dlen + real, np.int64)
+            fi = np.zeros(dlen + real, bool)
+            fw = np.zeros(dlen + real, np.int64)
+            fl[dlen:] = bl; fd[dlen:] = bd; fs[dlen:] = bsc
+            fw[dlen:] = bwire
+            add_dictionary_matches(region, dlen, params.window_size,
+                                   135, fl, fd, fs, fi, fw)
+            bl, bd, bsc = fl[dlen:], fd[dlen:], fs[dlen:]
+            isd, bwire = fi[dlen:], fw[dlen:]
+            segs = greedy_parse(region, bl, bd, bsc, [real], dict_len=dlen,
+                                pos0=0, initial_cache=tuple(cache),
+                                best_isdict=isd,
+                                window_size=params.window_size,
+                                best_wire=bwire)
         ins, cps, dst, adv = segs[0]
         is_last = j == len(starts) - 1
         ctx_mode = choose_context_mode(row[halo:halo + real],

@@ -366,3 +366,21 @@ def test_exact8_kernel_valid_and_roundtrips():
     raw = load("alice29.txt")
     out = compress_tpu(raw, quality=7, span=1 << 16)
     assert decompress(out) == raw
+
+
+def test_tpu_path_max_device_roundtrip():
+    """max_device mode: match + parse commitment on the device, host
+    does command assembly + store only.  Ratio is traded (capped
+    copies, sub-block seams, no dictionary) — gate it loosely and pin
+    correctness through both decoders."""
+    from brotli_tpu import compress, decompress
+    from brotli_tpu.encode.tpu_path import compress_tpu
+    with open(f"{TESTDATA}/alice29.txt", "rb") as f:
+        data = f.read()
+    out = compress_tpu(data, quality=5, span=1 << 16, max_device=True)
+    assert decompress(out) == data
+    host = compress(data, quality=5)
+    assert len(out) <= len(host) * 1.15
+    from . import oracle
+    if oracle.available():
+        assert oracle.decompress(out, max_size_hint=len(data)) == data
