@@ -48,7 +48,29 @@ class _Lane:
 def _try_parse_stream(data: bytes):
     """Walk one stream on the host.  Returns a plan:
     list of segments, each either ("bytes", b) literal output,
-    ("lane", _Lane) device metablock, or None if ineligible."""
+    ("lane", _Lane) device metablock, or None if ineligible.
+    Dispatches to the native header walk (parse_lane_header_native)
+    when available — the Python per-stream parse was ~1 s per 128
+    streams, the dominant host leg after the native LZ execute; the
+    Python body below remains the tested oracle."""
+    from .. import native_bridge as nb
+    if nb.available():
+        r = nb.parse_lane_header(data)
+        if r is None:
+            return None
+        meta, pre_segs, lit_len, cmd_len, dist_len = r
+        segs = [("bytes", data[off:off + ln]) for off, ln in pre_segs]
+        lane = _Lane(
+            stream_idx=-1, data=data, bit0=int(meta[0]),
+            mlen=int(meta[1]), window=(1 << int(meta[2])) - 16,
+            npostfix=int(meta[3]), ndirect=int(meta[4]),
+            lit_len=lit_len.astype(np.int32),
+            cmd_len=cmd_len.astype(np.int32),
+            dist_len=dist_len.astype(np.int32),
+            cache=list(C.INITIAL_DISTANCE_CACHE),
+            out_prefix_len=int(meta[7]))
+        segs.append(("lane", lane))
+        return segs
     reader = BitReader(data)
     wbits = _read_window_bits(reader, False)
     window_size = (1 << wbits) - 16

@@ -1337,3 +1337,28 @@ def lz_execute(prefix, lits, cmds, ncmd, window, mlen):
     if r != mlen:
         return None
     return buf[len(prefix):len(prefix) + int(mlen)].tobytes()
+
+
+def parse_lane_header(data: bytes):
+    """Native lane-header walk for the TPU batch decoder (mirrors
+    decode.batch_tpu._try_parse_stream).  Returns None when the stream
+    is ineligible for the device tier, else (meta, pre_segments,
+    lit_len, cmd_len, dist_len) with meta = (bit0, mlen, wbits,
+    npostfix, ndirect, dist_alpha, n_pre, out_prefix_len)."""
+    lib = get_lib()
+    buf = np.frombuffer(data, np.uint8)
+    meta = np.zeros(8, np.int64)
+    pre = np.zeros(2 * 64, np.int64)
+    lit = np.zeros(256, np.uint8)
+    cmd = np.zeros(704, np.uint8)
+    dl = np.zeros(1024, np.uint8)
+    r = lib.parse_lane_header_native(
+        _ptr(buf, U8), ctypes.c_int64(len(buf)), _ptr(meta),
+        _ptr(pre), ctypes.c_int64(64), _ptr(lit, U8), _ptr(cmd, U8),
+        _ptr(dl, U8))
+    if r != 1:
+        return None
+    n_pre = int(meta[6])
+    segs = [(int(pre[2 * i]), int(pre[2 * i + 1]))
+            for i in range(n_pre)]
+    return meta, segs, lit, cmd, dl[:int(meta[5])]

@@ -1919,3 +1919,107 @@ extern "C" int64_t lz_execute_native(
     }
     return n - prefix_len == mlen ? mlen : -2;
 }
+
+// ---------------------------------------------------------------------------
+// Lane-header parse for the TPU batched decoder: walks one stream's
+// structure (headers only, no symbol decode) and, when it matches the
+// device tier's eligibility — any number of uncompressed/metadata
+// metablocks followed by ONE final compressed metablock with a single
+// block type per category and one literal/distance tree — returns the
+// wire code-length arrays + bit position the device kernel needs.
+// Mirrors decode/batch_tpu._try_parse_stream (the Python oracle).
+// Returns 1 eligible, 0 ineligible, -1 truncated, -2 corrupt.
+// meta[8]: bit0, mlen, wbits, npostfix, ndirect, dist_alpha, n_pre,
+// out_prefix_len.  pre[2*max_pre]: (byte_off, len) literal segments.
+// ---------------------------------------------------------------------------
+extern "C" int64_t parse_lane_header_native(
+    const uint8_t* in, int64_t in_len,
+    int64_t* meta, int64_t* pre, int64_t max_pre,
+    uint8_t* lit_len, uint8_t* cmd_len, uint8_t* dist_len)
+{
+    BitReader br{in, in_len, 0};
+    int wbits;
+    int64_t rh = parse_stream_header(br, 0, &wbits);
+    if (rh) return rh;
+    std::vector<int32_t> arena_mem(1 << 16);
+    TableArena arena{arena_mem.data(), (int64_t)arena_mem.size()};
+    uint8_t scratch[1200];
+    int64_t n_pre = 0, out_prefix = 0;
+    for (;;) {
+        int64_t islast = br.read(1);
+        if (br.over()) return -1;
+        if (islast && br.read(1)) return br.over() ? -1 : 0;  // empty
+        if (br.over()) return -1;
+        int64_t mnibbles = br.read(2);
+        if (mnibbles == 3) {  // metadata
+            if (br.read(1)) return br.over() ? -1 : -2;
+            int64_t mskip = br.read(2);
+            int64_t skip = 0;
+            if (mskip) {
+                int64_t val = br.read((int)(8 * mskip));
+                if (mskip > 1 && (val >> (8 * (mskip - 1))) == 0)
+                    return br.over() ? -1 : -2;
+                skip = val + 1;
+            }
+            if (!br.align_ok()) return br.over() ? -1 : -2;
+            if (!br.at_least(8 * skip)) return -1;
+            br.skip_bulk(8 * skip);
+            if (islast) return 0;
+            continue;
+        }
+        int64_t mlen = br.read((int)(16 + 4 * mnibbles)) + 1;
+        if (br.over()) return -1;
+        if (mnibbles > 0 &&
+            ((mlen - 1) >> (16 + 4 * (mnibbles - 1))) == 0)
+            return -2;
+        if (!islast && br.read(1)) {  // ISUNCOMPRESSED
+            if (!br.align_ok()) return br.over() ? -1 : -2;
+            if (!br.at_least(8 * mlen)) return -1;
+            if (n_pre >= max_pre) return 0;
+            pre[2 * n_pre] = br.pos >> 3;
+            pre[2 * n_pre + 1] = mlen;
+            n_pre++;
+            out_prefix += mlen;
+            br.skip_bulk(8 * mlen);
+            continue;
+        }
+        // compressed metablock: must be last (the host walk cannot
+        // pass an un-decoded metablock)
+        BlockCat L, I, D;
+        if (read_block_header(br, L, arena, scratch)) return 0;
+        if (read_block_header(br, I, arena, scratch)) return 0;
+        if (read_block_header(br, D, arena, scratch)) return 0;
+        if (L.num_types != 1 || I.num_types != 1 || D.num_types != 1)
+            return 0;
+        int64_t npostfix = br.read(2);
+        int64_t ndirect = br.read(4) << npostfix;
+        br.read(2);  // literal context mode (single type)
+        int ntrees_l = read_count_code(br);
+        uint8_t cmap[256 * 4];
+        if (ntrees_l > 256) return 0;
+        if (read_context_map(br, 64, ntrees_l, cmap, arena, scratch))
+            return 0;
+        int ntrees_d = read_count_code(br);
+        if (ntrees_d > 256) return 0;
+        if (read_context_map(br, 4, ntrees_d, cmap, arena, scratch))
+            return 0;
+        if (ntrees_l != 1 || ntrees_d != 1) return 0;
+        int64_t dist_alpha = 16 + ndirect + (48ll << npostfix);
+        PrefixTable pt;
+        arena.used = 0;
+        if (read_prefix_code(br, lit_len, 256, pt, arena)) return 0;
+        if (read_prefix_code(br, cmd_len, 704, pt, arena)) return 0;
+        if (read_prefix_code(br, dist_len, (int)dist_alpha, pt,
+                             arena)) return 0;
+        if (!islast) return 0;
+        meta[0] = br.pos;
+        meta[1] = mlen;
+        meta[2] = wbits;
+        meta[3] = npostfix;
+        meta[4] = ndirect;
+        meta[5] = dist_alpha;
+        meta[6] = n_pre;
+        meta[7] = out_prefix;
+        return 1;
+    }
+}
