@@ -162,7 +162,7 @@ def _pgo_train() -> None:
         except OSError:
             continue
     for data in workloads:
-        for q in (1, 5, 9):
+        for q in (1, 3, 5, 9):
             out = compress(data, quality=q)
             assert decompress(out) == data
         out = compress(data[:1 << 17], quality=11)
