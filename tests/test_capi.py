@@ -1067,3 +1067,36 @@ def test_streaming_decoder_large_window():
         assert bytes(total) == data
     finally:
         L.BrotliDecoderDestroyInstance(st)
+
+
+def test_capi_streaming_dirty_final_padding_rejected():
+    """RFC 7932 §9.2 through the STREAMING ABI: nonzero padding bits
+    after the last metablock must error (the resumable MbDecoder's
+    finish sites check alignment like the one-shot loop)."""
+    from brotli_tpu import compress
+    L = lib()
+    L.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    comp = bytearray(compress(load("alice29.txt"), quality=9))
+    comp[-1] ^= 0x80  # dirty the final padding bit
+    st = ctypes.c_void_p(L.BrotliDecoderCreateInstance(None, None, None))
+    buf = ctypes.create_string_buffer(1 << 19)
+    avail_in = ctypes.c_size_t(len(comp))
+    pin = ctypes.cast(ctypes.c_char_p(bytes(comp)),
+                      ctypes.POINTER(ctypes.c_uint8))
+    ppin = ctypes.pointer(pin)
+    saw_error = False
+    for _ in range(64):
+        avail_out = ctypes.c_size_t(len(buf))
+        pout = ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8))
+        r = L.BrotliDecoderDecompressStream(
+            st, ctypes.byref(avail_in), ppin,
+            ctypes.byref(avail_out), ctypes.pointer(pout), None)
+        if r == 0:
+            saw_error = True
+            break
+        if r == 1:
+            break
+        if avail_in.value == 0 and r == 2:
+            break  # would wait forever on more input: also a fail
+    assert saw_error, "dirty final padding accepted by streaming ABI"
+    L.BrotliDecoderDestroyInstance(st)
