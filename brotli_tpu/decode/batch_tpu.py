@@ -11,13 +11,15 @@ literal stream to reconstruct bytes (LZ window work — memcpy-grade).
 
 Eligibility per metablock: one block type in all three categories,
 one literal tree and one distance tree (the context maps are then
-all-zero and the literal-context feedback loop stays off-device), and
-no static-dictionary references (detected ON the device; such lanes
-return status!=0).  Any ineligible or flagged stream falls back to the
-native host decoder — results are identical either way, the tier only
-moves where the entropy layer runs.  Our own q<4 streams and any
-single-tree streams qualify; context-modeled streams (typical q5+)
-route to the host.
+all-zero and the literal-context feedback loop stays off-device).
+Static-dictionary references ARE resolved on this path: the device
+validates the word id and advances by the transform output length,
+and the host resolves the bytes during LZ execution; only malformed
+refs raise the lane's status flag.  Any ineligible or flagged stream
+falls back to the native host decoder — results are identical either
+way, the tier only moves where the entropy layer runs.  Our own q<4
+streams and any single-tree streams qualify; context-modeled streams
+(typical q5+) route to the host.
 
 Reference surface bar: BrotliDecoderDecompress over a batch (SURVEY
 §2.11 serving path); host oracle decode/decoder.py.
@@ -266,6 +268,7 @@ def decompress_batch_tpu(streams, interpret: bool | None = None):
         nlit = np.asarray(nlit)
         ncmd = np.asarray(ncmd)
         status = np.asarray(status)
+        end_bit = np.asarray(end_bit)
 
         def bucket(v, cap):
             b = 64
@@ -280,7 +283,14 @@ def decompress_batch_tpu(streams, interpret: bool | None = None):
 
         for j, ln in enumerate(lanes):
             if int(status[j]) != 4:  # PH_DONE
-                continue  # dictionary ref / malformed: host fallback
+                continue  # malformed construct: host fallback
+            # RFC 7932 §9.2: final padding bits (from the device's end
+            # bit up to the byte boundary) must be zero — the host and
+            # native decoders reject nonzero padding, so this tier must
+            # too (fall back; the host raises the matching error).
+            end = int(end_bit[j])
+            if (end & 7) and (ln.data[end >> 3] >> (end & 7)) != 0:
+                continue
             prefix = b"".join(
                 seg for kind, seg in plans[ln.stream_idx]
                 if kind == "bytes")
@@ -298,8 +308,12 @@ def decompress_batch_tpu(streams, interpret: bool | None = None):
             outputs.append(results[i])
             n_device += 1
         else:
-            outputs.append(nb.decode(bytes(s)) if nb.available()
-                           else _host_decode(bytes(s)))
+            # _host_decode (decoder.decompress) dispatches to the
+            # native engine itself and translates its ValueError codes
+            # into BrotliDecodeError/NeedsMoreInput — use it directly
+            # so batch fallbacks raise the same exception types as
+            # decompress()
+            outputs.append(_host_decode(bytes(s)))
     return outputs, n_device
 
 

@@ -127,6 +127,7 @@ def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
     # CPU mesh (the driver's multichip dryrun) still reports a TPU
     # default backend, and Mosaic cannot lower for CPU devices.
     from ..ops.fold_pallas import (best_matches_exact_p,
+                                   best_matches_exact8_p,
                                    best_matches_exact9_p)
     interp = np.asarray(mesh.devices).ravel()[0].platform != "tpu"
 
@@ -137,6 +138,15 @@ def halo_pipeline(mesh: Mesh, window_size: int, halo: int, k: int = 8,
             packed = best_matches_exact9_p(data, window_size, k=k,
                                            k_short=max(k8, 8),
                                            rounds=rounds,
+                                           min_pos=min_pos[0],
+                                           interpret=interp)
+        elif k8 > 0:
+            # the greedy host matcher's k8 is an 8-byte long-match
+            # secondary table; in sorted space that coverage comes
+            # from the two-key 8-byte fold, so k8>0 routes here
+            # (best_matches_exact_p alone is k8=0 semantics)
+            packed = best_matches_exact8_p(data, window_size, k=k,
+                                           rounds=max(rounds, 2),
                                            min_pos=min_pos[0],
                                            interpret=interp)
         else:

@@ -791,9 +791,15 @@ int BrotliEncoderCompressPrealloc(
     words_bytes &= ~size_t(7);
     if (scratch_size < words_bytes + (5u << 16)) return 0;
     size_t arena_sz = scratch_size - words_bytes;
-    auto* words = reinterpret_cast<uint64_t*>(
-        scratch + ((arena_sz + 7) & ~size_t(7)));
-    size_t words_n = (scratch_size - ((arena_sz + 7) & ~size_t(7))) / 8;
+    // align the words pointer to an ABSOLUTE 8-byte boundary — the
+    // caller's scratch pointer itself need not be aligned, so aligning
+    // the offset alone would leave misaligned u64 stores (UB on
+    // strict-alignment targets)
+    uintptr_t base = reinterpret_cast<uintptr_t>(scratch);
+    uintptr_t waddr = (base + ((arena_sz + 7) & ~size_t(7)) + 7) &
+                      ~uintptr_t(7);
+    auto* words = reinterpret_cast<uint64_t*>(waddr);
+    size_t words_n = (scratch_size - (size_t)(waddr - base)) / 8;
     int64_t bits = compress_fragment_prealloc_native(
         input, (int64_t)input_size, lgwin, quality, scratch,
         (int64_t)arena_sz, words, (int64_t)(words_n * 64 - 128));

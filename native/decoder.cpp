@@ -35,14 +35,17 @@ namespace {
 // env-gated work counters: [0] commands, [1] trivial literals,
 // [2] ctx literals, [3] dist symbols, [4] dict refs, [5] block
 // switches
-static int64_t* dec_ctr = nullptr;
-static int64_t dec_ctr_store[8];
+// thread_local: debug-only instrumentation, but concurrent decodes
+// (workpool verification, multi-threaded callers) must not race on
+// the accumulators — each thread reports its own totals
+static thread_local int64_t* dec_ctr = nullptr;
+static thread_local int64_t dec_ctr_store[8];
 // opt-in per-section cycle split (BROTLI_TPU_DEC_CTR=2): [0] command
 // head, [1] literals, [2] distance, [3] copy.  rdtsc pairs around the
 // sections distort the measurement (~10-20%) but the RATIOS locate
 // the expensive leg per content class
-static uint64_t dec_cyc[4];
-static int dec_cyc_on = 0;
+static thread_local uint64_t dec_cyc[4];
+static thread_local int dec_cyc_on = 0;
 static inline uint64_t dec_tsc() {
 #if defined(__x86_64__)
     unsigned lo, hi;

@@ -191,6 +191,37 @@ def test_batch_decode_tpu_roundtrip():
         assert ndev >= 2
 
 
+def test_batch_decode_tpu_rejects_dirty_padding():
+    """RFC 7932 §9.2 conformance on the DEVICE tier: a stream whose
+    final padding bits are nonzero must be rejected by the batch path
+    exactly as decompress() rejects it (the device lane validates the
+    trailing bits after a clean decode and falls back)."""
+    import pytest
+    from brotli_tpu import compress, decompress, BrotliDecodeError
+    from brotli_tpu.decode.batch_tpu import decompress_batch_tpu
+    alice = load("alice29.txt")
+    payload = alice[:4096]
+    for q in (2, 3):
+        s = compress(payload, quality=q)
+        # confirm the clean stream takes the device lane
+        outs, ndev = decompress_batch_tpu([s])
+        assert outs == [payload] and ndev == 1
+        # find a stream shape with at least one padding bit: set the
+        # top bit of the last byte; if that byte had no spare bits the
+        # host accepts it and so must the batch path
+        bad = s[:-1] + bytes([s[-1] | 0x80])
+        try:
+            host = decompress(bad)
+        except BrotliDecodeError:
+            host = None
+        if host is None:
+            with pytest.raises(BrotliDecodeError):
+                decompress_batch_tpu([bad])
+        else:
+            outs, _ = decompress_batch_tpu([bad])
+            assert outs == [host]
+
+
 def test_batch_decode_tpu_fixture_fallback():
     """The batch API never corrupts: upstream fixtures (multi-tree,
     context-modeled — ineligible for the device) fall back to the
