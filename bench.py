@@ -213,6 +213,30 @@ def main():
             size_vs_c=round(size_vs, 4),
         )
 
+    # ---- fast tiers (q0-q3): encode-only interleaved A/B vs C.
+    # The reference bar is compress_fragment{,_two_pass} (q0/q1) and
+    # the basic hashers (q2/q3); sizes are deterministic, speeds are
+    # min-of-6 with ours/C alternating inside each rep ----
+    fast = {}
+    if oracle.available():
+        for q in (0, 1, 2, 3):
+            compress(sl[: 1 << 16], quality=q)  # warm
+            our_t, c_t = 1e9, 1e9
+            our_out = c_out = b""
+            for _ in range(6):
+                t0 = time.perf_counter()
+                our_out = compress(sl, quality=q)
+                our_t = min(our_t, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                c_out = oracle.compress(sl, quality=q)
+                c_t = min(c_t, time.perf_counter() - t0)
+            assert decompress(our_out) == sl
+            fast[f"q{q}"] = dict(
+                enc_MBps=round(len(sl) / our_t / 1e6, 1),
+                enc_vs_c=round(c_t / our_t, 3),
+                size_vs_c=round(len(our_out) / len(c_out), 4),
+            )
+
     # ---- Zopfli tiers (q10/q11): encode-only on a text+code slice,
     # interleaved min-of-N vs the C engine (the optimal parse is the
     # reference's flagship ratio mode — report speed AND size) ----
@@ -321,6 +345,7 @@ def main():
         "detail": {
             "q9": q9,
             "q5": results[5],
+            "fast_tiers": fast,
             "zopfli_512k": zopfli,
             "workpool_multi4": workpool,
             "batch_decode4_MBps": batch_mbps,

@@ -350,6 +350,41 @@ static bool build_table(PrefixTable& pt, const uint8_t* lengths, int n,
     return true;
 }
 
+// Bake each literal symbol's context classes into spare bits of its
+// table entries: leaf = len(4b) | sym(8b)<<4 | lut0[sym]<<12 |
+// lut1[sym]<<18.  The context literal hot loops then obtain the NEXT
+// literal's context with pure ALU work (ctx = cc0 | pc1) instead of
+// two dependent LUT loads after every decoded symbol — the serial
+// ctx->tree->symbol chain loses one L1 hop per literal (the round-4
+// cycle split put ~35% of q5-stream decode in this chain).  Symbol
+// consumers extract (uint8_t)(e >> 4), so the extra bits are inert
+// everywhere else; internal root entries (len > 10) keep their
+// subtable offsets and are skipped here, while their second-level
+// leaves are baked through the walk.
+static void bake_lit_ctx(PrefixTable& pt, const uint8_t* lut0,
+                         const uint8_t* lut1) {
+    int32_t* tab = pt.tab;
+    for (int i = 0; i < 1024; i++) {
+        int32_t e = tab[i];
+        int l = e & 15;
+        if (l <= 10) {
+            int sym = (e >> 4) & 255;
+            tab[i] = (int32_t)(l | (sym << 4) |
+                               ((int32_t)lut0[sym] << 12) |
+                               ((int32_t)lut1[sym] << 18));
+        } else {
+            int32_t* sub = tab + (e >> 4);
+            for (int64_t j = 0; j < (1ll << (l - 10)); j++) {
+                int32_t e2 = sub[j];
+                int sym = (e2 >> 4) & 255;
+                sub[j] = (int32_t)((e2 & 15) | (sym << 4) |
+                                   ((int32_t)lut0[sym] << 12) |
+                                   ((int32_t)lut1[sym] << 18));
+            }
+        }
+    }
+}
+
 // read a prefix code description (RFC 3.4/3.5) into lengths[n]
 static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
                             PrefixTable& pt, TableArena& arena,
@@ -820,6 +855,46 @@ static int64_t decode_loop(
         const uint8_t* lut0 = nullptr;
         const uint8_t* lut1 = nullptr;
 
+        // distance-symbol side tables: nbits and precomputed base per
+        // dcode (depends only on npostfix/ndirect — one table per
+        // metablock).  The hot loop then decodes every distance class
+        // through one uniform skip(dl + nb) and a branch-lean select
+        // instead of the 4-way class branch (mispredict-heavy on
+        // mixed streams).
+        int8_t dside_nbits[1136];
+        int32_t dside_base[1136];
+        {
+            int da = dist_alpha < 1136 ? dist_alpha : 1136;
+            for (int dc = 0; dc < da; dc++) {
+                if (dc < 16) {
+                    dside_nbits[dc] = 0;
+                    dside_base[dc] = 0;
+                } else if (dc < 16 + ndirect) {
+                    dside_nbits[dc] = 0;
+                    dside_base[dc] = dc - 16 + 1;
+                } else {
+                    int64_t h = dc - ndirect - 16;
+                    int64_t hcode = h >> npostfix;
+                    int64_t lcode = h & ((1 << npostfix) - 1);
+                    int nbits = (int)(1 + (hcode >> 1));
+                    int64_t offset = ((2 + (hcode & 1)) << nbits) - 4;
+                    dside_nbits[dc] = (int8_t)nbits;
+                    int64_t base = (offset << npostfix) + lcode +
+                                   ndirect + 1;
+                    // large-window distances can exceed int32; the
+                    // hot loop routes those through the exact 64-bit
+                    // computation (nbits >= 30 marks them)
+                    if (base + (((1ll << nbits) - 1) << npostfix) >
+                        0x7fffffffll) {
+                        dside_nbits[dc] = (int8_t)(nbits | 64);
+                        dside_base[dc] = 0;
+                    } else {
+                        dside_base[dc] = (int32_t)base;
+                    }
+                }
+            }
+        }
+
         // Per-segment invariants hoisted out of the symbol loops: root
         // table pointers per tree, and the current block type's LUT
         // rows / context-map rows, refreshed only on block switches.
@@ -833,6 +908,17 @@ static int64_t decode_loop(
         const uint8_t* l1 = g_dict.ctx_lut1 + modes[L.cur] * 256;
         const uint8_t* drow = cmap_d + ((int64_t)D.cur << 2);
         const bool lit_trivial = !L.has && ntrees_l == 1;
+        // bake context classes into the literal tables (mode of block
+        // type 0; block types with a different mode — possible per RFC
+        // but emitted by no known encoder — fall back to the LUT
+        // chain via bake_ok)
+        if (!lit_trivial) {
+            const uint8_t* bl0 = g_dict.ctx_lut0 + modes[0] * 256;
+            const uint8_t* bl1 = g_dict.ctx_lut1 + modes[0] * 256;
+            for (int t = 0; t < ntrees_l; t++)
+                bake_lit_ctx(lit_pt[t], bl0, bl1);
+        }
+        bool bake_ok = modes[L.cur] == modes[0];
         // fold the context-map row and the per-tree root array into
         // one pointer table per block type: the per-literal chain
         // drops a dependent load (ctx -> root instead of
@@ -974,23 +1060,56 @@ static int64_t decode_loop(
                 if (br.avail < 45) br.refill();
                 uint64_t w0 = br.bits;
                 int consumed = 0;
-                for (int64_t j = 0; j < ins_len; j++) {
-                    int ctx = l0[p1] | l1[p2];
-                    const int32_t* tab = ctx_tabs[ctx];
-                    uint64_t w = w0 >> consumed;
-                    int32_t e = tab[w & 1023];
-                    int l = e & 15;
-                    if (__builtin_expect(l > 10, 0)) {
-                        if (__builtin_expect(dec_ctr != nullptr, 0))
-                            dec_ctr[6]++;
-                        e = tab[(e >> 4) +
-                                ((w >> 10) & ((1u << (l - 10)) - 1))];
-                        l = e & 15;
+                if (__builtin_expect(bake_ok, 1)) {
+                    // carried-class chain: the three LUT loads issue
+                    // off p1/p2 (ready before the command decode);
+                    // after each symbol the NEXT context is ALU-only
+                    // from the entry's baked classes
+                    int cc0 = l0[p1], cc1 = l1[p1], pc1 = l1[p2];
+                    for (int64_t j = 0; j < ins_len; j++) {
+                        int ctx = cc0 | pc1;
+                        const int32_t* tab = ctx_tabs[ctx];
+                        uint64_t w = w0 >> consumed;
+                        int32_t e = tab[w & 1023];
+                        int l = e & 15;
+                        if (__builtin_expect(l > 10, 0)) {
+                            if (__builtin_expect(dec_ctr != nullptr,
+                                                 0))
+                                dec_ctr[6]++;
+                            e = tab[(e >> 4) +
+                                    ((w >> 10) &
+                                     ((1u << (l - 10)) - 1))];
+                            l = e & 15;
+                        }
+                        pc1 = cc1;
+                        cc0 = (e >> 12) & 63;
+                        cc1 = (e >> 18) & 63;
+                        p2 = p1;
+                        p1 = (uint8_t)(e >> 4);
+                        out[out_len++] = p1;
+                        consumed += l;
                     }
-                    p2 = p1;
-                    p1 = (uint8_t)(e >> 4);
-                    out[out_len++] = p1;
-                    consumed += l;
+                } else {
+                    for (int64_t j = 0; j < ins_len; j++) {
+                        int ctx = l0[p1] | l1[p2];
+                        const int32_t* tab = ctx_tabs[ctx];
+                        uint64_t w = w0 >> consumed;
+                        int32_t e = tab[w & 1023];
+                        int l = e & 15;
+                        if (__builtin_expect(l > 10, 0)) {
+                            if (__builtin_expect(dec_ctr != nullptr,
+                                                 0))
+                                dec_ctr[6]++;
+                            e = tab[(e >> 4) +
+                                    ((w >> 10) &
+                                     ((1u << (l - 10)) - 1))];
+                            l = e & 15;
+                        }
+                        p2 = p1;
+                        p1 = (uint8_t)(e >> 4);
+                        out[out_len++] = p1;
+                        consumed += l;
+                    }
                 }
                 br.skip(consumed);
                 if (br.over()) return -1;
@@ -1005,41 +1124,81 @@ static int64_t decode_loop(
                         lrow = cmap_l + ((int64_t)L.cur << 6);
                         l0 = g_dict.ctx_lut0 + modes[L.cur] * 256;
                         l1 = g_dict.ctx_lut1 + modes[L.cur] * 256;
+                        bake_ok = modes[L.cur] == modes[0];
                         refresh_lit_tabs();
                     }
                     int64_t take = std::min(ins_len - j, L.remaining);
                     L.remaining -= take;
                     j += take;
                     // same register-batched shape as the trivial path,
-                    // with the context chain (p1, p2) carried in
-                    // registers across the batch
-                    while (take > 0) {
-                        if (br.avail < lit_res) br.refill();
-                        uint64_t w = br.bits;
-                        int64_t amax = br.avail;
-                        int consumed = 0;
-                        do {
-                            int ctx = l0[p1] | l1[p2];
-                            const int32_t* tab = ctx_tabs[ctx];
-                            int32_t e = tab[w & 1023];
-                            int l = e & 15;
-                            if (__builtin_expect(l > 10, 0)) {
-                                if (__builtin_expect(
-                                        dec_ctr != nullptr, 0))
-                                    dec_ctr[6]++;
-                                e = tab[(e >> 4) +
-                                        ((w >> 10) &
-                                         ((1u << (l - 10)) - 1))];
-                                l = e & 15;
-                            }
-                            p2 = p1;
-                            p1 = (uint8_t)(e >> 4);
-                            out[out_len++] = p1;
-                            w >>= l;
-                            consumed += l;
-                            take--;
-                        } while (take > 0 && consumed + lit_res <= amax);
-                        br.skip(consumed);
+                    // with the context chain carried in registers
+                    // across the batch — as baked classes (cc0/cc1/
+                    // pc1) when the tables carry this block type's
+                    // mode, so the per-symbol context is ALU-only
+                    if (__builtin_expect(bake_ok, 1)) {
+                        int cc0 = l0[p1], cc1 = l1[p1], pc1 = l1[p2];
+                        while (take > 0) {
+                            if (br.avail < lit_res) br.refill();
+                            uint64_t w = br.bits;
+                            int64_t amax = br.avail;
+                            int consumed = 0;
+                            do {
+                                int ctx = cc0 | pc1;
+                                const int32_t* tab = ctx_tabs[ctx];
+                                int32_t e = tab[w & 1023];
+                                int l = e & 15;
+                                if (__builtin_expect(l > 10, 0)) {
+                                    if (__builtin_expect(
+                                            dec_ctr != nullptr, 0))
+                                        dec_ctr[6]++;
+                                    e = tab[(e >> 4) +
+                                            ((w >> 10) &
+                                             ((1u << (l - 10)) - 1))];
+                                    l = e & 15;
+                                }
+                                pc1 = cc1;
+                                cc0 = (e >> 12) & 63;
+                                cc1 = (e >> 18) & 63;
+                                p2 = p1;
+                                p1 = (uint8_t)(e >> 4);
+                                out[out_len++] = p1;
+                                w >>= l;
+                                consumed += l;
+                                take--;
+                            } while (take > 0 &&
+                                     consumed + lit_res <= amax);
+                            br.skip(consumed);
+                        }
+                    } else {
+                        while (take > 0) {
+                            if (br.avail < lit_res) br.refill();
+                            uint64_t w = br.bits;
+                            int64_t amax = br.avail;
+                            int consumed = 0;
+                            do {
+                                int ctx = l0[p1] | l1[p2];
+                                const int32_t* tab = ctx_tabs[ctx];
+                                int32_t e = tab[w & 1023];
+                                int l = e & 15;
+                                if (__builtin_expect(l > 10, 0)) {
+                                    if (__builtin_expect(
+                                            dec_ctr != nullptr, 0))
+                                        dec_ctr[6]++;
+                                    e = tab[(e >> 4) +
+                                            ((w >> 10) &
+                                             ((1u << (l - 10)) - 1))];
+                                    l = e & 15;
+                                }
+                                p2 = p1;
+                                p1 = (uint8_t)(e >> 4);
+                                out[out_len++] = p1;
+                                w >>= l;
+                                consumed += l;
+                                take--;
+                            } while (take > 0 &&
+                                     consumed + lit_res <= amax);
+                            br.skip(consumed);
+                        }
                     }
                     if (br.over()) return -1;
                 }
@@ -1082,19 +1241,26 @@ static int64_t decode_loop(
                 }
                 dcode = de >> 4;
                 if (br.over()) return -1;
-                if (dcode == 0) {
-                    // most common distance symbol: exact last distance
-                    br.skip(dl);
-                    distance = dist_cache[0];
-                } else if (dcode < 16) {
-                    br.skip(dl);
-                    distance = dist_cache[kDistShortIdx[dcode]] +
-                               kDistShortDelta[dcode];
+                int nb = dside_nbits[dcode];
+                if (__builtin_expect(nb < 30, 1)) {
+                    // uniform fast path: extra bits from the same
+                    // 57-bit window (nb == 0 for cache/direct codes),
+                    // then a branch-lean select between the
+                    // distance-cache form and the precomputed base
+                    int64_t extra = (int64_t)((wd >> dl) &
+                                              ((1ull << nb) - 1));
+                    br.skip(dl + nb);
+                    int64_t cacheval =
+                        dist_cache[kDistShortIdx[dcode & 15]] +
+                        kDistShortDelta[dcode & 15];
+                    int64_t cand = (int64_t)dside_base[dcode] +
+                                   (extra << npostfix);
+                    distance = dcode < 16 ? cacheval : cand;
                     if (distance <= 0) return br.over() ? -1 : -2;
-                } else if (dcode < 16 + ndirect) {
-                    br.skip(dl);
-                    distance = dcode - 16 + 1;
                 } else {
+                    // large-window tail (or >57-bit window overflow):
+                    // exact 64-bit computation, cold
+                    nb &= 63;
                     int64_t h = dcode - ndirect - 16;
                     int64_t hcode = h >> npostfix;
                     int64_t lcode = h & ((1 << npostfix) - 1);

@@ -95,11 +95,11 @@ def make_tasks(which):
     tasks["enc9"] = encode(9)
     tasks["enc11"] = encode(11)
 
-    def dec():
+    def dec(q):
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))), "tests"))
         import oracle
-        comp = oracle.compress(bytes(sl), quality=9)
+        comp = oracle.compress(bytes(sl), quality=q)
         from brotli_tpu import decompress
 
         def run():
@@ -107,7 +107,9 @@ def make_tasks(which):
         return run
 
     if any(w == "dec" for w in which):
-        tasks["dec"] = dec()
+        tasks["dec"] = dec(9)
+    if any(w == "dec5" for w in which):
+        tasks["dec5"] = dec(5)
     return {w: tasks[w] for w in which}, len(sl)
 
 
@@ -116,7 +118,7 @@ def main():
     ap.add_argument("sos", nargs="*", help="two .so paths: old new")
     ap.add_argument("--prepare", help="compile working tree to PATH")
     ap.add_argument("--what", nargs="+", default=["parse9", "parse5"],
-                    choices=["parse9", "parse5", "enc5", "enc9",
+                    choices=["parse9", "parse5", "enc5", "enc9", "dec5",
                              "enc11", "dec"])
     ap.add_argument("--rounds", type=int, default=6)
     args = ap.parse_args()
