@@ -460,8 +460,12 @@ def choose_distance_params(distances: np.ndarray, copy_mask: np.ndarray,
                              minlength=16)[:16]
     if len(dists) == 0:
         return DistanceParams(large_window=large_window)
-    best = None
-    for npostfix in range(4):
+    def lane(npostfix):
+        # one npostfix lane of the sweep; the early break is
+        # lane-local in the reference too, so running the four lanes
+        # on threads (numpy drops the GIL in the heavy ops) changes
+        # wall time only, never the winner
+        lbest = None
         prev = None
         for wire in range(16):  # NDIRECT = wire << npostfix (4 bits)
             ndirect = wire << npostfix
@@ -480,14 +484,28 @@ def choose_distance_params(distances: np.ndarray, copy_mask: np.ndarray,
                 hist[16:16 + ndirect] += np.bincount(
                     dists[direct] - 1, minlength=ndirect)
             total = _dist_stream_cost(hist, extra_cost)
-            if best is None or total < best[0]:
-                best = (total, npostfix, ndirect)
+            if lbest is None or total < lbest[0]:
+                lbest = (total, npostfix, ndirect)
             # the reference abandons an npostfix lane once cost rises
             # (metablock.rs ndirect_msb loop); two strikes guards the
             # non-monotone seam at small ndirect
-            if prev is not None and total > prev and total > best[0]:
+            if prev is not None and total > prev and total > lbest[0]:
                 break
             prev = total
+        return lbest
+
+    if len(dists) >= (1 << 15):
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            lane_bests = list(ex.map(lane, range(4)))
+    else:
+        lane_bests = [lane(npf) for npf in range(4)]
+    # tie-break identical to the serial sweep: first lane wins ties
+    # (strictly-less comparison in lane order)
+    best = None
+    for lb in lane_bests:
+        if lb is not None and (best is None or lb[0] < best[0]):
+            best = lb
     return DistanceParams(npostfix=best[1], ndirect=best[2],
                           large_window=large_window)
 

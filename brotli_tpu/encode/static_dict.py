@@ -257,7 +257,8 @@ def sorted_dict_index():
 
 
 def collect_dict_matches(data: np.ndarray, dict_len: int,
-                         window_size: int, chunk: int = 1 << 15):
+                         window_size: int, chunk: int = 1 << 15,
+                         progress=None, out=None):
     """ALL static-dictionary matches (every transform) as sparse
     candidates for the optimal parser: (pos, out_len, pseudo_dist,
     wire), pos relative to the region start.  The DP prices each
@@ -270,7 +271,8 @@ def collect_dict_matches(data: np.ndarray, dict_len: int,
     if n - dict_len < 4:
         return (np.zeros(0, np.int64),) * 4
     if nb.available():
-        return nb.collect_dict_sorted(data, dict_len, window_size)
+        return nb.collect_dict_sorted(data, dict_len, window_size,
+                                      progress=progress, out=out)
     sb, s_len, s_wire, s_wid = sorted_dict_index()
     m = len(s_len)
     keys = np.zeros((m, EXT_MAX_OUT + 1), np.uint8)

@@ -40,7 +40,13 @@ _FINAL_STARTS = int(os.environ.get("BROTLI_TPU_FINAL_STARTS", "5"))
 #: 9+ dominated — at strictly less DP work
 _FAST_CAND_CAP = int(os.environ.get("BROTLI_TPU_FAST_CAND_CAP", "8"))
 
-Q11_ITERS = int(os.environ.get("BROTLI_TPU_Q11_ITERS", "5"))
+# q11 refinement depth: 3 (2 narrow + 1 wide-queue pass, with the
+# convergence stop) is the round-5 default — the round-4 depth of 5
+# bought ~0.07% size on the mixed bench slice for ~40% more wall time
+# (it5 202278 vs it3 202575, C 202711; alice 0.9875 -> 0.9886), the
+# wrong side of the mandate's match-or-beat-speed-at-size<=C trade.
+# BROTLI_TPU_Q11_ITERS=5 restores the deep search.
+Q11_ITERS = int(os.environ.get("BROTLI_TPU_Q11_ITERS", "3"))
                # cost-model refinement rounds at q11 (reference runs 2;
                # extra rounds keep improving the parse/histogram
                # equilibrium and stop early on convergence)
@@ -749,6 +755,235 @@ def zopfli_collect(full: np.ndarray, params, dict_len: int = 0,
                 extra=extra, lit_costs=lit_costs)
 
 
+_OVERLAP_SEED_FRAC = float(os.environ.get(
+    "BROTLI_TPU_OVERLAP_SEED_FRAC", "0.5"))
+
+
+def _zopfli_segment_fast_overlapped(full: np.ndarray, params,
+                                    initial_cache):
+    """Single-iteration (fast-tier) zopfli with the collection and the
+    DP overlapped inside one metablock: the three candidate passes run
+    on worker threads publishing per-position progress marks, and the
+    main thread chases them with chunked dense-prep + chunked DP
+    (native range entry points carry the offset/queue state across
+    chunks).  The iteration-0 cost model is seeded from the greedy
+    pre-pass over the first SEED_FRAC of the rows — measured
+    size-neutral on the bench corpora (the histograms converge well
+    before half the block) — so the DP can start before collection
+    finishes.  Requires dict_len == 0 (the pooled row matrices are
+    region-width); multi-metablock streams keep the cross-metablock
+    prefetch pipeline instead.  Wall win on a 4-core host: the fast
+    tier's deep pass (~0.17 s/512K) disappears behind the DP.
+
+    Reference bar: BrotliCreateZopfliBackwardReferences (hq.rs:984)
+    with the collection/DP phases overlapped; candidate and parse
+    SEMANTICS are unchanged (same rows, same extension, same DP)."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import native_bridge as nb
+    from .command import resolve_commands
+
+    n = len(full)
+    window_size = params.window_size
+    dist_alpha = params.dist.alphabet_size
+    lbs = params.literal_byte_score
+    use_dict = not params.catable
+
+    t = _collect_toggle.__dict__["v"] = \
+        1 - _collect_toggle.__dict__.get("v", 0)
+    m_rows = 3
+    lens = nb._scratch(f"zco_lens{t}", m_rows * n,
+                       np.int64).reshape(m_rows, n)
+    dists = nb._scratch(f"zco_dists{t}", m_rows * n,
+                        np.int64).reshape(m_rows, n)
+    isd = nb._scratch(f"zco_isd{t}", m_rows * n,
+                      np.uint8).reshape(m_rows, n)
+    wire = nb._scratch(f"zco_wire{t}", m_rows * n,
+                       np.int64).reshape(m_rows, n)
+    score0 = nb._scratch(f"zco_sc0{t}", n, np.int64)
+    score2 = nb._scratch(f"zco_sc2{t}", n, np.int64)
+    isd[0] = 0
+    isd[1] = 0
+    prog_deep = np.zeros(1, np.int64)
+    prog_shal = np.zeros(1, np.int64)
+    prog_dict = np.zeros(2, np.int64)
+    dict_cap = 6 * n + 64
+    dcp = nb._scratch(f"zco_dcp{t}", dict_cap, np.int64)
+    dcl = nb._scratch(f"zco_dcl{t}", dict_cap, np.int64)
+    dcd = nb._scratch(f"zco_dcd{t}", dict_cap, np.int64)
+    dcw = nb._scratch(f"zco_dcw{t}", dict_cap, np.int64)
+    dci = nb._scratch(f"zco_dci{t}", dict_cap, np.uint8)
+
+    def deep():
+        return nb.find_best_matches(
+            full, window_size, dict_len=0, literal_byte_score=lbs,
+            k=32, bucket_bits=15, k8=0, use_dictionary=False,
+            want_top2=True, miss_economy=True,
+            out=(lens[0], dists[0], score0, isd[0], wire[0],
+                 lens[1], dists[1]),
+            progress=prog_deep)
+
+    def shallow():
+        return nb.find_best_matches(
+            full, window_size, dict_len=0, literal_byte_score=lbs,
+            k=1, bucket_bits=17, k8=16, use_dictionary=use_dict,
+            miss_economy=True,
+            out=(lens[2], dists[2], score2, isd[2], wire[2],
+                 None, None),
+            progress=prog_shal)
+
+    def dict_pass():
+        if not use_dict:
+            prog_dict[0] = n
+            return 0
+        from .static_dict import collect_dict_matches, \
+            sorted_dict_index
+        sorted_dict_index()
+        r = collect_dict_matches(full, 0, window_size,
+                                 progress=prog_dict,
+                                 out=(dcp, dcl, dcd, dcw))
+        if r is None:
+            return -1  # capacity overflow: caller falls back
+        return len(r[0])
+
+    ex = ThreadPoolExecutor(max_workers=3)
+    fut_deep = ex.submit(deep)
+    fut_shal = ex.submit(shallow)
+    fut_dict = ex.submit(dict_pass)
+    ex.shutdown(wait=False)
+
+    try:
+        lit_costs = estimate_literal_costs(full)
+        lcp = np.concatenate([[0.0], np.cumsum(lit_costs)])
+
+        def wait_cover(hi):
+            """Block until every collector's rows cover [0, hi)."""
+            while True:
+                pd = int(prog_deep[0])
+                ps = int(prog_shal[0])
+                pq = int(prog_dict[0])
+                if min(pd, ps, pq) >= hi:
+                    return
+                # surface worker exceptions instead of spinning
+                for f in (fut_deep, fut_shal, fut_dict):
+                    if f.done():
+                        f.result()
+                _time.sleep(2e-4)
+
+        half = max(1 << 16, int(n * _OVERLAP_SEED_FRAC))
+        half = min(half, n)
+        wait_cover(half)
+        ext_state = np.full(1, -1, np.int64)
+
+        def extend_chunk(lo, hi):
+            # row 1 (deep runner-up) wire = its length, like the
+            # serial assembly's outs[1] = (b2l, b2d, zeros, b2l)
+            wire[1, lo:hi] = lens[1, lo:hi]
+            sub_l = lens[:, lo:hi]
+            sub_i = isd[:, lo:hi]
+            hits = np.argwhere((sub_l >= MATCH_CAP) & (sub_i == 0))
+            if len(hits) == 0:
+                return
+            hits = hits[np.argsort(hits[:, 1], kind="stable")]
+            hc, hp = hits[:, 0], hits[:, 1] + lo
+            ext = nb.extend_caps_range(full, 0, hp,
+                                       dists[hc, hp], lens[hc, hp],
+                                       ext_state)
+            lens[hc, hp] = ext
+            wire[hc, hp] = ext
+
+        extend_chunk(0, half)
+        flat = np.argmax(lens[:, :half], axis=0)
+        ar = np.arange(half)
+        bl = lens[flat, ar]
+        bd = dists[flat, ar]
+        bs = np.where(bl >= 4, 135 * bl - 30 * np.log2(
+            np.maximum(bd, 2)).astype(np.int64), 0)
+        bwire = wire[flat, ar]
+        bisd = isd[flat, ar].astype(bool)
+        pre = greedy_parse(full[:half], bl, bd, bs, [half],
+                           dict_len=0, pos0=0,
+                           initial_cache=initial_cache,
+                           window_size=window_size, best_isdict=bisd,
+                           best_wire=bwire)
+        p_ins, p_cps, p_dst, p_adv = pre[0]
+        pre_cmds, _ = resolve_commands(p_ins, p_cps, p_dst,
+                                       params.dist, advance=p_adv,
+                                       initial_cache=list(
+                                           initial_cache),
+                                       pos_offset=0,
+                                       window_size=window_size)
+        lh, ch, dh = _histograms_from_commands(full[:half], pre_cmds,
+                                               dist_alpha)
+        cost_lit, cost_cmd, cost_dist = _cost_tables(lh, ch, dh)
+        cost_cmd = cost_cmd + float(os.environ.get(
+            "BROTLI_TPU_CMD_BIAS", "0"))
+        cds = cost_dist[:16].copy()
+        cd4 = np.tile(cost_dist, (4, 1))
+        lcp64 = np.ascontiguousarray(lcp, np.float64)
+        cost_cmd = np.ascontiguousarray(cost_cmd, np.float64)
+
+        cand_off = nb._scratch("zco_off", n + 1, np.int64)
+        cand_off[0] = 0
+        packed = nb._scratch("zco_packed", 2 * n + 64,
+                             nb.ZCAND_DTYPE)
+        qstate = np.zeros(18, np.int64)
+        chunk = 1 << 16
+        n_starts = min(_FINAL_STARTS, 4)
+        done = 0
+        ym_done = 0
+        result_arrays = None
+        while done < n:
+            hi = min(done + chunk, n)
+            wait_cover(hi)
+            if hi > half:
+                # [0, half) was extended before the seed
+                extend_chunk(max(done, half), hi)
+            dci_ones = dci
+            # dict entries emitted so far cover every pos < prog_dict
+            ym = int(prog_dict[1])
+            if len(dci_ones) and ym > ym_done:
+                dci_ones[ym_done:ym] = 1
+                ym_done = ym
+            need = int(cand_off[done]) + \
+                int((lens[:, done:hi] >= 2).sum()) + (ym - 0)
+            if need > len(packed):
+                grown = np.empty(max(need + 1024, 2 * len(packed)),
+                                 nb.ZCAND_DTYPE)
+                grown[:int(cand_off[done])] = \
+                    packed[:int(cand_off[done])]
+                packed = grown
+            nb.zopfli_cands_dense_range(
+                lens, dists, isd, wire, (dcp, dcl, dcd, dci, dcw),
+                ym, n, params.dist.npostfix, params.dist.ndirect,
+                cand_off, packed, done, hi)
+            result_arrays = nb.zopfli_dp_cands(
+                n, lcp64, cost_cmd, cds, cd4, (cand_off, packed),
+                _INS_CODE, C.INSERT_EXTRA, _CMD_SYM.reshape(-1),
+                _CMD_SYM_LAST.reshape(-1), full, 0, window_size,
+                np.asarray(initial_cache, dtype=np.int64),
+                n_starts=n_starts, cand_cap=_FAST_CAND_CAP,
+                max_zopfli_len=150 if params.quality <= 10 else 325,
+                p_range=(done, hi), qstate=qstate)
+            done = hi
+        fut_deep.result()
+        fut_shal.result()
+        if fut_dict.result() < 0:
+            return None  # dict buffer overflow: serial fallback
+        cost, ps_, pl_, pw_, pd_ = result_arrays
+        return _finish_parse(n, lcp, cost, ps_, pl_, pw_, pd_)
+    except Exception:
+        # any failure degrades to the serial path; the workers hold
+        # only views into pooled scratch
+        for f in (fut_deep, fut_shal, fut_dict):
+            try:
+                f.result()
+            except Exception:
+                pass
+        raise
+
+
 def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
                    initial_cache=(4, 11, 15, 16), iters=None,
                    precollected=None):
@@ -770,6 +1005,19 @@ def zopfli_segment(full: np.ndarray, params, dict_len: int = 0,
     use_prior = params.quality >= 10 and iters > 1
 
     from .. import native_bridge as nb
+    if (precollected is None and dict_len == 0 and iters == 1
+            and nb.available() and n >= (1 << 18)
+            and not os.environ.get("BROTLI_TPU_NO_OVERLAP")):
+        # single-iteration fast tier, single metablock: overlap the
+        # collection with a chunk-chasing DP (the cross-metablock
+        # prefetch pipeline can't help here)
+        try:
+            r = _zopfli_segment_fast_overlapped(full, params,
+                                                initial_cache)
+            if r is not None:
+                return r
+        except Exception:
+            pass  # serial fallback below
     col = precollected if precollected is not None else zopfli_collect(
         full, params, dict_len, iters=iters)
     cand_lens = col["cand_lens"]

@@ -252,12 +252,14 @@ def _bind(_lib) -> None:
     _lib.collect_dict_sorted_native.restype = ctypes.c_int64
     _lib.zopfli_cands_native.restype = ctypes.c_int64
     _lib.zopfli_cands_dense_native.restype = ctypes.c_int64
+    _lib.zopfli_cands_dense_range_native.restype = ctypes.c_int64
     _lib.est_lit_native.restype = None
     _lib.fragment_parse_native.restype = ctypes.c_int64
     _lib.fragment_parse_seg_native.restype = ctypes.c_int64
     _lib.compress_fragment_pipeline_native.restype = ctypes.c_int64
     _lib.compress_session_pipeline_native.restype = ctypes.c_int64
     _lib.zopfli_dp_cands_native.restype = None
+    _lib.zopfli_dp_cands_range_native.restype = None
     _lib.zopfli_backtrack_native.restype = ctypes.c_int64
     _lib.store_metablock_native.restype = ctypes.c_int64
     _lib.encode_metablock_native.restype = ctypes.c_int64
@@ -273,6 +275,7 @@ def _bind(_lib) -> None:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t),
         ctypes.c_char_p, ctypes.c_size_t]
     _lib.extend_caps_native.restype = None
+    _lib.extend_caps_range_native.restype = None
     _lib.decoder_set_dictionary.restype = None
     _install_decoder_dictionary(_lib)
 
@@ -695,6 +698,51 @@ def zopfli_cands_dense(d_len, d_dist, d_isdict, d_wire, extra, n,
     return cand_off, packed[:cnt]
 
 
+def zopfli_cands_dense_range(d_len, d_dist, d_isdict, d_wire,
+                             x_src, xm, n, npostfix, ndirect,
+                             cand_off, packed, p_start, p_end,
+                             k_win=12, k_dict=4, ladder_top=4):
+    """Chunked zopfli_cands_dense over positions [p_start, p_end).
+    Caller owns every buffer and guarantees dtype/contiguity; x_src is
+    one (pos, len, dist, isdict, wire) source whose first xm entries
+    are valid (ascending positions).  Returns the cumulative candidate
+    count (also written to cand_off[p_end])."""
+    lib = get_lib()
+    x_pos, x_len, x_dist, x_isdict, x_wire = x_src
+    e64 = np.zeros(0, np.int64)
+    e8 = np.zeros(0, np.uint8)
+    cnt = lib.zopfli_cands_dense_range_native(
+        _ptr(d_len), _ptr(d_dist), _ptr(d_isdict, U8), _ptr(d_wire),
+        ctypes.c_int64(d_len.shape[0]),
+        _ptr(x_pos), _ptr(x_len), _ptr(x_dist), _ptr(x_isdict, U8),
+        _ptr(x_wire), ctypes.c_int64(xm),
+        _ptr(e64), _ptr(e64), _ptr(e64), _ptr(e8), _ptr(e64),
+        ctypes.c_int64(0),
+        ctypes.c_int64(n), ctypes.c_int64(npostfix),
+        ctypes.c_int64(ndirect), ctypes.c_int64(k_win),
+        ctypes.c_int64(k_dict), ctypes.c_int64(ladder_top),
+        _ptr(cand_off), ctypes.c_void_p(packed.ctypes.data),
+        ctypes.c_int64(p_start), ctypes.c_int64(p_end))
+    return int(cnt)
+
+
+def extend_caps_range(data, dict_len, pos, dist, lens, state):
+    """Chunked extend_caps: the amortized-skip state (last_end) is
+    carried in state[0] across calls so chunked extension matches the
+    one-shot walk byte for byte."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    pos = np.ascontiguousarray(pos, np.int64)
+    dist = np.ascontiguousarray(dist, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out = np.empty(len(pos), np.int64)
+    lib.extend_caps_range_native(
+        _ptr(data, U8), ctypes.c_int64(len(data)),
+        ctypes.c_int64(dict_len), _ptr(pos), _ptr(dist), _ptr(lens),
+        ctypes.c_int64(len(pos)), _ptr(out), _ptr(state))
+    return out
+
+
 def fragment_parse(data, window_size, bounds, pos0=0, table_bits=17):
     """q0/q1 one-pass greedy fragment parse (fragment_parse_native).
     Returns one (ins, cps, dst, adv) tuple per boundary segment, or
@@ -808,7 +856,8 @@ def est_lit(data, cls, half, utf8_ramp, bias):
 def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
                     cands, ins_code, ins_extra, cmd_sym, cmd_sym_last,
                     data, dict_len, window_size, initial_cache,
-                    n_starts=2, cand_cap=0, max_zopfli_len=0):
+                    n_starts=2, cand_cap=0, max_zopfli_len=0,
+                    p_range=None, qstate=None):
     """Cache-aware DP over prepared candidates with inline sub-length
     ladder (native zopfli_dp_cands_native)."""
     lib = get_lib()
@@ -832,7 +881,15 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
     F64 = ctypes.POINTER(ctypes.c_double)
     F32 = ctypes.POINTER(ctypes.c_float)
     I32 = ctypes.POINTER(ctypes.c_int32)
-    lib.zopfli_dp_cands_native(
+    range_args = ()
+    fn = lib.zopfli_dp_cands_native
+    if p_range is not None:
+        # chunked DP (overlapped collection): [p_start, p_end) with
+        # the start-queue state carried in caller-held qstate[18]
+        fn = lib.zopfli_dp_cands_range_native
+        range_args = (ctypes.c_int64(p_range[0]),
+                      ctypes.c_int64(p_range[1]), _ptr(qstate))
+    fn(
         ctypes.c_int64(n), ctypes.c_int64(n_starts),
         ctypes.c_int64(cand_cap),
         ctypes.c_int64(max_zopfli_len),
@@ -849,7 +906,8 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
         _ptr(cache0),
         cost.ctypes.data_as(F32), prev_start.ctypes.data_as(I32),
         prev_len.ctypes.data_as(I32), prev_wire.ctypes.data_as(I32),
-        prev_dist.ctypes.data_as(I32), node_cache.ctypes.data_as(I32))
+        prev_dist.ctypes.data_as(I32), node_cache.ctypes.data_as(I32),
+        *range_args)
     return cost, prev_start, prev_len, prev_wire, prev_dist
 
 
@@ -910,7 +968,8 @@ def sorted_dict_index_native():
 _DICT_SORTED_STATE = None  # (lpf, bloom, key8, range16), built once
 
 
-def collect_dict_sorted(data, dict_len, window_size):
+def collect_dict_sorted(data, dict_len, window_size, progress=None,
+                        out=None):
     """Exact transform-aware dictionary matches via the native
     predecessor search over the sorted-output index (same contract as
     static_dict.collect_dict_matches)."""
@@ -936,10 +995,14 @@ def collect_dict_sorted(data, dict_len, window_size):
     n = len(data)
     cap = max(64, (n - dict_len) * 6)
     while True:
-        out_p = np.empty(cap, dtype=np.int64)
-        out_l = np.empty(cap, dtype=np.int64)
-        out_d = np.empty(cap, dtype=np.int64)
-        out_w = np.empty(cap, dtype=np.int64)
+        if out is not None:
+            out_p, out_l, out_d, out_w = out
+            cap = len(out_p)
+        else:
+            out_p = np.empty(cap, dtype=np.int64)
+            out_l = np.empty(cap, dtype=np.int64)
+            out_d = np.empty(cap, dtype=np.int64)
+            out_w = np.empty(cap, dtype=np.int64)
         cnt = lib.collect_dict_sorted_native(
             _ptr(data, U8), ctypes.c_int64(n), ctypes.c_int64(dict_len),
             ctypes.c_int64(window_size),
@@ -947,9 +1010,15 @@ def collect_dict_sorted(data, dict_len, window_size):
             lpf.ctypes.data_as(I32), ctypes.c_int64(m), _ptr(bloom, U8),
             key8.ctypes.data_as(U64), range16.ctypes.data_as(I32),
             _ptr(out_p), _ptr(out_l), _ptr(out_d), _ptr(out_w),
-            ctypes.c_int64(cap))
+            ctypes.c_int64(cap),
+            _ptr(progress) if progress is not None else
+            ctypes.POINTER(ctypes.c_int64)())
         if cnt >= 0:
             return out_p[:cnt], out_l[:cnt], out_d[:cnt], out_w[:cnt]
+        if out is not None:
+            # caller-provided buffers (overlapped path): signal
+            # overflow instead of reallocating under the consumer
+            return None
         cap *= 2
 
 
@@ -974,7 +1043,8 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
                       bucket_bits8=18, hash_len=4, min_length=4,
                       literal_byte_score=540, dict_len=0,
                       use_dictionary=True, match_cap=320,
-                      want_top2=False, miss_economy=False):
+                      want_top2=False, miss_economy=False,
+                      out=None, progress=None):
     """Native match finder; same contract as match.find_best_matches.
     With want_top2, also returns the runner-up (len, dist) arrays
     (distinct distance) for Zopfli candidate diversity.
@@ -984,13 +1054,19 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
     lib = get_lib()
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(data)
-    best_len = np.zeros(n, dtype=np.int64)
-    best_dist = np.zeros(n, dtype=np.int64)
-    best_score = np.zeros(n, dtype=np.int64)
-    best_isdict = np.zeros(n, dtype=np.uint8)
-    best_wire = np.zeros(n, dtype=np.int64)
-    b2l = np.zeros(n, dtype=np.int64) if want_top2 else None
-    b2d = np.zeros(n, dtype=np.int64) if want_top2 else None
+    if out is not None:
+        # caller-provided output rows (overlapped collection): each
+        # must be contiguous and n long; b2 slots may be None
+        (best_len, best_dist, best_score, best_isdict, best_wire,
+         b2l, b2d) = out
+    else:
+        best_len = np.zeros(n, dtype=np.int64)
+        best_dist = np.zeros(n, dtype=np.int64)
+        best_score = np.zeros(n, dtype=np.int64)
+        best_isdict = np.zeros(n, dtype=np.uint8)
+        best_wire = np.zeros(n, dtype=np.int64)
+        b2l = np.zeros(n, dtype=np.int64) if want_top2 else None
+        b2d = np.zeros(n, dtype=np.int64) if want_top2 else None
     if use_dictionary:
         from .encode.static_dict import (DICT_HASH_BITS, dict_index,
                                          omit_last_transform_ids)
@@ -1023,7 +1099,8 @@ def find_best_matches(data, window_size, k=8, bucket_bits=17, k8=4,
         _ptr(best_isdict, U8), _ptr(best_wire),
         _ptr(b2l) if want_top2 else I64(),
         _ptr(b2d) if want_top2 else I64(),
-        ctypes.c_int64(1 if miss_economy else 0))
+        ctypes.c_int64(1 if miss_economy else 0),
+        _ptr(progress) if progress is not None else I64())
     ibd = best_isdict.astype(bool)
     sl = slice(dict_len, None) if dict_len else slice(None)
     base = (best_len[sl], best_dist[sl], best_score[sl], ibd[sl],

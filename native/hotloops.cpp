@@ -610,6 +610,23 @@ void extend_caps_native(
 {
     int64_t n = total_len - dict_len;
     int64_t last_end = -1;
+    extern void extend_caps_range_native(
+        const uint8_t*, int64_t, int64_t, const int64_t*,
+        const int64_t*, const int64_t*, int64_t, int64_t*, int64_t*);
+    extend_caps_range_native(data, total_len, dict_len, pos, dist,
+                             len, nhits, out_len, &last_end);
+    (void)n;
+}
+
+// chunked form: the amortized-skip state (last_end) carries across
+// calls so per-chunk extension matches the one-shot walk exactly
+void extend_caps_range_native(
+    const uint8_t* data, int64_t total_len, int64_t dict_len,
+    const int64_t* pos, const int64_t* dist, const int64_t* len,
+    int64_t nhits, int64_t* out_len, int64_t* last_end_io)
+{
+    int64_t n = total_len - dict_len;
+    int64_t last_end = last_end_io ? *last_end_io : -1;
     for (int64_t h = 0; h < nhits; h++) {
         int64_t p = pos[h], d = dist[h], l = len[h];
         if (p < last_end - 32) { out_len[h] = l; continue; }
@@ -618,6 +635,7 @@ void extend_caps_native(
         out_len[h] = ext;
         if (p + ext > last_end) last_end = p + ext;
     }
+    if (last_end_io) *last_end_io = last_end;
 }
 
 // ---------------------------------------------------------------------------
@@ -780,7 +798,7 @@ int64_t zopfli_cands_native(
 // [n_rows, n] arrays (at most one candidate per row per position) plus
 // sparse extra sources (all-matches collector, dictionary) — skips the
 // caller's nonzero/fancy-index/concatenate round entirely.
-int64_t zopfli_cands_dense_native(
+int64_t zopfli_cands_dense_range_native(
     const int64_t* d_len, const int64_t* d_dist, const uint8_t* d_isdict,
     const int64_t* d_wire, int64_t n_rows,
     const int64_t* x_pos, const int64_t* x_len, const int64_t* x_dist,
@@ -789,7 +807,8 @@ int64_t zopfli_cands_dense_native(
     const uint8_t* y_isdict, const int64_t* y_wire, int64_t ym,
     int64_t n, int64_t npostfix, int64_t ndirect, int64_t k_win,
     int64_t k_dict, int64_t ladder_top,
-    int64_t* cand_off /* [n+1] */, ZCand* out)
+    int64_t* cand_off /* [n+1] */, ZCand* out,
+    int64_t p_start, int64_t p_end)
 {
     // two independent sorted-run sources (window matches + dictionary
     // matches), k-way merged per position — the Python side never
@@ -816,9 +835,24 @@ int64_t zopfli_cands_dense_native(
             }
         }
     }
-    int64_t out_n = 0;
+    // chunked form (p_start > 0): resume offsets from the previous
+    // chunk's trailing cand_off and binary-search each ascending run
+    // past the already-consumed prefix
+    if (p_start > 0) {
+        for (int s = 0; s < 2; s++)
+            for (int r = 0; r < n_runs[s]; r++) {
+                int64_t lo = run_head[s][r], hi = run_end[s][r];
+                while (lo < hi) {
+                    int64_t mid = (lo + hi) >> 1;
+                    if (s_pos[s][mid] < p_start) lo = mid + 1;
+                    else hi = mid;
+                }
+                run_head[s][r] = lo;
+            }
+    }
+    int64_t out_n = p_start > 0 ? cand_off[p_start] : 0;
     ZCand loc[224];
-    for (int64_t p = 0; p < n; p++) {
+    for (int64_t p = p_start; p < p_end; p++) {
         cand_off[p] = out_n;
         int k = 0;
         for (int64_t r = 0; r < n_rows; r++) {
@@ -883,8 +917,27 @@ int64_t zopfli_cands_dense_native(
             if (dic) nd++; else nw++;
         }
     }
-    cand_off[n] = out_n;
+    cand_off[p_end] = out_n;
     return out_n;
+}
+
+int64_t zopfli_cands_dense_native(
+    const int64_t* d_len, const int64_t* d_dist, const uint8_t* d_isdict,
+    const int64_t* d_wire, int64_t n_rows,
+    const int64_t* x_pos, const int64_t* x_len, const int64_t* x_dist,
+    const uint8_t* x_isdict, const int64_t* x_wire, int64_t xm,
+    const int64_t* y_pos, const int64_t* y_len, const int64_t* y_dist,
+    const uint8_t* y_isdict, const int64_t* y_wire, int64_t ym,
+    int64_t n, int64_t npostfix, int64_t ndirect, int64_t k_win,
+    int64_t k_dict, int64_t ladder_top,
+    int64_t* cand_off /* [n+1] */, ZCand* out)
+{
+    return zopfli_cands_dense_range_native(
+        d_len, d_dist, d_isdict, d_wire, n_rows,
+        x_pos, x_len, x_dist, x_isdict, x_wire, xm,
+        y_pos, y_len, y_dist, y_isdict, y_wire, ym,
+        n, npostfix, ndirect, k_win, k_dict, ladder_top,
+        cand_off, out, 0, n);
 }
 
 // ---------------------------------------------------------------------------
@@ -1165,11 +1218,19 @@ int64_t collect_dict_sorted_native(
     const int64_t* swid, const int32_t* lpf, int64_t m,
     const uint8_t* bloom, const uint64_t* key8, const int32_t* range16,
     int64_t* out_pos, int64_t* out_len, int64_t* out_dist,
-    int64_t* out_wire, int64_t cap)
+    int64_t* out_wire, int64_t cap,
+    // optional progress for overlapped consumers: [0] = region
+    // position covered, [1] = entries emitted so far
+    int64_t* progress)
 {
     uint8_t wbuf[DICT_SORTED_W];
     int64_t cnt = 0;
     for (int64_t i = dict_len; i + 4 <= n; i++) {
+        if (progress && !((i - dict_len) & 8191)) {
+            __atomic_store_n(&progress[1], cnt, __ATOMIC_RELEASE);
+            __atomic_store_n(&progress[0], i - dict_len,
+                             __ATOMIC_RELEASE);
+        }
         uint32_t h = (load32(data + i) * 0x1E35A7BDu) >> 8;
         if (!(bloom[h >> 3] & (1u << (h & 7)))) continue;
         const uint8_t* w = data + i;
@@ -1218,6 +1279,10 @@ int64_t collect_dict_sorted_native(
             out_wire[cnt] = swire[j];
             cnt++;
         }
+    }
+    if (progress) {
+        __atomic_store_n(&progress[1], cnt, __ATOMIC_RELEASE);
+        __atomic_store_n(&progress[0], n - dict_len, __ATOMIC_RELEASE);
     }
     return cnt;
 }
@@ -1419,7 +1484,7 @@ void zopfli_dp_cache_native(
 // copy-length distance context.
 // ---------------------------------------------------------------------------
 
-void zopfli_dp_cands_native(
+void zopfli_dp_cands_range_native(
     int64_t n, int64_t n_starts, int64_t cand_cap,
     int64_t max_zopfli_len, const double* lcp,
     const double* cost_cmd,
@@ -1431,16 +1496,19 @@ void zopfli_dp_cands_native(
     const uint8_t* data, int64_t total_len, int64_t dict_len,
     int64_t window_size, const int64_t* initial_cache,
     float* cost, int32_t* prev_start, int32_t* prev_len,
-    int32_t* prev_wire, int32_t* prev_dist, int32_t* node_cache)
+    int32_t* prev_wire, int32_t* prev_dist, int32_t* node_cache,
+    int64_t p_start, int64_t p_end, int64_t* qstate /* [18] or null */)
 {
     const float INF = 1e30f;
-    for (int64_t i = 0; i <= n; i++) {
-        cost[i] = INF; prev_start[i] = 0; prev_len[i] = 0;
-        prev_wire[i] = 0; prev_dist[i] = 0;
+    if (p_start == 0) {
+        for (int64_t i = 0; i <= n; i++) {
+            cost[i] = INF; prev_start[i] = 0; prev_len[i] = 0;
+            prev_wire[i] = 0; prev_dist[i] = 0;
+        }
+        cost[0] = 0.0f;
+        for (int c4 = 0; c4 < 4; c4++)
+            node_cache[c4] = (int32_t)initial_cache[c4];
     }
-    cost[0] = 0.0f;
-    for (int c4 = 0; c4 < 4; c4++)
-        node_cache[c4] = (int32_t)initial_cache[c4];
 
     static int dbg = getenv("BROTLI_TPU_DP_DEBUG")
                          ? atoi(getenv("BROTLI_TPU_DP_DEBUG")) : 0;
@@ -1459,6 +1527,16 @@ void zopfli_dp_cands_native(
     double q_adj[kStarts];
     int64_t q_u[kStarts];
     int q_n = 0;
+    // chunked form: the only cross-position loop state is the start
+    // queue and the long-match skip mark — restore/save via qstate
+    // ([0]=q_n, [1]=skip_until, [2..9]=q_u, [10..17]=q_adj bit-cast)
+    if (qstate && p_start > 0) {
+        q_n = (int)qstate[0];
+        for (int qi = 0; qi < kStarts; qi++) {
+            q_u[qi] = qstate[2 + qi];
+            std::memcpy(&q_adj[qi], &qstate[10 + qi], 8);
+        }
+    }
 
     // copy-length -> copy code, tabulated (RFC 7932 insert-and-copy
     // length code bases; lengths >= 2118 are all code 23)
@@ -1487,7 +1565,7 @@ void zopfli_dp_cands_native(
     // hq.rs:943-972) — without both, the length ladder is O(n^2) on
     // repeat-heavy input
     if (max_zopfli_len <= 0) max_zopfli_len = int64_t(1) << 30;
-    int64_t skip_until = 0;
+    int64_t skip_until = (qstate && p_start > 0) ? qstate[1] : 0;
 
     // cheapest possible command bits, for the minimum-copy-length
     // lower bound (reference min_cost_cmd_, hq.rs:172)
@@ -1500,7 +1578,7 @@ void zopfli_dp_cands_native(
         const int32_t* cs; const int64_t* cmd_row;
         const int64_t* cmd_row_last; bool ic_last_ok;
     };
-    for (int64_t p = 0; p < n; p++) {
+    for (int64_t p = p_start; p < p_end; p++) {
         double c = cost[p];
         if (c < INF) {
             double adj = c - lcp[p];
@@ -1820,6 +1898,14 @@ void zopfli_dp_cands_native(
                              std::min<int64_t>(cands[e0].len, max_len));
         if (skipv > 1) skip_until = p + skipv;
     }
+    if (qstate) {
+        qstate[0] = q_n;
+        qstate[1] = skip_until;
+        for (int qi = 0; qi < kStarts; qi++) {
+            qstate[2 + qi] = q_u[qi];
+            std::memcpy(&qstate[10 + qi], &q_adj[qi], 8);
+        }
+    }
     if (dbg == 5)
         fprintf(stderr,
                 "[dpctr] memo_hit %lld probe %lld relax_try %lld "
@@ -1827,6 +1913,29 @@ void zopfli_dp_cands_native(
                 (long long)dp_ctr[0], (long long)dp_ctr[1],
                 (long long)dp_ctr[2], (long long)dp_ctr[3],
                 (long long)dp_ctr[4], (long long)dp_ctr[5]);
+}
+
+void zopfli_dp_cands_native(
+    int64_t n, int64_t n_starts, int64_t cand_cap,
+    int64_t max_zopfli_len, const double* lcp,
+    const double* cost_cmd,
+    const double* cost_dist_short /* [16] */,
+    const double* cost_dist /* [4*alpha] */, int64_t dist_alpha,
+    const int64_t* cand_off, const ZCand* cands,
+    const int64_t* ins_code_tab, const int64_t* ins_extra_tab,
+    const int64_t* cmd_sym_tab, const int64_t* cmd_sym_last_tab,
+    const uint8_t* data, int64_t total_len, int64_t dict_len,
+    int64_t window_size, const int64_t* initial_cache,
+    float* cost, int32_t* prev_start, int32_t* prev_len,
+    int32_t* prev_wire, int32_t* prev_dist, int32_t* node_cache)
+{
+    zopfli_dp_cands_range_native(
+        n, n_starts, cand_cap, max_zopfli_len, lcp, cost_cmd,
+        cost_dist_short, cost_dist, dist_alpha, cand_off, cands,
+        ins_code_tab, ins_extra_tab, cmd_sym_tab, cmd_sym_last_tab,
+        data, total_len, dict_len, window_size, initial_cache,
+        cost, prev_start, prev_len, prev_wire, prev_dist, node_cache,
+        0, n, nullptr);
 }
 
 // ---------------------------------------------------------------------------
@@ -1849,7 +1958,11 @@ void find_matches_native(
     int64_t* best_len, int64_t* best_dist, int64_t* best_score,
     uint8_t* best_isdict, int64_t* best_wire,
     int64_t* best2_len, int64_t* best2_dist,
-    int64_t miss_economy)
+    int64_t miss_economy,
+    // optional progress mark for overlapped consumers: rows for every
+    // position < *progress are final (release store; readers on x86
+    // see all prior row writes)
+    int64_t* progress)
 {
     const uint32_t HASH_MUL32 = 0x1E35A7BDu;
     const uint64_t HASH_MUL64 = 0x1FE35A7BD3579BD3ull;
@@ -1883,8 +1996,15 @@ void find_matches_native(
     const int64_t economy_at = miss_economy ? 128 : INT64_MAX;
     const int64_t stride_at = miss_economy ? 1024 : INT64_MAX;
     for (int64_t i = 0; i < n; i++) {
+        if (progress && !(i & 8191))
+            __atomic_store_n(progress, i, __ATOMIC_RELEASE);
         best_len[i] = 0; best_dist[i] = 0; best_score[i] = 0;
         best_isdict[i] = 0; best_wire[i] = 0;
+        // the runner-up rows must be cleared on EVERY path (including
+        // the early-continue ones below): overlapped callers reuse
+        // pooled output buffers, so a skipped position must not leak
+        // a stale previous-call entry
+        if (best2_len) { best2_len[i] = 0; best2_dist[i] = 0; }
         if (i + (hash_len == 5 ? 8 : 4) > n) continue;
         uint32_t v4 = load32(data + i);
         uint32_t h4 = bucket_hash(data + i, hash_len,
@@ -2062,6 +2182,7 @@ void find_matches_native(
         if (best2_len) { best2_len[i] = b2l; best2_dist[i] = b2d; }
         miss_run = bl >= 4 ? 0 : miss_run + 1;
     }
+    if (progress) __atomic_store_n(progress, n, __ATOMIC_RELEASE);
     delete[] ring4; delete[] cnt4;
     delete[] ring8; delete[] cnt8;
 }

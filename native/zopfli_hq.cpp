@@ -89,7 +89,7 @@ int64_t collect_dict_sorted_native(
     const int64_t* swid, const int32_t* lpf, int64_t m,
     const uint8_t* bloom, const uint64_t* key8, const int32_t* range16,
     int64_t* out_pos, int64_t* out_len, int64_t* out_dist,
-    int64_t* out_wire, int64_t cap);
+    int64_t* out_wire, int64_t cap, int64_t* progress);
 }
 
 namespace zhq {
@@ -378,7 +378,7 @@ static void dict_candidates(const uint8_t* base, int64_t total_len,
             D.s_len.data(), D.s_wire.data(), D.s_wid.data(),
             D.lpf.data(), D.m, D.bloom.data(), D.key8.data(),
             D.range16.data(), yp.data(), yl.data(), yd.data(),
-            yw.data(), cap);
+            yw.data(), cap, nullptr);
         if (cnt >= 0) break;
         cap *= 2;
         yp.resize(cap); yl.resize(cap); yd.resize(cap); yw.resize(cap);
@@ -704,7 +704,9 @@ extern "C" int64_t zopfli_hq_parse_pre_native(
     // ---- refinement loop (zopfli_segment's schedule: q10 = 2
     // iterations, q11 = 5 with cost-convergence early promote) ----
     const DpTables& T = dp_tables();
-    int iters = quality >= 11 ? 5 : 2;
+    // depth 3 mirrors encode/zopfli.Q11_ITERS (round-5 trade: the
+    // depth-5 search bought ~0.07% size for ~40% wall time)
+    int iters = quality >= 11 ? 3 : 2;
     int last_it = iters - 1;
     int64_t max_zopfli_len = quality <= 10 ? 150 : 325;
 

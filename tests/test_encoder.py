@@ -226,8 +226,10 @@ def test_golden_sizes():
     assert len(compress(data, quality=10)) == 46_976
     assert len(compress(data, quality=10, q10_deep=True)) == 46_080
     # beats the reference's own q11 golden (46,493) since the exact
-    # sorted-output dictionary index restored full transform coverage
-    assert len(compress(data, quality=11)) == 45_907
+    # sorted-output dictionary index restored full transform coverage.
+    # re-pinned in round 5: Q11_ITERS 5 -> 3 (+51 bytes on alice for
+    # ~40% less wall time; BROTLI_TPU_Q11_ITERS=5 restores 45,907)
+    assert len(compress(data, quality=11)) == 45_958
     # the 9.5 family: -q9.5y (quality 12) runs one refinement deeper
     # than -q9.5x (quality 11) and produces distinct output
     # (reference bin/brotli.rs:658-680)
