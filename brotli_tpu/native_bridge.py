@@ -167,6 +167,12 @@ def _pgo_train() -> None:
             assert decompress(out) == data
         out = compress(data[:1 << 17], quality=11)
         assert decompress(out) == data[:1 << 17]
+        # q10 fast tier at >= 256K: trains the top-K collectors
+        # (find_matches_native), the sorted-dictionary probe, and the
+        # overlapped chunked dense/DP range entries — none of which
+        # the q5/q9/q11 legs touch
+        out = compress(data[:1 << 18], quality=10)
+        assert decompress(out) == data[:1 << 18]
 
     # decode branch layout must also train on the SYSTEM encoder's
     # streams: C q5 output averages ~2 literals/command (short-insert
