@@ -385,6 +385,62 @@ static void bake_lit_ctx(PrefixTable& pt, const uint8_t* lut0,
     }
 }
 
+// Bake the command side data (ins_code, copy_code, implicit0 — what
+// kCmdLut holds per symbol) into spare bits of the command-table
+// entries: leaf = len(4b) | sym(10b)<<4 | ins_code<<14 |
+// copy_code<<19 | implicit0<<24.  Removes the dependent kCmdLut load
+// from the per-command chain; the base/extra table loads then issue
+// in parallel straight off the entry.  Internal entries keep their
+// subtable offsets (len > 10); idempotent like bake_lit_ctx.
+static void bake_cmd_entries(PrefixTable& pt, const uint32_t* lut) {
+    auto bake1 = [&](int32_t e) -> int32_t {
+        int l = e & 15;
+        int sym = (e >> 4) & 1023;
+        uint32_t cd = lut[sym & 1023];
+        return (int32_t)(l | (sym << 4) | ((cd & 31) << 14) |
+                         (((cd >> 8) & 31) << 19) |
+                         (((cd >> 16) & 1) << 24));
+    };
+    int32_t* tab = pt.tab;
+    for (int i = 0; i < 1024; i++) {
+        int32_t e = tab[i];
+        if ((e & 15) <= 10) {
+            tab[i] = bake1(e);
+        } else {
+            int32_t* sub = tab + (e >> 4);
+            for (int64_t j = 0; j < (1ll << ((e & 15) - 10)); j++)
+                sub[j] = bake1(sub[j]);
+        }
+    }
+}
+
+// Distance-table analog of bake_cmd_entries: leaf = len(4b) |
+// sym(11b)<<4 | nbits(6b)<<15 (nbits from the per-metablock side
+// table; >= 30 / the large-window marker bakes as 63 to force the
+// exact 64-bit path).  dside_base stays a side load (the base value
+// does not fit the remaining entry bits for large windows).
+static void bake_dist_entries(PrefixTable& pt, const int8_t* nbits_tab,
+                              int64_t alpha) {
+    auto bake1 = [&](int32_t e) -> int32_t {
+        int l = e & 15;
+        int sym = (e >> 4) & 2047;
+        int nb = sym < alpha ? (int)(uint8_t)nbits_tab[sym] : 63;
+        if (nb >= 30 || nb < 0) nb = 63;
+        return (int32_t)(l | (sym << 4) | (nb << 15));
+    };
+    int32_t* tab = pt.tab;
+    for (int i = 0; i < 1024; i++) {
+        int32_t e = tab[i];
+        if ((e & 15) <= 10) {
+            tab[i] = bake1(e);
+        } else {
+            int32_t* sub = tab + (e >> 4);
+            for (int64_t j = 0; j < (1ll << ((e & 15) - 10)); j++)
+                sub[j] = bake1(sub[j]);
+        }
+    }
+}
+
 // read a prefix code description (RFC 3.4/3.5) into lengths[n]
 static int read_prefix_code(BitReader& br, uint8_t* lengths, int n,
                             PrefixTable& pt, TableArena& arena,
@@ -831,30 +887,6 @@ static int64_t decode_loop(
             return r;
 
         int dist_alpha = 16 + ndirect + (max_distbits << (npostfix + 1));
-        PrefixTable lit_pt[256], cmd_pt[256], dist_pt[256];
-        uint8_t big_scratch[1 << 11];
-        for (int t = 0; t < ntrees_l; t++) {
-            lit_pt[t] = PrefixTable();
-            if ((r = read_prefix_code(br, big_scratch, 256, lit_pt[t],
-                                      arena, 10)))
-                return r;
-        }
-        for (int t = 0; t < I.num_types; t++) {
-            cmd_pt[t] = PrefixTable();
-            if ((r = read_prefix_code(br, big_scratch, 704, cmd_pt[t],
-                                      arena, 10)))
-                return r;
-        }
-        for (int t = 0; t < ntrees_d; t++) {
-            dist_pt[t] = PrefixTable();
-            if ((r = read_prefix_code(br, big_scratch, dist_alpha,
-                                      dist_pt[t], arena, 10)))
-                return r;
-        }
-
-        const uint8_t* lut0 = nullptr;
-        const uint8_t* lut1 = nullptr;
-
         // distance-symbol side tables: nbits and precomputed base per
         // dcode (depends only on npostfix/ndirect — one table per
         // metablock).  The hot loop then decodes every distance class
@@ -894,6 +926,32 @@ static int64_t decode_loop(
                 }
             }
         }
+        PrefixTable lit_pt[256], cmd_pt[256], dist_pt[256];
+        uint8_t big_scratch[1 << 11];
+        for (int t = 0; t < ntrees_l; t++) {
+            lit_pt[t] = PrefixTable();
+            if ((r = read_prefix_code(br, big_scratch, 256, lit_pt[t],
+                                      arena, 10)))
+                return r;
+        }
+        for (int t = 0; t < I.num_types; t++) {
+            cmd_pt[t] = PrefixTable();
+            if ((r = read_prefix_code(br, big_scratch, 704, cmd_pt[t],
+                                      arena, 10)))
+                return r;
+            bake_cmd_entries(cmd_pt[t], kCmdLut);
+        }
+        for (int t = 0; t < ntrees_d; t++) {
+            dist_pt[t] = PrefixTable();
+            if ((r = read_prefix_code(br, big_scratch, dist_alpha,
+                                      dist_pt[t], arena, 10)))
+                return r;
+            bake_dist_entries(dist_pt[t], dside_nbits, dist_alpha);
+        }
+
+        const uint8_t* lut0 = nullptr;
+        const uint8_t* lut1 = nullptr;
+
 
         // Per-segment invariants hoisted out of the symbol loops: root
         // table pointers per tree, and the current block type's LUT
@@ -972,14 +1030,14 @@ static int64_t decode_loop(
                             ((w >> 10) & ((1u << (cl - 10)) - 1))];
                 cl = e & 15;
             }
-            int cmd = e >> 4;
+            int cmd = (e >> 4) & 1023;
             DBG("cmd=%d pos=%ld mlen=%ld out=%ld ovf=%d\n", cmd,
                 br.pos, mlen, out_len, (int)br.over());
             if (cmd >= 704) return br.over() ? -1 : -2;
-            uint32_t cd = kCmdLut[cmd];
-            int ins_code = (int)(cd & 255);
-            int copy_code = (int)((cd >> 8) & 255);
-            bool implicit0 = (cd >> 16) != 0;
+            // side data baked into the entry (bake_cmd_entries)
+            int ins_code = (int)((e >> 14) & 31);
+            int copy_code = (int)((e >> 19) & 31);
+            bool implicit0 = ((e >> 24) & 1) != 0;
             int ieb = kInsertExtra[ins_code];
             int ceb = kCopyExtra[copy_code];
             int64_t ins_len, copy_len;
@@ -1239,9 +1297,9 @@ static int64_t decode_loop(
                               ((wd >> 10) & ((1u << (dl - 10)) - 1))];
                     dl = de & 15;
                 }
-                dcode = de >> 4;
+                dcode = (de >> 4) & 2047;
                 if (br.over()) return -1;
-                int nb = dside_nbits[dcode];
+                int nb = (de >> 15) & 63;
                 if (__builtin_expect(nb < 30, 1)) {
                     // uniform fast path: extra bits from the same
                     // 57-bit window (nb == 0 for cache/direct codes),
@@ -1337,8 +1395,38 @@ static int64_t decode_loop(
                         std::memcpy(dst, sp, (size_t)remaining);
                     }
                 } else if (remaining <= 16) {
-                    for (int64_t j = 0; j < remaining; j++)
-                        out[out_len + j] = out[src + j];
+                    // short overlapping copy: width-staged chunks
+                    // instead of the per-byte loop (store-to-load
+                    // forwarding stalls at ~1 byte/cycle).  Chunks of
+                    // width w <= distance never overlap internally,
+                    // and earlier chunks produce exactly the bytes
+                    // later chunks read; the 16-byte overcopy is
+                    // rewritten by subsequent output
+                    uint8_t* dst = out + out_len;
+                    const uint8_t* sp = out + src;
+                    if (out_len + 16 > out_cap) {
+                        for (int64_t j = 0; j < remaining; j++)
+                            out[out_len + j] = out[src + j];
+                    } else if (distance >= 8) {
+                        std::memcpy(dst, sp, 8);
+                        std::memcpy(dst + 8, sp + 8, 8);
+                    } else if (distance >= 4) {
+                        std::memcpy(dst, sp, 4);
+                        std::memcpy(dst + 4, sp + 4, 4);
+                        std::memcpy(dst + 8, sp + 8, 4);
+                        std::memcpy(dst + 12, sp + 12, 4);
+                    } else if (distance == 1) {
+                        std::memset(dst, sp[0], 16);
+                    } else {
+                        std::memcpy(dst, sp, 2);
+                        std::memcpy(dst + 2, sp + 2, 2);
+                        std::memcpy(dst + 4, sp + 4, 2);
+                        std::memcpy(dst + 6, sp + 6, 2);
+                        std::memcpy(dst + 8, sp + 8, 2);
+                        std::memcpy(dst + 10, sp + 10, 2);
+                        std::memcpy(dst + 12, sp + 12, 2);
+                        std::memcpy(dst + 14, sp + 14, 2);
+                    }
                 } else {
                     // overlapping long copy: period-doubling memcpys
                     // (span stays a multiple of the distance, so each
