@@ -14,6 +14,8 @@ optimization + serialization (metablock.py / bitstream.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core import constants as C
@@ -196,6 +198,89 @@ def _pipelined_segments(nb, full, params, boundaries, dlen, start,
         sess.close()
 
 
+def _dual_parse_segments(nb, full, params, boundaries, dlen, start,
+                         cache, knobs):
+    """Two parse sessions over the same input, each metablock split at
+    its midpoint: session A parses the first half while session B —
+    whose rings were advanced over A's half by insert-only priming
+    (parse_session_prime, ~30% of a parse) — parses the second, and
+    the two command runs concatenate into the metablock's segment.
+    Output differs slightly from the single-session parse (copies cap
+    at the midpoint seam; the prime inserts positions the parse's
+    spree-skip and long-match stride economies drop; each session's
+    distance cache sees only its own halves — wire distances resolve
+    against the TRUE rolling cache at store time, so streams stay
+    valid), and the size is gated by the bench corpora.  Wall win on
+    a 4-core host: each worker does parse(half) + prime(half) ~ 0.65
+    of the full parse, beside the store thread.
+
+    Reference analog: CompressMulti's prefix-primed shards
+    (threading/mod.rs:354-366) applied INSIDE a stream, with ring
+    priming standing in for the custom-dictionary prefix hash."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    def mk():
+        return nb.ParseSession(
+            full, params.window_size, dict_len=dlen, pos0=start,
+            initial_cache=cache,
+            literal_byte_score=params.literal_byte_score,
+            use_dictionary=not params.catable, **knobs)
+
+    sa, sb = mk(), mk()
+    ex_a = ThreadPoolExecutor(max_workers=1)
+    ex_b = ThreadPoolExecutor(max_workers=1)
+    futs = []
+    prev = start
+    for b in boundaries:
+        span = b - prev
+        if span < (1 << 19):
+            # small metablock: A parses it whole, B just keeps up
+            fa = ex_a.submit(sa.next, b, span // 2 + 2)
+            fp = ex_b.submit(sb.prime, b)
+            futs.append((fa, None, fp))
+        else:
+            mid = prev + span // 2
+            fa = ex_a.submit(sa.next, mid, (mid - prev) // 2 + 2)
+            ex_a.submit(sa.prime, b)
+            ex_b.submit(sb.prime, mid)
+            fb = ex_b.submit(sb.next, b, (b - mid) // 2 + 2)
+            futs.append((fa, fb, None))
+        prev = b
+    try:
+        for fa, fb, fp in futs:
+            a = fa.result()
+            if fp is not None:
+                fp.result()
+            if fb is None:
+                yield a
+            else:
+                bseg = fb.result()
+                ai, ac, ad, aa = a
+                bi, bc, bd, ba = (x.copy() for x in bseg)
+                if len(ai) and ac[-1] == 0 and aa[-1] == 0:
+                    # A's trailing insert-only command is wire-legal
+                    # only as a metablock's FINAL command (its dummy
+                    # copy-4 is cut off by mlen); mid-block it must
+                    # fold into B's first command's insert run
+                    if len(bi):
+                        bi[0] += ai[-1]
+                        ai, ac, ad, aa = (ai[:-1], ac[:-1], ad[:-1],
+                                          aa[:-1])
+                    # else: B is a single trailing insert too and A's
+                    # stays last-but-one... cannot happen — B always
+                    # emits at least its own trailing command
+                yield (np.concatenate([ai, bi]),
+                       np.concatenate([ac, bc]),
+                       np.concatenate([ad, bd]),
+                       np.concatenate([aa, ba]))
+    finally:
+        ex_a.shutdown(wait=True)
+        ex_b.shutdown(wait=True)
+        sa.close()
+        sb.close()
+
+
 def _pipelined_fragment_segments(nb, full, params, boundaries, start):
     """Fragment-tier analog of _pipelined_segments: one
     fragment_parse_seg call per metablock, prefetched one boundary
@@ -323,7 +408,16 @@ def compress_with_params(data: np.ndarray, params: EncoderParams,
             # parse(metablock g+1) overlaps serialization(g) — both
             # native calls release the GIL — with output byte-
             # identical to the single whole-input parse.
-            if pipeline:
+            if (pipeline and len(full) - dlen >= (1 << 21)
+                    and knobs.get("n_cache", 1) > 1
+                    and os.environ.get("BROTLI_TPU_DUAL_PARSE",
+                                       "1") != "0"):
+                # large inputs at the ring tiers: dual-session parse
+                # (two parse workers + the store thread)
+                segments = _dual_parse_segments(
+                    nb, full, params, boundaries, dlen, start,
+                    tuple(cache), knobs)
+            elif pipeline:
                 segments = _pipelined_segments(
                     nb, full, params, boundaries, dlen, start,
                     tuple(cache), knobs)

@@ -250,6 +250,7 @@ def _bind(_lib) -> None:
     _lib.parse_session_cache.restype = None
     _lib.parse_session_end.restype = None
     _lib.parse_session_extend.restype = None
+    _lib.parse_session_prime.restype = None
     _lib.zopfli_dp_cache_native.restype = None
     _lib.pack_bits_native.restype = ctypes.c_int64
     _lib.collect_matches_native.restype = ctypes.c_int64
@@ -1222,6 +1223,14 @@ class ParseSession:
             _ptr(out_i), _ptr(out_c), _ptr(out_d), _ptr(out_a),
             ctypes.c_int64(max_cmds))
         return (out_i[:cnt], out_c[:cnt], out_d[:cnt], out_a[:cnt])
+
+    def prime(self, boundary_rel):
+        """Advance the session to boundary_rel by ring inserts only
+        (no searching, no commands) — the dual-session parse uses this
+        to skip the half-metablocks the OTHER session parses."""
+        assert self._handle is not None
+        self._lib.parse_session_prime(ctypes.c_void_p(self._handle),
+                                      ctypes.c_int64(boundary_rel))
 
     def extend(self, data):
         """Append input to a live session (streaming PROCESS): `data`

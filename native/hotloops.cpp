@@ -3051,6 +3051,32 @@ int64_t parse_session_next(void* vs, int64_t boundary_rel,
     return n_out;
 }
 
+// advance a session over [its position, boundary) by INSERTING every
+// position without searching or emitting.  The ring state then
+// approximates a parsed span's state (the parse strides long-match
+// interiors and skips deep-spree inserts; the dense prime keeps the
+// same recency order, so candidates differ only where those
+// economies dropped entries).  Lets a second session pick up
+// alternate half-metablocks at ~30% of the parse cost (the
+// dual-session parse in encoder._dual_parse_segments).
+void parse_session_prime(void* vs, int64_t boundary_rel)
+{
+    ParseSession& S = *(ParseSession*)vs;
+    CombinedCtx& cx = S.cx;
+    int64_t boundary = cx.dict_len + boundary_rel;
+    if (boundary <= S.pos) return;
+    if (cx.basic) {
+        // basic tier (q2/q3) hashes inline without the scratch pass
+        cx.basic_insert_span(cx.ins_pos, boundary);
+        if (cx.ins_pos < boundary) cx.ins_pos = boundary;
+    } else {
+        S.ensure_hashes(std::min(cx.ins_pos, S.pos), boundary);
+        cx.insert_upto(boundary);
+    }
+    S.pos = boundary;
+    S.insert_start = boundary;
+}
+
 void* parse_session_begin(
     const uint8_t* data, int64_t total_len, int64_t dict_len,
     int64_t window_size, int64_t k, int64_t bucket_bits,

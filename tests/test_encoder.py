@@ -250,3 +250,29 @@ def test_lgblock_changes_metablock_spans():
     small = compress(data, quality=9, lgblock=16)
     assert decompress(small) == data
     assert small != default  # two metablocks vs one
+
+
+def test_dual_parse_large_input():
+    """The dual-session parse (>= 2MiB ring-tier inputs: two parse
+    workers over half-metablocks with insert-primed rings) must
+    round-trip, stay within a whisker of the serial parse's size, and
+    remain upstream-decodable; small inputs and explicit small
+    metablocks take it per metablock."""
+    import os
+    import numpy as np
+    from brotli_tpu import compress, decompress
+    rng = np.random.default_rng(11)
+    words = [bytes(rng.integers(97, 123, rng.integers(3, 9),
+                                dtype=np.uint8)) for _ in range(300)]
+    idx = rng.zipf(1.4, size=1 << 19) % len(words)
+    data = b" ".join(words[int(i)] for i in idx)[:5 << 19]  # 2.5 MiB
+    for q in (5, 9):
+        for lgblock in (0, 20):
+            out = compress(data, quality=q, lgblock=lgblock)
+            assert decompress(out) == data
+            os.environ["BROTLI_TPU_DUAL_PARSE"] = "0"
+            try:
+                ser = compress(data, quality=q, lgblock=lgblock)
+            finally:
+                del os.environ["BROTLI_TPU_DUAL_PARSE"]
+            assert len(out) <= len(ser) * 1.005
