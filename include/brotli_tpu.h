@@ -128,12 +128,18 @@ BROTLI_BOOL BrotliEncoderCompress(
     const uint8_t* input_buffer, size_t* encoded_size,
     uint8_t* encoded_buffer);
 /* Fully-preallocated encode (the reference's stack-allocator /
-   seccomp mode, combined_alloc.rs): q0/q1, single-threaded, all big
-   scratch carved from the caller's arena.  Call
+   seccomp mode, combined_alloc.rs): q0-q9, single-threaded, all big
+   scratch (ring tables, hash scratch, command arrays, bit staging)
+   carved from the caller's arena.  Call
    BrotliEncoderPreallocWarmup(max_input) once per thread BEFORE a
    jail so the small per-thread store pools are sized; compresses
-   after that perform zero heap allocations. */
+   after that perform zero heap allocations.  Size the arena with the
+   quality-aware BrotliEncoderPreallocScratchSizeQ (the plain
+   ScratchSize covers q0/q1 only); the scratch pointer should be
+   8-byte aligned (unaligned arenas work but waste a few bytes). */
 size_t BrotliEncoderPreallocScratchSize(size_t input_size);
+size_t BrotliEncoderPreallocScratchSizeQ(size_t input_size,
+                                         int quality);
 BROTLI_BOOL BrotliEncoderPreallocWarmup(size_t max_input_size);
 BROTLI_BOOL BrotliEncoderCompressPrealloc(
     int quality, int lgwin, int mode, size_t input_size,

@@ -555,7 +555,7 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
         if (mode != 2 && quality >= 4 &&
             is_mostly_utf8(base + abs_start, mlen))
             ctx_mode = 2;  // UTF8
-        const int64_t* smap = kMapZero;
+        const int64_t* smap = capi::kMapZero;
         int nlc = 1;
         if (ctx_mode == 2)
             nlc = choose_literal_map(base, abs_start, mlen, quality, n,
@@ -625,7 +625,7 @@ static bool encode_stream_chunk(
             oi.data(), oc.data(), od.data(), oa.data(), blen + 2);
         if (cnt < 0) return false;
     } else {
-        Knobs kn = quality_knobs(quality);
+        capi::Knobs kn = capi::quality_knobs(quality);
         int64_t max_cmds = blen / 2 + 4;
         oi.resize(max_cmds); oc.resize(max_cmds);
         od.resize(max_cmds); oa.resize(max_cmds);
@@ -708,12 +708,44 @@ size_t BrotliEncoderMaxCompressedSize(size_t input_size) {
 extern int64_t compress_fragment_prealloc_native(
     const uint8_t*, int64_t, int64_t, int64_t, uint8_t*, int64_t,
     uint64_t*, int64_t);
+extern "C" int64_t compress_session_prealloc_native(
+    const uint8_t*, int64_t, int64_t, int64_t, int64_t,
+    int64_t, int64_t, int64_t, int64_t, int64_t, int64_t, int64_t,
+    int64_t, int64_t, const int64_t*, const uint8_t*, const uint8_t*,
+    uint8_t*, int64_t, uint64_t*, int64_t);
 
 size_t BrotliEncoderPreallocScratchSize(size_t input_size) {
     // table (256KB) + 4 command arrays for a 256KB metablock (8MB)
     // + the 64-bit output staging words (9n bits) + slack
     return (4u << 16) + 4 * ((1u << 18) / 4 + 16) * 8 +
            (9 * input_size + (1u << 18)) / 8 + 4096;
+}
+
+// quality-aware arena size: q0/q1 use the fragment formula above;
+// q2-q9 add the ring-tier session buffers (rings, counters, hash
+// scratch, command arrays — all carved from the caller's arena by
+// compress_session_prealloc_native).
+size_t BrotliEncoderPreallocScratchSizeQ(size_t input_size,
+                                         int quality) {
+    size_t base = BrotliEncoderPreallocScratchSize(input_size);
+    if (quality <= 1) return base;
+    capi::Knobs kn = capi::quality_knobs(quality > 9 ? 9 : quality);
+    auto pow2 = [](int64_t v) {
+        int64_t p = 1;
+        while (p < v) p <<= 1;
+        return p;
+    };
+    size_t span = std::min<size_t>(input_size ? input_size : 1,
+                                   size_t(1) << 18);
+    span = std::max<size_t>(span, 4096);
+    size_t nb4 = size_t(1) << kn.bb, nb8 = size_t(1) << kn.bb8;
+    size_t cap4 = (size_t)pow2(kn.k);
+    size_t cap8 = kn.k8 ? (size_t)pow2(kn.k8) : 1;
+    size_t rings = nb4 * cap4 * 8 + (kn.k8 ? nb8 * cap8 * 8 : 0);
+    size_t cnts = nb4 * 2 + nb8 * 2;
+    size_t hashes = 2 * (span + 64) * 4;
+    size_t cmds = 4 * (span / 2 + 16) * 8;
+    return base + rings + cnts + hashes + cmds + 4096 + 64 * 16;
 }
 
 // warm THIS thread's small store pools (histogram/length/command
@@ -730,6 +762,11 @@ extern "C" int64_t encode_metablock_native(
     int64_t*, int64_t, int64_t, int64_t, int64_t, int64_t, int64_t,
     int64_t, const int64_t*, const uint8_t*, const uint8_t*, int64_t,
     const int32_t*, int64_t, uint64_t*, int64_t, int64_t);
+
+int BrotliEncoderCompressPrealloc(
+    int quality, int lgwin, int mode, size_t input_size,
+    const uint8_t* input, size_t* encoded_size,
+    uint8_t* encoded_buffer, size_t scratch_size, uint8_t* scratch);
 
 int BrotliEncoderPreallocWarmup(size_t max_input_size) {
     size_t span = std::min<size_t>(max_input_size, size_t(1) << 18);
@@ -768,7 +805,28 @@ int BrotliEncoderPreallocWarmup(size_t max_input_size) {
     int64_t r = compress_fragment_prealloc_native(
         dummy.data(), (int64_t)max_input_size, 22, 1, scratch.data(),
         (int64_t)ss, words.data(), (int64_t)(words.size() * 64 - 128));
-    return r >= 0 ? 1 : 0;
+    if (r < 0) return 0;
+    // pass 3: ring-tier prealloc at q5 and q9 — sizes the
+    // context-modeled store pools (block splitting, clustering,
+    // context maps) that the fragment tier never touches.  A
+    // mixed-content dummy (text-ish then the LCG noise) drives both
+    // the UTF8 and SIGNED store paths
+    for (size_t i = 0; i + 1 < max_input_size / 2; i += 2) {
+        dummy[i] = (uint8_t)('a' + (i / 2) % 26);
+        dummy[i + 1] = ' ';
+    }
+    for (int q : {5, 9}) {
+        size_t ssq = BrotliEncoderPreallocScratchSizeQ(max_input_size,
+                                                       q);
+        std::vector<uint8_t> sq(ssq);
+        size_t esz = BrotliEncoderMaxCompressedSize(max_input_size);
+        std::vector<uint8_t> enc(esz);
+        int ok = BrotliEncoderCompressPrealloc(
+            q, 22, 0, max_input_size, dummy.data(), &esz, enc.data(),
+            ssq, sq.data());
+        if (!ok) return 0;
+    }
+    return 1;
 }
 
 // one-shot encode using ONLY the caller's scratch arena (q0/q1, the
@@ -778,13 +836,13 @@ int BrotliEncoderCompressPrealloc(
     int quality, int lgwin, int mode, size_t input_size,
     const uint8_t* input, size_t* encoded_size, uint8_t* encoded_buffer,
     size_t scratch_size, uint8_t* scratch) {
-    (void)mode;
     if (!encoded_size || !encoded_buffer || (!input && input_size))
         return 0;
     if (quality < 0) quality = 0;
-    if (quality > 1) return 0;  // no-alloc mode covers the fast tier
+    if (quality > 9) return 0;  // zopfli tiers stay heap-backed
     if (!scratch ||
-        scratch_size < BrotliEncoderPreallocScratchSize(input_size))
+        scratch_size < BrotliEncoderPreallocScratchSizeQ(input_size,
+                                                         quality))
         return 0;
     // carve the staging words from the arena TAIL (8-byte aligned)
     size_t words_bytes = (9 * input_size + (1u << 18)) / 8 + 256;
@@ -800,9 +858,45 @@ int BrotliEncoderCompressPrealloc(
                       ~uintptr_t(7);
     auto* words = reinterpret_cast<uint64_t*>(waddr);
     size_t words_n = (scratch_size - (size_t)(waddr - base)) / 8;
-    int64_t bits = compress_fragment_prealloc_native(
-        input, (int64_t)input_size, lgwin, quality, scratch,
-        (int64_t)arena_sz, words, (int64_t)(words_n * 64 - 128));
+    int64_t bits;
+    if (quality <= 1) {
+        bits = compress_fragment_prealloc_native(
+            input, (int64_t)input_size, lgwin, quality, scratch,
+            (int64_t)arena_sz, words, (int64_t)(words_n * 64 - 128));
+    } else {
+        // ring-tier no-alloc mode: session buffers carve from the
+        // arena; context modeling chosen once over the whole input
+        // (per-metablock choice needs no allocation either, but one
+        // choice keeps the driver lean — prealloc already trades a
+        // sliver of ratio for the bounded footprint)
+        if (lgwin < 10) lgwin = 10;
+        if (lgwin > 24) lgwin = 24;
+        int64_t span = std::min<int64_t>(int64_t(1) << lgwin,
+                                         int64_t(1) << 18);
+        capi::Knobs kn = capi::quality_knobs(quality);
+        int ctx_mode = 0;
+        int nlc = 1;
+        const int64_t* smap = capi::kMapZero;
+        static const uint8_t kZLut[256] = {0};
+        const uint8_t* l0 = kZLut;
+        const uint8_t* l1 = kZLut;
+        if (quality >= 4) {
+            ctx_mode = (mode != 2 &&
+                        capi::is_mostly_utf8(input, (int64_t)input_size))
+                           ? 2 : 3;
+            if (ctx_mode == 2)
+                nlc = capi::choose_literal_map(input, 0,
+                                         (int64_t)input_size, quality,
+                                         (int64_t)input_size, &smap);
+            l0 = kCtxLut0 + ctx_mode * 256;
+            l1 = kCtxLut1 + ctx_mode * 256;
+        }
+        bits = compress_session_prealloc_native(
+            input, (int64_t)input_size, lgwin, span, quality,
+            kn.k, kn.bb, kn.k8, kn.bb8, kn.hl, kn.nc, 135,
+            ctx_mode, nlc, smap, l0, l1, scratch, (int64_t)arena_sz,
+            words, (int64_t)(words_n * 64 - 128));
+    }
     if (bits < 0) return 0;
     size_t out_bytes = (size_t)((bits + 7) / 8);
     if (out_bytes > *encoded_size) return 0;

@@ -20,6 +20,8 @@
 #include <mutex>
 #include <thread>
 #include <atomic>
+#include <new>
+#include <type_traits>
 
 extern "C" {
 
@@ -2845,6 +2847,12 @@ struct ParseSession {
     int64_t hash_end = 0;                // hashes cover [cx.hash_base,
                                          // hash_end)
     int hash_len = 4;
+    // preallocated-arena mode (session buffers carved from a caller
+    // arena; ensure_hashes must stay within h_cap and inline)
+    bool arena_mode = false;
+    uint32_t* h4_p = nullptr;
+    uint32_t* h8_p = nullptr;
+    int64_t h_cap = 0;
 
     // slide the hash window to cover [from, to): recompute the two
     // bucket-id passes over just that span (each position is hashed
@@ -2856,15 +2864,28 @@ struct ParseSession {
         if (c.basic) return;  // basic tier hashes inline, no scratch
         if (c.hash_base <= from && to <= hash_end) return;
         int64_t span = to - from;
-        if ((int64_t)h4.size() < span) h4.resize(span);
-        uint32_t* h4buf = h4.data();
+        uint32_t* h4buf;
+        if (arena_mode) {
+            // caller sized the hash scratch via
+            // parse_session_prealloc_hashes; spans never exceed one
+            // metablock plus slack there
+            if (span > h_cap) span = h_cap;  // defensive clamp
+            h4buf = h4_p;
+        } else {
+            if ((int64_t)h4.size() < span) h4.resize(span);
+            h4buf = h4.data();
+        }
         uint32_t* h8buf = nullptr;
         std::thread h8_thread;
-        bool h8_inline = g_active_sessions.load(
+        bool h8_inline = arena_mode || g_active_sessions.load(
             std::memory_order_relaxed) > 1;
         if (c.k8) {
-            if ((int64_t)h8.size() < span) h8.resize(span);
-            h8buf = h8.data();
+            if (arena_mode) {
+                h8buf = h8_p;
+            } else {
+                if ((int64_t)h8.size() < span) h8.resize(span);
+                h8buf = h8.data();
+            }
             const uint8_t* data = c.data;
             int64_t n = c.n;
             uint32_t shift8 = c.shift8;
@@ -2908,8 +2929,40 @@ struct ParseSession {
 std::mutex g_sess_mtx;
 ParseSession* g_sess_spare = nullptr;
 
+// caller-provided session arena (the preallocated no-alloc encode
+// mode): while set on this thread, parse_session_begin carves every
+// session buffer from it instead of the heap-backed pool, and
+// parse_session_end releases nothing.  The caller guarantees the
+// arena outlives the session.
+struct SessArena {
+    uint8_t* base = nullptr;
+    int64_t size = 0, used = 0;
+    bool fail = false;
+};
+static thread_local SessArena g_sess_arena;
+
+template <typename T>
+static T* sess_arena_carve(int64_t count) {
+    SessArena& a = g_sess_arena;
+    int64_t off = (a.used + 63) & ~int64_t(63);
+    int64_t bytes = count * (int64_t)sizeof(T);
+    if (!a.base || off + bytes > a.size) {
+        a.fail = true;
+        return nullptr;
+    }
+    a.used = off + bytes;
+    return reinterpret_cast<T*>(a.base + off);
+}
+
 ParseSession* session_pool_get() {
     g_active_sessions.fetch_add(1, std::memory_order_relaxed);
+    if (g_sess_arena.base) {
+        void* mem = sess_arena_carve<ParseSession>(1);
+        if (!mem) return nullptr;
+        ParseSession* s = new (mem) ParseSession();
+        s->arena_mode = true;
+        return s;
+    }
     std::lock_guard<std::mutex> lk(g_sess_mtx);
     if (g_sess_spare) {
         ParseSession* s = g_sess_spare;
@@ -2921,6 +2974,7 @@ ParseSession* session_pool_get() {
 
 void session_pool_put(ParseSession* s) {
     g_active_sessions.fetch_sub(1, std::memory_order_relaxed);
+    if (s->arena_mode) return;  // arena-backed: caller owns the bytes
     std::lock_guard<std::mutex> lk(g_sess_mtx);
     if (g_sess_spare) { delete s; return; }
     g_sess_spare = s;
@@ -3089,6 +3143,7 @@ void* parse_session_begin(
     int64_t pos0, const int64_t* initial_cache)
 {
     ParseSession* Sp = session_pool_get();
+    if (!Sp) return nullptr;  // arena exhausted
     ParseSession& S = *Sp;
     CombinedCtx& cx = S.cx;
     cx = CombinedCtx{};
@@ -3111,7 +3166,9 @@ void* parse_session_begin(
     // session-owned scratch, recycled through a one-deep global pool:
     // reallocating ~17MB of tables per compress call costs more in
     // page faults than the parse saves in cache warmth
-    auto fit = [](auto& v, int64_t need) {
+    auto fit = [&](auto& v, int64_t need) {
+        using VT = typename std::decay_t<decltype(v)>::value_type;
+        if (S.arena_mode) return sess_arena_carve<VT>(need);
         if ((int64_t)v.size() < need) v.resize(need);
         return v.data();
     };
@@ -3240,6 +3297,38 @@ void parse_session_extend(void* vs, const uint8_t* data,
         int64_t keep = std::max(S.cx.hash_base, old_n - 8);
         if (S.hash_end > keep) S.hash_end = keep;
     }
+}
+
+// install/clear this thread's session arena (preallocated encode
+// mode).  Returns 1 on install; the arena must outlive every session
+// begun while it is set.
+void parse_session_set_arena(uint8_t* base, int64_t size) {
+    g_sess_arena.base = base;
+    g_sess_arena.size = size;
+    g_sess_arena.used = 0;
+    g_sess_arena.fail = false;
+}
+
+int64_t parse_session_arena_failed(void) {
+    return g_sess_arena.fail ? 1 : 0;
+}
+
+// carve raw bytes from this thread's session arena (the prealloc
+// drivers' command/staging buffers share the caller's arena)
+uint8_t* parse_session_arena_carve(int64_t bytes) {
+    return sess_arena_carve<uint8_t>(bytes);
+}
+
+// carve the hash scratch for an arena-mode session (max metablock
+// span + slack); must run before the first parse_session_next
+int64_t parse_session_prealloc_hashes(void* vs, int64_t max_span) {
+    ParseSession& S = *(ParseSession*)vs;
+    if (!S.arena_mode) return 0;
+    S.h4_p = sess_arena_carve<uint32_t>(max_span);
+    S.h8_p = S.cx.k8 ? sess_arena_carve<uint32_t>(max_span)
+                     : S.h4_p;
+    S.h_cap = max_span;
+    return (S.h4_p && S.h8_p) ? 0 : -1;
 }
 
 void parse_session_end(void* vs) {

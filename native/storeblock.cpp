@@ -2571,6 +2571,128 @@ extern "C" int64_t compress_fragment_prealloc_native(
     return pos;
 }
 
+// ---------------------------------------------------------------------------
+// fully-preallocated RING-TIER encode (q2-q9): the session analog of
+// compress_fragment_prealloc_native above.  Every session buffer
+// (rings, counters, hash scratch, command arrays) carves from the
+// caller's arena via the hotloops session-arena hooks; the store side
+// reuses the warmed thread_local pools, so after
+// BrotliEncoderPreallocWarmup a compress performs zero heap
+// allocations (mallinfo-gated in tests).  Reference:
+// combined_alloc.rs:33-57 declare_stack_allocator mode at every
+// quality.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+void parse_session_set_arena(uint8_t*, int64_t);
+int64_t parse_session_arena_failed(void);
+int64_t parse_session_prealloc_hashes(void*, int64_t);
+uint8_t* parse_session_arena_carve(int64_t);
+void* parse_session_begin(
+    const uint8_t*, int64_t, int64_t, int64_t, int64_t, int64_t,
+    int64_t, int64_t, int64_t, int64_t, int64_t,
+    const int64_t*, int64_t, int64_t, const uint8_t*, const int64_t*,
+    const int64_t*, const int64_t*, const int64_t*, int64_t,
+    const int64_t*);
+int64_t parse_session_next(void*, int64_t, int64_t*, int64_t*,
+                           int64_t*, int64_t*, int64_t);
+void parse_session_end(void*);
+}
+
+extern "C" int64_t compress_session_prealloc_native(
+    const uint8_t* data, int64_t n, int64_t lgwin, int64_t span,
+    int64_t quality,
+    int64_t k, int64_t bucket_bits, int64_t k8, int64_t bucket_bits8,
+    int64_t hash_len, int64_t n_cache, int64_t lbs,
+    int64_t ctx_mode, int64_t nlc, const int64_t* smap,
+    const uint8_t* lut0, const uint8_t* lut1,
+    uint8_t* scratch, int64_t scratch_size,
+    uint64_t* out_words, int64_t cap_bits)
+{
+    int64_t window_size = (int64_t(1) << lgwin) - 16;
+    int64_t cache_io[4] = {4, 11, 15, 16};
+    parse_session_set_arena(scratch, scratch_size);
+    void* sess = parse_session_begin(
+        data, n, 0, window_size, k, bucket_bits, k8, bucket_bits8,
+        hash_len, n_cache, lbs, nullptr, 0, 0, nullptr, nullptr,
+        nullptr, nullptr, nullptr, 0, cache_io);
+    int64_t cap_cmds = span / 2 + 16;
+    int64_t* oi = nullptr;
+    int64_t* oc = nullptr;
+    int64_t* od = nullptr;
+    int64_t* oa = nullptr;
+    if (sess && parse_session_prealloc_hashes(sess, span + 64) == 0) {
+        oi = (int64_t*)parse_session_arena_carve(cap_cmds * 8);
+        oc = (int64_t*)parse_session_arena_carve(cap_cmds * 8);
+        od = (int64_t*)parse_session_arena_carve(cap_cmds * 8);
+        oa = (int64_t*)parse_session_arena_carve(cap_cmds * 8);
+    }
+    if (!sess || !oa || parse_session_arena_failed()) {
+        if (sess) parse_session_end(sess);
+        parse_session_set_arena(nullptr, 0);
+        return -2;
+    }
+    std::memset(out_words, 0, (size_t)(cap_bits / 64 + 1) * 8);
+
+    int64_t pos = 0;
+    {   // stream header (RFC WBITS)
+        uint64_t hb;
+        int hn;
+        if (lgwin == 16) { hb = 0; hn = 1; }
+        else if (lgwin == 17) { hb = 1; hn = 7; }
+        else if (lgwin > 17) { hb = ((uint64_t)(lgwin - 17) << 1) | 1;
+                               hn = 4; }
+        else { hb = ((uint64_t)(lgwin - 8) << 4) | 1; hn = 7; }
+        put_bits(out_words, pos, hb, hn);
+    }
+    int64_t rc = 0;
+    if (n == 0) {
+        put_bits(out_words, pos, 1, 1);  // ISLAST
+        put_bits(out_words, pos, 1, 1);  // ISLASTEMPTY
+        parse_session_end(sess);
+        parse_session_set_arena(nullptr, 0);
+        return pos;
+    }
+    int64_t seg_start = 0;
+    while (seg_start < n) {
+        int64_t bound = std::min(seg_start + span, n);
+        int64_t mlen = bound - seg_start;
+        bool is_last = bound == n;
+        int64_t cnt = parse_session_next(sess, bound, oi, oc, od, oa,
+                                         cap_cmds);
+        int64_t mb_cap = 9 * mlen + (1 << 16);
+        if (pos + mb_cap + 64 > cap_bits) { rc = -1; break; }
+        int64_t base_w = pos >> 6;
+        int64_t phase = pos & 63;
+        int64_t cache_snap[4] = {cache_io[0], cache_io[1],
+                                 cache_io[2], cache_io[3]};
+        int64_t r = encode_metablock_native(
+            data, seg_start, mlen, is_last ? 1 : 0, cnt, oi, oc, od,
+            oa, cache_io, window_size, 0, 0, 64, quality, ctx_mode,
+            nlc, smap, lut0, lut1, quality >= 4 ? 1 : 0, nullptr, 0,
+            out_words + base_w, mb_cap + phase, phase);
+        int64_t take = r >= 0 ? r - phase : -1;
+        if (take > 8 * mlen + 40) take = -1;
+        if (take >= 0) {
+            pos += take;
+        } else {
+            for (int c = 0; c < 4; c++) cache_io[c] = cache_snap[c];
+            out_words[base_w] &= phase ? (1ull << phase) - 1 : 0;
+            std::memset(out_words + base_w + 1, 0,
+                        (size_t)((mb_cap + phase) / 64 + 1) * 8);
+            put_uncompressed(out_words, pos, data + seg_start, mlen);
+            if (is_last) {
+                put_bits(out_words, pos, 1, 1);
+                put_bits(out_words, pos, 1, 1);
+            }
+        }
+        seg_start = bound;
+    }
+    parse_session_end(sess);
+    parse_session_set_arena(nullptr, 0);
+    return rc < 0 ? rc : pos;
+}
+
 // basic-tier analog of compress_fragment_pipeline_native above.  The
 // Python-orchestrated loop pays per-metablock ctypes transitions +
 // numpy marshalling (~0.3ms x 23 metablocks on a 3MB input at 128KiB

@@ -489,39 +489,50 @@ def test_capi_prealloc_encode_zero_alloc():
         pytest.skip("mallinfo2 unavailable")
 
     data = load("asyoulik.txt") * 8  # ~1MB
-    L.BrotliEncoderPreallocScratchSize.restype = ctypes.c_size_t
-    ss = int(L.BrotliEncoderPreallocScratchSize(
-        ctypes.c_size_t(len(data))))
+    L.BrotliEncoderPreallocScratchSizeQ.restype = ctypes.c_size_t
     assert L.BrotliEncoderPreallocWarmup(
         ctypes.c_size_t(len(data))) == 1
-    scratch = ctypes.create_string_buffer(ss)
     enc = ctypes.create_string_buffer(len(data) + (1 << 16))
-
     fn = L.BrotliEncoderCompressPrealloc
     c_len = ctypes.c_size_t(len(data))
-    c_ss = ctypes.c_size_t(ss)
-    esz = ctypes.c_size_t(len(enc))
-    # warm the ctypes call path itself (libffi caches per signature)
-    fn(1, 22, 0, ctypes.c_size_t(1 << 16), data[: 1 << 16],
-       ctypes.byref(esz), enc, c_ss, scratch)
-    # measure ONLY the raw foreign call: pytest's assertion rewriting
-    # allocates Python objects, so no Python work sits in the window
     import gc
-    gc.disable()
-    try:
-        esz.value = len(enc)
-        before = libc.mallinfo2().uordblks
-        ok = fn(1, 22, 0, c_len, data, ctypes.byref(esz), enc, c_ss,
-                scratch)
-        after = libc.mallinfo2().uordblks
-    finally:
-        gc.enable()
-    assert ok == 1
-    assert after == before, f"allocated {after - before} bytes"
-    blob = enc.raw[:esz.value]
-    assert decompress(blob) == data
-    if oracle.available():
-        assert oracle.decompress(blob, max_size_hint=len(data)) == data
+    # round 5: the no-alloc mode covers the ring tiers too (q2-q9
+    # session rings + hash scratch + command arrays carved from the
+    # caller arena; reference combined_alloc.rs preallocates the
+    # whole codec at every quality)
+    for q in (1, 3, 5, 9):
+        ss = int(L.BrotliEncoderPreallocScratchSizeQ(
+            ctypes.c_size_t(len(data)), q))
+        scratch = ctypes.create_string_buffer(ss)
+        c_ss = ctypes.c_size_t(ss)
+        esz = ctypes.c_size_t(len(enc))
+        # warm the ctypes call path itself (libffi caches per
+        # signature) and this quality's store pools at FULL size —
+        # the pools size by content, so the steady state is reached
+        # after one same-shape call (the reference's no-alloc contract
+        # is steady-state after its StackAllocator warmup too)
+        fn(q, 22, 0, c_len, data, ctypes.byref(esz), enc, c_ss,
+           scratch)
+        # measure ONLY the raw foreign call: pytest's assertion
+        # rewriting allocates Python objects, so no Python work sits
+        # in the window
+        gc.disable()
+        try:
+            esz.value = len(enc)
+            before = libc.mallinfo2().uordblks
+            ok = fn(q, 22, 0, c_len, data, ctypes.byref(esz), enc,
+                    c_ss, scratch)
+            after = libc.mallinfo2().uordblks
+        finally:
+            gc.enable()
+        assert ok == 1, f"q{q} prealloc compress failed"
+        assert after == before, \
+            f"q{q} allocated {after - before} bytes"
+        blob = enc.raw[:esz.value]
+        assert decompress(blob) == data
+        if oracle.available():
+            assert oracle.decompress(blob,
+                                     max_size_hint=len(data)) == data
 
 
 def test_capi_streaming_encode_tiny_output_buffer_drain():
