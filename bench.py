@@ -173,7 +173,7 @@ def main():
         # between runs, so ours/C legs alternate within each rep
         enc_dt = dec_dt = c_enc = c_dec = 1e9
         out = cout = None
-        for _ in range(4):
+        for _ in range(6):
             t0 = time.perf_counter()
             out = compress(sl, quality=q)
             enc_dt = min(enc_dt, time.perf_counter() - t0)

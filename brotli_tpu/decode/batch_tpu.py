@@ -8,6 +8,10 @@ metablocks are queued as device lanes and their symbol layer (command
 runs in ONE jitted while_loop on the chip (ops.decode_tpu).  The host
 then replays the returned (ins, copy, dist) command list over the
 literal stream to reconstruct bytes (LZ window work — memcpy-grade).
+Multi-metablock streams decode over several device ROUNDS: the chip
+returns each lane's end bit and final distance ring, and the host
+walk resumes there for the next metablock (round 5; previously only
+trailing compressed metablocks were eligible).
 
 Eligibility per metablock: one block type in all three categories,
 one literal tree and one distance tree (the context maps are then
@@ -40,45 +44,67 @@ from .decoder import (_BlockCategory, _read_count_code,
 class _Lane:
     __slots__ = ("stream_idx", "data", "bit0", "mlen", "window",
                  "npostfix", "ndirect", "lit_len", "cmd_len",
-                 "dist_len", "cache", "out_prefix_len")
+                 "dist_len", "cache", "out_prefix_len", "is_final")
 
     def __init__(self, **kw):
+        self.is_final = True
         for k, v in kw.items():
             setattr(self, k, v)
 
 
 def _try_parse_stream(data: bytes):
-    """Walk one stream on the host.  Returns a plan:
-    list of segments, each either ("bytes", b) literal output,
-    ("lane", _Lane) device metablock, or None if ineligible.
+    """Walk one stream on the host.  Returns (plan, pending):
+    plan = list of segments, each either ("bytes", b) literal output
+    or ("lane", _Lane) device metablock; None if ineligible.
+    pending = True when the walk stopped at a NON-final compressed
+    metablock — the caller resumes with _resume_parse_stream once the
+    device reports that lane's end bit and final distance ring.
     Dispatches to the native header walk (parse_lane_header_native)
-    when available — the Python per-stream parse was ~1 s per 128
-    streams, the dominant host leg after the native LZ execute; the
-    Python body below remains the tested oracle."""
+    for the common single-pass case; the Python body below remains
+    the tested oracle and handles the resumable multi-metablock
+    walks."""
     from .. import native_bridge as nb
     if nb.available():
         r = nb.parse_lane_header(data)
-        if r is None:
-            return None
-        meta, pre_segs, lit_len, cmd_len, dist_len = r
-        segs = [("bytes", data[off:off + ln]) for off, ln in pre_segs]
-        lane = _Lane(
-            stream_idx=-1, data=data, bit0=int(meta[0]),
-            mlen=int(meta[1]), window=(1 << int(meta[2])) - 16,
-            npostfix=int(meta[3]), ndirect=int(meta[4]),
-            lit_len=lit_len.astype(np.int32),
-            cmd_len=cmd_len.astype(np.int32),
-            dist_len=dist_len.astype(np.int32),
-            cache=list(C.INITIAL_DISTANCE_CACHE),
-            out_prefix_len=int(meta[7]))
-        segs.append(("lane", lane))
-        return segs
+        if r is not None:
+            meta, pre_segs, lit_len, cmd_len, dist_len = r
+            segs = [("bytes", data[off:off + ln])
+                    for off, ln in pre_segs]
+            lane = _Lane(
+                stream_idx=-1, data=data, bit0=int(meta[0]),
+                mlen=int(meta[1]), window=(1 << int(meta[2])) - 16,
+                npostfix=int(meta[3]), ndirect=int(meta[4]),
+                lit_len=lit_len.astype(np.int32),
+                cmd_len=cmd_len.astype(np.int32),
+                dist_len=dist_len.astype(np.int32),
+                cache=list(C.INITIAL_DISTANCE_CACHE),
+                out_prefix_len=int(meta[7]))
+            segs.append(("lane", lane))
+            return segs, False
+        # the native walk only accepts trailing compressed
+        # metablocks; retry with the resumable Python walk
     reader = BitReader(data)
     wbits = _read_window_bits(reader, False)
     window_size = (1 << wbits) - 16
     cache = list(C.INITIAL_DISTANCE_CACHE)
+    return _walk_from(data, reader, window_size, cache, 0)
+
+
+def _resume_parse_stream(data: bytes, bit_pos: int, cache,
+                         window_size: int, out_len: int):
+    """Continue a paused walk right after a device-decoded metablock
+    (bit_pos = the device's end bit; cache = its final distance
+    ring)."""
+    reader = BitReader(data)
+    reader.bit_pos = bit_pos
+    return _walk_from(data, reader, window_size, list(cache), out_len)
+
+
+def _walk_from(data, reader, window_size, cache, out_len):
+    """Shared walk body.  Returns (segs, pending); segs None =
+    ineligible for the device tier (multi-type / context-modeled
+    metablock)."""
     segs = []
-    out_len = 0
     while True:
         islast = reader.read(1)
         if islast and reader.read(1):
@@ -115,7 +141,7 @@ def _try_parse_stream(data: bytes):
         for c in "LID":
             blocks[c].read_header(reader)
         if any(blocks[c].num_types != 1 for c in "LID"):
-            return None
+            return None, False
         npostfix = reader.read(2)
         ndirect = reader.read(4) << npostfix
         _ = [reader.read(2) for _ in range(blocks["L"].num_types)]
@@ -124,7 +150,7 @@ def _try_parse_stream(data: bytes):
         ntrees_d = _read_count_code(reader)
         _read_context_map(reader, 4 * blocks["D"].num_types, ntrees_d)
         if ntrees_l != 1 or ntrees_d != 1:
-            return None
+            return None, False
         dist_alpha = C.distance_alphabet_size(npostfix, ndirect, 24)
         lit_len = read_prefix_code(reader, 256)
         cmd_len = read_prefix_code(reader, 704)
@@ -133,19 +159,18 @@ def _try_parse_stream(data: bytes):
                      mlen=mlen, window=window_size, npostfix=npostfix,
                      ndirect=ndirect, lit_len=lit_len, cmd_len=cmd_len,
                      dist_len=dist_len, cache=list(cache),
-                     out_prefix_len=out_len)
+                     out_prefix_len=out_len, is_final=bool(islast))
         segs.append(("lane", lane))
         out_len += mlen
-        # the device returns the end bit position; the host walk
-        # cannot continue past an un-decoded metablock, so device
-        # metablocks must be LAST unless we resume later.  Streams
-        # with more than one compressed metablock are handled by
-        # resuming this walk after the device pass; for the one-shot
-        # prototype we only accept a trailing compressed metablock.
+        # the device returns the end bit position and final distance
+        # ring; the host walk cannot continue past an un-decoded
+        # metablock, so a NON-final device metablock PAUSES the walk —
+        # the caller resumes it (round 5 lifted the old
+        # trailing-metablock-only gate)
         if not islast:
-            return None
+            return segs, True
         break
-    return segs
+    return segs, False
 
 
 def _reconstruct(lane: _Lane, prefix: bytes, lits: np.ndarray,
@@ -193,59 +218,28 @@ def _reconstruct(lane: _Lane, prefix: bytes, lits: np.ndarray,
     return bytes(out[p0:])
 
 
-def decompress_batch_tpu(streams, interpret: bool | None = None):
-    """Decode N streams; eligible trailing metablocks run their symbol
-    layer on the device, everything else on the host.  Returns
-    (outputs, n_device_lanes)."""
-    import jax
-    import jax.numpy as jnp
+def _run_device(lanes, batch_decode_device, jnp):
+    """One device pass over `lanes`.  Returns (lits, nlit, cmds, ncmd,
+    end_bit, status, cache_out) as numpy arrays (wide buffers sliced
+    to their realized power-of-two width)."""
+    n = len(lanes)
+    Lmax = max(len(ln.data) for ln in lanes)
+    mlen_max = max(ln.mlen for ln in lanes)
+    data = np.zeros((n, Lmax), np.uint8)
+    for j, ln in enumerate(lanes):
+        data[j, :len(ln.data)] = np.frombuffer(ln.data, np.uint8)
+    da_max = max(len(ln.dist_len) for ln in lanes)
 
-    from .. import native_bridge as nb
-    from ..ops.decode_tpu import batch_decode_device
+    def stackpad(arrs, width):
+        out = np.zeros((n, width), np.int32)
+        for j, a in enumerate(arrs):
+            out[j, :len(a)] = a
+        return out
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    plans = []
-    for s in streams:
-        try:
-            plans.append(_try_parse_stream(bytes(s)))
-        except Exception:
-            plans.append(None)
-
-    lanes = []
-    for i, plan in enumerate(plans):
-        if plan is None:
-            continue
-        for kind, seg in plan:
-            if kind == "lane":
-                seg.stream_idx = i
-                lanes.append(seg)
-
-    results: dict[int, bytes] = {}
-    if lanes:
-        n = len(lanes)
-        Lmax = max(len(ln.data) for ln in lanes)
-        mlen_max = max(ln.mlen for ln in lanes)
-        data = np.zeros((n, Lmax), np.uint8)
-        for j, ln in enumerate(lanes):
-            data[j, :len(ln.data)] = np.frombuffer(ln.data, np.uint8)
-        da_max = max(len(ln.dist_len) for ln in lanes)
-
-        def stackpad(arrs, width):
-            out = np.zeros((n, width), np.int32)
-            for j, a in enumerate(arrs):
-                out[j, :len(a)] = a
-            return out
-
-        s_lit = mlen_max
-        s_cmd = mlen_max // 2 + 8
-        fn = batch_decode_device
-        if interpret:
-            # the while_loop kernel is pure jax.numpy — it runs on the
-            # CPU backend directly (no pallas), interpret is moot
-            pass
-        lits, nlit, cmds, ncmd, end_bit, status, _ = fn(
+    s_lit = mlen_max
+    s_cmd = mlen_max // 2 + 8
+    lits, nlit, cmds, ncmd, end_bit, status, cache_out = \
+        batch_decode_device(
             jnp.asarray(data),
             jnp.asarray([ln.bit0 for ln in lanes], jnp.int32),
             jnp.asarray([ln.mlen for ln in lanes], jnp.int32),
@@ -261,51 +255,137 @@ def decompress_batch_tpu(streams, interpret: bool | None = None):
                         jnp.int32),
             jnp.int32(3 * mlen_max + 64),
             s_lit=s_lit, s_cmd=s_cmd)
-        # pull the tiny count vectors first, then transfer only the
-        # realized prefix of the wide buffers (power-of-two bucketed
-        # so the slice executable is reused): the full-width lits/cmds
-        # staging is sized for the worst case and would dominate d2h
-        nlit = np.asarray(nlit)
-        ncmd = np.asarray(ncmd)
-        status = np.asarray(status)
-        end_bit = np.asarray(end_bit)
+    # pull the tiny count vectors first, then transfer only the
+    # realized prefix of the wide buffers (power-of-two bucketed so
+    # the slice executable is reused): the full-width lits/cmds
+    # staging is sized for the worst case and would dominate d2h
+    nlit = np.asarray(nlit)
+    ncmd = np.asarray(ncmd)
+    status = np.asarray(status)
+    end_bit = np.asarray(end_bit)
+    cache_out = np.asarray(cache_out)
 
-        def bucket(v, cap):
-            b = 64
-            while b < v:
-                b <<= 1
-            return min(b, cap)
+    def bucket(v, cap):
+        b = 64
+        while b < v:
+            b <<= 1
+        return min(b, cap)
 
-        wl = bucket(int(nlit.max(initial=0)), s_lit)
-        wc = bucket(int(ncmd.max(initial=0)), s_cmd)
-        lits = np.asarray(lits[:, :wl])
-        cmds = np.asarray(cmds[:, :wc])
+    wl = bucket(int(nlit.max(initial=0)), s_lit)
+    wc = bucket(int(ncmd.max(initial=0)), s_cmd)
+    return (np.asarray(lits[:, :wl]), nlit,
+            np.asarray(cmds[:, :wc]), ncmd, end_bit, status,
+            cache_out)
 
+
+def decompress_batch_tpu(streams, interpret: bool | None = None,
+                         max_rounds: int = 8):
+    """Decode N streams; eligible compressed metablocks run their
+    symbol layer on the device, everything else on the host.
+    Multi-metablock streams decode over several device ROUNDS: after
+    each pass the host walk resumes at the device's end bit with its
+    final distance ring (round 5 lifted the trailing-metablock-only
+    gate).  Returns (outputs, n_device_streams)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.decode_tpu import batch_decode_device
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    del interpret  # the while_loop kernel is pure jax.numpy
+
+    # per-stream state: accumulated output segments (bytes), a paused
+    # walk flag, and failure marking (-> whole-stream host fallback)
+    n_streams = len(streams)
+    segs_acc = [[] for _ in range(n_streams)]
+    pending = [False] * n_streams
+    failed = [False] * n_streams
+    done = [False] * n_streams
+    lanes = []
+    for i, s in enumerate(streams):
+        try:
+            plan, pend = _try_parse_stream(bytes(s))
+        except Exception:
+            plan, pend = None, False
+        if plan is None:
+            failed[i] = True
+            continue
+        pending[i] = pend
+        for kind, seg in plan:
+            if kind == "lane":
+                seg.stream_idx = i
+                lanes.append(seg)
+            else:
+                segs_acc[i].append(seg)
+        if not pend and not any(ln.stream_idx == i for ln in lanes):
+            done[i] = True  # stream with no compressed metablocks
+
+    rounds = 0
+    while lanes and rounds < max_rounds:
+        rounds += 1
+        (lits, nlit, cmds, ncmd, end_bit, status,
+         cache_out) = _run_device(lanes, batch_decode_device, jnp)
+        next_lanes = []
         for j, ln in enumerate(lanes):
-            if int(status[j]) != 4:  # PH_DONE
-                continue  # malformed construct: host fallback
-            # RFC 7932 §9.2: final padding bits (from the device's end
-            # bit up to the byte boundary) must be zero — the host and
-            # native decoders reject nonzero padding, so this tier must
-            # too (fall back; the host raises the matching error).
-            end = int(end_bit[j])
-            if (end & 7) and (ln.data[end >> 3] >> (end & 7)) != 0:
+            i = ln.stream_idx
+            if failed[i]:
                 continue
-            prefix = b"".join(
-                seg for kind, seg in plans[ln.stream_idx]
-                if kind == "bytes")
+            if int(status[j]) != 4:  # PH_DONE
+                failed[i] = True  # malformed construct: host fallback
+                continue
+            end = int(end_bit[j])
+            if ln.is_final:
+                # RFC 7932 §9.2: final padding bits must be zero —
+                # the host and native decoders reject nonzero padding,
+                # so this tier must too (fall back; the host raises
+                # the matching error)
+                if (end & 7) and \
+                        (ln.data[end >> 3] >> (end & 7)) != 0:
+                    failed[i] = True
+                    continue
+            prefix = b"".join(segs_acc[i])
             try:
                 body = _reconstruct(ln, prefix, lits[j], int(nlit[j]),
                                     cmds[j], int(ncmd[j]))
             except BrotliDecodeError:
+                failed[i] = True
                 continue
-            results[ln.stream_idx] = prefix + body
+            segs_acc[i].append(body)
+            if ln.is_final:
+                done[i] = True
+                continue
+            # resume the paused walk with the device's end state
+            try:
+                plan, pend = _resume_parse_stream(
+                    ln.data, end, cache_out[j].tolist(), ln.window,
+                    ln.out_prefix_len + ln.mlen)
+            except Exception:
+                plan, pend = None, False
+            if plan is None:
+                failed[i] = True
+                continue
+            pending[i] = pend
+            got_lane = False
+            for kind, seg in plan:
+                if kind == "lane":
+                    seg.stream_idx = i
+                    next_lanes.append(seg)
+                    got_lane = True
+                else:
+                    segs_acc[i].append(seg)
+            if not pend and not got_lane:
+                done[i] = True
+        lanes = next_lanes
+    if lanes:  # round budget exhausted: remaining streams fall back
+        for ln in lanes:
+            failed[ln.stream_idx] = True
 
     outputs = []
     n_device = 0
     for i, s in enumerate(streams):
-        if i in results:
-            outputs.append(results[i])
+        if done[i] and not failed[i]:
+            outputs.append(b"".join(segs_acc[i]))
             n_device += 1
         else:
             # _host_decode (decoder.decompress) dispatches to the

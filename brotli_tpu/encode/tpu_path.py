@@ -271,7 +271,7 @@ def compress_tpu(data, quality: int = 9, lgwin: int = 22,
         if max_device:
             inflight[j] = _match_parse_dense(
                 row_d, np.int32(min_pos[j]), params.window_size, halo,
-                k=knobs["k"], rounds=max(knobs["rounds"], 4))
+                k=knobs["k"], rounds=max(knobs["rounds"], 6))
         else:
             inflight[j] = _match_dense(row_d, np.int32(min_pos[j]),
                                        params.window_size, halo,

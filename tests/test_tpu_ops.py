@@ -415,3 +415,20 @@ def test_tpu_path_max_device_roundtrip():
     from . import oracle
     if oracle.available():
         assert oracle.decompress(out, max_size_hint=len(data)) == data
+
+
+def test_batch_decode_tpu_multi_metablock_resume():
+    """Round 5: the device tier decodes MULTI-metablock streams by
+    resuming the host walk after each device pass (end bit + final
+    distance ring come back from the chip); the old
+    trailing-metablock-only gate is gone."""
+    from brotli_tpu import compress
+    from brotli_tpu.decode.batch_tpu import decompress_batch_tpu
+    alice = load("alice29.txt")
+    payloads = [alice[:120000], alice[:70000], alice[30000:95000]]
+    # lgblock 16 -> several compressed metablocks per stream
+    streams = [compress(p, quality=q, lgblock=16)
+               for p, q in zip(payloads, (2, 3, 2))]
+    outs, ndev = decompress_batch_tpu(streams)
+    assert outs == payloads
+    assert ndev == 3  # every stream fully decoded on the device tier
