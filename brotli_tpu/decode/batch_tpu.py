@@ -302,6 +302,7 @@ def decompress_batch_tpu(streams, interpret: bool | None = None,
     pending = [False] * n_streams
     failed = [False] * n_streams
     done = [False] * n_streams
+    used_device = [False] * n_streams
     lanes = []
     for i, s in enumerate(streams):
         try:
@@ -352,6 +353,7 @@ def decompress_batch_tpu(streams, interpret: bool | None = None,
                 failed[i] = True
                 continue
             segs_acc[i].append(body)
+            used_device[i] = True
             if ln.is_final:
                 done[i] = True
                 continue
@@ -386,7 +388,11 @@ def decompress_batch_tpu(streams, interpret: bool | None = None,
     for i, s in enumerate(streams):
         if done[i] and not failed[i]:
             outputs.append(b"".join(segs_acc[i]))
-            n_device += 1
+            # walk-only streams (no compressed metablock) complete on
+            # this tier too, but only lane-carrying streams count as
+            # device-decoded
+            if used_device[i]:
+                n_device += 1
         else:
             # _host_decode (decoder.decompress) dispatches to the
             # native engine itself and translates its ValueError codes

@@ -230,25 +230,42 @@ def _dual_parse_segments(nb, full, params, boundaries, dlen, start,
     sa, sb = mk(), mk()
     ex_a = ThreadPoolExecutor(max_workers=1)
     ex_b = ThreadPoolExecutor(max_workers=1)
-    futs = []
-    prev = start
-    for b in boundaries:
-        span = b - prev
+    from collections import deque
+    futs = deque()
+    bl = list(boundaries)
+
+    def submit_one(gi):
+        prev_b = start if gi == 0 else bl[gi - 1]
+        b = bl[gi]
+        span = b - prev_b
         if span < (1 << 19):
             # small metablock: A parses it whole, B just keeps up
             fa = ex_a.submit(sa.next, b, span // 2 + 2)
             fp = ex_b.submit(sb.prime, b)
             futs.append((fa, None, fp))
         else:
-            mid = prev + span // 2
-            fa = ex_a.submit(sa.next, mid, (mid - prev) // 2 + 2)
+            mid = prev_b + span // 2
+            fa = ex_a.submit(sa.next, mid, (mid - prev_b) // 2 + 2)
             ex_a.submit(sa.prime, b)
             ex_b.submit(sb.prime, mid)
             fb = ex_b.submit(sb.next, b, (b - mid) // 2 + 2)
             futs.append((fa, fb, None))
-        prev = b
+
+    # bounded lookahead: at most TWO metablocks in flight — the
+    # parse workers must not run arbitrarily ahead of the store
+    # thread (each undelivered segment retains its command arrays,
+    # O(input) if unbounded; the round-4 pipeline bounded this to
+    # one boundary ahead for the same reason)
+    submitted = 0
+    for submitted in range(min(2, len(bl))):
+        submit_one(submitted)
+    submitted = min(2, len(bl))
     try:
-        for fa, fb, fp in futs:
+        while futs:
+            fa, fb, fp = futs.popleft()
+            if submitted < len(bl):
+                submit_one(submitted)
+                submitted += 1
             a = fa.result()
             if fp is not None:
                 fp.result()

@@ -424,6 +424,19 @@ def cluster_context_histograms(bucket_hist: np.ndarray, max_trees: int,
     return out_assign, tree_hists
 
 
+_DIST_LANE_POOL = None
+
+
+def _dist_lane_pool():
+    """Shared 4-worker pool for the npostfix lanes: a fresh executor
+    per metablock paid thread spawn/join on every q10+ metablock."""
+    global _DIST_LANE_POOL
+    if _DIST_LANE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _DIST_LANE_POOL = ThreadPoolExecutor(max_workers=4)
+    return _DIST_LANE_POOL
+
+
 def _dist_stream_cost(hist: np.ndarray, extra_cost: int) -> float:
     """Actual serialized cost of a distance symbol stream: depth-limited
     Huffman code bits plus the wire-form tree description (reference
@@ -495,9 +508,7 @@ def choose_distance_params(distances: np.ndarray, copy_mask: np.ndarray,
         return lbest
 
     if len(dists) >= (1 << 15):
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            lane_bests = list(ex.map(lane, range(4)))
+        lane_bests = list(_dist_lane_pool().map(lane, range(4)))
     else:
         lane_bests = [lane(npf) for npf in range(4)]
     # tie-break identical to the serial sweep: first lane wins ties

@@ -929,6 +929,16 @@ def _zopfli_segment_fast_overlapped(full: np.ndarray, params,
         packed = nb._scratch("zco_packed", 2 * n + 64,
                              nb.ZCAND_DTYPE)
         qstate = np.zeros(18, np.int64)
+        # the chunked DP's cross-chunk state must live in buffers WE
+        # hold: _scratch returns a fresh buffer when a request
+        # exceeds its pooling cap (node_cache does at a 4 MiB
+        # metablock), which would reset the state between chunks
+        dp_state = (np.empty(n + 1, np.float32),
+                    np.empty(n + 1, np.int32),
+                    np.empty(n + 1, np.int32),
+                    np.empty(n + 1, np.int32),
+                    np.empty(n + 1, np.int32),
+                    np.empty(4 * (n + 1), np.int32))
         chunk = 1 << 16
         n_starts = min(_FINAL_STARTS, 4)
         done = 0
@@ -965,7 +975,8 @@ def _zopfli_segment_fast_overlapped(full: np.ndarray, params,
                 np.asarray(initial_cache, dtype=np.int64),
                 n_starts=n_starts, cand_cap=_FAST_CAND_CAP,
                 max_zopfli_len=150 if params.quality <= 10 else 325,
-                p_range=(done, hi), qstate=qstate)
+                p_range=(done, hi), qstate=qstate,
+                state_bufs=dp_state)
             done = hi
         fut_deep.result()
         fut_shal.result()

@@ -864,7 +864,7 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
                     cands, ins_code, ins_extra, cmd_sym, cmd_sym_last,
                     data, dict_len, window_size, initial_cache,
                     n_starts=2, cand_cap=0, max_zopfli_len=0,
-                    p_range=None, qstate=None):
+                    p_range=None, qstate=None, state_bufs=None):
     """Cache-aware DP over prepared candidates with inline sub-length
     ladder (native zopfli_dp_cands_native)."""
     lib = get_lib()
@@ -879,12 +879,21 @@ def zopfli_dp_cands(n, lcp, cost_cmd, cost_dist_short, cost_dist4,
     # float32 costs / int32 node records (the reference's ZopfliNode
     # is f32+u32 too): the DP's rejected-relax loads dominate its
     # runtime, so halving the randomly-accessed arrays pays directly
-    cost = _scratch("dp_cost", n + 1, np.float32)
-    prev_start = _scratch("dp_ps", n + 1, np.int32)
-    prev_len = _scratch("dp_pl", n + 1, np.int32)
-    prev_wire = _scratch("dp_pw", n + 1, np.int32)
-    prev_dist = _scratch("dp_pd", n + 1, np.int32)
-    node_cache = _scratch("dp_nc", 4 * (n + 1), np.int32)
+    if state_bufs is not None:
+        # chunked callers MUST hold the DP state across calls
+        # themselves: _scratch hands out a FRESH buffer whenever a
+        # request exceeds its pooling cap (node_cache crosses it at
+        # the default 4 MiB metablock span), which would silently
+        # reset the cost/backpointer/cache state between chunks
+        (cost, prev_start, prev_len, prev_wire, prev_dist,
+         node_cache) = state_bufs
+    else:
+        cost = _scratch("dp_cost", n + 1, np.float32)
+        prev_start = _scratch("dp_ps", n + 1, np.int32)
+        prev_len = _scratch("dp_pl", n + 1, np.int32)
+        prev_wire = _scratch("dp_pw", n + 1, np.int32)
+        prev_dist = _scratch("dp_pd", n + 1, np.int32)
+        node_cache = _scratch("dp_nc", 4 * (n + 1), np.int32)
     F64 = ctypes.POINTER(ctypes.c_double)
     F32 = ctypes.POINTER(ctypes.c_float)
     I32 = ctypes.POINTER(ctypes.c_int32)

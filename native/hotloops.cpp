@@ -2927,7 +2927,10 @@ struct ParseSession {
 };
 
 std::mutex g_sess_mtx;
-ParseSession* g_sess_spare = nullptr;
+// two-deep spare pool: the dual-session parse holds two sessions per
+// compress call, and a one-deep pool made the second a fresh ~17MB
+// allocation (page re-faults) every call
+ParseSession* g_sess_spares[2] = {nullptr, nullptr};
 
 // caller-provided session arena (the preallocated no-alloc encode
 // mode): while set on this thread, parse_session_begin carves every
@@ -2958,16 +2961,21 @@ ParseSession* session_pool_get() {
     g_active_sessions.fetch_add(1, std::memory_order_relaxed);
     if (g_sess_arena.base) {
         void* mem = sess_arena_carve<ParseSession>(1);
-        if (!mem) return nullptr;
+        if (!mem) {
+            g_active_sessions.fetch_sub(1, std::memory_order_relaxed);
+            return nullptr;
+        }
         ParseSession* s = new (mem) ParseSession();
         s->arena_mode = true;
         return s;
     }
     std::lock_guard<std::mutex> lk(g_sess_mtx);
-    if (g_sess_spare) {
-        ParseSession* s = g_sess_spare;
-        g_sess_spare = nullptr;
-        return s;
+    for (auto& sp : g_sess_spares) {
+        if (sp) {
+            ParseSession* s = sp;
+            sp = nullptr;
+            return s;
+        }
     }
     return new ParseSession();
 }
@@ -2976,8 +2984,13 @@ void session_pool_put(ParseSession* s) {
     g_active_sessions.fetch_sub(1, std::memory_order_relaxed);
     if (s->arena_mode) return;  // arena-backed: caller owns the bytes
     std::lock_guard<std::mutex> lk(g_sess_mtx);
-    if (g_sess_spare) { delete s; return; }
-    g_sess_spare = s;
+    for (auto& sp : g_sess_spares) {
+        if (!sp) {
+            sp = s;
+            return;
+        }
+    }
+    delete s;
 }
 
 }  // namespace
@@ -3204,10 +3217,17 @@ void* parse_session_begin(
         cx.row8_bytes = cx.cap8 * 8;
     }
     cx.cnt4 = fit(S.cnt4, nb4);
+    cx.cnt8 = k8 ? fit(S.cnt8, nb8) : nullptr;
+    if (S.arena_mode && g_sess_arena.fail) {
+        // undersized caller arena: fail cleanly before any memset
+        // touches a null carve (the public prealloc entry validates
+        // sizes, so this is belt-and-suspenders)
+        g_active_sessions.fetch_sub(1, std::memory_order_relaxed);
+        return nullptr;
+    }
     std::memset(cx.cnt4, 0, nb4 * sizeof(uint16_t));
     if (cx.basic)
         std::memset(cx.ring4, 0, nb4 * cx.cap4 * sizeof(uint64_t));
-    cx.cnt8 = k8 ? fit(S.cnt8, nb8) : nullptr;
     if (k8) std::memset(cx.cnt8, 0, nb8 * sizeof(uint16_t));
     // bucket ids are computed per metablock by ensure_hashes (a
     // sliding window over [ins_pos, boundary)) — hash scratch stays

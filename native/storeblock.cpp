@@ -2610,6 +2610,12 @@ extern "C" int64_t compress_session_prealloc_native(
     uint64_t* out_words, int64_t cap_bits)
 {
     int64_t window_size = (int64_t(1) << lgwin) - 16;
+    // the arena was budgeted from the INPUT size
+    // (BrotliEncoderPreallocScratchSizeQ spans at most
+    // max(input, 4096)), so the metablock span must not exceed it —
+    // an lgwin-derived span larger than the input over-carves the
+    // hash/command buffers and fails small-input encodes
+    span = std::min(span, std::max<int64_t>(n, 4096));
     int64_t cache_io[4] = {4, 11, 15, 16};
     parse_session_set_arena(scratch, scratch_size);
     void* sess = parse_session_begin(

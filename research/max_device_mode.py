@@ -1,9 +1,9 @@
 """Max-device offload experiment: how far can the DEVICE fraction of
 the encode pipeline grow before ratio/wall-clock pay for it?
 
-Pipeline under test: device match (exact tier, rounds=4, 16 bytes
-attested — rounds=8 exceeds the 16MB scoped-VMEM budget of the fold
-kernel, so copies cap at 16 without host extension) + device committed_parse
+Pipeline under test: device match (exact tier, rounds=6 as of round
+5 — 24 bytes attested; rounds 7/8 exceed the fold kernel's scoped-
+VMEM budget and fail to compile) + device committed_parse
 (ops/parse.py pointer-doubling commitment, 4096 sub-blocks) in ONE
 jit; the host only converts (visited, take, dist) to command arrays
 vectorized and runs the native store — serialization glue, per the
@@ -36,7 +36,7 @@ SUB_BLOCK = 4096
 
 
 @partial(jax.jit, static_argnames=("window", "rounds", "k"))
-def device_match_parse(data, window: int, rounds: int = 4,
+def device_match_parse(data, window: int, rounds: int = 6,
                        k: int = 32):
     from brotli_tpu.ops.fold_pallas import best_matches_exact_p
     from brotli_tpu.ops.parse import committed_parse
