@@ -276,3 +276,18 @@ def test_dual_parse_large_input():
             finally:
                 del os.environ["BROTLI_TPU_DUAL_PARSE"]
             assert len(out) <= len(ser) * 1.005
+
+
+def test_q10_large_metablock_deterministic():
+    """The overlapped q10 chunked DP carries state across chunk calls;
+    at a 4 MiB metablock its node-cache buffer crosses the scratch
+    pool's size cap, where pooling would silently hand each chunk a
+    fresh uninitialized buffer (round-5 review finding).  Determinism
+    at this size pins the caller-held-state fix."""
+    from brotli_tpu import compress, decompress
+    base = load("alice29.txt") + load("asyoulik.txt")
+    data = (base * 18)[: (4 << 20) + (1 << 18)]  # > one 4 MiB metablock
+    a = compress(data, quality=10)
+    b = compress(data, quality=10)
+    assert a == b
+    assert decompress(a) == data
