@@ -247,10 +247,13 @@ def main():
                              ("q10_deep",
                               dict(quality=10, q10_deep=True), 10),
                              ("q11", dict(quality=11), 11)):
-            compress(zl[: 1 << 16], **kw)  # warm
+            # warm at FULL size: the collectors' pooled buffers are
+            # sized by content/length, and a cold 512K run is ~2x
+            # slower than steady state
+            compress(zl, **kw)
             our_t, c_t = 1e9, 1e9
             our_out = c_out = b""
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 our_out = compress(zl, **kw)
                 our_t = min(our_t, time.perf_counter() - t0)
