@@ -520,7 +520,7 @@ def test_capi_prealloc_encode_zero_alloc():
         # boundaries shift with the suite's prior heap history, so
         # the STEADY state (zero delta) may need one extra call
         deltas = []
-        for _ in range(3):
+        for _ in range(5):
             gc.disable()
             try:
                 esz.value = len(enc)
