@@ -105,6 +105,34 @@ int main(int argc, char** argv) {
     }
     BrotliEncoderDestroyInstance(es);
 
+    /* fully-preallocated encode (the analog of the reference's
+     * manual-memory-management / seccomp example, combined_alloc.rs):
+     * after the per-thread warmup, the compress call performs zero
+     * heap allocations — every buffer lives in the caller's arena */
+    if (quality <= 9) {
+        if (!BrotliEncoderPreallocWarmup(n)) {
+            fprintf(stderr, "prealloc warmup failed\n");
+            return 1;
+        }
+        size_t pss = BrotliEncoderPreallocScratchSizeQ(n, quality);
+        uint8_t* parena = malloc(pss);
+        size_t penc_size = enc_cap;
+        if (!BrotliEncoderCompressPrealloc(quality, 22, 0, n, input,
+                                           &penc_size, enc, pss,
+                                           parena)) {
+            fprintf(stderr, "prealloc encode failed\n");
+            return 1;
+        }
+        dec_size = n + 16;
+        if (BrotliDecoderDecompress(penc_size, enc, &dec_size, dec) !=
+                BROTLI_DECODER_RESULT_SUCCESS ||
+            dec_size != (size_t)n || memcmp(dec, input, n) != 0) {
+            fprintf(stderr, "prealloc round-trip FAILED\n");
+            return 1;
+        }
+        free(parena);
+    }
+
     /* multithreaded encode over a persistent worker pool (the analog
      * of the reference's c/multiexample.c) */
     void* pool = BrotliEncoderCreateWorkPool(4, NULL, NULL, NULL);
