@@ -176,19 +176,20 @@ def BrotliEncoderCompress(quality: int, lgwin: int, mode: int,
 def BrotliEncoderCompressPrealloc(quality: int, lgwin: int, mode: int,
                                   data: bytes, scratch=None):
     """Fully-preallocated encode (reference stack-allocator mode,
-    combined_alloc.rs): q0/q1, all big scratch from the caller's
-    arena, zero heap allocations after BrotliEncoderPreallocWarmup.
-    Returns the compressed bytes or None (unsupported quality /
-    arena too small)."""
+    combined_alloc.rs): q0-q9, all big scratch (fragment tables OR the
+    ring-tier session buffers) from the caller's arena, zero heap
+    allocations after BrotliEncoderPreallocWarmup.  Returns the
+    compressed bytes or None (unsupported quality / arena too
+    small)."""
     import ctypes
 
     from . import native_bridge as nb
     lib = nb.get_lib()
     if lib is None:
         return None
-    lib.BrotliEncoderPreallocScratchSize.restype = ctypes.c_size_t
-    need = int(lib.BrotliEncoderPreallocScratchSize(
-        ctypes.c_size_t(len(data))))
+    lib.BrotliEncoderPreallocScratchSizeQ.restype = ctypes.c_size_t
+    need = int(lib.BrotliEncoderPreallocScratchSizeQ(
+        ctypes.c_size_t(len(data)), quality))
     if scratch is None:
         scratch = ctypes.create_string_buffer(need)
     elif len(scratch) < need:
