@@ -265,7 +265,7 @@ def main():
                 enc_MBps=round(len(zl) / our_t / 1e6, 3),
                 vs_c_encode=round(c_t / our_t, 3),
                 size_vs_c=round(len(our_out) / len(c_out), 4),
-                _t=our_t, _size=len(our_out),
+                _t=our_t,
             )
         # q10_deep sits BETWEEN C's q10 and q11 in ratio (0.972 vs
         # C q10), so its honest speed comparator is also C q11 —
@@ -276,7 +276,6 @@ def main():
             d["vs_c11_encode"] = round(q11c_t / d["_t"], 3)
         for v in zopfli.values():
             v.pop("_t", None)
-            v.pop("_size", None)
 
     # ---- CompressMulti via the persistent native WorkerPool, with
     # core-seconds evidence (wall vs process-cpu width: the

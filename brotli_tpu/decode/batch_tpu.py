@@ -103,11 +103,17 @@ def _resume_parse_stream(data: bytes, bit_pos: int, cache,
 def _walk_from(data, reader, window_size, cache, out_len):
     """Shared walk body.  Returns (segs, pending); segs None =
     ineligible for the device tier (multi-type / context-modeled
-    metablock)."""
+    metablock).  Walk-terminated streams (ending in ISLASTEMPTY, a
+    final metadata block, or a final uncompressed block) enforce the
+    RFC 7932 §9.2 final-padding check here — streams that end in a
+    device lane get the equivalent check after the device pass."""
     segs = []
     while True:
         islast = reader.read(1)
         if islast and reader.read(1):
+            if reader.align_to_byte() != 0:
+                raise BrotliDecodeError(
+                    "nonzero padding after last metablock")
             break
         mnibbles = reader.read(2)
         if mnibbles == 3:
@@ -299,7 +305,6 @@ def decompress_batch_tpu(streams, interpret: bool | None = None,
     # walk flag, and failure marking (-> whole-stream host fallback)
     n_streams = len(streams)
     segs_acc = [[] for _ in range(n_streams)]
-    pending = [False] * n_streams
     failed = [False] * n_streams
     done = [False] * n_streams
     used_device = [False] * n_streams
@@ -312,14 +317,15 @@ def decompress_batch_tpu(streams, interpret: bool | None = None,
         if plan is None:
             failed[i] = True
             continue
-        pending[i] = pend
+        got_lane = False
         for kind, seg in plan:
             if kind == "lane":
                 seg.stream_idx = i
                 lanes.append(seg)
+                got_lane = True
             else:
                 segs_acc[i].append(seg)
-        if not pend and not any(ln.stream_idx == i for ln in lanes):
+        if not pend and not got_lane:
             done[i] = True  # stream with no compressed metablocks
 
     rounds = 0
@@ -367,7 +373,6 @@ def decompress_batch_tpu(streams, interpret: bool | None = None,
             if plan is None:
                 failed[i] = True
                 continue
-            pending[i] = pend
             got_lane = False
             for kind, seg in plan:
                 if kind == "lane":

@@ -425,15 +425,20 @@ def cluster_context_histograms(bucket_hist: np.ndarray, max_trees: int,
 
 
 _DIST_LANE_POOL = None
+_DIST_LANE_LOCK = __import__("threading").Lock()
 
 
 def _dist_lane_pool():
     """Shared 4-worker pool for the npostfix lanes: a fresh executor
-    per metablock paid thread spawn/join on every q10+ metablock."""
+    per metablock paid thread spawn/join on every q10+ metablock.
+    Creation is locked — concurrent first callers must not each spawn
+    (and leak) an executor."""
     global _DIST_LANE_POOL
     if _DIST_LANE_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-        _DIST_LANE_POOL = ThreadPoolExecutor(max_workers=4)
+        with _DIST_LANE_LOCK:
+            if _DIST_LANE_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+                _DIST_LANE_POOL = ThreadPoolExecutor(max_workers=4)
     return _DIST_LANE_POOL
 
 

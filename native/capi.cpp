@@ -563,6 +563,8 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
         int64_t cap_bits = 9 * mlen + (1 << 17);
         words.assign((size_t)(cap_bits / 64 + 2), 0);
         int64_t mb_alpha = 16 + mb_ndirect + (48 << mb_npostfix);
+        int64_t cache_snap[4] = {cache[0], cache[1], cache[2],
+                                 cache[3]};
         int64_t nbits = encode_metablock_native(
             base, abs_start, mlen, is_last ? 1 : 0, cnt,
             oi.data() + off, oc.data() + off, od.data() + off,
@@ -572,6 +574,11 @@ static bool c_encode(const uint8_t* input, int64_t n, int quality,
             quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits,
             0);
         if (nbits < 0 || nbits > 8 * mlen + 40) {
+            // uncompressed fallback: the wire carries the raw block,
+            // so the DECODER's distance ring is untouched — roll the
+            // encoder's back too or the next metablock's short codes
+            // resolve against a ring the decoder does not have
+            for (int c = 0; c < 4; c++) cache[c] = cache_snap[c];
             store_uncompressed(w, input + seg_start, mlen);
             if (is_last) write_empty_last(w);
         } else {
@@ -658,6 +665,7 @@ static bool encode_stream_chunk(
     int64_t dist_alpha = 16 + mb_ndirect + (48 << mb_npostfix);
     int64_t cap_bits = 9 * blen + (1 << 17);
     std::vector<uint64_t> words((size_t)(cap_bits / 64 + 2), 0);
+    int64_t cache_snap2[4] = {cache[0], cache[1], cache[2], cache[3]};
     int64_t nbits = encode_metablock_native(
         full.data(), plen, blen, is_last ? 1 : 0, cnt, oi.data(),
         oc.data(), od.data(), oa.data(), cache, window, mb_npostfix,
@@ -665,6 +673,8 @@ static bool encode_stream_chunk(
         smap, kCtxLut0 + ctx_mode * 256, kCtxLut1 + ctx_mode * 256,
         quality >= 4 ? 1 : 0, nullptr, 0, words.data(), cap_bits, 0);
     if (nbits < 0 || nbits > 8 * blen + 40) {
+        // uncompressed fallback: roll the ring back (see c_encode)
+        for (int c = 0; c < 4; c++) cache[c] = cache_snap2[c];
         store_uncompressed(w, body, blen);
         if (is_last) write_empty_last(w);
     } else {
@@ -743,7 +753,7 @@ size_t BrotliEncoderPreallocScratchSizeQ(size_t input_size,
     size_t cap8 = kn.k8 ? (size_t)pow2(kn.k8) : 1;
     size_t rings = nb4 * cap4 * 8 + (kn.k8 ? nb8 * cap8 * 8 : 0);
     size_t cnts = nb4 * 2 + nb8 * 2;
-    size_t hashes = 2 * (span + 64) * 4;
+    size_t hashes = 2 * (span + 320) * 4;
     size_t cmds = 4 * (span / 2 + 16) * 8;
     return base + rings + cnts + hashes + cmds + 4096 + 64 * 16;
 }
@@ -806,25 +816,30 @@ int BrotliEncoderPreallocWarmup(size_t max_input_size) {
         dummy.data(), (int64_t)max_input_size, 22, 1, scratch.data(),
         (int64_t)ss, words.data(), (int64_t)(words.size() * 64 - 128));
     if (r < 0) return 0;
-    // pass 3: ring-tier prealloc at q5 and q9 — sizes the
-    // context-modeled store pools (block splitting, clustering,
-    // context maps) that the fragment tier never touches.  A
-    // mixed-content dummy (text-ish then the LCG noise) drives both
-    // the UTF8 and SIGNED store paths
-    for (size_t i = 0; i + 1 < max_input_size / 2; i += 2) {
+    // pass 3: ring-tier prealloc warmup.  The prealloc driver picks
+    // ONE context mode per call, so each quality tier runs TWICE —
+    // once on a text-shaped dummy (UTF8 store path) and once on the
+    // original LCG noise (SIGNED path) — covering the basic tier
+    // (q3), the q<=6 ring tier (q5) and the q<=9 tier (q9); every
+    // quality in a tier shares its store pools
+    std::vector<uint8_t> noise = dummy;
+    for (size_t i = 0; i + 1 < max_input_size; i += 2) {
         dummy[i] = (uint8_t)('a' + (i / 2) % 26);
         dummy[i + 1] = ' ';
     }
-    for (int q : {5, 9}) {
-        size_t ssq = BrotliEncoderPreallocScratchSizeQ(max_input_size,
-                                                       q);
-        std::vector<uint8_t> sq(ssq);
-        size_t esz = BrotliEncoderMaxCompressedSize(max_input_size);
-        std::vector<uint8_t> enc(esz);
-        int ok = BrotliEncoderCompressPrealloc(
-            q, 22, 0, max_input_size, dummy.data(), &esz, enc.data(),
-            ssq, sq.data());
-        if (!ok) return 0;
+    for (int q : {3, 5, 9}) {
+        for (const auto* src : {&dummy, &noise}) {
+            size_t ssq = BrotliEncoderPreallocScratchSizeQ(
+                max_input_size, q);
+            std::vector<uint8_t> sq(ssq);
+            size_t esz = BrotliEncoderMaxCompressedSize(
+                max_input_size);
+            std::vector<uint8_t> enc(esz);
+            int ok = BrotliEncoderCompressPrealloc(
+                q, 22, 0, max_input_size, src->data(), &esz,
+                enc.data(), ssq, sq.data());
+            if (!ok) return 0;
+        }
     }
     return 1;
 }

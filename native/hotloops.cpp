@@ -2864,12 +2864,17 @@ struct ParseSession {
         if (c.basic) return;  // basic tier hashes inline, no scratch
         if (c.hash_base <= from && to <= hash_end) return;
         int64_t span = to - from;
+        // arena mode: the caller carved h_cap entries (one metablock
+        // span + generous slack — ins_pos lags the boundary by at
+        // most a few positions).  Clamp the WRITE bound defensively:
+        // an over-span fill must never scribble past the carve into
+        // the neighboring arena buffers (a clamped tail would only
+        // yield stale hashes, and every ring candidate is
+        // byte-verified downstream).
+        int64_t to_w = to;
         uint32_t* h4buf;
         if (arena_mode) {
-            // caller sized the hash scratch via
-            // parse_session_prealloc_hashes; spans never exceed one
-            // metablock plus slack there
-            if (span > h_cap) span = h_cap;  // defensive clamp
+            if (span > h_cap) to_w = from + h_cap;
             h4buf = h4_p;
         } else {
             if ((int64_t)h4.size() < span) h4.resize(span);
@@ -2890,31 +2895,31 @@ struct ParseSession {
             int64_t n = c.n;
             uint32_t shift8 = c.shift8;
             auto h8_fill = [=] {
-                // exclusive end, capped at `to`: the buffer holds
+                // exclusive end, capped at `to_w`: the buffer holds
                 // exactly to-from entries (an inclusive bound wrote
                 // one past the end whenever the boundary sat >= 8
                 // bytes before the input end — heap corruption under
                 // CompressMulti's allocation pattern)
-                int64_t e8 = std::min(to, n - 8 + 1);
+                int64_t e8 = std::min(to_w, n - 8 + 1);
                 for (int64_t i = from; i < e8; i++)
                     h8buf[i - from] = (uint32_t)(
                         (load64(data + i) * 0x1FE35A7BD3579BD3ull)
                         >> shift8);
-                for (int64_t i = std::max(from, e8); i < to; i++)
+                for (int64_t i = std::max(from, e8); i < to_w; i++)
                     h8buf[i - from] = 0;
             };
             if (h8_inline) h8_fill();
             else h8_thread = std::thread(h8_fill);
         }
         {
-            int64_t e4 = std::min(to,
+            int64_t e4 = std::min(to_w,
                                   c.n - (hash_len == 5 ? 8 : 4) + 1);
             for (int64_t i = from; i < e4; i++)
                 h4buf[i - from] = bucket_hash(c.data + i, hash_len,
                                               c.shift4);
             // tail positions hash into bucket 0 (harmless: min match
             // length 4 gates real use)
-            for (int64_t i = std::max(from, e4); i < to; i++)
+            for (int64_t i = std::max(from, e4); i < to_w; i++)
                 h4buf[i - from] = 0;
         }
         if (h8_thread.joinable()) h8_thread.join();

@@ -2627,7 +2627,7 @@ extern "C" int64_t compress_session_prealloc_native(
     int64_t* oc = nullptr;
     int64_t* od = nullptr;
     int64_t* oa = nullptr;
-    if (sess && parse_session_prealloc_hashes(sess, span + 64) == 0) {
+    if (sess && parse_session_prealloc_hashes(sess, span + 256) == 0) {
         oi = (int64_t*)parse_session_arena_carve(cap_cmds * 8);
         oc = (int64_t*)parse_session_arena_carve(cap_cmds * 8);
         od = (int64_t*)parse_session_arena_carve(cap_cmds * 8);

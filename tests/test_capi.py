@@ -1119,3 +1119,37 @@ def test_capi_streaming_dirty_final_padding_rejected():
             break  # would wait forever on more input: also a fail
     assert saw_error, "dirty final padding accepted by streaming ABI"
     L.BrotliDecoderDestroyInstance(st)
+
+
+def test_capi_uncompressed_fallback_ring_consistency():
+    """A metablock that expands past the store bound is stored RAW,
+    which leaves the decoder's distance ring untouched — the encoder
+    now rolls its ring back too (round-5 review finding; the inner
+    store's own incompressibility handling makes the outer fallback
+    hard to reach through this surface, so this pins the mixed
+    incompressible/compressible multi-metablock behavior broadly
+    rather than the exact fallback edge)."""
+    import numpy as np
+    from brotli_tpu import decompress
+    from . import oracle
+    L = lib()
+    rng = np.random.default_rng(17)
+    text = load("alice29.txt")
+    # random (falls back raw) then text (uses distance short codes),
+    # small lgblock so the boundary splits them into metablocks
+    for q in (2, 5, 9):
+        for lgb in (16, 18):
+            data = (rng.integers(0, 256, 1 << lgb, dtype=np.uint8)
+                    .tobytes() + text[: 1 << lgb])
+            enc_cap = int(L.BrotliEncoderMaxCompressedSize(
+                ctypes.c_size_t(len(data))))
+            enc = ctypes.create_string_buffer(enc_cap)
+            esz = ctypes.c_size_t(enc_cap)
+            assert L.BrotliEncoderCompress(
+                q, lgb, 0, ctypes.c_size_t(len(data)), data,
+                ctypes.byref(esz), enc) == 1
+            blob = enc.raw[:esz.value]
+            assert decompress(blob) == data, (q, lgb)
+            if oracle.available():
+                assert oracle.decompress(
+                    blob, max_size_hint=len(data) + 64) == data

@@ -432,3 +432,23 @@ def test_batch_decode_tpu_multi_metablock_resume():
     outs, ndev = decompress_batch_tpu(streams)
     assert outs == payloads
     assert ndev == 3  # every stream fully decoded on the device tier
+
+
+def test_batch_decode_walk_only_padding_conformance():
+    """Walk-only streams (no compressed metablock) complete on the
+    batch tier — but must still enforce the §9.2 final-padding rule
+    the host decoder applies (round-5 review finding)."""
+    import pytest
+    from brotli_tpu import decompress, BrotliDecodeError
+    from brotli_tpu.decode.batch_tpu import decompress_batch_tpu
+    # the canonical empty stream ends in ISLAST+ISLASTEMPTY with six
+    # zero padding bits; setting one of them must be rejected by BOTH
+    good = b"\x3b"  # lgwin 22 header + ISLAST + ISLASTEMPTY
+    assert decompress(good) == b""
+    outs, nd = decompress_batch_tpu([good])
+    assert outs == [b""] and nd == 0  # walk-only: not device-counted
+    bad = bytes([good[0] | 0x80])
+    with pytest.raises(BrotliDecodeError):
+        decompress(bad)
+    with pytest.raises(BrotliDecodeError):
+        decompress_batch_tpu([bad])
