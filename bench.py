@@ -181,19 +181,24 @@ def main():
                 t0 = time.perf_counter()
                 cout = oracle.compress(sl, quality=q)
                 c_enc = min(c_enc, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            plain = decompress(out)
-            dec_dt = min(dec_dt, time.perf_counter() - t0)
-            if cout is not None:
+            # the decode legs are ~15 ms each — take 3 samples per
+            # rep (still interleaved ours/C inside the rep) so their
+            # min is much tighter than the encode legs' against this
+            # VM's scheduler noise
+            for _ in range(3):
                 t0 = time.perf_counter()
-                oracle.decompress(cout, max_size_hint=len(sl))
-                c_dec = min(c_dec, time.perf_counter() - t0)
-                # honest same-stream decode A/B: both decoders on the
-                # C engine's own stream
-                t0 = time.perf_counter()
-                decompress(cout)
-                ab_ours = min(locals().get("ab_ours", 1e9),
-                              time.perf_counter() - t0)
+                plain = decompress(out)
+                dec_dt = min(dec_dt, time.perf_counter() - t0)
+                if cout is not None:
+                    t0 = time.perf_counter()
+                    oracle.decompress(cout, max_size_hint=len(sl))
+                    c_dec = min(c_dec, time.perf_counter() - t0)
+                    # honest same-stream decode A/B: both decoders on
+                    # the C engine's own stream
+                    t0 = time.perf_counter()
+                    decompress(cout)
+                    ab_ours = min(locals().get("ab_ours", 1e9),
+                                  time.perf_counter() - t0)
         assert plain == sl, "round-trip failed"
         if cout is not None:
             c_rt = len(sl) / (c_enc + c_dec)
