@@ -351,13 +351,17 @@ def test_compress_mesh_multi_metablock_shards():
 def test_compress_mesh_large_input_gated():
     """256 MiB through compress_mesh on 8 virtual devices round-trips
     (VERDICT r2 item 3; shards of 32 MiB exceed the 2^24 metablock cap
-    ~2x, exercising the per-shard segmentation).  Gated: ~minutes of
-    CPU-backend match kernels."""
+    ~2x, exercising the per-shard segmentation).  Gated: the interpret-
+    mode match kernels take >30 min at this size on a contended 4-vCPU
+    host (measured r5; not a code regression — compress_mesh routes
+    q>6 through variant="exact9", unchanged since r2).  Intended for
+    real multi-chip hardware; the small in-suite mesh tests plus
+    dryrun_multichip cover the sharding logic."""
     import os
 
     import pytest as _pytest
     if not os.environ.get("BROTLI_TPU_BIG_TESTS"):
-        _pytest.skip("set BROTLI_TPU_BIG_TESTS=1 (runs ~minutes)")
+        _pytest.skip("set BROTLI_TPU_BIG_TESTS=1 (runs >30 min)")
     from brotli_tpu import decompress
     from brotli_tpu.parallel.mesh import compress_mesh, make_mesh
     rng = np.random.default_rng(5)
